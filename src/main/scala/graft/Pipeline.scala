@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+/** The flagship end-to-end composite: the reference pipeline's full stage
+  * order (exports_results.sql + run_exports_query.py traced in SURVEY.md §3)
+  * re-expressed over the driver testdata star schema —
+  *
+  *   time-range filter (P2) → latest-per-key argmax dedup (A1) →
+  *   explode-with-default (O5) → order-sensitive classification (F10) →
+  *   global aggregates via broadcast crossJoin, not OVER () (W1–W3) →
+  *   broadcast dimension enrichment (J1) → 3-month rank/pivot features
+  *   (P12/A3/W4/O3/O4/J2) → final projection + total sort (P7/O1).
+  *
+  * Single-pass over the fact tables (the reference re-runs its query once
+  * per lender — ~49 scans; here every "lender" row comes out of one plan).
+  */
+object Pipeline {
+
+  private val Dec = DecimalType(18, 2)
+
+  def monthlyReport(spark: SparkSession, dir: String): DataFrame = {
+    // P2: half-open validity window — pushed down to the parquet scan.
+    val deals = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+
+    val lines = Tables.lineitem(spark, dir)
+
+    // A1: latest line per order; shipdate has day granularity so ties are
+    // broken deterministically with the line number (unique per order).
+    val ordKey = unix_timestamp(col("l_shipdate")) * 100 + col("l_linenumber")
+    val latest = lines.groupBy(col("l_orderkey")).agg(
+      max_by(col("l_quantity"), ordKey).as("latest_line_qty"),
+      max_by(col("l_returnflag"), ordKey).as("latest_line_flag"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship_day"))
+
+    // O5: per-deal matching results, exploded with a stub default so every
+    // deal survives (exports_results.sql:117-134 semantics).
+    val matched = lines.where(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"))
+    val stub = struct(lit(0).as("l_linenumber"), lit(0.0).as("l_quantity"))
+    val exploded = deals
+      .join(matched, deals("o_orderkey") === matched("l_orderkey"), "left")
+      .drop("l_orderkey")
+      .withColumn("item", ExplodeDefault.explodeWithDefault(col("items"), stub))
+      .withColumn("linenumber", col("item.l_linenumber"))
+      .withColumn("quantity", col("item.l_quantity"))
+      .drop("items", "item")
+
+    // W1/W3: global aggregates over the filtered deals, broadcast back.
+    val glob = deals.agg(
+      count_distinct(col("o_orderkey")).as("n_deals_global"),
+      sum(col("o_totalprice").cast(Dec)).as("sum_price_global"))
+
+    // J1: broadcast dimension enrichment.
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val enriched = exploded
+      .join(broadcast(c), exploded("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+
+    // F10: order-sensitive performance classification.
+    val performance =
+      when(col("linenumber") === 0, "Deals Not Exported")
+        .when(col("quantity") >= 45, "Export Winner Deals")
+        .when(col("quantity") >= 25, "Failed In Scope Deals")
+        .otherwise("Failed Out of Scope Deals")
+
+    // P12/A3/W4/O3/O4: 3-month rank/pivot features over the enriched rows.
+    val months = RankFeatures.lookbackMonths(java.time.LocalDate.parse("1997-06-01"))
+    val feat = RankFeatures.rankPivot(
+      enriched.select(col("c_mktsegment").as("tier"), col("o_orderpriority").as("entity"),
+        col("o_orderdate")),
+      "tier", "entity",
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"), months)
+
+    // J2 + final projection + total sort.
+    enriched
+      .join(latest, enriched("o_orderkey") === latest("l_orderkey"), "left")
+      .crossJoin(broadcast(glob))
+      .join(broadcast(feat),
+        enriched("c_mktsegment") === feat("tier") &&
+          enriched("o_orderpriority") === feat("entity"), "left")
+      .select(
+        col("o_orderkey"), col("linenumber"), col("quantity"),
+        performance.as("performance"),
+        col("latest_line_qty"), col("latest_line_flag"), col("last_ship_day"),
+        col("n_deals_global"), col("sum_price_global"),
+        col("c_name"), col("c_mktsegment").as("tier"),
+        col("o_orderpriority").as("entity"), col("n_name"),
+        col("scenario_count_current"), col("scenario_count_one_month"),
+        col("scenario_count_two_months"),
+        col("rank_in_tier_one_month"), col("rank_in_tier_two_months"))
+      .orderBy("o_orderkey", "linenumber")
+  }
+
+  val oracle: String =
+    """WITH deals AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-07-01'),
+      |latest AS (
+      |  SELECT l_orderkey,
+      |    max_by(l_quantity, epoch(l_shipdate) * 100 + l_linenumber)
+      |      AS latest_line_qty,
+      |    max_by(l_returnflag, epoch(l_shipdate) * 100 + l_linenumber)
+      |      AS latest_line_flag,
+      |    strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship_day
+      |  FROM lineitem GROUP BY l_orderkey),
+      |exploded AS (
+      |  SELECT d.*, COALESCE(l.l_linenumber, 0) AS linenumber,
+      |         COALESCE(l.l_quantity, 0.0) AS quantity
+      |  FROM deals d
+      |  LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') l
+      |    ON d.o_orderkey = l.l_orderkey),
+      |g_agg AS (
+      |  SELECT count(DISTINCT o_orderkey) AS n_deals_global,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_global
+      |  FROM deals),
+      |enriched AS (
+      |  SELECT e.*, c.c_name, c.c_mktsegment, c.c_nationkey AS cnk
+      |  FROM exploded e LEFT JOIN customer c ON e.o_custkey = c.c_custkey),
+      |enriched2 AS (
+      |  SELECT e.*, n.n_name
+      |  FROM enriched e LEFT JOIN nation n ON e.cnk = n.n_nationkey),
+      |counts AS (
+      |  SELECT c_mktsegment AS tier, o_orderpriority AS entity,
+      |         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |         count(*) AS cnt
+      |  FROM enriched2
+      |  WHERE strftime(date_trunc('month', o_orderdate), '%Y-%m')
+      |        IN ('1997-06', '1997-05', '1997-04')
+      |  GROUP BY 1, 2, 3),
+      |r AS (SELECT *, rank() OVER (PARTITION BY tier, month ORDER BY cnt DESC)
+      |        AS rnk FROM counts),
+      |feat AS (
+      |  SELECT tier, entity,
+      |    coalesce(max(CASE WHEN month = '1997-06' THEN cnt END), 0)
+      |      AS scenario_count_current,
+      |    coalesce(max(CASE WHEN month = '1997-05' THEN cnt END), 0)
+      |      AS scenario_count_one_month,
+      |    coalesce(max(CASE WHEN month = '1997-04' THEN cnt END), 0)
+      |      AS scenario_count_two_months,
+      |    coalesce(max(CASE WHEN month = '1997-05' THEN rnk END), 0)
+      |      AS rank_in_tier_one_month,
+      |    coalesce(max(CASE WHEN month = '1997-04' THEN rnk END), 0)
+      |      AS rank_in_tier_two_months
+      |  FROM r GROUP BY 1, 2)
+      |SELECT e.o_orderkey, e.linenumber, e.quantity,
+      |  CASE WHEN e.linenumber = 0 THEN 'Deals Not Exported'
+      |       WHEN e.quantity >= 45 THEN 'Export Winner Deals'
+      |       WHEN e.quantity >= 25 THEN 'Failed In Scope Deals'
+      |       ELSE 'Failed Out of Scope Deals' END AS performance,
+      |  l.latest_line_qty, l.latest_line_flag, l.last_ship_day,
+      |  g.n_deals_global, g.sum_price_global,
+      |  e.c_name, e.c_mktsegment AS tier, e.o_orderpriority AS entity, e.n_name,
+      |  f.scenario_count_current, f.scenario_count_one_month,
+      |  f.scenario_count_two_months,
+      |  f.rank_in_tier_one_month, f.rank_in_tier_two_months
+      |FROM enriched2 e
+      |LEFT JOIN latest l ON e.o_orderkey = l.l_orderkey
+      |CROSS JOIN g_agg g
+      |LEFT JOIN feat f
+      |  ON e.c_mktsegment = f.tier AND e.o_orderpriority = f.entity
+      |ORDER BY e.o_orderkey, e.linenumber""".stripMargin
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Latest-record-per-key deduplication (reference A1: `GROUP BY scenarioId`
+  * with `MAX(time)` + 16× `MAX_BY(col, time)`, exports_results.sql:51-81).
+  *
+  * Scale notes: a single hash aggregate with map-side partial aggregation —
+  * each map task ships at most one pre-combined row per key to the shuffle,
+  * so shuffle volume is O(distinct keys), not O(rows). The equivalent
+  * `row_number() OVER (PARTITION BY key ORDER BY ord) = 1` formulation
+  * shuffles *every* input row and then sorts each partition; prefer this
+  * form at 100 TB. Ties on `ord` are nondeterministic in both DuckDB
+  * `MAX_BY` and Spark `max_by` — pass a tie-free ordering column (or a
+  * struct of (ord, unique_id)) when determinism matters.
+  */
+object DedupLatest {
+
+  /** Keep the latest record per `keys`, ordering by `ord`; `payload` columns
+    * are carried via `max_by`. Output columns: keys ++ ord ++ payload.
+    */
+  def latestBy(df: DataFrame, keys: Seq[String], ord: String, payload: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      max(col(ord)).as(ord) +: payload.map(c => max_by(col(c), col(ord)).as(c))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** As [[latestBy]] but breaks ties on `ord` deterministically using
+    * `tieBreaker` (ordering is by the (ord, tieBreaker) struct).
+    */
+  def latestByTieBroken(df: DataFrame, keys: Seq[String], ord: String,
+                        tieBreaker: String, payload: Seq[String]): DataFrame = {
+    val ordStruct = struct(col(ord), col(tieBreaker))
+    val aggs: Seq[Column] =
+      max(col(ord)).as(ord) +: payload.map(c => max_by(col(c), ordStruct).as(c))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}
