@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** The CSV sink/source contract as runnable queries (S4/S5/S6/S7/O2). These
+  * exercise real write→read round-trips through the reference's byte-level
+  * CSV dialect; results are deterministic but not SQL-expressible from the
+  * base tables (the round-trip stringification is the point), so the driver
+  * records rows-only checks — byte-level assertions live in CsvSpec.
+  */
+object CsvQueries {
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_csv/$name"
+
+  /** S4+S5: write the per-lender CSV shape (tab/QUOTE_ALL/BOM/ISO-offset
+    * timestamps), validate, read back all-string (pandas dtype=str). */
+  private def s4RoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+      .where(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val path = tmp("s4_roundtrip")
+    Csv.writeTabCsv(df, path, singleFile = true)
+    val problems = Csv.validateWritten(spark, path, df.columns.toSeq)
+    require(problems.isEmpty, s"CSV validation failed: $problems")
+    Csv.readTabCsvAllString(spark, path).orderBy(col("o_orderkey").cast("long"))
+  }
+
+  /** S6+O2+S7: write two per-entity CSVs with drifted column sets, glob-read
+    * all-string, union by name (missing → null), re-parse the timestamp
+    * column leniently, write consolidated, read it back. */
+  private def s6MergeAll(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).where(col("o_orderkey") < 500)
+    val a = base.where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_totalprice"))
+    val b = base.where(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Csv.writeTabCsv(a, tmp("merge_in/a"), singleFile = true)
+    Csv.writeTabCsv(b, tmp("merge_in/b"), singleFile = true)
+    val parts = Seq(
+      Csv.readTabCsvAllString(spark, tmp("merge_in/a")),
+      Csv.readTabCsvAllString(spark, tmp("merge_in/b")))
+    val merged = UnionByName.all(parts)
+      .withColumn("time_parsed", Sanitize.coerceTimestamp(col("o_orderdate")))
+    Csv.writeTabCsv(merged, tmp("merge_out"), singleFile = true)
+    Csv.readTabCsvAllString(spark, tmp("merge_out"))
+      .orderBy(col("o_orderkey").cast("long"))
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    "ref_s4_csv_roundtrip" -> Q(s4RoundTrip, None),
+    "ref_s6_merge_all" -> Q(s6MergeAll, None),
+  )
+}

@@ -31,9 +31,12 @@ object Pipeline {
 
     val lines = Tables.lineitem(spark, dir)
 
-    // A1: latest line per order; shipdate has day granularity so ties are
-    // broken deterministically with the line number (unique per order).
-    val ordKey = unix_timestamp(col("l_shipdate")) * 100 + col("l_linenumber")
+    // A1: latest line per order; shipdate has day granularity and line
+    // numbers repeat in this synthetic data, so ties are broken with a
+    // composite numeric key — (shipdate, linenumber, quantity) is
+    // duplicate-free per order, making max_by fully deterministic.
+    val ordKey = unix_timestamp(col("l_shipdate")) * 10000000L +
+      col("l_linenumber") * 10000L + (col("l_quantity") * 100).cast("long")
     val latest = lines.groupBy(col("l_orderkey")).agg(
       max_by(col("l_quantity"), ordKey).as("latest_line_qty"),
       max_by(col("l_returnflag"), ordKey).as("latest_line_flag"),
@@ -97,7 +100,7 @@ object Pipeline {
         col("scenario_count_current"), col("scenario_count_one_month"),
         col("scenario_count_two_months"),
         col("rank_in_tier_one_month"), col("rank_in_tier_two_months"))
-      .orderBy("o_orderkey", "linenumber")
+      .orderBy("o_orderkey", "linenumber", "quantity")
   }
 
   val oracle: String =
@@ -107,10 +110,12 @@ object Pipeline {
       |    AND o_orderdate < TIMESTAMP '1997-07-01'),
       |latest AS (
       |  SELECT l_orderkey,
-      |    max_by(l_quantity, epoch(l_shipdate) * 100 + l_linenumber)
-      |      AS latest_line_qty,
-      |    max_by(l_returnflag, epoch(l_shipdate) * 100 + l_linenumber)
-      |      AS latest_line_flag,
+      |    max_by(l_quantity,
+      |      CAST(epoch(l_shipdate) AS BIGINT) * 10000000 + l_linenumber * 10000
+      |        + CAST(l_quantity * 100 AS BIGINT)) AS latest_line_qty,
+      |    max_by(l_returnflag,
+      |      CAST(epoch(l_shipdate) AS BIGINT) * 10000000 + l_linenumber * 10000
+      |        + CAST(l_quantity * 100 AS BIGINT)) AS latest_line_flag,
       |    strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship_day
       |  FROM lineitem GROUP BY l_orderkey),
       |exploded AS (
@@ -168,5 +173,5 @@ object Pipeline {
       |CROSS JOIN g_agg g
       |LEFT JOIN feat f
       |  ON e.c_mktsegment = f.tier AND e.o_orderpriority = f.entity
-      |ORDER BY e.o_orderkey, e.linenumber""".stripMargin
+      |ORDER BY e.o_orderkey, e.linenumber, e.quantity""".stripMargin
 }

@@ -149,7 +149,7 @@ object RefQueries {
       .select(col("o_orderkey"),
         col("item.l_linenumber").as("linenumber"),
         col("item.l_quantity").as("quantity"))
-      .orderBy("o_orderkey", "linenumber")
+      .orderBy("o_orderkey", "linenumber", "quantity")
   }
 
   /** P3+F8 (exports_results.sql:34-42): first matching element, 1-based
@@ -327,7 +327,7 @@ object RefQueries {
         |FROM orders o
         |LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') l
         |  ON o.o_orderkey = l.l_orderkey
-        |ORDER BY o_orderkey, linenumber""".stripMargin)),
+        |ORDER BY o_orderkey, linenumber, quantity""".stripMargin)),
 
     "ref_p3_first_match" -> Q(p3FirstMatch, Some(
       """WITH f AS (
