@@ -1,0 +1,367 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.data._
+
+/** Training-data pipeline queries over `documents` and `embeddings`:
+  * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity
+  * search (brute-force cosine + IVF), text analysis, and multimodal
+  * plumbing. Oracle-paired where DuckDB can express the same computation
+  * (portable md5-string hashing and left-fold dot products make that
+  * possible); the decode stub is oracle-checked through the ASCII identity
+  * of the synthetic text payloads.
+  */
+object DataQueries {
+
+  private val K = 12    // minhash signature length
+  private val Bands = 4 // LSH bands (r = K / Bands = 3)
+  private val R = 3
+
+  /** Shared DuckDB SQL fragments (shingles / signature / dot product). */
+  private val duckWords = "string_split_regex(text, '\\s+')"
+  private val duckShingles =
+    s"""list_transform(range(1, len($duckWords) - 1),
+       |      i -> $duckWords[i] || ' ' || $duckWords[i+1] || ' ' || $duckWords[i+2])"""
+      .stripMargin
+  private val duckSig =
+    s"""list_transform(range(0, $K),
+       |      i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s))))"""
+      .stripMargin
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
+
+  // ---------------------------------------------------------------- dedup
+
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("content_hash"), col("keeper_id"),
+        col("group_size"), col("is_dup"))
+      .orderBy("doc_id")
+
+  private def withShingleSig(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("sh", TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+      .withColumn("sig", Dedup.minhashSig(col("sh"), K))
+
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    withShingleSig(spark, dir)
+      .select(col("doc_id"), explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .orderBy("doc_id", "band")
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withShingleSig(spark, dir)
+    val buckets = docs
+      .select(col("doc_id"), col("sig"),
+        explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = buckets.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.estJaccard(col("sig_a"), col("sig_b"), K).as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def ngramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("sh",
+        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))
+      .select(col("doc_id"), col("lang"), col("source"), col("sh"))
+    val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+      col("sh").as("sh_a"))
+    val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  private def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("simhash", Dedup.simhash16(TextAnalysis.tokens(col("text"))))
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
+    sigs.join(groups, Seq("simhash"))
+      .withColumn("is_near_dup", col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"), col("simhash"), col("keeper_id"), col("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  private def queriesOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  private def simTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(queriesOf(spark, dir),
+        Tables.embeddings(spark, dir), k = 5)
+      .orderBy("q_id", "rnk")
+
+  private def simIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(queriesOf(spark, dir),
+        Tables.embeddings(spark, dir), cellCol = "label", k = 3)
+      .orderBy("q_id", "rnk")
+
+  // ------------------------------------------------------------- text
+
+  private def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  private def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    val scoreCols = TextAnalysis.langScores(w).map { case (l, c) => c.as(s"score_$l") }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: scoreCols :+
+        TextAnalysis.langId(w).as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +:
+        TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+
+  private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val groups = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
+    fp.join(groups, Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("keeper_id"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  private def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.packMedia(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.format").as("format"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .orderBy("doc_id")
+
+  private def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeaturesStub(
+        Multimodal.packMedia(Tables.documents(spark, dir), "doc_id", "text"),
+        "doc_id")
+      .orderBy("doc_id")
+
+  val defs: Seq[(String, Q)] = Seq(
+    "data_dedup_exact" -> Q(dedupExact, Some(
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |g AS (SELECT content_hash, min(doc_id) AS keeper_id,
+        |             count(*) AS group_size
+        |      FROM h GROUP BY content_hash)
+        |SELECT h.doc_id, h.content_hash, g.keeper_id, g.group_size,
+        |       h.doc_id <> g.keeper_id AS is_dup
+        |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin)),
+
+    "data_dedup_minhash_bands" -> Q(minhashBands, Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |b AS (
+         |  SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sig)
+         |SELECT doc_id, band,
+         |  md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
+         |FROM b ORDER BY doc_id, band""".stripMargin)),
+
+    "data_dedup_minhash_pairs" -> Q(minhashPairs, Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |b AS (
+         |  SELECT doc_id, sig, unnest(range(0, $Bands)) AS band FROM sig),
+         |bb AS (
+         |  SELECT doc_id, sig, band,
+         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
+         |  FROM b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_filter(range(1, ${K + 1}), p -> a.sig[p] = b.sig[p]))
+         |      / ${K}.0 AS est_jaccard
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM pairs
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    "data_dedup_ngram_jaccard" -> Q(ngramJaccardTop, Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct($duckShingles) AS sh
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+         |FROM s a JOIN s b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
+    "data_dedup_simhash" -> Q(simhash, Some(
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(range(1, 17), p ->
+         |      CASE WHEN list_sum(list_transform($duckWords, w ->
+         |             CASE WHEN contains('89abcdef', substr(md5(w), p, 1))
+         |                  THEN 1 ELSE -1 END)) > 0
+         |           THEN '1' ELSE '0' END), '') AS simhash
+         |  FROM documents),
+         |g AS (SELECT simhash, min(doc_id) AS keeper_id FROM s GROUP BY simhash)
+         |SELECT s.doc_id, s.simhash, g.keeper_id,
+         |       s.doc_id <> g.keeper_id AS is_near_dup
+         |FROM s JOIN g USING (simhash) ORDER BY doc_id""".stripMargin)),
+
+    "data_sim_cosine_topk" -> Q(simTopK, Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${duckDot("q.q_vec", "e.embedding")} /
+         |      (sqrt(${duckDot("q.q_vec", "q.q_vec")}) *
+         |       sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos_sim
+         |  FROM q CROSS JOIN embeddings e WHERE q.q_id <> e.vec_id),
+         |r AS (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id AS neighbor_id, cos_sim FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin), headline = true),
+
+    "data_sim_ivf" -> Q(simIvf, Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id < 10),
+         |reps AS (
+         |  SELECT e.label AS cell, e.embedding AS rep_vec
+         |  FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS vec_id FROM embeddings
+         |        GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.vec_id),
+         |assign AS (
+         |  SELECT q_id, q_vec, cell FROM (
+         |    SELECT q.q_id, q.q_vec, r.cell,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        ${duckDot("q.q_vec", "r.rep_vec")} /
+         |          (sqrt(${duckDot("q.q_vec", "q.q_vec")}) *
+         |           sqrt(${duckDot("r.rep_vec", "r.rep_vec")})) DESC,
+         |        r.cell) AS rn
+         |    FROM q CROSS JOIN reps r) x WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.q_id, a.cell, e.vec_id,
+         |    ${duckDot("a.q_vec", "e.embedding")} /
+         |      (sqrt(${duckDot("a.q_vec", "a.q_vec")}) *
+         |       sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos_sim
+         |  FROM assign a JOIN embeddings e ON e.label = a.cell
+         |  WHERE a.q_id <> e.vec_id),
+         |r AS (
+         |  SELECT q_id, cell, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, cell, rnk, vec_id AS neighbor_id, cos_sim FROM r
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)),
+
+    "data_text_tokens" -> Q(textTokens, Some(
+      s"""SELECT doc_id,
+         |  CAST(len($duckWords) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "data_text_langid" -> Q(textLangId, Some {
+      val scoreSelects = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(w, x -> list_contains($lst, x))) AS BIGINT) AS score_$l"
+      }.mkString(",\n         |  ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val caseExpr = langs.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        val cond =
+          if (rest.isEmpty) "true"
+          else rest.map(r => s"score_$l >= score_$r").mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |  $scoreSelects
+         |  FROM w)
+         |SELECT doc_id, score_en, score_es, score_zh, score_fr, score_de,
+         |  $caseExpr AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    }),
+
+    "data_text_quality" -> Q(textQuality, Some(
+      s"""WITH w AS (SELECT doc_id, text, $duckWords AS w FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
+         |         AS DOUBLE) / CAST(len(w) AS BIGINT) AS mean_word_len,
+         |    CAST(len(list_filter(w, x ->
+         |      list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+         |      / CAST(len(w) AS BIGINT) AS stopword_ratio,
+         |    CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS BIGINT)
+         |      AS n_punct
+         |  FROM w)
+         |SELECT doc_id, n_words, mean_word_len, stopword_ratio, n_punct,
+         |  stopword_ratio * 2.0 + mean_word_len * 0.01 +
+         |    (CASE WHEN n_words >= 20 AND n_words <= 400
+         |          THEN 1.0 ELSE 0.0 END) AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin)),
+
+    "data_text_fingerprint" -> Q(textFingerprint, Some(
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct($duckWords)), ' '))
+         |      AS fp
+         |  FROM documents),
+         |g AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY fp)
+         |SELECT f.doc_id, f.fp, g.keeper_id
+         |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_meta" -> Q(mmMeta, Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'wav' END AS format,
+        |  CAST(doc_id % 640 AS INTEGER) AS width,
+        |  CAST(doc_id % 480 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_decode_stub" -> Q(mmDecode, Some(
+      """SELECT doc_id,
+        |  ascii(substr(text, 1, 1)) / 255.0 AS f0,
+        |  ascii(substr(text, 2, 1)) / 255.0 AS f1,
+        |  ascii(substr(text, 3, 1)) / 255.0 AS f2,
+        |  ascii(substr(text, 4, 1)) / 255.0 AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+
+  /** Pair queries may legitimately be empty on tiny scale factors. */
+  val mayBeEmpty: Set[String] = Set("data_dedup_minhash_pairs")
+}

@@ -3,7 +3,7 @@ package graft
 /** All registered queries, in stable declaration order. */
 object Registry {
   def all: Seq[(String, Q)] =
-    RefQueries.defs ++ JsonQueries.defs ++ CsvQueries.defs :+
+    RefQueries.defs ++ JsonQueries.defs ++ CsvQueries.defs ++ DataQueries.defs :+
       ("ref_e2e_monthly_report" ->
         Q(Pipeline.monthlyReport, Some(Pipeline.oracle), headline = true))
 

@@ -111,7 +111,8 @@ class RegistrySpec extends AnyFunSuite {
   Registry.all.foreach { case (name, q) =>
     test(s"$name runs non-empty on sf0.001") {
       val df = q.build(spark, TestSpark.sf)
-      assert(df.count() > 0)
+      if (DataQueries.mayBeEmpty(name)) df.count() // must run, may be empty
+      else assert(df.count() > 0)
     }
   }
 
