@@ -1,5 +1,6 @@
 package graft
 
+import graft.Out.OrderedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,7 +28,7 @@ object CsvQueries {
     Csv.writeTabCsv(df, path, singleFile = true)
     val problems = Csv.validateWritten(spark, path, df.columns.toSeq)
     require(problems.isEmpty, s"CSV validation failed: $problems")
-    Csv.readTabCsvAllString(spark, path).orderBy(col("o_orderkey").cast("long"))
+    Csv.readTabCsvAllString(spark, path).dumpOrdered(col("o_orderkey").cast("long"))
   }
 
   /** S6+O2+S7: write two per-entity CSVs with drifted column sets, glob-read
@@ -49,7 +50,7 @@ object CsvQueries {
       .withColumn("time_parsed", Sanitize.coerceTimestamp(col("o_orderdate")))
     Csv.writeTabCsv(merged, tmp("merge_out"), singleFile = true)
     Csv.readTabCsvAllString(spark, tmp("merge_out"))
-      .orderBy(col("o_orderkey").cast("long"))
+      .dumpOrdered(col("o_orderkey").cast("long"))
   }
 
   val defs: Seq[(String, Q)] = Seq(

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Out.OrderedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,7 +41,7 @@ object DataQueries {
     Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
       .select(col("doc_id"), col("content_hash"), col("keeper_id"),
         col("group_size"), col("is_dup"))
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
 
   private def withShingleSig(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -51,7 +52,7 @@ object DataQueries {
     withShingleSig(spark, dir)
       .select(col("doc_id"), explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .orderBy("doc_id", "band")
+      .dumpOrdered("doc_id", "band")
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingleSig(spark, dir)
@@ -70,7 +71,7 @@ object DataQueries {
         Dedup.estJaccard(col("sig_a"), col("sig_b"), K).as("est_jaccard"))
       .distinct()
       .where(col("est_jaccard") >= 0.5)
-      .orderBy("id_a", "id_b")
+      .dumpOrdered("id_a", "id_b")
   }
 
   private def ngramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
@@ -98,7 +99,7 @@ object DataQueries {
     sigs.join(groups, Seq("simhash"))
       .withColumn("is_near_dup", col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id"), col("simhash"), col("keeper_id"), col("is_near_dup"))
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
   }
 
   // ----------------------------------------------------------- similarity
@@ -111,12 +112,12 @@ object DataQueries {
   private def simTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(queriesOf(spark, dir),
         Tables.embeddings(spark, dir), k = 5)
-      .orderBy("q_id", "rnk")
+      .dumpOrdered("q_id", "rnk")
 
   private def simIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queriesOf(spark, dir),
         Tables.embeddings(spark, dir), cellCol = "label", k = 3)
-      .orderBy("q_id", "rnk")
+      .dumpOrdered("q_id", "rnk")
 
   // ------------------------------------------------------------- text
 
@@ -125,7 +126,7 @@ object DataQueries {
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
 
   private def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val w = TextAnalysis.tokens(col("text"))
@@ -133,14 +134,14 @@ object DataQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id") +: scoreCols :+
         TextAnalysis.langId(w).as("lang_pred"): _*)
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
   }
 
   private def textQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id") +:
         TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
 
   private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
@@ -148,7 +149,7 @@ object DataQueries {
     val groups = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper_id"))
     fp.join(groups, Seq("fp"))
       .select(col("doc_id"), col("fp"), col("keeper_id"))
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
   }
 
   // ------------------------------------------------------------ multimodal
@@ -158,13 +159,13 @@ object DataQueries {
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
         col("meta.format").as("format"), col("meta.width").as("width"),
         col("meta.height").as("height"))
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
 
   private def mmDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeaturesStub(
         Multimodal.packMedia(Tables.documents(spark, dir), "doc_id", "text"),
         "doc_id")
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
 
   val defs: Seq[(String, Q)] = Seq(
     "data_dedup_exact" -> Q(dedupExact, Some(

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Out.OrderedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +41,7 @@ object JsonQueries {
       .select(col("o_orderkey"),
         get_json_object(hit, "$.l_linenumber").try_cast("int").as("first_r_linenumber"),
         get_json_object(hit, "$.l_quantity").try_cast("double").as("first_r_qty"))
-      .orderBy("o_orderkey")
+      .dumpOrdered("o_orderkey")
   }
 
   /** P4+P5 (exports_results.sql:86-105): the failing-export rule with the
@@ -68,7 +69,7 @@ object JsonQueries {
       .withColumn("failing_export", failing)
       .where(!col("failing_export"))
       .select(col("o_orderkey"), svc.as("svc"), cap.as("cap"))
-      .orderBy("o_orderkey")
+      .dumpOrdered("o_orderkey")
   }
 
   /** F7+O5 (exports_results.sql:117-134): explode the filtered JSON array
@@ -83,7 +84,7 @@ object JsonQueries {
         ExplodeDefault.explodeWithDefault(matchedR, stub).as("j"))
       .select(col("o_orderkey"),
         get_json_object(col("j"), "$.l_linenumber").try_cast("int").as("linenumber"))
-      .orderBy("o_orderkey", "linenumber")
+      .dumpOrdered("o_orderkey", "linenumber")
   }
 
   val defs: Seq[(String, Q)] = Seq(

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** Final-ordering helper for query outputs.
+  *
+  * Every registered query ends in a deterministic total sort so the driver
+  * can hash-compare dumps. A plain `orderBy` is a range-partitioned sort
+  * whose RangePartitioner first runs a SAMPLING JOB over the child plan —
+  * i.e. the whole query computes twice. For these result-dump sorts the
+  * output is small (aggregates, or bounded row sets), so a single-partition
+  * local sort is strictly cheaper and yields the same total order.
+  *
+  * At 100 TB a final presentation sort would stay `orderBy` (range sort,
+  * parallel) — use [[ordered]] only where the sorted result is meant to be
+  * consumed as one deterministic stream (verification dumps, single-file
+  * CSV sinks per the reference's S7 contract).
+  */
+object Out {
+  def ordered(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  def ordered(df: DataFrame, first: String, rest: String*): DataFrame =
+    ordered(df, (first +: rest).map(col): _*)
+
+  /** `.dumpOrdered(...)` suffix syntax for query builders. */
+  implicit class OrderedOps(private val df: DataFrame) extends AnyVal {
+    def dumpOrdered(cols: Column*): DataFrame = ordered(df, cols: _*)
+    def dumpOrdered(first: String, rest: String*): DataFrame =
+      ordered(df, first, rest: _*)
+  }
+}

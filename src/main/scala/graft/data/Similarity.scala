@@ -34,13 +34,17 @@ object Similarity {
 
   /** Brute-force top-k: for each query row, the k nearest corpus rows by
     * cosine (ties broken by corpus id). Query set must be small — it is
-    * broadcast. */
+    * broadcast. Norms are precomputed once per side (N + Q sqrt-folds)
+    * instead of per pair (2·N·Q) before the crossJoin. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "q_id", qVec: String = "q_vec",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val qn = queries.withColumn("q_norm", sqrt(dot(col(qVec), col(qVec))))
+    val cn = corpus.withColumn("c_norm", sqrt(dot(col(cVec), col(cVec))))
+    val joined = cn.crossJoin(broadcast(qn))
       .where(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim",
+        dot(col(qVec), col(cVec)) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
     joined.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

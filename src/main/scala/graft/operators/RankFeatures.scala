@@ -25,15 +25,18 @@ object RankFeatures {
 
   /** Long-format counts+ranks: (tier, entity, month, cnt, rnk) for the three
     * lookback months only (reference P12/A3/W4).
-    * `monthCol` must yield yyyy-MM strings.
+    * `monthCol` must yield yyyy-MM strings. `weight` lets a caller count
+    * pre-explode rows by their fan-out multiplicity instead of exploding
+    * first — identical counts, one fewer pass over the exploded data.
     */
   def monthlyCountsRanked(df: DataFrame, tier: String, entity: String,
-                          monthCol: Column, months: Seq[String]): DataFrame = {
+                          monthCol: Column, months: Seq[String],
+                          weight: Option[Column] = None): DataFrame = {
     val counts = df
       .withColumn("month", monthCol)
       .where(col("month").isin(months: _*))
       .groupBy(col(tier), col(entity), col("month"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(weight.fold(count(lit(1)))(w => sum(w).cast("long")).as("cnt"))
     val w = Window.partitionBy(col(tier), col("month")).orderBy(col("cnt").desc)
     counts.withColumn("rnk", rank().over(w).cast("long"))
   }
@@ -44,9 +47,10 @@ object RankFeatures {
     * pandas pivot_table(fill_value=0).
     */
   def rankPivot(df: DataFrame, tier: String, entity: String,
-                monthCol: Column, months: Seq[String]): DataFrame = {
+                monthCol: Column, months: Seq[String],
+                weight: Option[Column] = None): DataFrame = {
     require(months.size == 3, s"need exactly 3 lookback months, got $months")
-    val long = monthlyCountsRanked(df, tier, entity, monthCol, months)
+    val long = monthlyCountsRanked(df, tier, entity, monthCol, months, weight)
     val wide = long
       .groupBy(col(tier), col(entity))
       .pivot("month", months)
