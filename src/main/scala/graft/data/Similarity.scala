@@ -24,13 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Index-ordered left-fold dot product of two float vectors, in doubles. */
+  /** Index-ordered left-fold dot product of two float vectors, in doubles —
+    * the composable HOF reference form. [[graft.functions.FloatVecDot]] is
+    * the codegen'd equivalent (bit-identical results); the search operators
+    * below use it via `vec_dot` after registering it on the session. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def cosineFast(df: DataFrame)(a: Column, b: Column): Column = {
+    val d = fastDot(df) _
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
+
+  private def fastDot(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    graft.functions.VectorFunctions.vec_dot(a, b)
+  }
 
   /** Brute-force top-k: for each query row, the k nearest corpus rows by
     * cosine (ties broken by corpus id). Query set must be small — it is
@@ -39,12 +52,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "q_id", qVec: String = "q_vec",
                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val qn = queries.withColumn("q_norm", sqrt(dot(col(qVec), col(qVec))))
-    val cn = corpus.withColumn("c_norm", sqrt(dot(col(cVec), col(cVec))))
+    val d = fastDot(corpus) _
+    val qn = queries.withColumn("q_norm", sqrt(d(col(qVec), col(qVec))))
+    val cn = corpus.withColumn("c_norm", sqrt(d(col(cVec), col(cVec))))
     val joined = cn.crossJoin(broadcast(qn))
       .where(col(qId) =!= col(cId))
       .withColumn("cos_sim",
-        dot(col(qVec), col(cVec)) / (col("q_norm") * col("c_norm")))
+        d(col(qVec), col(cVec)) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
     joined.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
@@ -66,7 +80,7 @@ object Similarity {
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val reps = representatives(corpus, cellCol, cId, cVec)
     val scored = queries.crossJoin(broadcast(reps))
-      .withColumn("rep_sim", cosine(col(qVec), col("rep_vec")))
+      .withColumn("rep_sim", cosineFast(corpus)(col(qVec), col("rep_vec")))
     val wAssign = Window.partitionBy(col(qId))
       .orderBy(col("rep_sim").desc, col("cell"))
     val assigned = scored.withColumn("rn", row_number().over(wAssign))
@@ -74,7 +88,7 @@ object Similarity {
       .select(col(qId), col(qVec), col("cell"))
     val inCell = corpus.join(broadcast(assigned), corpus(cellCol) === col("cell"))
       .where(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosine(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosineFast(corpus)(col(qVec), col(cVec)))
     val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
     inCell.withColumn("rnk", row_number().over(wTop))
       .where(col("rnk") <= k)

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is a monthly batch job
+  * (SURVEY.md §2.8 — no streams), so this is the additive streaming path a
+  * Spark-native engine provides for the same data model: the `events`
+  * table consumed incrementally with event-time windows + watermark, and
+  * the reference's A1 latest-per-key dedup as a stateful streaming
+  * operator.
+  *
+  * Scale notes: file-source micro-batches with `maxFilesPerTrigger` at
+  * ingest; windowed aggregation state is bounded by the watermark (late
+  * events beyond 10 minutes are dropped); `mapGroupsWithState` keeps O(1)
+  * state per key (the current argmax row), partitioned by key across
+  * executors — the streaming twin of the map-side-combined batch argmax.
+  */
+object EventStreams {
+
+  /** events schema with `ts` as raw TIMESTAMP(NANOS) longs, matching the
+    * batch reader (Tables.events + nanosAsLong). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Incremental read of an events parquet path (file or glob). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Event-time windowed aggregate with watermark: per (1h window,
+    * event_type) counts and cent-exact value sums. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast(DecimalType(18, 2)) / 100)
+          .cast(DecimalType(18, 2)).as("sum_value"))
+
+  case class EventRow(event_id: Long, ts: Long, user_id: Long,
+                      event_type: String, value: Double, props: String)
+  case class LatestEvent(user_id: Long, last_ts_us: Long,
+                         last_event_type: String, last_value: Double,
+                         last_props: String)
+
+  /** Streaming A1: latest record per user via per-key state — emits the
+    * updated argmax row for each key touched in a micro-batch. */
+  def latestPerUser(events: DataFrame): Dataset[LatestEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestEvent, LatestEvent](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[LatestEvent]) =>
+          val candidate = rows.maxBy(_.ts)
+          val best = state.getOption match {
+            case Some(prev) if prev.last_ts_us >= candidate.ts / 1000 => prev
+            case _ => LatestEvent(userId, candidate.ts / 1000,
+              candidate.event_type, candidate.value, candidate.props)
+          }
+          state.update(best)
+          best
+      }
+  }
+
+  /** Drive a streaming DataFrame to completion against a bounded input and
+    * return the final results from a memory sink (test/verification
+    * harness; production would use a real sink + checkpoint). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

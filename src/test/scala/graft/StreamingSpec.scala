@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Streaming/batch parity: the streaming operators must converge to the
+  * same results as their batch twins over a bounded input. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // The file streaming source wants a directory: stage events.parquet alone
+  // in a temp dir (the testdata dir also holds the other tables).
+  private lazy val eventsGlob: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("windowed counts converge to the batch aggregation") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsGlob)),
+      // Complete mode: on a bounded input, append would hold back the final
+      // window forever (no later event advances the watermark past it).
+      "win_counts", OutputMode.Complete())
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(window(col("ts_ts"), "1 hour").as("window"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) / 100)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful latestPerUser converges to the batch max_by dedup") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.latestPerUser(EventStreams.readEvents(spark, eventsGlob)).toDF(),
+      "latest_user", OutputMode.Update())
+    // Update mode emits one row per key per micro-batch: the final state per
+    // key is the row from the LAST batch that touched it; with
+    // maxFilesPerTrigger=1 and one input file there is exactly one batch.
+    val finalRows = streamed
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("last_ts_us"), col("last_event_type"),
+        col("last_value"), col("last_props")), col("last_ts_us")).as("s"))
+      .select(col("user_id"), col("s.last_ts_us"), col("s.last_event_type"),
+        col("s.last_value"), col("s.last_props"))
+
+    val batch = Registry.byName("ref_a1_dedup_latest").build(spark, TestSpark.sf)
+      .withColumnsRenamed(Map.empty[String, String])
+
+    assert(finalRows.count() == batch.count())
+    assert(finalRows.exceptAll(batch).isEmpty &&
+      batch.exceptAll(finalRows).isEmpty)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.data.Similarity
+import graft.functions.VectorFunctions
+
+/** The codegen'd FloatVecDot must be bit-identical to the composable
+  * HOF left-fold form on arbitrary float vectors. */
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vec_dot equals HOF aggregate-zip_with fold bit-for-bit (100 random pairs)") {
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    def vec(n: Int) = List.fill(n)(rnd.nextFloat() * 4f - 2f)
+    val pairs = (1 to 100).map { i => (vec(1 + i % 64), vec(1 + i % 64)) }
+    val got = pairs.toDF("a", "b").select(
+      VectorFunctions.vec_dot(col("a"), col("b")).as("fast"),
+      Similarity.dot(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (fast, hof) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(hof), s"$fast != $hof")
+    }
+  }
+
+  test("vec_dot null and empty semantics") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Some(List(1.0f, 2.0f)), Some(List(3.0f, 4.0f))),
+      (None, Some(List(1.0f))),
+      (Some(List.empty[Float]), Some(List.empty[Float]))
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.vec_dot(col("a"), col("b")))
+      .as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(11.0), None, Some(0.0)))
+  }
+}
