@@ -1,0 +1,262 @@
+package graft
+
+import graft.Out.OrderedOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.ExportsEtl
+
+/** The reference pipeline run END TO END as an oracle-checked query: a
+  * deterministic exports-deals-view is synthesized from `events` by pure
+  * string arithmetic (identical expressions in both engines), then the
+  * Spark side runs [[ExportsEtl.forAllLenders]] while the DuckDB oracle
+  * replicates exports_results.sql VERBATIM (its own window functions,
+  * `::JSON[]` lambda filters, and unnest-with-json_object-stub), fanned
+  * over the distinct-lender list like run_exports_query.py's loop. This
+  * cross-checks every rewrite the Spark engine makes (crossJoin globals,
+  * HOF exists, typed one-shot JSON parse) against the reference's literal
+  * formulation.
+  */
+object EtlQueries {
+
+  /** k = props.k — the seed for all synthesized fields. */
+  private def k: Column = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+
+  /** One JSON element of the results array; name i ∈ {0,1,2} is present
+    * when (k+i) % 3 != 0 (exactly one of the three is always absent). */
+  private def elemCol(name: String, i: Int): Column = {
+    val ki = k + lit(i)
+    val perf = concat(
+      lit(""","performance":{"lenderPassedServicing":""""),
+      when(ki % 3 =!= 0, "true").otherwise("false"),
+      lit("""","lenderExportWinner":""""),
+      when(ki % 4 === 0, "true").otherwise("false"),
+      lit("""","lenderFailedServicing":""""),
+      when(ki % 3 === 0, "true").otherwise("false"),
+      lit("""","lenderFailedInScope":""""),
+      when(ki % 2 === 0, "true").otherwise("false"),
+      lit("""","lenderFailedOutOfScope":""""),
+      when(ki % 3 === 0, "true").otherwise("false"),
+      lit(""""}"""))
+    when(ki % 3 =!= 0,
+      concat(
+        lit(s"""{"lenderName":"$name","doesService":""""),
+        when(ki % 2 === 0, "true").otherwise("false"),
+        lit("""","maxBorrowingCapacity":"""),
+        when(ki % 5 === 0, lit("\"null\""))
+          .otherwise(concat(lit("\""), (k * 100 + lit(i)).cast("string"), lit("\""))),
+        when(ki % 7 === 0, lit("")).otherwise(perf),
+        lit("}")))
+  }
+
+  /** The synthesized exports-deals-view (FIXTURES.md §A1 schema). */
+  def synthView(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("ts_ts").as("time"),
+      concat(lit("S"), (col("event_id") % 400).cast("string")).as("scenarioId"),
+      concat(lit("["),
+        concat_ws(",", elemCol("click", 0), elemCol("view", 1),
+          elemCol("purchase", 2)),
+        lit("]")).as("results"),
+      when(col("event_type") === "error", lit(null).cast("string"))
+        .otherwise(col("event_type")).as("exportedLender"),
+      lit("PAYG").as("primaryIncome"),
+      when(k % 2 === 0, "Fixed").otherwise("Variable").as("rateType"),
+      when(k % 3 === 0, "Purchase").when(k % 3 === 1, "Refinance")
+        .otherwise("Investment").as("loanPurpose"),
+      round(col("value")).as("totalProposedLoanAmount"),
+      (k % 5 + 1).as("applicantCount"),
+      (k % 3 + 1).as("householdCount"),
+      when(k % 2 === 0, "Purchase").otherwise("Refinance").as("transactionType"),
+      (k % 4).as("dependantsCount"),
+      ((k % 9) / 10.0).as("lvr"),
+      concat(((k % 9) * 10).cast("string"), lit("-"),
+        ((k % 9) * 10 + 10).cast("string")).as("lvrBucket"),
+      (k % 2).as("applicantsWithHecs"),
+      (k * 7 % 1000).cast("double").as("paygIncome"),
+      (k * 3 % 500).cast("double").as("weeklyRentalIncome"),
+      (k * 11 % 2000).cast("double").as("selfEmployedIncome"),
+      (col("event_id") % 11 =!= 0).as("isValidExport"))
+
+  private def exportsE2e(spark: SparkSession, dir: String): DataFrame =
+    ExportsEtl.forAllLenders(synthView(spark, dir), "2024-01-01", "2024-02-01")
+      .drop("report_lender")
+      .withColumn("time_us", unix_micros(col("time")))
+      .drop("time")
+      .dumpOrdered("associated_lender", "scenarioId")
+
+  /** DuckDB twin of [[elemCol]] (same string arithmetic, SQL dialect). */
+  private def elemSql(name: String, i: Int): String = {
+    val ki = s"(k + $i)"
+    val perf =
+      s"""',"performance":{"lenderPassedServicing":"' ||
+         |        CASE WHEN $ki % 3 <> 0 THEN 'true' ELSE 'false' END ||
+         |        '","lenderExportWinner":"' ||
+         |        CASE WHEN $ki % 4 = 0 THEN 'true' ELSE 'false' END ||
+         |        '","lenderFailedServicing":"' ||
+         |        CASE WHEN $ki % 3 = 0 THEN 'true' ELSE 'false' END ||
+         |        '","lenderFailedInScope":"' ||
+         |        CASE WHEN $ki % 2 = 0 THEN 'true' ELSE 'false' END ||
+         |        '","lenderFailedOutOfScope":"' ||
+         |        CASE WHEN $ki % 3 = 0 THEN 'true' ELSE 'false' END || '"}'""".stripMargin
+    s"""CASE WHEN $ki % 3 <> 0 THEN
+       |      '{"lenderName":"$name","doesService":"' ||
+       |        CASE WHEN $ki % 2 = 0 THEN 'true' ELSE 'false' END ||
+       |        '","maxBorrowingCapacity":' ||
+       |        CASE WHEN $ki % 5 = 0 THEN '"null"'
+       |             ELSE '"' || CAST(k * 100 + $i AS VARCHAR) || '"' END ||
+       |        CASE WHEN $ki % 7 = 0 THEN '' ELSE $perf END || '}'
+       |    END""".stripMargin
+  }
+
+  /** The oracle: synthesized view + exports_results.sql's literal CTE
+    * structure (windows, JSON lambdas, unnest-with-stub), fanned over the
+    * distinct-lender list. */
+  private val oracle: String =
+    s"""WITH ev AS (
+       |  SELECT *, TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events),
+       |v AS (
+       |  SELECT
+       |    ts AS time,
+       |    'S' || CAST(event_id % 400 AS VARCHAR) AS "scenarioId",
+       |    '[' || concat_ws(',',
+       |      ${elemSql("click", 0)},
+       |      ${elemSql("view", 1)},
+       |      ${elemSql("purchase", 2)}) || ']' AS results,
+       |    CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+       |      AS "exportedLender",
+       |    'PAYG' AS "primaryIncome",
+       |    CASE WHEN k % 2 = 0 THEN 'Fixed' ELSE 'Variable' END AS "rateType",
+       |    CASE WHEN k % 3 = 0 THEN 'Purchase'
+       |         WHEN k % 3 = 1 THEN 'Refinance'
+       |         ELSE 'Investment' END AS "loanPurpose",
+       |    round(value) AS "totalProposedLoanAmount",
+       |    k % 5 + 1 AS "applicantCount",
+       |    k % 3 + 1 AS "householdCount",
+       |    CASE WHEN k % 2 = 0 THEN 'Purchase' ELSE 'Refinance' END
+       |      AS "transactionType",
+       |    k % 4 AS "dependantsCount",
+       |    (k % 9) / 10.0 AS lvr,
+       |    CAST((k % 9) * 10 AS VARCHAR) || '-' ||
+       |      CAST((k % 9) * 10 + 10 AS VARCHAR) AS "lvrBucket",
+       |    k % 2 AS "applicantsWithHecs",
+       |    CAST(k * 7 % 1000 AS DOUBLE) AS "paygIncome",
+       |    CAST(k * 3 % 500 AS DOUBLE) AS "weeklyRentalIncome",
+       |    CAST(k * 11 % 2000 AS DOUBLE) AS "selfEmployedIncome",
+       |    event_id % 11 <> 0 AS "isValidExport"
+       |  FROM ev),
+       |base AS (
+       |  SELECT "time", "scenarioId", "results",
+       |    COALESCE("exportedLender", '') AS "exportedLender",
+       |    "primaryIncome", "rateType", "loanPurpose",
+       |    "totalProposedLoanAmount", "applicantCount", "householdCount",
+       |    "transactionType", "dependantsCount", "lvr", "lvrBucket",
+       |    "applicantsWithHecs", "paygIncome", "weeklyRentalIncome",
+       |    "selfEmployedIncome",
+       |    CASE WHEN v."exportedLender" IS NOT NULL THEN (
+       |      array_filter(results :: JSON [],
+       |        x -> json_extract_string(x, 'lenderName') = v."exportedLender")
+       |      ) [1]
+       |    ELSE NULL END AS exported_lender_result
+       |  FROM v
+       |  WHERE "isValidExport" = true
+       |    AND "time" >= TIMESTAMP '2024-01-01'
+       |    AND "time" < TIMESTAMP '2024-02-01'),
+       |grouped_by_scenarioId AS (
+       |  SELECT "scenarioId", MAX("time") AS "time",
+       |    MAX_BY(COALESCE("exportedLender", ''), "time") AS "exportedLender",
+       |    MAX_BY("primaryIncome", "time") AS "primaryIncome",
+       |    MAX_BY("rateType", "time") AS "rateType",
+       |    MAX_BY("loanPurpose", "time") AS "loanPurpose",
+       |    MAX_BY("totalProposedLoanAmount", "time") AS "totalProposedLoanAmount",
+       |    MAX_BY("applicantCount", "time") AS "applicantCount",
+       |    MAX_BY("householdCount", "time") AS "householdCount",
+       |    MAX_BY("transactionType", "time") AS "transactionType",
+       |    MAX_BY("dependantsCount", "time") AS "dependantsCount",
+       |    MAX_BY("lvr", "time") AS "lvr",
+       |    MAX_BY("lvrBucket", "time") AS "lvrBucket",
+       |    MAX_BY("applicantsWithHecs", "time") AS "applicantsWithHecs",
+       |    MAX_BY("paygIncome", "time") AS "paygIncome",
+       |    MAX_BY("weeklyRentalIncome", "time") AS "weeklyRentalIncome",
+       |    MAX_BY("selfEmployedIncome", "time") AS "selfEmployedIncome",
+       |    MAX_BY("results", "time") AS "results",
+       |    MAX_BY("exported_lender_result", "time") AS exported_lender_result,
+       |    list_filter(list(exported_lender_result), x -> x IS NOT NULL)
+       |      AS exportedLendersResults
+       |  FROM base GROUP BY "scenarioId"),
+       |with_failing_export AS (
+       |  SELECT *,
+       |    CASE WHEN "exportedLender" = '' THEN true
+       |         WHEN exported_lender_result IS NULL
+       |           OR json_extract_string(exported_lender_result, 'doesService') = 'false'
+       |           OR json_extract_string(exported_lender_result, 'maxBorrowingCapacity') IS NULL
+       |           OR json_extract_string(exported_lender_result, 'maxBorrowingCapacity') = 'null'
+       |           THEN true
+       |         ELSE false END AS failingExport
+       |  FROM grouped_by_scenarioId),
+       |harsh_filtered AS (
+       |  SELECT * FROM with_failing_export WHERE failingExport = false),
+       |with_global_calculations AS (
+       |  SELECT *,
+       |    COUNT(DISTINCT "scenarioId") OVER () AS count_all_unique_scenario_id,
+       |    COUNT(DISTINCT "scenarioId") OVER (PARTITION BY "loanPurpose")
+       |      AS count_all_loan_purpose,
+       |    SUM("totalProposedLoanAmount") OVER ()
+       |      AS sum_all_total_proposed_loan_amount
+       |  FROM harsh_filtered),
+       |lenders AS (
+       |  SELECT DISTINCT "exportedLender" AS lender FROM v
+       |  WHERE "exportedLender" IS NOT NULL),
+       |lender_results AS (
+       |  SELECT g.*, l.lender,
+       |    unnest(COALESCE(NULLIF(
+       |      array_filter(results :: JSON [],
+       |        r -> json_extract_string(r, 'lenderName') = l.lender), []),
+       |      [json_object('lenderName', l.lender)])) AS lender_result
+       |  FROM with_global_calculations g CROSS JOIN lenders l),
+       |performance_extracted AS (
+       |  SELECT *,
+       |    json_extract_string(lender_result, 'lenderName') AS associated_lender,
+       |    json_extract(lender_result, 'performance') AS performance_json
+       |  FROM lender_results
+       |  WHERE json_extract_string(lender_result, 'lenderName') IS NOT NULL),
+       |performance_result AS (
+       |  SELECT *,
+       |    CASE
+       |      WHEN associated_lender != "exportedLender"
+       |        AND EXISTS (
+       |          SELECT 1
+       |          FROM unnest(exportedLendersResults :: JSON []) AS t(exported_result)
+       |          WHERE json_extract_string(exported_result, 'lenderName') = associated_lender
+       |            AND json_extract_string(exported_result, 'doesService') = 'true'
+       |            AND json_extract_string(exported_result, 'maxBorrowingCapacity') IS NOT NULL
+       |            AND json_extract_string(exported_result, 'maxBorrowingCapacity') != 'null')
+       |        THEN 'Secondary Export Deals'
+       |      WHEN performance_json IS NULL THEN 'Not Available Scenarios'
+       |      WHEN json_extract_string(performance_json, 'lenderFailedServicing') = 'true' THEN
+       |        CASE WHEN json_extract_string(performance_json, 'lenderFailedInScope') = 'true'
+       |               THEN 'Failed In Scope Deals'
+       |             WHEN json_extract_string(performance_json, 'lenderFailedOutOfScope') = 'true'
+       |               THEN 'Failed Out of Scope Deals'
+       |             ELSE 'Unknown' END
+       |      WHEN json_extract_string(performance_json, 'lenderPassedServicing') = 'true' THEN
+       |        CASE WHEN json_extract_string(performance_json, 'lenderExportWinner') = 'true'
+       |               THEN 'Export Winner Deals'
+       |             ELSE 'Deals Not Exported' END
+       |      ELSE 'Unknown' END AS performance
+       |  FROM performance_extracted)
+       |SELECT associated_lender, "applicantCount", "applicantsWithHecs",
+       |  "dependantsCount", COALESCE("exportedLender", '') AS "exportedLender",
+       |  "householdCount", "loanPurpose", "lvr", "lvrBucket", "paygIncome",
+       |  "primaryIncome", "rateType", "scenarioId", "selfEmployedIncome",
+       |  epoch_us("time") AS time_us, "totalProposedLoanAmount",
+       |  "transactionType", "weeklyRentalIncome", count_all_loan_purpose,
+       |  count_all_unique_scenario_id, sum_all_total_proposed_loan_amount,
+       |  performance
+       |FROM performance_result
+       |ORDER BY associated_lender, "scenarioId"""".stripMargin
+
+  val defs: Seq[(String, Q)] = Seq(
+    "ref_exports_pipeline_e2e" -> Q(exportsE2e, Some(oracle), headline = true))
+}

@@ -3,7 +3,8 @@ package graft
 /** All registered queries, in stable declaration order. */
 object Registry {
   def all: Seq[(String, Q)] =
-    RefQueries.defs ++ JsonQueries.defs ++ CsvQueries.defs ++ DataQueries.defs :+
+    RefQueries.defs ++ JsonQueries.defs ++ CsvQueries.defs ++ DataQueries.defs ++
+      EtlQueries.defs :+
       ("ref_e2e_monthly_report" ->
         Q(Pipeline.monthlyReport, Some(Pipeline.oracle), headline = true))
 
