@@ -1,0 +1,66 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Csv, Sanitize, UnionByName}
+
+/** The reference's two driver programs as one Spark job:
+  * run_exports_query.py (per-lender report CSVs) + merge_all_lenders.py
+  * (consolidated union) — but single-pass: one plan computes every lender
+  * and a partitioned write fans the output into one directory per lender,
+  * where the reference re-ran its query ~49 times and wrote files in a
+  * Python loop.
+  */
+object ReportJob {
+
+  /** Per-lender partitioned CSV write in the reference dialect
+    * (run_exports_query.py:75-89): `outDir/report_lender=<lender>/…`,
+    * tab-delimited, QUOTE_ALL, BOM, ''-null. At scale this is the
+    * standard dynamic-partition write — one task per lender bucket, no
+    * driver loop. */
+  def writePerLender(report: DataFrame, outDir: String): Unit = {
+    report.coalesce(1)
+      .write
+      .partitionBy("report_lender")
+      .option("sep", "\t")
+      .option("header", true)
+      .option("quoteAll", true)
+      .option("nullValue", "")
+      .option("emptyValue", "\"\"")
+      .option("escape", "\\")
+      .option("lineSep", "\n")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxx")
+      .mode("overwrite")
+      .csv(outDir)
+    prependBomRecursive(report.sparkSession, outDir)
+  }
+
+  private def prependBomRecursive(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+      Csv.prependBom(spark, st.getPath.toString)
+    }
+  }
+
+  /** merge_all_lenders.py: glob-read every per-lender file as all-string,
+    * union by name, re-parse `time` leniently, write one consolidated
+    * file. */
+  def mergeAll(spark: SparkSession, outDir: String, resultDir: String): DataFrame = {
+    val merged = UnionByName.all(Seq(
+      Csv.readTabCsvAllString(spark, s"$outDir/*/*.csv")))
+      .withColumn("time", Sanitize.coerceTimestamp(col("time")))
+    Csv.writeTabCsv(merged, resultDir, singleFile = true)
+    Csv.readTabCsvAllString(spark, resultDir)
+  }
+
+  /** Full monthly run: report → per-lender CSVs → consolidated CSV. */
+  def run(view: DataFrame, startDate: String, endDate: String,
+          outDir: String, resultDir: String): DataFrame = {
+    val report = ExportsEtl.forAllLenders(view, startDate, endDate)
+    writePerLender(report, outDir)
+    mergeAll(view.sparkSession, outDir, resultDir)
+  }
+}

@@ -103,6 +103,9 @@ class ExportsEtlSpec extends AnyFunSuite {
       Some("alpha"), valid = false)
   ).toDF()
 
+  /** Shared with ReportJobSpec. */
+  def viewForJob: DataFrame = view
+
   private val params = QueryParams("2024-01-01", "2025-01-01", "alpha")
 
   private def labelsFor(lender: String): Map[String, String] =

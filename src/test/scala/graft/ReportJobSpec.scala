@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.ReportJob
+import graft.operators.Skew
+
+/** End-to-end report job over the golden fixture + skew operators. */
+class ReportJobSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ReportJob writes per-lender BOM'd CSVs and a consolidated merge") {
+    val fixture = new ExportsEtlSpec
+    val tmp = Files.createTempDirectory("graft_report").toString
+    val merged = ReportJob.run(fixture.viewForJob, "2024-01-01", "2025-01-01",
+      s"$tmp/output", s"$tmp/result")
+
+    val lenderDirs = new java.io.File(s"$tmp/output").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(lenderDirs.toSeq ==
+      Seq("report_lender=alpha", "report_lender=beta", "report_lender=gamma"))
+
+    // every per-lender part file carries the BOM
+    lenderDirs.foreach { d =>
+      val part = new java.io.File(s"$tmp/output/$d").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val head = Files.readAllBytes(part.toPath).take(3).toSeq
+      assert(head == Seq(0xEF.toByte, 0xBB.toByte, 0xBF.toByte), d)
+    }
+
+    // merged row count equals the all-lenders report row count
+    val expected = graft.etl.ExportsEtl
+      .forAllLenders(fixture.viewForJob, "2024-01-01", "2025-01-01").count()
+    assert(merged.count() == expected)
+    // merge read-back is all-string with the 22 report columns (lender
+    // partition column excluded from file contents, like the reference)
+    assert(merged.columns.length == 22)
+  }
+
+  test("saltedCounts equals plain groupBy count") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val plain = df.groupBy($"k").count().orderBy("k")
+      .as[(String, Long)].collect().toSeq
+    val salted = Skew.saltedCounts(df, "k", Seq("k", "v"), 8)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val big = (1 to 500).map(i => (s"k${i % 7}", i)).toDF("k", "v")
+    val small = (0 to 6).map(i => (s"k$i", s"dim$i")).toDF("k", "d")
+    val plain = big.join(small, Seq("k")).orderBy("k", "v")
+      .as[(String, Int, String)].collect().toSeq
+    val salted = Skew.saltedJoin(big, small, "k", 4).orderBy("k", "v")
+      .as[(String, Int, String)].collect().toSeq
+    assert(salted == plain)
+  }
+}
