@@ -102,6 +102,29 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Embedding-cosine near-dup: the most-similar candidate pairs within
+    * label blocks (block = coarse cluster; full pairwise only inside a
+    * block, never across the corpus). Top-N because this corpus has no
+    * pairs above any useful absolute threshold; a production near-dup
+    * filter would use `cos >= τ` with the same plan. */
+  private def embeddingDupTop(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vec_dot
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), col("embedding"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
   // ----------------------------------------------------------- similarity
 
   private def queriesOf(spark: SparkSession, dir: String): DataFrame =
@@ -232,6 +255,17 @@ object DataQueries {
          |SELECT s.doc_id, s.simhash, g.keeper_id,
          |       s.doc_id <> g.keeper_id AS is_near_dup
          |FROM s JOIN g USING (simhash) ORDER BY doc_id""".stripMargin)),
+
+    "data_dedup_embedding" -> Q(embeddingDupTop, Some(
+      s"""WITH e AS (
+         |  SELECT label, vec_id, embedding,
+         |    sqrt(${duckDot("embedding", "embedding")}) AS norm
+         |  FROM embeddings)
+         |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm)
+         |    AS cos_sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin)),
 
     "data_sim_cosine_topk" -> Q(simTopK, Some(
       s"""WITH q AS (
