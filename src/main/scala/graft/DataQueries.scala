@@ -51,7 +51,8 @@ object DataQueries {
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     withShingleSig(spark, dir)
       .select(col("doc_id"), explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").cast("long").as("band"),
+        col("bb.bucket").as("bucket"))
       .dumpOrdered("doc_id", "band")
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {

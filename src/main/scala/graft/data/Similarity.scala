@@ -60,7 +60,7 @@ object Similarity {
       .withColumn("cos_sim",
         d(col(qVec), col(cVec)) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    joined.withColumn("rnk", row_number().over(w))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("cos_sim"))
   }
@@ -90,7 +90,7 @@ object Similarity {
       .where(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosineFast(corpus)(col(qVec), col(cVec)))
     val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
-    inCell.withColumn("rnk", row_number().over(wTop))
+    inCell.withColumn("rnk", row_number().over(wTop).cast("long"))
       .where(col("rnk") <= k)
       .select(col(qId), col("cell"), col("rnk"), col(cId).as("neighbor_id"),
         col("cos_sim"))

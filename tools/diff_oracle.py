@@ -49,6 +49,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        dt = [(c, str(got[c].dtype), str(want[c].dtype))
+              for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        if dt:
+            print(f"  dtype note {name}: {dt}")
         diffs = []
         for c in got.columns:
             a, b = got[c], want[c]
