@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.{Dedup, TextAnalysis}
+
+/** Unit-level edge cases for the training-data operators. */
+class DataOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: fewer than n words yields empty, order preserved") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val got = df.select(
+      TextAnalysis.shingles(TextAnalysis.tokens($"t"), 3)).as[Seq[String]]
+      .collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq.empty, Seq.empty))
+  }
+
+  test("fingerprint is invariant to word order and repetition") {
+    val df = Seq(("b a a c", "c b a"), ("x y", "y x")).toDF("s1", "s2")
+    val got = df.select(
+      (TextAnalysis.fingerprint($"s1") === TextAnalysis.fingerprint($"s2"))
+        .as("eq")).as[Boolean].collect()
+    assert(got.forall(identity))
+  }
+
+  test("langId breaks ties by declaration order (en first)") {
+    // no markers at all -> every score 0 -> first language wins
+    val got = Seq("zzz qqq").toDF("t")
+      .select(TextAnalysis.langId(TextAnalysis.tokens($"t"))).as[String].head()
+    assert(got == "en")
+  }
+
+  test("identical texts share minhash signature and simhash") {
+    val df = Seq(("dup", "the quick brown fox jumps over the lazy dog"),
+      ("dup2", "the quick brown fox jumps over the lazy dog"),
+      ("other", "completely different words here now ok then")).toDF("id", "t")
+      .withColumn("w", TextAnalysis.tokens($"t"))
+      .withColumn("sh", TextAnalysis.shingles($"w", 3))
+      .withColumn("sig", Dedup.minhashSig($"sh", 12))
+      .withColumn("sim", Dedup.simhash16($"w"))
+    val byId = df.select("id", "sig", "sim")
+      .as[(String, Seq[String], String)].collect()
+      .map { case (id, sig, sim) => id -> ((sig, sim)) }.toMap
+    assert(byId("dup") == byId("dup2"))
+    assert(byId("dup") != byId("other"))
+    assert(byId("dup")._2.length == 16 &&
+      byId("dup")._2.forall(c => c == '0' || c == '1'))
+  }
+
+  test("estJaccard is 1 for identical signatures, in [0,1] otherwise") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "b", "c"), Seq("a", "x", "y"))).toDF("sa", "sb")
+    val got = df.select(Dedup.estJaccard($"sa", $"sb", 3)).as[Double].collect()
+    assert(got(0) == 1.0)
+    assert(got(1) >= 0.0 && got(1) <= 1.0 && got(1) == 1.0 / 3)
+  }
+
+  test("jaccard on distinct shingle sets: intersection over union") {
+    val df = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("a", "b")
+    assert(df.select(Dedup.jaccard($"a", $"b")).as[Double].head() == 1.0 / 3)
+  }
+
+  test("bpe token count: letter runs, digit runs, punct runs") {
+    val got = Seq("Hello world42 --ok").toDF("t")
+      .select(TextAnalysis.bpeTokenCount($"t")).as[Long].head()
+    // hello | world | 42 | -- | ok
+    assert(got == 5L)
+  }
+
+  test("exact dedup elects min-id keeper and sizes groups") {
+    val df = Seq((10L, "same"), (3L, "same"), (7L, "unique")).toDF("id", "t")
+    val got = Dedup.exact(df, "id", "t")
+      .select("id", "keeper_id", "group_size", "is_dup")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((3L, 3L, 2L, false), (7L, 7L, 1L, false),
+      (10L, 3L, 2L, true)))
+  }
+}
