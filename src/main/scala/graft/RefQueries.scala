@@ -276,7 +276,36 @@ object RefQueries {
       .dumpOrdered("l_returnflag", "l_linestatus")
   }
 
+  /** Exact interpolated percentiles per group (oracle: quantile_cont) plus
+    * the sketch forms as the documented scale path (rows-only checked —
+    * HLL/GK values are engine-specific). */
+  private def sketchStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        Sketches.percentileExact(col("o_totalprice"), 0.5).as("p50"),
+        Sketches.percentileExact(col("o_totalprice"), 0.95).as("p95"),
+        count_distinct(col("o_custkey")).as("n_cust_exact"))
+      .dumpOrdered("o_orderstatus")
+
+  private def sketchApprox(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        Sketches.approxDistinct(col("o_custkey")).as("n_cust_approx"),
+        Sketches.percentileApprox(col("o_totalprice"), 0.5).as("p50_approx"))
+      .dumpOrdered("o_orderstatus")
+
   val defs: Seq[(String, Q)] = Seq(
+    "ref_sketch_percentiles" -> Q(sketchStats, Some(
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  count(DISTINCT o_custkey) AS n_cust_exact
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "ref_sketch_approx" -> Q(sketchApprox, None),
+
     "ref_s2_distinct_keys" -> Q(s2Distinct, Some(
       """SELECT DISTINCT event_type FROM events
         |WHERE event_type IS NOT NULL ORDER BY event_type""".stripMargin)),

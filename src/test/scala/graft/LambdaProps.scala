@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.ExplodeDefault
+
+/** Property-based checks (SURVEY.md §5 item 3) for the JSON-lambda-family
+  * operators over random arrays: explode-with-default row accounting,
+  * HOF filter ≡ Scala filter, 1-based try_element_at ≡ lift.
+  */
+object LambdaProps extends Properties("JsonLambdaOps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val arrGen: Gen[List[Option[List[String]]]] =
+    Gen.listOfN(8, Gen.option(Gen.listOf(Gen.oneOf("a", "b", "c", "dd"))))
+
+  property("explodeWithDefault emits max(size,1) rows per parent") =
+    forAll(arrGen) { rows =>
+      val df = rows.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "arr")
+      val exploded = df.select($"id",
+        ExplodeDefault.explodeWithDefault($"arr", lit("STUB")).as("e"))
+      val expected = rows.map(a => math.max(a.map(_.size).getOrElse(0), 1)).sum
+      Prop(exploded.count() == expected) :| s"expected $expected"
+    }
+
+  property("stub appears exactly for NULL/empty parents") =
+    forAll(arrGen) { rows =>
+      val df = rows.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "arr")
+      val stubs = df.select($"id",
+          ExplodeDefault.explodeWithDefault($"arr", lit("STUB")).as("e"))
+        .where($"e" === "STUB" &&
+          // a real element may also be the literal; count only true stubs
+          (size($"arr").isNull || size($"arr") === 0))
+        .count()
+      val expected = rows.count(a => a.isEmpty || a.exists(_.isEmpty))
+      Prop(stubs == expected) :| s"expected $expected stubs, got $stubs"
+    }
+
+  property("HOF filter equals Scala filter") =
+    forAll(arrGen) { rows =>
+      val df = rows.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "arr")
+      val got = df.select($"id",
+          filter(coalesce($"arr", array()), x => x === "a").as("f"))
+        .as[(Int, Seq[String])].collect().sortBy(_._1).map(_._2.toList).toList
+      val expected = rows.map(_.getOrElse(Nil).filter(_ == "a"))
+      Prop(got == expected)
+    }
+
+  property("try_element_at(n) equals 1-based lift") =
+    forAll(arrGen, Gen.choose(1, 5)) { (rows, n) =>
+      val df = rows.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "arr")
+      val got = df.select($"id", try_element_at($"arr", lit(n)).as("e"))
+        .as[(Int, Option[String])].collect().sortBy(_._1).map(_._2).toList
+      val expected = rows.map(_.flatMap(_.lift(n - 1)))
+      Prop(got == expected)
+    }
+}

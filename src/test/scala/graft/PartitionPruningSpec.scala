@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB layout for the reference's P2 time-range filter: the fact
+  * table written partitioned by month, so the range predicate prunes whole
+  * directories at planning time (`PartitionFilters` in the scan, only the
+  * matching partitions listed).
+  */
+class PartitionPruningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("month-partitioned write + range filter prunes partitions") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/orders_by_month"
+    val o = Tables.orders(spark, TestSpark.sf)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    o.write.partitionBy("month").mode("overwrite").parquet(dir)
+
+    val filtered = spark.read.parquet(dir)
+      .where(col("month") >= "1997-01" && col("month") < "1997-04")
+    val scan = filtered.queryExecution.executedPlan.toString
+
+    assert(scan.contains("PartitionFilters"), scan)
+    // data filters must NOT be needed for month — it's a partition column
+    assert(!scan.contains("PushedFilters: [IsNotNull(month)"), scan)
+
+    val expected = o.where(col("month") >= "1997-01" && col("month") < "1997-04")
+      .count()
+    assert(filtered.count() == expected && expected > 0)
+
+    // the scan's file listing only covers the 3 matching month directories
+    val matched = filtered.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(matched.contains(3), s"expected 3 partitions, got $matched")
+  }
+}
