@@ -53,7 +53,28 @@ object CsvQueries {
       .dumpOrdered(col("o_orderkey").cast("long"))
   }
 
+  /** S3+J1 (run_exports_query.py:223-225): the dimension arrives as a CSV
+    * file (written here in the reference dialect), is read back all-string,
+    * typed, broadcast, and left-joined — the literal competitor-list.csv
+    * flow. The round-trip is lossless for these columns, so the oracle is
+    * the plain parquet join. */
+  private def s3CsvDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dimPath = tmp("s3_dim")
+    Csv.writeTabCsv(Tables.nation(spark, dir), dimPath, singleFile = true)
+    val dim = Csv.readTabCsvAllString(spark, dimPath)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        col("n_name"))
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(dim), c("c_nationkey") === dim("n_nationkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+      .dumpOrdered("c_custkey")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
+    "ref_s3_csv_dim_join" -> Q(s3CsvDimJoin, Some(
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c_custkey""".stripMargin)),
     "ref_s4_csv_roundtrip" -> Q(s4RoundTrip, None),
     "ref_s6_merge_all" -> Q(s6MergeAll, None),
   )

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** `spark.sql.extensions` is a STATIC conf read at SparkContext creation,
+  * so a config-injected session cannot be built inside the shared test JVM
+  * (its context already exists). Covered here instead: the extensions
+  * class wires cleanly, and vec_dot resolves from SQL text via the
+  * runtime registration path.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("GraftExtensions applies its injections without error") {
+    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+  }
+
+  test("vec_dot resolves from SQL text after runtime registration") {
+    VectorFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(got == 11.0)
+  }
+}
