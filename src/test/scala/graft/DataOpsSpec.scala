@@ -71,6 +71,17 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == 5L)
   }
 
+  test("sampleFrames: every stride-th byte, capped, empty for short payloads") {
+    import graft.data.Multimodal
+    val df = Seq("abcdefghij", "ab", "").toDF("t")
+      .select(Multimodal.sampleFrames($"t".cast("binary"), stride = 3,
+        maxFrames = 2).as("f"))
+    val got = df.as[Seq[Array[Byte]]].collect().toSeq
+      .map(_.map(b => new String(b, "UTF-8")).toList)
+    // len 10 / stride 3 = 3 frames capped at 2: bytes at 1-based 1 and 4
+    assert(got == Seq(List("a", "d"), List.empty, List.empty))
+  }
+
   test("exact dedup elects min-id keeper and sizes groups") {
     val df = Seq((10L, "same"), (3L, "same"), (7L, "unique")).toDF("id", "t")
     val got = Dedup.exact(df, "id", "t")
