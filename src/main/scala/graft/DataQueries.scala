@@ -103,6 +103,21 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Group-level MinHash via the typed [[graft.functions.MinHashAggregator]]
+    * (udaf form) over exploded shingle rows: one signature per (lang,
+    * source) cluster. Oracle: the same per-seed min(md5) aggregates in
+    * SQL — min is order-free, so results are engine-independent. */
+  private def minhashGroupSig(spark: SparkSession, dir: String): DataFrame = {
+    val agg = udaf(new graft.functions.MinHashAggregator(K))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+          .as("sh"))
+      .groupBy(col("lang"), col("source"))
+      .agg(array_join(agg(col("sh")), ",").as("sig"))
+      .dumpOrdered("lang", "source")
+  }
+
   /** Embedding-cosine near-dup: the most-similar candidate pairs within
     * label blocks (block = coarse cluster; full pairwise only inside a
     * block, never across the corpus). Top-N because this corpus has no
@@ -256,6 +271,15 @@ object DataQueries {
          |SELECT s.doc_id, s.simhash, g.keeper_id,
          |       s.doc_id <> g.keeper_id AS is_near_dup
          |FROM s JOIN g USING (simhash) ORDER BY doc_id""".stripMargin)),
+
+    "data_dedup_minhash_groupsig" -> Q(minhashGroupSig, Some {
+      val mins = (0 until K)
+        .map(i => s"min(md5('$i|' || sh))").mkString(" || ',' || ")
+      s"""WITH s AS (
+         |  SELECT lang, source, unnest($duckShingles) AS sh FROM documents)
+         |SELECT lang, source, $mins AS sig
+         |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    }),
 
     "data_dedup_embedding" -> Q(embeddingDupTop, Some(
       s"""WITH e AS (
