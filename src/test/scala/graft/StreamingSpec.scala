@@ -44,6 +44,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("checkpointed parquet sink: append emits exactly the watermark-closed windows, restart adds nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink")
+    val out = s"$base/out"
+    val chk = s"$base/chk"
+
+    def runOnce(): Unit = {
+      val q = EventStreams.windowedCounts(
+          EventStreams.readEvents(spark, eventsGlob))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    runOnce()
+    val got = spark.read.parquet(out)
+
+    // Append emits only windows closed by the final watermark
+    // (max event time - 10 min); compute the same set from batch.
+    val maxTs = Tables.events(spark, TestSpark.sf)
+      .agg(max(col("ts_ts"))).head().getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(window(col("ts_ts"), "1 hour").as("window"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("window.end") <= lit(watermark))
+    assert(got.count() == batch.count())
+
+    // restart against the same checkpoint: no new data -> no new rows
+    runOnce()
+    assert(spark.read.parquet(out).count() == batch.count(),
+      "restart must not duplicate output (exactly-once file sink)")
+  }
+
   test("stateful latestPerUser converges to the batch max_by dedup") {
     val streamed = EventStreams.runToMemory(
       EventStreams.latestPerUser(EventStreams.readEvents(spark, eventsGlob)).toDF(),
