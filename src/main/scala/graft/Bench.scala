@@ -24,8 +24,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    // Cache hygiene: builders persist() projections shared by multiple
+    // consumers WITHIN one query execution; clearing between runs keeps the
+    // measurement honest (each timed run pays its own cache build) and
+    // stops executor-memory creep across the many-query session.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
 
     for (_ <- 1 to 2) Registry.headlines.foreach { case (name, q) =>
       try run(q.build)

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions.col
   * output is small (aggregates, or bounded row sets), so a single-partition
   * local sort is strictly cheaper and yields the same total order.
   *
+  * `repartition(1)`, NOT `coalesce(1)`: coalesce propagates up to the
+  * previous shuffle boundary, so a query whose body is shuffle-free (scan +
+  * broadcast joins, e.g. J1/W1) would execute its ENTIRE body in one task —
+  * measured 0.9–1.8 s/query at sf0.1 in round 1. repartition inserts a
+  * round-robin exchange: the body keeps all cores, only the final sort of
+  * the (small) result rows is single-task.
+  *
   * At 100 TB a final presentation sort would stay `orderBy` (range sort,
   * parallel) — use [[ordered]] only where the sorted result is meant to be
   * consumed as one deterministic stream (verification dumps, single-file
@@ -19,7 +26,7 @@ import org.apache.spark.sql.functions.col
   */
 object Out {
   def ordered(df: DataFrame, cols: Column*): DataFrame =
-    df.coalesce(1).sortWithinPartitions(cols: _*)
+    df.repartition(1).sortWithinPartitions(cols: _*)
 
   def ordered(df: DataFrame, first: String, rest: String*): DataFrame =
     ordered(df, (first +: rest).map(col): _*)

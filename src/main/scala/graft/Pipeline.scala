@@ -53,11 +53,13 @@ object Pipeline {
     // deal — O(deals), never O(lineitems).
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
+    // customer scales with the data — no broadcast hint (AQE picks
+    // broadcast at small sf, shuffle join at scale); nation is bounded.
     val base = deals
       .join(lineAgg.withColumnRenamed("l_orderkey", "lk_items"),
         deals("o_orderkey") === col("lk_items"), "left")
       .drop("lk_items")
-      .join(broadcast(c), deals("o_custkey") === c("c_custkey"), "left")
+      .join(c, deals("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .persist()
 

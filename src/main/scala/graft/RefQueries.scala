@@ -37,7 +37,13 @@ object RefQueries {
       .dumpOrdered("user_id")
   }
 
-  /** A2 (exports_results.sql:73-76): collect_list + lambda filter + fold. */
+  /** A2 (exports_results.sql:73-76): collect_list + lambda filter + fold.
+    * The fold runs cents-exact over DECIMAL; the final column is DOUBLE on
+    * BOTH engine sides — DuckDB widens decimal sums to DECIMAL(38,2), which
+    * the driver's representation-sensitive hash rejects against Spark's
+    * (18,2). A 2-decimal value below 2^53 cents converts to the same nearest
+    * double in both engines, so DOUBLE is the portable output type
+    * (the pattern ref_e2e_monthly_report already proves). */
   private def a2CollectFilter(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val lst = filter(collect_list(col("value")), v => v > 150)
     Tables.events(spark, dir)
@@ -45,7 +51,7 @@ object RefQueries {
       .agg(
         size(lst).cast("long").as("n_high"),
         aggregate(lst, lit(0).cast(Dec), (acc, v) => (acc + v.cast(Dec)).cast(Dec))
-          .as("sum_high"))
+          .cast("double").as("sum_high"))
       .dumpOrdered("user_id")
   }
 
@@ -103,13 +109,16 @@ object RefQueries {
       .dumpOrdered("event_type", "month", "user_id")
   }
 
-  /** J1+P11 (run_exports_query.py:223-225): left broadcast-joins to small
-    * dimensions, join-key column dropped. */
+  /** J1+P11 (run_exports_query.py:223-225): left joins to dimensions,
+    * join-key column dropped. `nation` is a BOUNDED dim (25 rows) → explicit
+    * broadcast; `customer` SCALES with the data (1.5 M rows/sf, OOMs the
+    * build side at 100×) → no hint, AQE/JoinSelection picks broadcast at
+    * small sf and degrades to shuffle join at scale. */
   private def j1DimJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
         col("c_mktsegment"), col("n_name"))
@@ -224,7 +233,9 @@ object RefQueries {
         date_format(add_months(date_trunc("month", col("o_orderdate")), -1), "yyyy-MM"))
       .groupBy(col("month"), col("prev_month"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(Dec)).as("sum_price"))
+        // Cents-exact decimal sum, emitted as DOUBLE (cross-engine stable
+        // output type; see a2CollectFilter).
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("sum_price"))
       .dumpOrdered("month")
 
   /** O3/O4/W4/P12 (run_exports_query.py:106-168): the full 3-month
@@ -253,9 +264,12 @@ object RefQueries {
     * fact table. Sums are exact and cross-engine hash-identical but stay on
     * the fast codegen path: 2-decimal doubles are scaled to integer cents
     * (long), summed as longs (whole-stage codegen, no BigDecimal), and only
-    * the final 6 group rows are converted to DECIMAL. A direct
-    * sum(CAST AS DECIMAL) is ~4× slower per profile (interpreted
-    * BigDecimal adds per row). */
+    * the final 6 group rows are converted — to DOUBLE, the cross-engine
+    * output type (exact: the long sums stay below 2^53, and long→double plus
+    * one correctly-rounded division matches DuckDB's decimal→double cast;
+    * DECIMAL output would diverge in precision — Spark (18,2)/(28,4) vs
+    * DuckDB's sum-widened (38,2)/(38,4) — and fail the driver's
+    * representation-sensitive hash). */
   private def q1Agg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val qtyC = round(col("l_quantity") * 100).cast("long")
     val priceC = round(col("l_extendedprice") * 100).cast("long")
@@ -268,10 +282,9 @@ object RefQueries {
         sum(priceC * (lit(100L) - discC)).as("disc_c4"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
-        (col("qty_c").cast(Dec) / 100).cast(Dec).as("sum_qty"),
-        (col("price_c").cast(Dec) / 100).cast(Dec).as("sum_base_price"),
-        (col("disc_c4").cast(DecimalType(28, 4)) / 10000).cast(DecimalType(28, 4))
-          .as("sum_disc_price"),
+        (col("qty_c").cast("double") / 100).as("sum_qty"),
+        (col("price_c").cast("double") / 100).as("sum_base_price"),
+        (col("disc_c4").cast("double") / 10000).as("sum_disc_price"),
         col("count_order"))
       .dumpOrdered("l_returnflag", "l_linestatus")
   }
@@ -320,8 +333,8 @@ object RefQueries {
     "ref_a2_collect_filter" -> Q(a2CollectFilter, Some(
       """SELECT user_id,
         |  count(*) FILTER (WHERE value > 150) AS n_high,
-        |  coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 150),
-        |           CAST(0 AS DECIMAL(18,2))) AS sum_high
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 150),
+        |                0) AS DOUBLE) AS sum_high
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     "ref_f5_json_extract" -> Q(f5Json, Some(
@@ -422,7 +435,7 @@ object RefQueries {
         |  strftime(date_trunc('month', o_orderdate) - INTERVAL 1 MONTH, '%Y-%m')
         |    AS prev_month,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY month""".stripMargin)),
 
     "ref_o3_pivot_rank" -> Q(o3PivotRank, Some(
@@ -458,11 +471,12 @@ object RefQueries {
 
     "ref_q1_agg" -> Q(q1Agg, Some(
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |           AS DECIMAL(28,4))) AS sum_disc_price,
+        |           AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin), headline = true),

@@ -16,11 +16,12 @@ object ReportJob {
 
   /** Per-lender partitioned CSV write in the reference dialect
     * (run_exports_query.py:75-89): `outDir/report_lender=<lender>/…`,
-    * tab-delimited, QUOTE_ALL, BOM, ''-null. At scale this is the
-    * standard dynamic-partition write — one task per lender bucket, no
-    * driver loop. */
+    * tab-delimited, QUOTE_ALL, BOM, ''-null. `repartition(report_lender)`
+    * (hash-shuffle on the partition column), NOT coalesce(1): each lender's
+    * rows land in one task → one file per lender, written in parallel
+    * across lenders — the scalable dynamic-partition write. */
   def writePerLender(report: DataFrame, outDir: String): Unit = {
-    report.coalesce(1)
+    report.repartition(col("report_lender"))
       .write
       .partitionBy("report_lender")
       .option("sep", "\t")

@@ -19,10 +19,18 @@ object DedupLatest {
 
   /** Keep the latest record per `keys`, ordering by `ord`; `payload` columns
     * are carried via `max_by`. Output columns: keys ++ ord ++ payload.
+    *
+    * DuckDB-faithful NULL handling (exports_results.sql's MAX_BY): MAX_BY
+    * SKIPS NULL values, so each payload column independently takes its value
+    * from the latest record where THAT column is non-NULL. Masking the
+    * ordering key when the value is NULL (max_by ignores NULL-ordered rows)
+    * reproduces that exactly; unmasked Spark max_by would return the
+    * possibly-NULL value at the max key.
     */
   def latestBy(df: DataFrame, keys: Seq[String], ord: String, payload: Seq[String]): DataFrame = {
     val aggs: Seq[Column] =
-      max(col(ord)).as(ord) +: payload.map(c => max_by(col(c), col(ord)).as(c))
+      max(col(ord)).as(ord) +:
+        payload.map(c => max_by(col(c), when(col(c).isNotNull, col(ord))).as(c))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

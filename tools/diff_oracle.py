@@ -49,10 +49,23 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
-        dt = [(c, str(got[c].dtype), str(want[c].dtype))
-              for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        # Type-strict: the driver's hash is representation-sensitive (a
+        # DECIMAL(18,2) vs DECIMAL(38,2) divergence hash-fails even when
+        # values match cell-for-cell — round 1 proved it on 3 queries), so a
+        # dtype mismatch is a FAIL here too. Compare both the pandas dtype
+        # and, for object columns (decimals land there), the arrow type.
+        def arrow_types(df_):
+            import pyarrow as pa
+            return {f.name: str(f.type)
+                    for f in pa.Table.from_pandas(df_, preserve_index=False).schema}
+        ga, wa = arrow_types(got), arrow_types(want)
+        dt = [(c, str(got[c].dtype), str(want[c].dtype), ga[c], wa[c])
+              for c in got.columns
+              if str(got[c].dtype) != str(want[c].dtype) or ga[c] != wa[c]]
         if dt:
-            print(f"  dtype note {name}: {dt}")
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            n_fail += 1
+            continue
         diffs = []
         for c in got.columns:
             a, b = got[c], want[c]
