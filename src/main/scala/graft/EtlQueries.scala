@@ -19,8 +19,15 @@ import graft.etl.ExportsEtl
   */
 object EtlQueries {
 
-  /** k = props.k — the seed for all synthesized fields. */
-  private def k: Column = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+  /** k = props.k — the seed for all synthesized fields. Computed ONCE in
+    * its own projection (like the oracle's `ev` CTE computes `k` once):
+    * inlining the JSON-path extraction into every consumer re-parses
+    * `props` ~40× per row — Catalyst's CSE does not fully fold the copies
+    * across `when` branches, and the k-inlined formulation measured 3.4×
+    * slower on the `base` stage at sf0.1 (6.2 s → 1.8 s). CollapseProject
+    * keeps the extra projection because `k` is non-cheap and multiply
+    * referenced. */
+  private def k: Column = col("k")
 
   /** One JSON element of the results array; name i ∈ {0,1,2} is present
     * when (k+i) % 3 != 0 (exactly one of the three is always absent). */
@@ -51,7 +58,9 @@ object EtlQueries {
 
   /** The synthesized exports-deals-view (FIXTURES.md §A1 schema). */
   def synthView(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    Tables.events(spark, dir)
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+      .select(
       col("ts_ts").as("time"),
       concat(lit("S"), (col("event_id") % 400).cast("string")).as("scenarioId"),
       concat(lit("["),

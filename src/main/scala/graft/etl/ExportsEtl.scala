@@ -114,9 +114,17 @@ object ExportsEtl {
     df.where(!col("failingExport"))
 
   /** Step 5 `with_global_calculations` (exports_results.sql:107-115):
-    * the three whole-table window aggregates in scalable form. */
+    * the three whole-table window aggregates in scalable form.
+    *
+    * The input is persisted HERE, not downstream: the crossJoin-of-
+    * aggregates rewrite consumes `df` three times (row stream, global agg,
+    * per-purpose counts), so an unpersisted input re-runs the whole
+    * base→dedup pipeline per consumer (measured 3× the stage cost at
+    * sf0.1). The cache manager dedupes by canonical plan, so repeated
+    * builds of the same query reuse one InMemoryRelation. */
   def withGlobalCalculations(df: DataFrame): DataFrame = {
-    val globals = GlobalAggs.withGlobal(df, Seq(
+    val cached = df.persist()
+    val globals = GlobalAggs.withGlobal(cached, Seq(
       count_distinct(col("scenarioId")).as("count_all_unique_scenario_id"),
       sum(col("totalProposedLoanAmount"))
         .as("sum_all_total_proposed_loan_amount")))
@@ -200,7 +208,7 @@ object ExportsEtl {
     * additionally carries `report_lender` for partitioned writes. */
   def forAllLenders(view: DataFrame, startDate: String, endDate: String): DataFrame = {
     val prepared = withGlobalCalculations(filterFailing(withFailingExport(
-      dedupLatestPerScenario(base(view, startDate, endDate))))).persist()
+      dedupLatestPerScenario(base(view, startDate, endDate)))))
     // Lender list from the RAW view, like the reference's get_lenders
     // (run_exports_query.py:38-45) — a lender whose scenarios all fail
     // still gets its report.
