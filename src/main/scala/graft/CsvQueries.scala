@@ -8,9 +8,10 @@ import graft.operators._
 
 /** The CSV sink/source contract as runnable queries (S4/S5/S6/S7/O2). These
   * exercise real write→read round-trips through the reference's byte-level
-  * CSV dialect; results are deterministic but not SQL-expressible from the
-  * base tables (the round-trip stringification is the point), so the driver
-  * records rows-only checks — byte-level assertions live in CsvSpec.
+  * CSV dialect, then cast the all-string read-back to its source types so
+  * the DuckDB oracle can hash-compare against the plain parquet projection
+  * (the round-trip is lossless — that is the property under test; the
+  * byte-level dialect assertions live in CsvSpec).
   */
 object CsvQueries {
 
@@ -18,7 +19,13 @@ object CsvQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_csv/$name"
 
   /** S4+S5: write the per-lender CSV shape (tab/QUOTE_ALL/BOM/ISO-offset
-    * timestamps), validate, read back all-string (pandas dtype=str). */
+    * timestamps), validate, read back all-string (pandas dtype=str), then
+    * cast the strings back to their source types. The oracle is the plain
+    * parquet projection: the round-trip is lossless, and comparing TYPED
+    * values sidesteps engine-specific float/timestamp stringification
+    * (byte-level dialect assertions live in CsvSpec). The timestamp is
+    * compared as a formatted string — engines disagree on dumped timestamp
+    * physical types, not values. */
   private def s4RoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.orders(spark, dir)
       .where(col("o_orderkey") < 500)
@@ -28,7 +35,14 @@ object CsvQueries {
     Csv.writeTabCsv(df, path, singleFile = true)
     val problems = Csv.validateWritten(spark, path, df.columns.toSeq)
     require(problems.isEmpty, s"CSV validation failed: $problems")
-    Csv.readTabCsvAllString(spark, path).dumpOrdered(col("o_orderkey").cast("long"))
+    Csv.readTabCsvAllString(spark, path)
+      .select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderdate").as("o_orderdate_str"),
+        col("o_orderpriority"))
+      .dumpOrdered("o_orderkey")
   }
 
   /** S6+O2+S7: write two per-entity CSVs with drifted column sets, glob-read
@@ -49,8 +63,18 @@ object CsvQueries {
     val merged = UnionByName.all(parts)
       .withColumn("time_parsed", Sanitize.coerceTimestamp(col("o_orderdate")))
     Csv.writeTabCsv(merged, tmp("merge_out"), singleFile = true)
+    // Typed cast-back of the consolidated file (see s4RoundTrip): drifted
+    // columns stay NULL where their source file lacked them.
     Csv.readTabCsvAllString(spark, tmp("merge_out"))
-      .dumpOrdered(col("o_orderkey").cast("long"))
+      .select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_orderdate").as("o_orderdate_str"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderpriority"),
+        date_format(to_timestamp(col("time_parsed"), "yyyy-MM-dd HH:mm:ssxx"),
+          "yyyy-MM-dd HH:mm:ss").as("time_parsed_str"))
+      .dumpOrdered("o_orderkey")
   }
 
   /** S3+J1 (run_exports_query.py:223-225): the dimension arrives as a CSV
@@ -75,7 +99,19 @@ object CsvQueries {
       """SELECT c_custkey, c_name, n_name
         |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |ORDER BY c_custkey""".stripMargin)),
-    "ref_s4_csv_roundtrip" -> Q(s4RoundTrip, None),
-    "ref_s6_merge_all" -> Q(s6MergeAll, None),
+    "ref_s4_csv_roundtrip" -> Q(s4RoundTrip, Some(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+    "ref_s6_merge_all" -> Q(s6MergeAll, Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_orderstatus END AS o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderstatus <> 'F' THEN o_orderpriority END
+        |    AS o_orderpriority,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS time_parsed_str
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
   )
 }

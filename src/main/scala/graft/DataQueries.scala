@@ -20,6 +20,8 @@ object DataQueries {
   private val K = 12    // minhash signature length
   private val Bands = 4 // LSH bands (r = K / Bands = 3)
   private val R = 3
+  private val SignBands = 4 // embedding sign-LSH bands
+  private val SignBits = 2  // sign bits per band (demo-width; more at scale)
 
   /** Shared DuckDB SQL fragments (shingles / signature / dot product). */
   private val duckWords = "string_split_regex(text, '\\s+')"
@@ -75,17 +77,27 @@ object DataQueries {
       .dumpOrdered("id_a", "id_b")
   }
 
+  /** Exact n-gram Jaccard, LSH-subordinated: candidate pairs come from the
+    * MinHash band buckets (equi-join on (band, bucket) — the 100 TB path;
+    * the minhash signature is an unbiased Jaccard sampler, so any pair
+    * with meaningful Jaccard collides in some band w.h.p.), and ONLY the
+    * candidates are scored exactly. No corpus- or block-quadratic join
+    * anywhere: cost is O(collisions), not O(n² / blocks). */
   private def ngramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("sh",
-        array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)))
-      .select(col("doc_id"), col("lang"), col("source"), col("sh"))
-    val a = docs.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-      col("sh").as("sh_a"))
-    val b = docs.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "source"))
+    val docs = withShingleSig(spark, dir)
+    val buckets = docs
+      .select(col("doc_id"), explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = buckets.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
@@ -118,23 +130,43 @@ object DataQueries {
       .dumpOrdered("lang", "source")
   }
 
-  /** Embedding-cosine near-dup: the most-similar candidate pairs within
-    * label blocks (block = coarse cluster; full pairwise only inside a
-    * block, never across the corpus). Top-N because this corpus has no
-    * pairs above any useful absolute threshold; a production near-dup
-    * filter would use `cos >= τ` with the same plan. */
+  /** Embedding-cosine near-dup, LSH-subordinated: candidates come from
+    * sign-bit (hyperplane) LSH — [[SignBands]] bands of [[SignBits]]
+    * coordinate-sign bits each; a pair is a candidate when it lands in the
+    * same (label, band, bucket). Near-duplicate vectors (cos ≈ 1) agree on
+    * nearly all coordinate signs, so they collide in some band w.h.p.;
+    * only candidates get the exact cosine. Cost is O(collisions) — no
+    * block-quadratic join. Top-N because this corpus has no pairs above
+    * any useful absolute threshold; a production near-dup filter would use
+    * `cos >= τ` with the same plan (and more/wider bands for recall). */
   private def embeddingDupTop(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     import graft.functions.VectorFunctions.vec_dot
     val e = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"), col("embedding"),
         sqrt(vec_dot(col("embedding"), col("embedding"))).as("norm"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("norm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("label"))
+    // Band j's bucket: the sign bits of coordinates [j*SignBits, (j+1)*SignBits).
+    val signBuckets = transform(sequence(lit(0), lit(SignBands - 1)), j =>
+      struct(j.as("band"),
+        concat_ws("", (0 until SignBits).map(o =>
+          (element_at(col("embedding"), j * SignBits + o + 1) > 0)
+            .cast("int").cast("string")): _*).as("bucket")))
+    val buckets = e.select(col("vec_id"), col("label"),
+        explode(signBuckets).as("bb"))
+      .select(col("vec_id"), col("label"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cands = buckets
+      .select(col("vec_id").as("id_a"), col("label"), col("band"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("id_b"), col("label"), col("band"),
+        col("bucket")), Seq("label", "band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("norm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("norm").as("nb")), Seq("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
@@ -248,14 +280,23 @@ object DataQueries {
 
     "data_dedup_ngram_jaccard" -> Q(ngramJaccardTop, Some(
       s"""WITH s AS (
-         |  SELECT doc_id, lang, source,
-         |    list_distinct($duckShingles) AS sh
-         |  FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-         |FROM s a JOIN s b
-         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |sig AS (SELECT doc_id, sh, $duckSig AS sig FROM s),
+         |bb AS (
+         |  SELECT doc_id, band,
+         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
+         |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS band FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM sig)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE) /
+         |  CAST(len(list_distinct(x.shd || y.shd)) AS DOUBLE) AS jaccard
+         |FROM cand c
+         |JOIN sets x ON c.id_a = x.doc_id
+         |JOIN sets y ON c.id_b = y.doc_id
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)),
 
     "data_dedup_simhash" -> Q(simhash, Some(
@@ -281,16 +322,31 @@ object DataQueries {
          |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin
     }),
 
-    "data_dedup_embedding" -> Q(embeddingDupTop, Some(
+    "data_dedup_embedding" -> Q(embeddingDupTop, Some {
+      val bucketExpr = (0 until SignBits)
+        .map(o => s"CAST(CAST(embedding[band*$SignBits + ${o + 1}] > 0 AS INT) AS VARCHAR)")
+        .mkString(" || ")
       s"""WITH e AS (
          |  SELECT label, vec_id, embedding,
          |    sqrt(${duckDot("embedding", "embedding")}) AS norm
-         |  FROM embeddings)
-         |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm)
+         |  FROM embeddings),
+         |bb AS (
+         |  SELECT vec_id, label, band, $bucketExpr AS bucket
+         |  FROM (SELECT vec_id, label, embedding,
+         |          unnest(range(0, $SignBands)) AS band FROM e)),
+         |cand AS (
+         |  SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id)
+         |SELECT c.label, c.id_a, c.id_b,
+         |  ${duckDot("x.embedding", "y.embedding")} / (x.norm * y.norm)
          |    AS cos_sim
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin)),
+         |FROM cand c
+         |JOIN e x ON c.id_a = x.vec_id
+         |JOIN e y ON c.id_b = y.vec_id
+         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""".stripMargin
+    }),
 
     "data_sim_cosine_topk" -> Q(simTopK, Some(
       s"""WITH q AS (
@@ -423,5 +479,7 @@ object DataQueries {
   )
 
   /** Pair queries may legitimately be empty on tiny scale factors. */
-  val mayBeEmpty: Set[String] = Set("data_dedup_minhash_pairs")
+  val mayBeEmpty: Set[String] =
+    Set("data_dedup_minhash_pairs", "data_dedup_ngram_jaccard",
+      "data_dedup_embedding")
 }

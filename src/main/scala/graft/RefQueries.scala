@@ -301,12 +301,26 @@ object RefQueries {
         count_distinct(col("o_custkey")).as("n_cust_exact"))
       .dumpOrdered("o_orderstatus")
 
+  /** Approx-sketch forms with a PORTABLE oracle: raw HLL/GK outputs are
+    * engine-specific by construction, so the oracled columns are the exact
+    * count plus tolerance BOOLEANS — each engine checks its own sketch
+    * against its own exact value (HLL within 5% relative error; approx p50
+    * inside the exact IQR). Both engines assert the same contract, and the
+    * booleans hash-compare. */
   private def sketchApprox(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
+        count_distinct(col("o_custkey")).as("n_cust_exact"),
         Sketches.approxDistinct(col("o_custkey")).as("n_cust_approx"),
+        Sketches.percentileExact(col("o_totalprice"), 0.25).as("p25"),
+        Sketches.percentileExact(col("o_totalprice"), 0.75).as("p75"),
         Sketches.percentileApprox(col("o_totalprice"), 0.5).as("p50_approx"))
+      .select(col("o_orderstatus"), col("n_cust_exact"),
+        (abs(col("n_cust_approx") - col("n_cust_exact")) <=
+          col("n_cust_exact") * 0.05).as("approx_distinct_ok"),
+        (col("p50_approx") >= col("p25") && col("p50_approx") <= col("p75"))
+          .as("p50_approx_ok"))
       .dumpOrdered("o_orderstatus")
 
   val defs: Seq[(String, Q)] = Seq(
@@ -317,7 +331,15 @@ object RefQueries {
         |  count(DISTINCT o_custkey) AS n_cust_exact
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
-    "ref_sketch_approx" -> Q(sketchApprox, None),
+    "ref_sketch_approx" -> Q(sketchApprox, Some(
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust_exact,
+        |  abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+        |    <= count(DISTINCT o_custkey) * 0.05 AS approx_distinct_ok,
+        |  approx_quantile(o_totalprice, 0.5)
+        |    BETWEEN quantile_cont(o_totalprice, 0.25)
+        |        AND quantile_cont(o_totalprice, 0.75) AS p50_approx_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     "ref_s2_distinct_keys" -> Q(s2Distinct, Some(
       """SELECT DISTINCT event_type FROM events

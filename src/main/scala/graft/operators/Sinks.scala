@@ -29,6 +29,9 @@ object Csv {
       .option("escape", "\\")
       .option("lineSep", "\n")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxx")
+      // NTZ columns (parquet timestamps without UTC adjustment) take the
+      // same human shape minus the meaningless offset.
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
       .mode("overwrite")
       .csv(path)
     if (bom) prependBom(df.sparkSession, path)
