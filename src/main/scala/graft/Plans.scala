@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md: `.explain` (SimpleMode) for one query per plan
+  * family, with the audit notes each plan must keep satisfying. Run
+  * `sbt "runMain graft.Plans"` after changing any of the audited builders.
+  */
+object Plans {
+
+  private val Audited = Seq("ref_p2_time_filter", "ref_q1_agg",
+    "ref_j1_dim_join", "ref_a1_dedup_latest", "ref_w1_global_aggs",
+    "data_sim_cosine_topk")
+
+  private val Header =
+    """# PLANS — physical-plan audit of representative queries
+      |
+      |`.explain` output (sf0.001, SimpleMode) for one query per plan family,
+      |with the properties each plan must keep. Regenerate with
+      |`sbt "runMain graft.Plans"` (AQE off, like the bench session, so the
+      |static plan is the one audited). Audited per round: predicate pushdown
+      |reaches `PushedFilters`, projections reach `ReadSchema` (column
+      |pruning), small dims go through `BroadcastExchange`, and no
+      |whole-partition window or driver-side loop appears anywhere.
+      |
+      |Audit notes:
+      |
+      |- **ref_p2_time_filter** — the time-range + validity predicates all land
+      |  in `PushedFilters` on the parquet scan (predicate targets the raw `ts`
+      |  column; a derived-column predicate would not push). `ReadSchema` holds
+      |  only the 4 referenced columns.
+      |- **ref_q1_agg** — partial+final HashAggregate with the cents-scaled long
+      |  sums inside whole-stage codegen; only 5 of 11 lineitem columns read.
+      |- **ref_j1_dim_join** — `nation` (bounded dim) builds a
+      |  `BroadcastExchange` from an explicit hint. `customer` SCALES with the
+      |  data, so it carries no hint — at bench scale the static planner still
+      |  picks broadcast from parquet size statistics (customer.parquet ≪
+      |  `autoBroadcastJoinThreshold`), and at 100 TB the same plan degrades
+      |  gracefully to a shuffle join instead of OOMing the build side.
+      |- **ref_a1_dedup_latest** — single aggregation, map-side partial
+      |  (`partial_max`/`partial_max_by` below the exchange), shuffle is
+      |  O(users) not O(events). `max_by` over string payloads plans as
+      |  SortAggregate (no mutable fixed-width buffer); the NULL-skip mask on
+      |  the ordering key preserves DuckDB MAX_BY semantics.
+      |- **ref_w1_global_aggs** — the `COUNT(DISTINCT) OVER ()` rewrite: the
+      |  1-row global aggregate and the per-type counts are computed once and
+      |  broadcast back (`BroadcastNestedLoopJoin`/`BroadcastHashJoin`); no
+      |  single-partition `Window` operator anywhere.
+      |- **data_sim_cosine_topk** — `vec_dot(...)` appears as a plain projected
+      |  expression (codegen'd `FloatVecDot`); query set broadcast; per-query
+      |  top-k via rank over the broadcast-joined scores (corpus never
+      |  shuffled).
+      |
+      |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
+      |in every dump is the deterministic result-dump sort (Out.ordered) —
+      |single-task over final result rows only; the query body below the
+      |exchange keeps full parallelism.
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sections = Audited.map { name =>
+      val q = Registry.all.find(_._1 == name)
+        .getOrElse(sys.error(s"unknown audited query $name"))._2
+      val plan = q.build(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      s"## $name\n\n```\n${plan.trim}\n```\n"
+    }
+    Files.writeString(Paths.get(out), Header + "\n" + sections.mkString("\n"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

@@ -14,14 +14,20 @@ import graft.operators.{Csv, Sanitize, UnionByName}
   */
 object ReportJob {
 
+  /** The write-side partitioning: hash-shuffle on the partition column,
+    * NOT coalesce(1) — each lender's rows land in one task → one file per
+    * lender, written in parallel across lenders (AQE may still coalesce
+    * tiny shuffles at toy scale; at real scale each lender keeps its own
+    * task). Exposed so ReportJobSpec can assert the plan shape. */
+  def partitionedForWrite(report: DataFrame): DataFrame =
+    report.repartition(col("report_lender"))
+
   /** Per-lender partitioned CSV write in the reference dialect
     * (run_exports_query.py:75-89): `outDir/report_lender=<lender>/…`,
-    * tab-delimited, QUOTE_ALL, BOM, ''-null. `repartition(report_lender)`
-    * (hash-shuffle on the partition column), NOT coalesce(1): each lender's
-    * rows land in one task → one file per lender, written in parallel
-    * across lenders — the scalable dynamic-partition write. */
+    * tab-delimited, QUOTE_ALL, BOM, ''-null — the scalable
+    * dynamic-partition write ([[partitionedForWrite]]). */
   def writePerLender(report: DataFrame, outDir: String): Unit = {
-    report.repartition(col("report_lender"))
+    partitionedForWrite(report)
       .write
       .partitionBy("report_lender")
       .option("sep", "\t")

@@ -32,6 +32,24 @@ class ReportJobSpec extends AnyFunSuite {
       assert(head == Seq(0xEF.toByte, 0xBB.toByte, 0xBF.toByte), d)
     }
 
+    // the write input is hash-partitioned on report_lender (parallel per
+    // lender at scale) — not collapsed to a single partition. AQE may
+    // coalesce the toy fixture's shuffle at runtime, so assert the PLAN:
+    // a repartition-by-expression on report_lender, and no Repartition(1).
+    val writePlan = ReportJob
+      .partitionedForWrite(graft.etl.ExportsEtl
+        .forAllLenders(fixture.viewForJob, "2024-01-01", "2025-01-01"))
+      .queryExecution.optimizedPlan
+    val repartitions = writePlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }
+    assert(repartitions.exists(_.partitionExpressions.exists(
+      _.references.map(_.name).toSeq == Seq("report_lender"))),
+      s"write input not partitioned by report_lender:\n$writePlan")
+    assert(!writePlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r.numPartitions
+    }.contains(1), "write input collapsed to one partition")
+
     // merged row count equals the all-lenders report row count
     val expected = graft.etl.ExportsEtl
       .forAllLenders(fixture.viewForJob, "2024-01-01", "2025-01-01").count()
