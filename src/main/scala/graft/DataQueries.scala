@@ -223,6 +223,35 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  // -------------------------------------------------------------- sketches
+
+  private val KmvK = 32
+  // 16^13 = 2^52: both exactly representable in a double and wide enough
+  // that the 13-hex-char prefix of the k-th hash is an exact integer.
+  private val HexSpace = 4503599627370496.0
+
+  /** KMV (bottom-k) distinct sketch via the typed [[graft.functions
+    * .KmvAggregator]] — unlike HLL, the sketch VALUE is engine-portable
+    * (k smallest md5 hex strings), so the oracle hash-compares the sketch
+    * itself AND the (k-1)/U estimator, computed with exact
+    * integer-in-double arithmetic. */
+  private def sketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    val agg = udaf(new graft.functions.KmvAggregator(KmvK))
+    val kth = element_at(col("hs"), KmvK)
+    val kthFrac = conv(substring(kth, 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(HexSpace)
+    Tables.events(spark, dir)
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"),
+        agg(col("user_id").cast("string")).as("hs"))
+      .select(col("event_type"), col("n_exact"),
+        array_join(col("hs"), ",").as("kmv_sketch"),
+        when(size(col("hs")) < KmvK, size(col("hs")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) / kthFrac).as("est_distinct"))
+      .dumpOrdered("event_type")
+  }
+
   // ------------------------------------------------------------ multimodal
 
   private def mmMeta(spark: SparkSession, dir: String): DataFrame =
@@ -458,6 +487,23 @@ object DataQueries {
          |g AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY fp)
          |SELECT f.doc_id, f.fp, g.keeper_id
          |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin)),
+
+    "data_sketch_kmv" -> Q(sketchKmv, Some(
+      s"""WITH h AS (
+         |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |g AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         |         list_sort(list_distinct(list(h))) AS hs
+         |  FROM h GROUP BY event_type)
+         |SELECT event_type, n_exact,
+         |  array_to_string(hs[1:$KmvK], ',') AS kmv_sketch,
+         |  CASE WHEN len(hs) < $KmvK THEN CAST(len(hs) AS DOUBLE)
+         |       ELSE ${KmvK - 1}.0 / (list_sum(list_transform(range(1, 14), i ->
+         |         (strpos('0123456789abcdef', hs[$KmvK][i]) - 1)
+         |           * 16.0 ** (13 - i))) / $HexSpace)
+         |  END AS est_distinct
+         |FROM g ORDER BY event_type""".stripMargin)),
 
     "data_mm_meta" -> Q(mmMeta, Some(
       """SELECT doc_id,

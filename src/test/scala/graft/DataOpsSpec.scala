@@ -10,6 +10,24 @@ class DataOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("KMV sketch equals brute-force bottom-k md5 and estimates within error") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val k = 16
+    val values = (1 to 500).map(i => s"v${i % 200}") // 200 distinct, repeated
+    val expected = values.distinct.map(md5hex).sorted.take(k)
+    val agg = udaf(new graft.functions.KmvAggregator(k))
+    val got = values.toDF("v").repartition(4)
+      .agg(agg($"v").as("hs")).as[Seq[String]].head()
+    assert(got == expected, "sketch must be the k smallest distinct md5s")
+    // (k-1)/U estimator within 50% of the true 200 (1/sqrt(k) ~ 25% rsd)
+    val kthFrac = java.lang.Long.parseLong(got.last.take(13), 16) / math.pow(16, 13)
+    val est = (k - 1) / kthFrac
+    assert(math.abs(est - 200) / 200.0 < 0.5, s"estimate $est vs 200")
+  }
+
   test("shingles: fewer than n words yields empty, order preserved") {
     val df = Seq("a b c d", "a b", "").toDF("t")
     val got = df.select(
