@@ -187,7 +187,7 @@ object DataQueries {
 
   private def simIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queriesOf(spark, dir),
-        Tables.embeddings(spark, dir), cellCol = "label", k = 3)
+        Tables.embeddings(spark, dir), cellCol = "label", k = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
 
   // ------------------------------------------------------------- text
@@ -413,7 +413,7 @@ object DataQueries {
          |          (sqrt(${duckDot("q.q_vec", "q.q_vec")}) *
          |           sqrt(${duckDot("r.rep_vec", "r.rep_vec")})) DESC,
          |        r.cell) AS rn
-         |    FROM q CROSS JOIN reps r) x WHERE rn = 1),
+         |    FROM q CROSS JOIN reps r) x WHERE rn <= 2),
          |scored AS (
          |  SELECT a.q_id, a.cell, e.vec_id,
          |    ${duckDot("a.q_vec", "e.embedding")} /

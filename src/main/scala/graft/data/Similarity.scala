@@ -73,9 +73,14 @@ object Similarity {
       .select(col(cellCol).as("cell"), col(vecCol).as("rep_vec"))
   }
 
-  /** IVF-style search: route each query to its nearest representative's
-    * cell, then brute-force only within that cell (nprobe = 1). */
+  /** IVF-style search: route each query to its `nprobe` nearest
+    * representatives' cells, then brute-force only within those cells.
+    * `nprobe` is the standard IVF recall/cost knob — 1 probes a single
+    * cell (fastest, lowest recall); raising it approaches brute force.
+    * Probed cells are disjoint, so each corpus row scores at most once
+    * and the final per-query rank is global across probes. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int,
+              nprobe: Int = 1,
               qId: String = "q_id", qVec: String = "q_vec",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val reps = representatives(corpus, cellCol, cId, cVec)
@@ -84,7 +89,7 @@ object Similarity {
     val wAssign = Window.partitionBy(col(qId))
       .orderBy(col("rep_sim").desc, col("cell"))
     val assigned = scored.withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+      .where(col("rn") <= nprobe)
       .select(col(qId), col(qVec), col("cell"))
     val inCell = corpus.join(broadcast(assigned), corpus(cellCol) === col("cell"))
       .where(col(qId) =!= col(cId))

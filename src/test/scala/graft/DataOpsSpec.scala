@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.data.{Dedup, TextAnalysis}
+import graft.data.{Dedup, Similarity, TextAnalysis}
 
 /** Unit-level edge cases for the training-data operators. */
 class DataOpsSpec extends AnyFunSuite {
@@ -26,6 +26,20 @@ class DataOpsSpec extends AnyFunSuite {
     val kthFrac = java.lang.Long.parseLong(got.last.take(13), 16) / math.pow(16, 13)
     val est = (k - 1) / kthFrac
     assert(math.abs(est - 200) / 200.0 < 0.5, s"estimate $est vs 200")
+  }
+
+  test("ivfTopK with nprobe = #cells equals brute force") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0.1f, 0.9f), 1),
+      (4L, Array(0.7f, 0.7f), 2)).toDF("vec_id", "embedding", "label")
+    val queries = corpus.where($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val ivf = Similarity.ivfTopK(queries, corpus, "label", k = 3, nprobe = 3)
+      .drop("cell").orderBy("q_id", "rnk").collect().toSeq
+    assert(ivf == bf)
   }
 
   test("shingles: fewer than n words yields empty, order preserved") {
