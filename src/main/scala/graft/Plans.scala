@@ -51,7 +51,10 @@ object Plans {
       |- **data_sim_cosine_topk** — `vec_dot(...)` appears as a plain projected
       |  expression (codegen'd `FloatVecDot`); query set broadcast; per-query
       |  top-k via rank over the broadcast-joined scores (corpus never
-      |  shuffled).
+      |  shuffled). Spark's built-in `WindowGroupLimit` (Partial below the
+      |  shuffle, Final above) prunes each partition to the top k rows before
+      |  the exchange — the declarative row_number+filter formulation already
+      |  gets bounded-heap semantics, so no custom top-k operator is needed.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —

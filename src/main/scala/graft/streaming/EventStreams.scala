@@ -78,6 +78,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join (attribution): each `click` joined to the
+    * same user's `purchase` events landing within [click, click + 1h).
+    * Both sides carry watermarks and the join condition bounds event time
+    * on both sides, so the state store retains only rows inside the
+    * watermark + interval horizon — the canonical bounded-state
+    * stream-stream join (no unbounded buffering). Works identically on
+    * batch DataFrames (same code path, Catalyst plans a plain join), which
+    * is what the parity spec asserts. */
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    c.join(p, expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts < c_ts + interval 1 hour"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("value"))
+  }
+
   /** Drive a streaming DataFrame to completion against a bounded input and
     * return the final results from a memory sink (test/verification
     * harness; production would use a real sink + checkpoint). */

@@ -44,6 +44,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join converges to the batch join") {
+    val ev = EventStreams.readEvents(spark, eventsGlob)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.clickPurchaseAttribution(ev, ev),
+      "attribution", OutputMode.Append())
+
+    val bev = Tables.events(spark, TestSpark.sf)
+    val batch = EventStreams.clickPurchaseAttribution(bev, bev)
+
+    // Append emits a joined pair once both watermarks pass it; on a bounded
+    // input the final micro-batch may hold back pairs near the global max
+    // event time, so streamed ⊆ batch with equality on the watermark-closed
+    // region — on this fixture every pair closes, so require full parity.
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("checkpointed parquet sink: append emits exactly the watermark-closed windows, restart adds nothing") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink")
     val out = s"$base/out"
