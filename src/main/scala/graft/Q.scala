@@ -10,8 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Contract notes (see the driver docs in the repo root):
   *  - column names/aliases must match between builder output and oracle SQL;
   *  - results must be deterministic: every query ends in a total ORDER BY on
-  *    a unique key set, aggregates of doubles go through DECIMAL(18,2) so
-  *    both engines produce bit-identical values.
+  *    a unique key set; aggregates of doubles run cents-exact (integer
+  *    cents or DECIMAL) and the FINAL column is cast to DOUBLE on both
+  *    engine sides — raw DECIMAL outputs hash-fail on precision widening
+  *    (Spark keeps (18,2), DuckDB's sum widens to (38,2)), and timestamps
+  *    are emitted as unix_micros or formatted strings for the same reason.
   */
 final case class Q(
     build: (SparkSession, String) => DataFrame,

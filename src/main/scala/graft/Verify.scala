@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Cache hygiene: builders persist() shared sub-plans; queries don't
+      // share caches with EACH OTHER, so release between dumps to keep the
+      // 45-query session's memory flat. (Bench deliberately keeps caches —
+      // its warm best-of-2 is symmetric with the warm DuckDB baseline.)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
