@@ -21,6 +21,22 @@ object LambdaProps extends Properties("JsonLambdaOps") {
   private val arrGen: Gen[List[Option[List[String]]]] =
     Gen.listOfN(8, Gen.option(Gen.listOf(Gen.oneOf("a", "b", "c", "dd"))))
 
+  private val kmvInput: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf((1 to 40).map(i => s"v$i")))
+
+  property("KMV reduce/merge is order-invariant and associative") =
+    forAll(kmvInput, kmvInput, kmvInput) { (xs, ys, zs) =>
+      val agg = new graft.functions.KmvAggregator(8)
+      def sketchOf(vals: List[String]): List[String] =
+        vals.foldLeft(agg.zero)(agg.reduce)
+      val whole = sketchOf(xs ++ ys ++ zs)
+      val shuffled = sketchOf(scala.util.Random.shuffle(xs ++ ys ++ zs))
+      val merged = agg.merge(agg.merge(sketchOf(xs), sketchOf(ys)), sketchOf(zs))
+      val mergedR = agg.merge(sketchOf(xs), agg.merge(sketchOf(ys), sketchOf(zs)))
+      Prop(whole == shuffled && whole == merged && whole == mergedR) :|
+        s"whole=$whole merged=$merged"
+    }
+
   property("explodeWithDefault emits max(size,1) rows per parent") =
     forAll(arrGen) { rows =>
       val df = rows.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "arr")
