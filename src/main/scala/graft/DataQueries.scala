@@ -1,7 +1,7 @@
 package graft
 
 import graft.Out.OrderedOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,11 +146,20 @@ object DataQueries {
       .select(col("label"), col("vec_id"), col("embedding"),
         sqrt(vec_dot(col("embedding"), col("embedding"))).as("norm"))
     // Band j's bucket: the sign bits of coordinates [j*SignBits, (j+1)*SignBits).
+    // NULL-safe: a NULL/missing coordinate maps to its own symbol 'n' on
+    // BOTH engine sides — Spark's concat_ws would silently skip a NULL bit
+    // (making ('n','1') collide with ('1','n')) while DuckDB's || would
+    // NULL the whole bucket; an explicit third symbol keeps the engines in
+    // lockstep on any input.
+    val signBit = (c: Column) =>
+      when(c > 0, "1").when(c <= 0, "0").otherwise("n")
+    // try_element_at: out-of-range (short vector) yields NULL -> 'n',
+    // matching DuckDB's out-of-range list index, instead of an ANSI error.
     val signBuckets = transform(sequence(lit(0), lit(SignBands - 1)), j =>
       struct(j.as("band"),
-        concat_ws("", (0 until SignBits).map(o =>
-          (element_at(col("embedding"), j * SignBits + o + 1) > 0)
-            .cast("int").cast("string")): _*).as("bucket")))
+        concat((0 until SignBits).map(o =>
+          signBit(try_element_at(col("embedding"), lit(j * SignBits + o + 1)))): _*)
+          .as("bucket")))
     val buckets = e.select(col("vec_id"), col("label"),
         explode(signBuckets).as("bb"))
       .select(col("vec_id"), col("label"), col("bb.band").as("band"),
@@ -353,7 +362,9 @@ object DataQueries {
 
     "data_dedup_embedding" -> Q(embeddingDupTop, Some {
       val bucketExpr = (0 until SignBits)
-        .map(o => s"CAST(CAST(embedding[band*$SignBits + ${o + 1}] > 0 AS INT) AS VARCHAR)")
+        .map(o => s"""CASE WHEN embedding[band*$SignBits + ${o + 1}] > 0 THEN '1'
+                     |       WHEN embedding[band*$SignBits + ${o + 1}] <= 0 THEN '0'
+                     |       ELSE 'n' END""".stripMargin)
         .mkString(" || ")
       s"""WITH e AS (
          |  SELECT label, vec_id, embedding,

@@ -22,8 +22,6 @@ import graft.operators._
   */
 object Pipeline {
 
-  private val Dec = DecimalType(18, 2)
-
   def monthlyReport(spark: SparkSession, dir: String): DataFrame = {
     // P2: half-open validity window — pushed down to the parquet scan.
     val deals = Tables.orders(spark, dir)
@@ -76,10 +74,12 @@ object Pipeline {
       weight = Some(col("mult")))
 
     // W1/W3: global aggregates (base is 1:1 with deals), broadcast back.
-    // Cents-scaled long sum (codegen path), converted to DECIMAL once.
+    // Cents-scaled long sum (codegen path), emitted as DOUBLE — the
+    // cross-engine output type (DECIMAL only hash-matched while the value
+    // carried non-zero cents; see RefQueries.a2CollectFilter).
     val glob = base.agg(
       count_distinct(col("o_orderkey")).as("n_deals_global"),
-      (sum(round(col("o_totalprice") * 100).cast("long")).cast(Dec) / 100).cast(Dec)
+      (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100)
         .as("sum_price_global"))
 
     // O5: explode with a stub default so every deal survives
@@ -142,7 +142,8 @@ object Pipeline {
       |    ON d.o_orderkey = l.l_orderkey),
       |g_agg AS (
       |  SELECT count(DISTINCT o_orderkey) AS n_deals_global,
-      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price_global
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS sum_price_global
       |  FROM deals),
       |enriched AS (
       |  SELECT e.*, c.c_name, c.c_mktsegment, c.c_nationkey AS cnk

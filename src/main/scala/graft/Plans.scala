@@ -32,7 +32,10 @@ object Plans {
       |  column; a derived-column predicate would not push). `ReadSchema` holds
       |  only the 4 referenced columns.
       |- **ref_q1_agg** — partial+final HashAggregate with the cents-scaled long
-      |  sums inside whole-stage codegen; only 5 of 11 lineitem columns read.
+      |  sums inside whole-stage codegen; the source is the NARROW cached
+      |  lineitem projection (`Tables.lineitemHot`): only the 5 consumed
+      |  columns reach the underlying FileScan's ReadSchema and the cache,
+      |  which restores scan parallelism over the single-row-group testdata.
       |- **ref_j1_dim_join** — `nation` (bounded dim) builds a
       |  `BroadcastExchange` from an explicit hint. `customer` SCALES with the
       |  data, so it carries no hint — at bench scale the static planner still

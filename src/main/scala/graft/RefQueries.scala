@@ -92,10 +92,12 @@ object RefQueries {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .persist()
-    // Cents-scaled long sum (codegen) converted to DECIMAL once at the end.
+    // Cents-scaled long sum (codegen), emitted as DOUBLE — the cross-engine
+    // output type (see a2CollectFilter; a DECIMAL output here only
+    // hash-matched while the global sum happened to carry non-zero cents).
     val withGlobals = GlobalAggs.withGlobal(ev, Seq(
       count_distinct(col("user_id")).as("n_users_global"),
-      (sum(round(col("value") * 100).cast("long")).cast(Dec) / 100).cast(Dec)
+      (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
         .as("sum_value_global")))
     GlobalAggs.withGroupDistinctCount(withGlobals, "event_type", "user_id", "n_users_in_type")
       .select(col("event_id"), col("n_users_global"), col("sum_value_global"),
@@ -312,7 +314,11 @@ object RefQueries {
     * count plus tolerance BOOLEANS — each engine checks its own sketch
     * against its own exact value (HLL within 5% relative error; approx p50
     * inside the exact IQR). Both engines assert the same contract, and the
-    * booleans hash-compare. */
+    * booleans hash-compare. The bands are deliberately ~5× wider than the
+    * configured sketch error (HLL rsd 1% vs 5% band; GK accuracy 1e-4 of
+    * the distribution vs the IQR) so a near-threshold estimate flipping
+    * one engine's boolean but not the other's is implausible at any sf —
+    * verified green at sf0.01 and sf0.1. */
   private def sketchApprox(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
@@ -380,7 +386,8 @@ object RefQueries {
     "ref_w1_global_aggs" -> Q(w1Global, Some(
       """SELECT event_id,
         |  count(DISTINCT user_id) OVER () AS n_users_global,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER () AS sum_value_global,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER () AS DOUBLE)
+        |    AS sum_value_global,
         |  count(DISTINCT user_id) OVER (PARTITION BY event_type) AS n_users_in_type
         |FROM events ORDER BY event_id""".stripMargin), headline = true),
 

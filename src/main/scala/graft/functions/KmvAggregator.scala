@@ -39,12 +39,17 @@ class KmvAggregator(k: Int)
   }
 
   /** Insert into the sorted ≤k buffer, dropping duplicates and anything
-    * beyond the k smallest. */
+    * beyond the k smallest. Fast path first: once the sketch is
+    * saturated, almost every hash is ≥ the current k-th minimum and is
+    * rejected with one comparison (buf is sorted ascending, so buf.last
+    * is the k-th minimum) — the per-row cost that matters when this
+    * streams a whole table. */
   private def insert(buf: List[String], h: String): List[String] = {
-    if (buf.contains(h)) buf
+    if (buf.lengthCompare(k) == 0 && h >= buf.last) buf
+    else if (buf.contains(h)) buf
     else {
       val merged = (h :: buf).sorted
-      if (merged.length > k) merged.take(k) else merged
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
     }
   }
 
