@@ -3,7 +3,6 @@ package graft
 import graft.Out.OrderedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.operators._
 

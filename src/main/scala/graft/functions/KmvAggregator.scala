@@ -27,6 +27,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class KmvAggregator(k: Int)
     extends Aggregator[String, List[String], Seq[String]] {
+  require(k > 0, s"KMV sketch size must be positive, got $k")
 
   override def zero: List[String] = Nil
 
