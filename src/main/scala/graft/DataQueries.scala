@@ -232,6 +232,17 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** The streaming attribution join run in BATCH mode — same code path
+    * (EventStreams.clickPurchaseAttribution plans as a plain interval
+    * join on batch inputs; withWatermark is a no-op), so the DuckDB
+    * oracle checks the join semantics the StreamingSpec's parity test
+    * then carries over to the incremental execution. */
+  private def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.streaming.EventStreams.clickPurchaseAttribution(ev, ev)
+      .dumpOrdered("click_id", "purchase_id")
+  }
+
   // -------------------------------------------------------------- sketches
 
   private val KmvK = 32
@@ -498,6 +509,14 @@ object DataQueries {
          |g AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY fp)
          |SELECT f.doc_id, f.fp, g.keeper_id
          |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin)),
+
+    "data_stream_attribution" -> Q(streamAttribution, Some(
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       p.value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin)),
 
     "data_sketch_kmv" -> Q(sketchKmv, Some(
       s"""WITH h AS (
