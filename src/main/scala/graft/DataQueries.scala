@@ -232,6 +232,64 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Deterministic stratified (per-language) downsampling: each doc maps to
+    * a stable hash fraction (first 4 hex chars of md5(doc_id) / 16^4) and
+    * survives when it falls under its language's sampling rate — the
+    * standard rebalancing step for over-represented languages/sources in a
+    * training mix. Scale shape: a broadcast join of the tiny rate table +
+    * one codegen'd filter over the scan — no shuffle, no rand() (re-runs
+    * and retries keep the same sample, a hard requirement for reproducible
+    * data curation). */
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Seq("en" -> 0.5, "zh" -> 0.25).toDF("lang", "rate_override")
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("rate", coalesce(col("rate_override"), lit(1.0)))
+      .withColumn("hash_frac",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").cast("double") / 65536.0)
+      .where(col("hash_frac") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("hash_frac"),
+        col("rate"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Corpus vocabulary statistics: per-token collection frequency (tf) and
+    * document frequency (df), top 200 — the df table is what IDF weighting,
+    * stop-word induction, and tokenizer vocabulary builds consume. One
+    * explode + one aggregation; count_distinct(doc_id) plans as a two-phase
+    * partial-distinct on (token, doc_id), so the hot-token skew never
+    * concentrates raw rows on one task. */
+  private def textVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tf").desc, col("token"))
+      .limit(200)
+
+  /** Within-document repetition signals (the Gopher-style quality rules):
+    * total/distinct token counts, the most-frequent token's share, and the
+    * distinct ratio. Two chained hash aggregations — (doc, token) then doc —
+    * both map-side combinable; ratios are single divisions of exact longs,
+    * so they are bit-identical across engines. */
+  private def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("cnt")).as("top_token_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("top_token_count"),
+        (col("top_token_count").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_ratio"),
+        (col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_ratio"))
+      .dumpOrdered("doc_id")
+
   /** The streaming attribution join run in BATCH mode — same code path
     * (EventStreams.clickPurchaseAttribution plans as a plain interval
     * join on batch inputs; withWatermark is a no-op), so the DuckDB
@@ -509,6 +567,41 @@ object DataQueries {
          |g AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY fp)
          |SELECT f.doc_id, f.fp, g.keeper_id
          |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin)),
+
+    "data_sample_stratified" -> Q(sampleStratified, Some(
+      """WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    list_sum(list_transform(range(1, 5), i ->
+        |      (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |        * 16.0 ** (4 - i))) / 65536.0 AS hash_frac,
+        |    CAST(CASE WHEN lang = 'en' THEN 0.5
+        |              WHEN lang = 'zh' THEN 0.25 ELSE 1.0 END AS DOUBLE)
+        |      AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, source, hash_frac, rate
+        |FROM r WHERE hash_frac < rate ORDER BY doc_id""".stripMargin)),
+
+    "data_text_vocab" -> Q(textVocab, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($duckWords) AS token FROM documents)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM t GROUP BY token
+         |ORDER BY df DESC, tf DESC, token LIMIT 200""".stripMargin)),
+
+    "data_text_repetition" -> Q(textRepetition, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($duckWords) AS token FROM documents),
+         |c AS (SELECT doc_id, token, count(*) AS cnt FROM t
+         |      GROUP BY doc_id, token)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_distinct_tokens,
+         |  CAST(max(cnt) AS BIGINT) AS top_token_count,
+         |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+         |    AS top_token_ratio,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+         |    AS distinct_ratio
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "data_stream_attribution" -> Q(streamAttribution, Some(
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

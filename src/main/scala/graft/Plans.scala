@@ -12,7 +12,7 @@ object Plans {
 
   private val Audited = Seq("ref_p2_time_filter", "ref_q1_agg",
     "ref_j1_dim_join", "ref_a1_dedup_latest", "ref_w1_global_aggs",
-    "data_sim_cosine_topk")
+    "data_sim_cosine_topk", "data_asof_join", "data_sessionize")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -58,6 +58,16 @@ object Plans {
       |  shuffle, Final above) prunes each partition to the top k rows before
       |  the exchange — the declarative row_number+filter formulation already
       |  gets bounded-heap semantics, so no custom top-k operator is needed.
+      |- **data_asof_join** — the union+window as-of shape: ONE
+      |  `Exchange hashpartitioning(user_id)` feeds a single `Window`
+      |  (`last(__rp) ignore nulls`) over the tagged union — no range-join
+      |  row explosion and no nested-loop; the only other exchange is the
+      |  click-side dedup's own map-side-combinable HashAggregate on
+      |  (user_id, ts).
+      |- **data_sessionize** — `session_window` plans as partial
+      |  `HashAggregate` → exchange on `user_id` → `MergingSessionsExec`
+      |  (session merge); state is per-session aggregates, never the raw
+      |  per-user event timeline.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —

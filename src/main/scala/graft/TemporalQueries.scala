@@ -1,0 +1,81 @@
+package graft
+
+import graft.Out.OrderedOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over the `events` table: distributed as-of join and
+  * gap-based sessionization. Both are single-shuffle shapes (hash exchange
+  * on `user_id` + per-partition sort / session merge) — the formulations
+  * that survive a 100 TB event log. Oracled against DuckDB's native
+  * `ASOF JOIN` and a gaps-and-islands window rewrite respectively, so the
+  * cross-engine check covers the SEMANTICS (inclusive backward match,
+  * half-open session gap), not just row counts.
+  */
+object TemporalQueries {
+
+  private val SessionGapUs = 1800000000L // 30 minutes in microseconds
+
+  /** Backward as-of join: each `purchase` picks up the same user's latest
+    * `click` at-or-before the purchase time. Clicks are pre-deduplicated to
+    * one per (user, µs) — `max(event_id)` — which both makes the operator
+    * deterministic under time collisions and bounds the right side
+    * ([[graft.operators.AsOfJoin]] determinism contract). */
+  private def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"), col("value"))
+    graft.operators.AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+        leftTime = "p_ts", rightTime = "click_ts", payload = Seq("click_id"),
+        prefix = "")
+      .withColumn("gap_us", col("p_ts") - col("click_ts"))
+      .dumpOrdered("purchase_id")
+  }
+
+  /** Per-user sessions with a 30-minute inactivity gap
+    * ([[graft.streaming.EventStreams.userSessions]] — the same function
+    * sessionizes a stream with watermark-bounded state). */
+  private def sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.userSessions(Tables.events(spark, dir))
+      .dumpOrdered("user_id", "session_start")
+
+  val defs: Seq[(String, Q)] = Seq(
+    "data_asof_join" -> Q(asofJoin, Some(
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.p_ts, p.value,
+        |       c.click_ts, c.click_id, p.p_ts - c.click_ts AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.p_ts >= c.click_ts
+        |ORDER BY purchase_id""".stripMargin)),
+
+    "data_sessionize" -> Q(sessionize, Some(
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS t, value FROM events),
+         |m AS (
+         |  SELECT user_id, t, value,
+         |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+         |                > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m)
+         |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         |    AS sum_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin)),
+  )
+}

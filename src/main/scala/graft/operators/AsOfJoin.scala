@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed backward as-of join: each left row picks up the payload of
+  * the right row with the greatest time `<=` the left row's time within the
+  * same key group (a LEFT join — unmatched left rows keep NULL payload).
+  *
+  * Implementation is the union+window shape, the scalable formulation of
+  * as-of on a shared-nothing engine: tag both inputs, union them, and run
+  * one window pass per key ordered by (time, side) carrying
+  * `last(payload, ignoreNulls)`. Cost is a SINGLE hash shuffle on the key
+  * plus a per-partition sort — no range-join row explosion, no per-row
+  * binary search, and no driver-side time index. At 100 TB this is one
+  * exchange of left+right and state bounded by the window frame (the
+  * running payload), exactly how a sort-merge as-of would behave; a skewed
+  * hot key can be pre-split by time range (the operator is composable with
+  * [[Skew]] salting on the time bucket).
+  *
+  * Tie semantics: right rows sort BEFORE left rows at equal time (side 0 <
+  * side 1), so a right row at exactly the left time matches (inclusive
+  * `<=`, DuckDB `ASOF JOIN ... ON l.t >= r.t` semantics). Determinism
+  * contract: the right side must be unique per (keys, rightTime) — callers
+  * pre-aggregate duplicates (e.g. `max(event_id)` per key+time); with
+  * duplicates the surviving payload would depend on partition-internal
+  * order. Left rows at equal times are independent: each sees the same set
+  * of preceding right rows, so their relative order cannot change results.
+  *
+  * Left rows with NULL time never match (NULLs sort first in the ascending
+  * window order, before every right row).
+  */
+object AsOfJoin {
+
+  /** @param keys        equality keys present on both sides
+    * @param leftTime    left event-time column (same type as `rightTime`)
+    * @param rightTime   right event-time column
+    * @param payload     right columns to attach to matching left rows
+    * @param prefix      prefix for the attached columns (`rightTime` is
+    *                    attached too, also prefixed)
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val rp = struct((rightTime +: payload).map(col): _*)
+    val rpType = right.select(rp.as("__rp")).schema.head.dataType
+    val leftRest = left.columns.filterNot(keys.contains).toSeq
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val keyCols = keys.map(col)
+
+    val lSide = left.select(
+      keyCols ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(rpType).as("__rp")) ++ leftRest.map(col): _*)
+    val rSide = right.select(
+      keyCols ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        rp.as("__rp")) ++
+        leftRest.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select((keys ++ leftRest).map(col) ++
+        (rightTime +: payload).map(p => col(s"__m.$p").as(prefix + p)): _*)
+  }
+}

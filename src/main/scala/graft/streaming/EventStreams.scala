@@ -37,6 +37,7 @@ object EventStreams {
       .schema(EventSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(path)
+      .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -77,6 +78,32 @@ object EventStreams {
           best
       }
   }
+
+  /** Gap-based sessionization via `session_window`: per-user sessions that
+    * close after more than [[gap]] of inactivity (closed-interval — an event
+    * landing at exactly `last + gap` EXTENDS the session, a later one starts
+    * a new session; asserted in StreamingSpec), with the session's event
+    * count and cent-exact value sum. The same code path runs batch and
+    * streaming: on a stream (with a watermark on `ts_ts`) Spark merges
+    * per-micro-batch partial sessions in the state store and evicts a
+    * session once the watermark passes its close — state is bounded by the
+    * watermark horizon, the scalable sessionization shape (one shuffle on
+    * `user_id`, partial session merge map-side, no per-user timeline
+    * materialization).
+    *
+    * Session bounds are reported as observed event times (`min`/`max` of
+    * `ts_us`), not the engine-specific `window.end = last + gap`, so the
+    * output is engine-portable. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts_ts"), gap).as("sw"))
+      .agg(min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        (col("sum_cents").cast("double") / 100).as("sum_value"))
 
   /** Stream-stream interval join (attribution): each `click` joined to the
     * same user's `purchase` events landing within [click, click + 1h).

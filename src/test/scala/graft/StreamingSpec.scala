@@ -100,6 +100,46 @@ class StreamingSpec extends AnyFunSuite {
       "restart must not duplicate output (exactly-once file sink)")
   }
 
+  test("sessionization gap is closed: exactly last+gap extends, last+gap+1 splits") {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val mk = (id: Long, us: Long) => (id, us * 1000, 7L, "view", 1.0, "{}")
+    val ev = Seq(
+      mk(1, 0), mk(2, gapUs),            // exactly gap after last -> extends
+      mk(3, 2 * gapUs + 1))              // gap+1 after last -> new session
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val got = EventStreams.userSessions(ev)
+      .orderBy("session_start")
+      .select("session_start", "session_end", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, gapUs, 2L), (2 * gapUs + 1, 2 * gapUs + 1, 1L)))
+  }
+
+  test("gap sessionization (streaming append) emits the watermark-closed batch sessions") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.userSessions(
+        EventStreams.readEvents(spark, eventsGlob)
+          .withWatermark("ts_ts", "10 minutes")),
+      "sessions", OutputMode.Append())
+
+    val batch = EventStreams.userSessions(Tables.events(spark, TestSpark.sf))
+    val maxUs = Tables.events(spark, TestSpark.sf)
+      .agg(max(col("ts_us"))).head().getLong(0)
+    val wmUs = maxUs - 10L * 60 * 1000 * 1000
+    val gapUs = 30L * 60 * 1000 * 1000
+
+    // Append evicts a session once the watermark passes its close
+    // (last event + gap): closed ⊆ streamed ⊆ batch, with strict bounds on
+    // the closed side so the assertion is robust to the engine's >/>=
+    // eviction boundary.
+    val closed = batch.where(col("session_end") + gapUs < wmUs)
+    assert(closed.exceptAll(streamed).isEmpty,
+      "every watermark-closed session must be emitted")
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streamed sessions must be a subset of the batch sessions")
+  }
+
   test("stateful latestPerUser converges to the batch max_by dedup") {
     val streamed = EventStreams.runToMemory(
       EventStreams.latestPerUser(EventStreams.readEvents(spark, eventsGlob)).toDF(),
