@@ -290,6 +290,48 @@ object DataQueries {
           .as("distinct_ratio"))
       .dumpOrdered("doc_id")
 
+  private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+"
+  private val NumPat = "[0-9]+"
+
+  /** PII redaction over the event payloads: match-count columns plus the
+    * md5 of the scrubbed string (emails → `<EMAIL>`, digit runs →
+    * `<NUM>`). Pure codegen'd regex expressions over the scan — the
+    * standard pre-release scrub pass, linear and shuffle-free; patterns
+    * stay in the RE2-compatible subset so both engines (and a production
+    * scrubber) agree. */
+  private def redactPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        size(regexp_extract_all(col("props"), lit(EmailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("props"), lit(NumPat), lit(0)))
+          .cast("long").as("n_numbers"),
+        md5(regexp_replace(regexp_replace(col("props"), EmailPat, "<EMAIL>"),
+          NumPat, "<NUM>")).as("redacted_md5"))
+      .dumpOrdered("event_id")
+
+  /** Benchmark decontamination: per-document count of distinct 3-gram
+    * shingles that also appear in the "benchmark" set (here: docs 0-9
+    * stand in for an eval suite), the canonical train-set contamination
+    * check. Scale shape: the benchmark shingle set is eval-sized (small) —
+    * broadcast it; the corpus streams through ONE left join + ONE
+    * aggregation, never shuffling raw shingles by anything but doc_id. */
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))).as("sh"))
+    val bench = sh.where(col("doc_id") < 10).select(col("sh")).distinct()
+      .withColumn("__hit", lit(1))
+    sh.where(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+      .dumpOrdered("doc_id")
+  }
+
   /** The streaming attribution join run in BATCH mode — same code path
     * (EventStreams.clickPurchaseAttribution plans as a plain interval
     * join on batch inputs; withWatermark is a no-op), so the DuckDB
@@ -567,6 +609,30 @@ object DataQueries {
          |g AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY fp)
          |SELECT f.doc_id, f.fp, g.keeper_id
          |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin)),
+
+    "data_redact_pii" -> Q(redactPii, Some(
+      s"""SELECT event_id,
+         |  CAST(len(regexp_extract_all(props, '$EmailPat')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(props, '$NumPat')) AS BIGINT)
+         |    AS n_numbers,
+         |  md5(regexp_replace(regexp_replace(props, '$EmailPat', '<EMAIL>',
+         |        'g'), '$NumPat', '<NUM>', 'g')) AS redacted_md5
+         |FROM events ORDER BY event_id""".stripMargin)),
+
+    "data_decontaminate" -> Q(decontaminate, Some(
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($duckShingles)) AS sh
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+         |m AS (
+         |  SELECT c.doc_id, b.sh AS hit
+         |  FROM sh c LEFT JOIN bench b ON c.sh = b.sh
+         |  WHERE c.doc_id >= 10)
+         |SELECT doc_id, count(*) AS n_shingles, count(hit) AS n_contaminated,
+         |  CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS contamination
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "data_sample_stratified" -> Q(sampleStratified, Some(
       """WITH r AS (

@@ -65,7 +65,7 @@ object Plans {
       |  click-side dedup's own map-side-combinable HashAggregate on
       |  (user_id, ts).
       |- **data_sessionize** — `session_window` plans as partial
-      |  `HashAggregate` → exchange on `user_id` → `MergingSessionsExec`
+      |  `HashAggregate` → exchange on `user_id` → `MergingSessions`
       |  (session merge); state is per-session aggregates, never the raw
       |  per-user event timeline.
       |
