@@ -57,7 +57,9 @@ object DataQueries {
         col("bb.bucket").as("bucket"))
       .dumpOrdered("doc_id", "band")
 
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH candidate pairs with estimated Jaccard >= 0.5 — shared by the
+    * pairs dump and the connected-components grouping. */
+  private def similarPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingleSig(spark, dir)
     val buckets = docs
       .select(col("doc_id"), col("sig"),
@@ -74,7 +76,23 @@ object DataQueries {
         Dedup.estJaccard(col("sig_a"), col("sig_b"), K).as("est_jaccard"))
       .distinct()
       .where(col("est_jaccard") >= 0.5)
-      .dumpOrdered("id_a", "id_b")
+  }
+
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    similarPairs(spark, dir).dumpOrdered("id_a", "id_b")
+
+  /** Near-dup GROUPS from the LSH candidate pairs:
+    * [[Dedup.connectedComponents]] turns pairwise matches into transitive
+    * clusters (component id = min doc_id — the canonical keeper), the step
+    * a production dedup needs between pair scoring and row filtering. */
+  private def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      similarPairs(spark, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("component_size"))
+      .dumpOrdered("doc_id")
   }
 
   /** Exact n-gram Jaccard, LSH-subordinated: candidate pairs come from the
@@ -343,6 +361,67 @@ object DataQueries {
       .dumpOrdered("click_id", "purchase_id")
   }
 
+  /** Int8 embedding quantization (the storage/ANN-index prep step):
+    * component-wise `round(x * 127 / norm)` plus the vector's norm and the
+    * quantized L1 mass; the quantized vector itself is emitted as an md5
+    * so the oracle hash-checks every component without dumping arrays.
+    * Linear, shuffle-free, all inside codegen; double arithmetic is
+    * bit-identical across engines given the same left-fold norm. */
+  private def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import graft.functions.VectorFunctions.vec_dot
+    val qv = (x: Column, norm: Column) =>
+      round(x.cast("double") * lit(127.0) / norm).cast("int")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("norm"))
+      .where(col("norm") > 0)
+      .select(col("vec_id"), col("norm"),
+        md5(array_join(transform(col("embedding"),
+          x => qv(x, col("norm")).cast("string")), ",")).as("q_md5"),
+        aggregate(transform(col("embedding"), x => abs(qv(x, col("norm")))),
+          lit(0L), (a, x) => a + x).as("l1_q"))
+      .dumpOrdered("vec_id")
+  }
+
+  /** Per-language quality top-k (the curation "keep the best N per
+    * stratum" step) reusing the oracled quality score. The declarative
+    * row_number+filter gets Spark's `WindowGroupLimit` bounded-heap
+    * optimization: each partition is pruned to k rows BEFORE the
+    * exchange, so the shuffle carries O(strata × k), not the corpus. */
+  private def curateTopK(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), score.as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 20)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("score"))
+      .dumpOrdered("lang", "rnk")
+  }
+
+  private val MixBudget = 20000L
+
+  /** Mixture planning: per-language BPE-token totals and the sampling
+    * rate that flattens the mix into an equal share of a fixed token
+    * budget — the arithmetic behind "downsample over-represented
+    * languages to target proportions". Tiny aggregate (one row per
+    * stratum) + a broadcast of the 1-row global, then pure expression
+    * math. */
+  private def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sum(TextAnalysis.bpeTokenCount(col("text"))).as("n_tokens"))
+    val n = t.agg(count(lit(1)).as("n_langs"))
+    val rate = least(lit(1.0),
+      (lit(MixBudget).cast("double") / col("n_langs")) / col("n_tokens").cast("double"))
+    t.crossJoin(broadcast(n))
+      .select(col("lang"), col("n_tokens"), rate.as("sample_rate"),
+        round(rate * col("n_tokens")).cast("long").as("expected_tokens"))
+      .dumpOrdered("lang")
+  }
+
   // -------------------------------------------------------------- sketches
 
   private val KmvK = 32
@@ -426,6 +505,37 @@ object DataQueries {
          |   AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, est_jaccard FROM pairs
          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    "data_dedup_components" -> Q(dedupComponents, Some(
+      s"""WITH RECURSIVE
+         |s AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |b AS (
+         |  SELECT doc_id, sig, unnest(range(0, $Bands)) AS band FROM sig),
+         |bb AS (
+         |  SELECT doc_id, sig, band,
+         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
+         |  FROM b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(1, ${K + 1}), p -> a.sig[p] = b.sig[p]))
+         |          / ${K}.0 >= 0.5),
+         |bi AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM bi
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN bi e ON reach.id = e.s),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach
+         |         GROUP BY id),
+         |sz AS (SELECT component, count(*) AS component_size FROM comp
+         |       GROUP BY component)
+         |SELECT c.doc_id, c.component, s2.component_size
+         |FROM comp c JOIN sz s2 ON c.component = s2.component
+         |ORDER BY doc_id""".stripMargin)),
 
     "data_dedup_ngram_jaccard" -> Q(ngramJaccardTop, Some(
       s"""WITH s AS (
@@ -610,6 +720,56 @@ object DataQueries {
          |SELECT f.doc_id, f.fp, g.keeper_id
          |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin)),
 
+    "data_embed_quantize" -> Q(embedQuantize, Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${duckDot("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, norm,
+         |    list_transform(embedding, x ->
+         |      CAST(round(CAST(x AS DOUBLE) * 127.0 / norm) AS INTEGER)) AS qv
+         |  FROM e WHERE norm > 0)
+         |SELECT vec_id, norm, md5(array_to_string(qv, ',')) AS q_md5,
+         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_q
+         |FROM q ORDER BY vec_id""".stripMargin)),
+
+    "data_curate_topk" -> Q(curateTopK, Some(
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, $duckWords AS w FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(w, x ->
+         |      list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+         |      / CAST(len(w) AS BIGINT) * 2.0 +
+         |    CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
+         |         AS DOUBLE) / CAST(len(w) AS BIGINT) * 0.01 +
+         |    (CASE WHEN len(w) >= 20 AND len(w) <= 400
+         |          THEN 1.0 ELSE 0.0 END) AS score
+         |  FROM w),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY score DESC, doc_id) AS rnk FROM f)
+         |SELECT lang, rnk, doc_id, score FROM r
+         |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin)),
+
+    "data_mixture_plan" -> Q(mixturePlan, Some(
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(sum(len(regexp_extract_all(lower(text),
+         |      '${TextAnalysis.BpePattern}'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |n AS (SELECT count(*) AS n_langs FROM t)
+         |SELECT lang, n_tokens,
+         |  least(CAST(1.0 AS DOUBLE),
+         |    (CAST($MixBudget AS DOUBLE) / n_langs)
+         |      / CAST(n_tokens AS DOUBLE)) AS sample_rate,
+         |  CAST(round(least(CAST(1.0 AS DOUBLE),
+         |    (CAST($MixBudget AS DOUBLE) / n_langs)
+         |      / CAST(n_tokens AS DOUBLE)) * n_tokens) AS BIGINT)
+         |    AS expected_tokens
+         |FROM t CROSS JOIN n ORDER BY lang""".stripMargin)),
+
     "data_redact_pii" -> Q(redactPii, Some(
       s"""SELECT event_id,
          |  CAST(len(regexp_extract_all(props, '$EmailPat')) AS BIGINT)
@@ -716,5 +876,5 @@ object DataQueries {
   /** Pair queries may legitimately be empty on tiny scale factors. */
   val mayBeEmpty: Set[String] =
     Set("data_dedup_minhash_pairs", "data_dedup_ngram_jaccard",
-      "data_dedup_embedding")
+      "data_dedup_embedding", "data_dedup_components")
 }

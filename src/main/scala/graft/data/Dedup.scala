@@ -61,4 +61,51 @@ object Dedup {
   def jaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB)).cast("double")
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node repeatedly adopts the minimum label
+    * among itself and its neighbors until fixpoint; the component id is the
+    * minimum node id in the component. This is the step that turns
+    * near-dup CANDIDATE PAIRS into dedup GROUPS (pick one keeper per
+    * component), i.e. the transitive closure the pairwise queries alone
+    * don't give.
+    *
+    * Scale shape: a Pregel-style fixpoint — each iteration is ONE shuffle
+    * (messages grouped by node) over O(edges) rows, and the iteration
+    * count is the component DIAMETER, which for near-dup clusters is small
+    * (dup groups are dense). The driver loop holds only the convergence
+    * counter (one long per iteration), never data; intermediate label
+    * tables are persisted and released generation-by-generation. For
+    * web-scale graphs with long chains the same loop takes the
+    * large-star/small-star contraction, which this formulation is the
+    * degenerate (star-free) case of.
+    *
+    * Determinism: min() is order-free, so labels are independent of
+    * partitioning and iteration interleaving.
+    *
+    * @return one row per node appearing in `edges`: (id, component). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val bi = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+      .persist()
+    var labels = bi.select(col("s").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val msgs = bi.join(labels, bi("s") === labels("id"))
+        .select(col("d").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component")).union(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    bi.unpersist()
+    labels
+  }
 }

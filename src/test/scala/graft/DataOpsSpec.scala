@@ -122,4 +122,19 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == Seq((3L, 3L, 2L, false), (7L, 7L, 1L, false),
       (10L, 3L, 2L, true)))
   }
+
+  test("connectedComponents: chain, cycle, disjoint pair, empty edges") {
+    // Chain 1-2-3-4-5-6 (diameter forces multiple label iterations),
+    // cycle 10-11-12-10, disjoint pair 20-21.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.count() == 0)
+  }
 }
