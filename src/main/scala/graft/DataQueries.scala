@@ -401,6 +401,52 @@ object DataQueries {
       .dumpOrdered("lang", "rnk")
   }
 
+  /** Curation pipeline end-to-end: every document gets its fate through
+    * the composed stages — exact dedup → near-dup component dedup →
+    * quality floor → stratified sampling — with first-drop-wins
+    * precedence, the full "raw corpus in, training corpus out" picture.
+    * All four stages reuse the individually-oracled operators; the joins
+    * all key on doc_id (or the content hash), so the plan is a linear
+    * chain of hash joins/aggregations — no stage sees more than O(corpus)
+    * rows, and the whole fate table is ONE pass over each stage's
+    * output. */
+  private def curationE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val exact = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val e = exact
+      .join(exact.groupBy(col("h")).agg(min(col("doc_id")).as("exact_keeper")),
+        Seq("h"))
+      .select(col("doc_id"), col("exact_keeper"))
+    val comp = Dedup.connectedComponents(
+        similarPairs(spark, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+    val score = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
+    val q = docs.select(col("doc_id"), score.as("score"))
+    val rates = Seq("en" -> 0.5, "zh" -> 0.25).toDF("lang", "rate_override")
+    val sp = docs.join(broadcast(rates), Seq("lang"), "left")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").cast("double") / 65536.0).as("hash_frac"),
+        coalesce(col("rate_override"), lit(1.0)).as("rate"))
+    docs.select(col("doc_id"))
+      .join(e, Seq("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"))
+      .join(sp, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("exact_keeper") =!= col("doc_id"), "exact_dup")
+          .when(col("component").isNotNull && col("component") =!= col("doc_id"),
+            "near_dup")
+          .when(col("score") < 1.0, "quality")
+          .when(col("hash_frac") >= col("rate"), "sample")
+          .otherwise("kept").as("fate"),
+        col("exact_keeper"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        col("score"))
+      .dumpOrdered("doc_id")
+  }
+
   private val MixBudget = 20000L
 
   /** Mixture planning: per-language BPE-token totals and the sampling
@@ -719,6 +765,72 @@ object DataQueries {
          |g AS (SELECT fp, min(doc_id) AS keeper_id FROM f GROUP BY fp)
          |SELECT f.doc_id, f.fp, g.keeper_id
          |FROM f JOIN g USING (fp) ORDER BY doc_id""".stripMargin)),
+
+    "data_curation_e2e" -> Q(curationE2e, Some(
+      s"""WITH RECURSIVE
+         |s AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |b AS (
+         |  SELECT doc_id, sig, unnest(range(0, $Bands)) AS band FROM sig),
+         |bb AS (
+         |  SELECT doc_id, sig, band,
+         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
+         |  FROM b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(1, ${K + 1}), p -> a.sig[p] = b.sig[p]))
+         |          / ${K}.0 >= 0.5),
+         |bi AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM bi
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN bi e ON reach.id = e.s),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach
+         |         GROUP BY id),
+         |exact AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))
+         |    AS exact_keeper
+         |  FROM documents),
+         |w AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |quality AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(w, x ->
+         |      list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+         |      / CAST(len(w) AS BIGINT) * 2.0 +
+         |    CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
+         |         AS DOUBLE) / CAST(len(w) AS BIGINT) * 0.01 +
+         |    (CASE WHEN len(w) >= 20 AND len(w) <= 400
+         |          THEN 1.0 ELSE 0.0 END) AS score
+         |  FROM w),
+         |samp AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(1, 5), i ->
+         |      (strpos('0123456789abcdef',
+         |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+         |        * 16.0 ** (4 - i))) / 65536.0 AS hash_frac,
+         |    CAST(CASE WHEN lang = 'en' THEN 0.5
+         |              WHEN lang = 'zh' THEN 0.25 ELSE 1.0 END AS DOUBLE)
+         |      AS rate
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.exact_keeper <> d.doc_id THEN 'exact_dup'
+         |       WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+         |         THEN 'near_dup'
+         |       WHEN q.score < 1.0 THEN 'quality'
+         |       WHEN sp.hash_frac >= sp.rate THEN 'sample'
+         |       ELSE 'kept' END AS fate,
+         |  e.exact_keeper, COALESCE(c.component, d.doc_id) AS component,
+         |  q.score
+         |FROM documents d
+         |JOIN exact e USING (doc_id)
+         |LEFT JOIN comp c USING (doc_id)
+         |JOIN quality q USING (doc_id)
+         |JOIN samp sp USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
 
     "data_embed_quantize" -> Q(embedQuantize, Some(
       s"""WITH e AS (
