@@ -37,6 +37,73 @@ object DataQueries {
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
 
+  /** Near-dup decision threshold on estimated Jaccard — single source for
+    * the Spark builders and every oracle that embeds it. */
+  private val DupThreshold = 0.5
+
+  /** Recursive-CTE chain shingles → signature → LSH buckets → candidate
+    * pairs (est. Jaccard >= [[DupThreshold]]) → undirected edges →
+    * min-reachable component per node; shared by `data_dedup_components`
+    * and `data_curation_e2e` so their group semantics cannot drift. */
+  private val duckPairsCc =
+    s"""s AS (
+       |  SELECT doc_id, $duckShingles AS sh FROM documents),
+       |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+       |b AS (
+       |  SELECT doc_id, sig, unnest(range(0, $Bands)) AS band FROM sig),
+       |bb AS (
+       |  SELECT doc_id, sig, band,
+       |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
+       |  FROM b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bb a JOIN bb b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE len(list_filter(range(1, ${K + 1}), p -> a.sig[p] = b.sig[p]))
+       |          / ${K}.0 >= $DupThreshold),
+       |bi AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |       UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM bi
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN bi e ON reach.id = e.s),
+       |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach
+       |         GROUP BY id)""".stripMargin
+
+  /** Quality-score expression over a words-list column (mirror of
+    * `TextAnalysis.qualityColumns`'s quality_score); shared by
+    * `data_curate_topk` and `data_curation_e2e`. */
+  private def duckScore(w: String): String =
+    s"""CAST(len(list_filter($w, x ->
+       |      list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+       |      / CAST(len($w) AS BIGINT) * 2.0 +
+       |    CAST(list_reduce(list_transform($w, x -> len(x)), (a, b) -> a + b)
+       |         AS DOUBLE) / CAST(len($w) AS BIGINT) * 0.01 +
+       |    (CASE WHEN len($w) >= 20 AND len($w) <= 400
+       |          THEN 1.0 ELSE 0.0 END)""".stripMargin
+
+  /** Per-language sampling rates (default 1.0) — single source for the
+    * Spark rate tables and the oracle CASE expressions. */
+  private val SampleRates = Seq("en" -> 0.5, "zh" -> 0.25)
+
+  private val duckRate = {
+    val whens = SampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"CAST(CASE $whens ELSE 1.0 END AS DOUBLE)"
+  }
+
+  /** Deterministic per-doc hash fraction in [0, 1): first 4 md5 hex chars
+    * of the doc id over 16^4 (exact dyadic division on both engines). */
+  private val duckHashFrac =
+    """list_sum(list_transform(range(1, 5), i ->
+      |      (strpos('0123456789abcdef',
+      |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |        * 16.0 ** (4 - i))) / 65536.0""".stripMargin
+
+  private def hashFracCol: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long").cast("double") / 65536.0
+
   // ---------------------------------------------------------------- dedup
 
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -75,7 +142,7 @@ object DataQueries {
       .select(col("id_a"), col("id_b"),
         Dedup.estJaccard(col("sig_a"), col("sig_b"), K).as("est_jaccard"))
       .distinct()
-      .where(col("est_jaccard") >= 0.5)
+      .where(col("est_jaccard") >= DupThreshold)
   }
 
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -260,13 +327,11 @@ object DataQueries {
     * data curation). */
   private def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rates = Seq("en" -> 0.5, "zh" -> 0.25).toDF("lang", "rate_override")
+    val rates = SampleRates.toDF("lang", "rate_override")
     Tables.documents(spark, dir)
       .join(broadcast(rates), Seq("lang"), "left")
       .withColumn("rate", coalesce(col("rate_override"), lit(1.0)))
-      .withColumn("hash_frac",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long").cast("double") / 65536.0)
+      .withColumn("hash_frac", hashFracCol)
       .where(col("hash_frac") < col("rate"))
       .select(col("doc_id"), col("lang"), col("source"), col("hash_frac"),
         col("rate"))
@@ -413,21 +478,16 @@ object DataQueries {
   private def curationE2e(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val exact = docs.select(col("doc_id"), md5(col("text")).as("h"))
-    val e = exact
-      .join(exact.groupBy(col("h")).agg(min(col("doc_id")).as("exact_keeper")),
-        Seq("h"))
-      .select(col("doc_id"), col("exact_keeper"))
+    val e = Dedup.exact(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keeper_id").as("exact_keeper"))
     val comp = Dedup.connectedComponents(
         similarPairs(spark, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
       .select(col("id").as("doc_id"), col("component"))
     val score = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
     val q = docs.select(col("doc_id"), score.as("score"))
-    val rates = Seq("en" -> 0.5, "zh" -> 0.25).toDF("lang", "rate_override")
+    val rates = SampleRates.toDF("lang", "rate_override")
     val sp = docs.join(broadcast(rates), Seq("lang"), "left")
-      .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long").cast("double") / 65536.0).as("hash_frac"),
+      .select(col("doc_id"), hashFracCol.as("hash_frac"),
         coalesce(col("rate_override"), lit(1.0)).as("rate"))
     docs.select(col("doc_id"))
       .join(e, Seq("doc_id"))
@@ -456,9 +516,13 @@ object DataQueries {
     * stratum) + a broadcast of the 1-row global, then pure expression
     * math. */
   private def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    // persist: `t` fans out to the crossJoin left side AND the 1-row
+    // global count — without it the documents scan + BPE tokenization
+    // runs twice (the crossJoin-of-aggregates recompute trap).
     val t = Tables.documents(spark, dir)
       .groupBy(col("lang"))
       .agg(sum(TextAnalysis.bpeTokenCount(col("text"))).as("n_tokens"))
+      .persist()
     val n = t.agg(count(lit(1)).as("n_langs"))
     val rate = least(lit(1.0),
       (lit(MixBudget).cast("double") / col("n_langs")) / col("n_tokens").cast("double"))
@@ -554,29 +618,7 @@ object DataQueries {
 
     "data_dedup_components" -> Q(dedupComponents, Some(
       s"""WITH RECURSIVE
-         |s AS (
-         |  SELECT doc_id, $duckShingles AS sh FROM documents),
-         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
-         |b AS (
-         |  SELECT doc_id, sig, unnest(range(0, $Bands)) AS band FROM sig),
-         |bb AS (
-         |  SELECT doc_id, sig, band,
-         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
-         |  FROM b),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bb a JOIN bb b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  WHERE len(list_filter(range(1, ${K + 1}), p -> a.sig[p] = b.sig[p]))
-         |          / ${K}.0 >= 0.5),
-         |bi AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |       UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM bi
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN bi e ON reach.id = e.s),
-         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach
-         |         GROUP BY id),
+         |$duckPairsCc,
          |sz AS (SELECT component, count(*) AS component_size FROM comp
          |       GROUP BY component)
          |SELECT c.doc_id, c.component, s2.component_size
@@ -768,29 +810,7 @@ object DataQueries {
 
     "data_curation_e2e" -> Q(curationE2e, Some(
       s"""WITH RECURSIVE
-         |s AS (
-         |  SELECT doc_id, $duckShingles AS sh FROM documents),
-         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
-         |b AS (
-         |  SELECT doc_id, sig, unnest(range(0, $Bands)) AS band FROM sig),
-         |bb AS (
-         |  SELECT doc_id, sig, band,
-         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
-         |  FROM b),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bb a JOIN bb b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  WHERE len(list_filter(range(1, ${K + 1}), p -> a.sig[p] = b.sig[p]))
-         |          / ${K}.0 >= 0.5),
-         |bi AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |       UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT s, s FROM bi
-         |  UNION
-         |  SELECT e.d, reach.r FROM reach JOIN bi e ON reach.id = e.s),
-         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach
-         |         GROUP BY id),
+         |$duckPairsCc,
          |exact AS (
          |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))
          |    AS exact_keeper
@@ -798,23 +818,12 @@ object DataQueries {
          |w AS (SELECT doc_id, $duckWords AS w FROM documents),
          |quality AS (
          |  SELECT doc_id,
-         |    CAST(len(list_filter(w, x ->
-         |      list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
-         |      / CAST(len(w) AS BIGINT) * 2.0 +
-         |    CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
-         |         AS DOUBLE) / CAST(len(w) AS BIGINT) * 0.01 +
-         |    (CASE WHEN len(w) >= 20 AND len(w) <= 400
-         |          THEN 1.0 ELSE 0.0 END) AS score
+         |    ${duckScore("w")} AS score
          |  FROM w),
          |samp AS (
          |  SELECT doc_id,
-         |    list_sum(list_transform(range(1, 5), i ->
-         |      (strpos('0123456789abcdef',
-         |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-         |        * 16.0 ** (4 - i))) / 65536.0 AS hash_frac,
-         |    CAST(CASE WHEN lang = 'en' THEN 0.5
-         |              WHEN lang = 'zh' THEN 0.25 ELSE 1.0 END AS DOUBLE)
-         |      AS rate
+         |    $duckHashFrac AS hash_frac,
+         |    $duckRate AS rate
          |  FROM documents)
          |SELECT d.doc_id,
          |  CASE WHEN e.exact_keeper <> d.doc_id THEN 'exact_dup'
@@ -851,13 +860,7 @@ object DataQueries {
          |  SELECT doc_id, lang, $duckWords AS w FROM documents),
          |f AS (
          |  SELECT doc_id, lang,
-         |    CAST(len(list_filter(w, x ->
-         |      list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
-         |      / CAST(len(w) AS BIGINT) * 2.0 +
-         |    CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
-         |         AS DOUBLE) / CAST(len(w) AS BIGINT) * 0.01 +
-         |    (CASE WHEN len(w) >= 20 AND len(w) <= 400
-         |          THEN 1.0 ELSE 0.0 END) AS score
+         |    ${duckScore("w")} AS score
          |  FROM w),
          |r AS (
          |  SELECT *, row_number() OVER (PARTITION BY lang
@@ -907,18 +910,13 @@ object DataQueries {
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "data_sample_stratified" -> Q(sampleStratified, Some(
-      """WITH r AS (
-        |  SELECT doc_id, lang, source,
-        |    list_sum(list_transform(range(1, 5), i ->
-        |      (strpos('0123456789abcdef',
-        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-        |        * 16.0 ** (4 - i))) / 65536.0 AS hash_frac,
-        |    CAST(CASE WHEN lang = 'en' THEN 0.5
-        |              WHEN lang = 'zh' THEN 0.25 ELSE 1.0 END AS DOUBLE)
-        |      AS rate
-        |  FROM documents)
-        |SELECT doc_id, lang, source, hash_frac, rate
-        |FROM r WHERE hash_frac < rate ORDER BY doc_id""".stripMargin)),
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, source,
+         |    $duckHashFrac AS hash_frac,
+         |    $duckRate AS rate
+         |  FROM documents)
+         |SELECT doc_id, lang, source, hash_frac, rate
+         |FROM r WHERE hash_frac < rate ORDER BY doc_id""".stripMargin)),
 
     "data_text_vocab" -> Q(textVocab, Some(
       s"""WITH t AS (

@@ -85,7 +85,8 @@ object Dedup {
     *
     * @return one row per node appearing in `edges`: (id, component). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val bi = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
       .persist()
@@ -106,6 +107,14 @@ object Dedup {
       iter += 1
     }
     bi.unpersist()
+    // Loud failure beats silently-split components: a result where some
+    // label is still changing is WRONG (and diverges from any transitive-
+    // closure oracle), not merely imprecise.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter (component " +
+          "diameter exceeds it)")
     labels
   }
 }

@@ -28,8 +28,13 @@ import org.apache.spark.sql.functions._
   * order. Left rows at equal times are independent: each sees the same set
   * of preceding right rows, so their relative order cannot change results.
   *
-  * Left rows with NULL time never match (NULLs sort first in the ascending
-  * window order, before every right row).
+  * NULL semantics match the SQL join they replace (DuckDB
+  * `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`): right rows with a
+  * NULL key or NULL time can satisfy neither predicate and are dropped
+  * before the union; left rows with NULL keys or NULL time are preserved
+  * in the output but never match (a NULL-keyed left row shares its window
+  * partition only with other left rows once null-keyed right rows are
+  * gone, and a NULL left time sorts before every right row).
   */
 object AsOfJoin {
 
@@ -52,10 +57,12 @@ object AsOfJoin {
     val lSide = left.select(
       keyCols ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
         lit(null).cast(rpType).as("__rp")) ++ leftRest.map(col): _*)
-    val rSide = right.select(
-      keyCols ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-        rp.as("__rp")) ++
-        leftRest.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
+    val rSide = right
+      .where((rightTime +: keys).map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          rp.as("__rp")) ++
+          leftRest.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
 
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__t").asc, col("__side").asc)

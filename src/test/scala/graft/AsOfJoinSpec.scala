@@ -54,6 +54,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("nokey") == ((None, None)))
   }
 
+  test("NULL-keyed or NULL-time right rows match nothing (SQL join semantics)") {
+    val right = Seq((Some(1L), Some(10L), "ok"), (None, Some(5L), "nullkey"),
+        (Some(1L), None, "nulltime"))
+      .toDF("k", "rt", "pay")
+    val left = Seq((Some(1L), 20L, "a"), (None: Option[Long], 20L, "nullk"))
+      .toDF("k", "lt", "tag")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("pay"))
+      .select("tag", "asof_pay").as[(String, Option[String])].collect().toMap
+    assert(got.size == 2, "left rows must all be preserved")
+    assert(got("a").contains("ok"), "only the non-null right row may match")
+    assert(got("nullk").isEmpty, "NULL keys never equal each other")
+  }
+
   test("NULL left time never matches; left row count is preserved") {
     val right = Seq((1L, 10L, "r")).toDF("k", "rt", "pay")
     val left = Seq((1L, Some(11L), "a"), (1L, None, "nullt"))
