@@ -41,7 +41,10 @@ object Plans {
       |  data, so it carries no hint — at bench scale the static planner still
       |  picks broadcast from parquet size statistics (customer.parquet ≪
       |  `autoBroadcastJoinThreshold`), and at 100 TB the same plan degrades
-      |  gracefully to a shuffle join instead of OOMing the build side.
+      |  gracefully to a shuffle join instead of OOMing the build side. The
+      |  orders side is the narrow cached projection (`Tables.ordersHot`, 3
+      |  columns), restoring scan parallelism over the single-row-group
+      |  testdata for this order-independent (dump-sorted) consumer.
       |- **ref_a1_dedup_latest** — single aggregation, map-side partial
       |  (`partial_max`/`partial_max_by` below the exchange), shuffle is
       |  O(users) not O(events). `max_by` over string payloads plans as

@@ -123,7 +123,7 @@ object RefQueries {
     * build side at 100×) → no hint, AQE/JoinSelection picks broadcast at
     * small sf and degrades to shuffle join at scale. */
   private def j1DimJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    val o = Tables.ordersHot(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     o.join(c, o("o_custkey") === c("c_custkey"), "left")
