@@ -107,14 +107,17 @@ object Dedup {
       iter += 1
     }
     bi.unpersist()
-    // Loud failure beats silently-split components: a result where some
-    // label is still changing is WRONG (and diverges from any transitive-
-    // closure oracle), not merely imprecise.
+    // Loud failure beats silently-split components. Exiting on the
+    // iteration cap with changed > 0 leaves the result UNPROVEN — the last
+    // permitted iteration may or may not have reached the fixpoint (a
+    // converged run always exits via a final zero-change iteration, so the
+    // usable propagation depth is maxIter - 1) — and an unproven component
+    // labeling can silently diverge from any transitive-closure oracle.
     if (changed > 0)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter iterations " +
-          s"($changed labels still changing); raise maxIter (component " +
-          "diameter exceeds it)")
+        s"connectedComponents did not provably converge within $maxIter " +
+          s"iterations (last iteration still changed $changed labels); " +
+          "raise maxIter above the expected component diameter + 1")
     labels
   }
 }

@@ -130,8 +130,10 @@ object EventStreams {
 
   /** Streaming exact dedup on event_id with WATERMARK-BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps a key's dedup state only until
-    * the watermark passes its event time, so state is O(keys inside the
-    * watermark horizon) instead of O(all keys ever seen) — the only
+    * the watermark passes its event time PLUS the delay (which is what
+    * guarantees duplicates within `delay` of each other are caught), so
+    * state is O(keys inside that bounded horizon) instead of O(all keys
+    * ever seen) — the only
     * streaming dedup shape that survives an unbounded 100 TB/day stream
     * (plain `dropDuplicates` on a stream accumulates state forever).
     * Duplicates arriving later than the delay are NOT caught — that is the

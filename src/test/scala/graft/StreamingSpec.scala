@@ -146,22 +146,24 @@ class StreamingSpec extends AnyFunSuite {
     // files -> two micro-batches, so dedup must also work ACROSS batches
     // via the state store, not just within one batch.
     val d = java.nio.file.Files.createTempDirectory("graft_dup")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
-      d.resolve("a.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
-      d.resolve("b.parquet"))
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+        d.resolve("a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+        d.resolve("b.parquet"))
 
-    val streamed = EventStreams.runToMemory(
-      EventStreams.dedupWithinWatermark(
-        EventStreams.readEvents(spark, d.toString)),
-      "dedup_wm", OutputMode.Append())
+      val streamed = EventStreams.runToMemory(
+        EventStreams.dedupWithinWatermark(
+          EventStreams.readEvents(spark, d.toString)),
+        "dedup_wm", OutputMode.Append())
 
-    val batch = Tables.events(spark, TestSpark.sf)
-    assert(streamed.count() == batch.count(),
-      "every duplicated event_id must be emitted exactly once")
-    assert(streamed.select("event_id").distinct().count() == batch.count())
+      val batch = Tables.events(spark, TestSpark.sf)
+      assert(streamed.count() == batch.count(),
+        "every duplicated event_id must be emitted exactly once")
+      assert(streamed.select("event_id").distinct().count() == batch.count())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
   }
 
   test("stateful latestPerUser converges to the batch max_by dedup") {
