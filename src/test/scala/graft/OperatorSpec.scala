@@ -123,4 +123,23 @@ class RegistrySpec extends AnyFunSuite {
   test("every oracle name is a registered query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("no oracled query emits DECIMAL or TIMESTAMP columns (hash-gate invariant)") {
+    // The driver's hash is representation-sensitive: Spark DECIMAL(18,2)
+    // vs DuckDB's sum-widened DECIMAL(38,2) hash-differ on identical
+    // values, and timestamps differ in physical encoding — round 1 lost 3
+    // queries to exactly this. Structural guard: oracled outputs carry
+    // only exact-portable types (longs, doubles, strings, booleans, ...).
+    import org.apache.spark.sql.types.{DecimalType, TimestampNTZType, TimestampType}
+    val offenders = Registry.all.collect {
+      case (name, q) if q.oracle.isDefined =>
+        name -> q.build(spark, TestSpark.sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] ||
+            f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+            s"${f.name}: ${f.dataType.simpleString}"
+        }
+    }.filter(_._2.nonEmpty)
+    assert(offenders.isEmpty,
+      s"representation-sensitive output columns: ${offenders.toMap}")
+  }
 }
