@@ -54,6 +54,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("nokey") == ((None, None)))
   }
 
+  test("plan shape: one hash exchange + one window, no join operator at all") {
+    val left = Seq((1L, 5L, "a")).toDF("k", "lt", "tag")
+    val right = Seq((1L, 3L, "p")).toDF("k", "rt", "pay")
+    val plan = AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("pay"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash exchange:\n$plan")
+    assert("(?i)window".r.findAllIn(plan).nonEmpty, s"expected a window:\n$plan")
+    // The scale property: as-of is NOT planned as any kind of join — no
+    // range-join explosion, no broadcast nested loop, no cartesian.
+    Seq("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct",
+      "BroadcastHashJoin", "ShuffledHashJoin").foreach(op =>
+      assert(!plan.contains(op), s"unexpected $op in:\n$plan"))
+  }
+
   test("NULL-keyed or NULL-time right rows match nothing (SQL join semantics)") {
     val right = Seq((Some(1L), Some(10L), "ok"), (None, Some(5L), "nullkey"),
         (Some(1L), None, "nulltime"))
