@@ -56,9 +56,15 @@ object EtlQueries {
         lit("}")))
   }
 
-  /** The synthesized exports-deals-view (FIXTURES.md §A1 schema). */
+  /** The synthesized exports-deals-view (FIXTURES.md §A1 schema). Reads
+    * [[Tables.eventsHot]]: the single-row-group testdata parquet scans as
+    * ONE task, which would serialize the heavy string-synthesis +
+    * `from_json` work of the downstream pipeline into that task; the
+    * 32-way cache spreads it across cores. Order-safe: the pipeline's only
+    * order-sensitive consumer is the per-scenario max_by, and
+    * (event_id % 400, ts) is duplicate-free in the testdata. */
   def synthView(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.eventsHot(spark, dir)
       .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .select(
       col("ts_ts").as("time"),

@@ -178,8 +178,15 @@ object ExportsEtl {
         .otherwise("Unknown"))
   }
 
-  /** Final projection + total sort (exports_results.sql:179-205): the 22
-    * output columns, JSON columns excluded for Tableau compatibility. */
+  /** Final projection (exports_results.sql:179-203): the 22 output
+    * columns, JSON columns excluded for Tableau compatibility. The
+    * reference query's trailing ORDER BY is applied by the CONSUMER —
+    * [[forLender]] (the reference-faithful single query) sorts globally;
+    * the per-lender write path sorts within each lender partition
+    * (graft.etl.ReportJob.partitionedForWrite) and the verification dumps
+    * apply their own total sort — a global range sort here would be
+    * immediately destroyed by the write repartitioning and double-paid by
+    * the dumps. */
   def finalProjection(df: DataFrame): DataFrame =
     df.select(
       col("associated_lender"), col("applicantCount"),
@@ -192,14 +199,15 @@ object ExportsEtl {
       col("weeklyRentalIncome"),
       col("count_all_loan_purpose"), col("count_all_unique_scenario_id"),
       col("sum_all_total_proposed_loan_amount"), col("performance"))
-      .orderBy(col("associated_lender"), col("scenarioId"))
 
-  /** The reference-faithful per-lender query (one `{lender_name}`). */
+  /** The reference-faithful per-lender query (one `{lender_name}`),
+    * including its trailing total ORDER BY (exports_results.sql:204-205). */
   def forLender(view: DataFrame, params: QueryParams): DataFrame = {
     val prepared = withGlobalCalculations(filterFailing(withFailingExport(
       dedupLatestPerScenario(base(view, params.startDate, params.endDate)))))
     finalProjection(classifyPerformance(
       explodeForLender(prepared, lit(params.lenderName))))
+      .orderBy(col("associated_lender"), col("scenarioId"))
   }
 
   /** Single-pass all-lenders mode (SURVEY §7.3 step 6): the distinct

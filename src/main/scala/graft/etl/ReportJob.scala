@@ -18,9 +18,14 @@ object ReportJob {
     * NOT coalesce(1) — each lender's rows land in one task → one file per
     * lender, written in parallel across lenders (AQE may still coalesce
     * tiny shuffles at toy scale; at real scale each lender keeps its own
-    * task). Exposed so ReportJobSpec can assert the plan shape. */
+    * task). Rows are sorted WITHIN each partition to reproduce the
+    * reference query's ORDER BY inside every lender's file
+    * (run_exports_query.py writes the sorted query result per lender) —
+    * a global pre-sort would be destroyed by this repartitioning.
+    * Exposed so ReportJobSpec can assert the plan shape. */
   def partitionedForWrite(report: DataFrame): DataFrame =
     report.repartition(col("report_lender"))
+      .sortWithinPartitions(col("associated_lender"), col("scenarioId"))
 
   /** Per-lender partitioned CSV write in the reference dialect
     * (run_exports_query.py:75-89): `outDir/report_lender=<lender>/…`,

@@ -63,11 +63,19 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  /** Register `vec_dot` in the session's function registry (idempotent) so
-    * it is usable from both the Column API (via [[vec_dot]]) and SQL. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+  /** Register `vec_dot` in the session's function registry so it is usable
+    * from both the Column API (via [[vec_dot]]) and SQL. Truly idempotent:
+    * skips when already present — re-registering on every query build
+    * spammed "replaced a previously registered function" warnings and
+    * re-created the builder closure per call (visible in BENCH_r02's log
+    * tail). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      registry.createOrReplaceTempFunction(
+        "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+  }
 
   /** Column-API handle; requires [[register]] on the session first. */
   def vec_dot(a: Column, b: Column): Column =
