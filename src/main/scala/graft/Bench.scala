@@ -57,11 +57,21 @@ object Bench {
     def save(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // Build (and analyze) each headline plan once. Builder side effects —
-    // hot-table persist(), conf flags — all land here, before timing.
+    // Build (and analyze) each headline plan once, prepared-statement
+    // style. Builder side effects — hot-table persist(), conf flags — all
+    // land here. Build time is MEASURED and reported per query in the
+    // output JSON (`build` map + `build_total`), so the headline exec
+    // numbers are transparently exec-only rather than silently so; a
+    // consumer that wants end-to-end wall-clock per query adds the two.
+    val builds = Seq.newBuilder[(String, Double)]
     val built: Seq[(String, DataFrame)] = Registry.headlines.map {
-      case (name, q) => name -> q.build(spark, sfDir)
+      case (name, q) =>
+        val t0 = System.nanoTime()
+        val df = q.build(spark, sfDir)
+        builds += name -> (System.nanoTime() - t0) / 1e9
+        name -> df
     }
+    val buildTimes = builds.result()
 
     val results: Seq[(String, Double)] =
       if (cold) {
@@ -90,11 +100,11 @@ object Bench {
         }
       }
 
-    val qs = results
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val buildTotal = buildTimes.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"build":${jmap(buildTimes)},"build_total":$buildTotal%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,9 +38,10 @@ object Scratch {
       stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       noop(df) // SAME Dataset object each time
+      val dtMs = (System.nanoTime() - t0) / 1e6 // before the listener-drain sleep
       Thread.sleep(300) // let listener events drain
       println(f"[scratch] same-df save #$i: stages=${stages.get} tasks=${tasks.get} " +
-        f"${(System.nanoTime() - t0) / 1e6}%7.1fms")
+        f"$dtMs%7.1fms")
     }
     spark.stop()
   }

@@ -40,15 +40,25 @@ object Tables {
     * cache manager already dedupes by canonical plan, but re-calling
     * persist() on every query build spammed "Asked to cache already cached
     * data" warnings (one per build; see the BENCH_r02 log tail) and re-ran
-    * the plan-normalization lookup. A memoized DataFrame stays usable after
-    * `spark.catalog.clearCache()` (Verify's per-query hygiene) — it simply
-    * runs uncached from then on, which is correct, just unaccelerated. */
+    * the plan-normalization lookup. Lifecycle: entries for STOPPED sessions
+    * are evicted on every memo() call (multi-session test suites would
+    * otherwise retain dead sessions and their plans forever), and a
+    * memoized DataFrame that lost its cache entry (e.g. Verify's per-query
+    * `spark.catalog.clearCache()`) is re-persisted on next use, so later
+    * timings in the same session stay representative. */
   private val hotMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   private def memo(spark: SparkSession, dir: String, name: String)
-                  (build: => DataFrame): DataFrame =
-    hotMemo.computeIfAbsent((spark, dir, name), _ => build)
+                  (build: => DataFrame): DataFrame = {
+    hotMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val df = hotMemo.computeIfAbsent((spark, dir, name), _ => build)
+    // storageLevel consults the session's cache manager: NONE means the
+    // original persist() was undone by a clearCache — re-arm it (lazy; the
+    // next action re-materializes).
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
 
   /** The q1 aggregate columns of lineitem, repartitioned to the session's
     * parallelism and persisted — the shared working set for the numeric
@@ -92,10 +102,16 @@ object Tables {
     * scan task), so 32-way cached parallelism still wins for every
     * events-heavy consumer — in particular the exports pipeline, whose
     * from_json over `props`-derived payloads otherwise runs inside the
-    * serial scan stage. Order-safety: (user_id, ts_us) and
-    * (event_id%400, ts) are both duplicate-free in the testdata (checked at
-    * sf0.01/sf0.1), so the argmax consumers are deterministic under
-    * repartitioning; counts/sums are order-independent by construction. */
+    * serial scan stage. Order-safety: the argmax consumers order by the
+    * µs-TRUNCATED key (`ts_us` = ts div 1000 / `ts_ts`), so the checked
+    * property is duplicate-freeness of the truncated keys themselves:
+    * (user_id, ts div 1000) and (event_id%400, ts div 1000) both have zero
+    * duplicate groups at sf0.01 and sf0.1 (a raw-ns check would not cover a
+    * µs collision). A data-independent tie-breaker is not available here:
+    * DuckDB's MAX_BY accepts only scalar ordering keys, so the oracle side
+    * could not mirror a (ts, event_id) composite — the data property is
+    * therefore checked, not assumed. Counts/sums are order-independent by
+    * construction. */
   def eventsHot(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "eventsHot") {
       events(spark, dir)

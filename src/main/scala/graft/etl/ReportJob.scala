@@ -22,10 +22,19 @@ object ReportJob {
     * reference query's ORDER BY inside every lender's file
     * (run_exports_query.py writes the sorted query result per lender) —
     * a global pre-sort would be destroyed by this repartitioning.
-    * Exposed so ReportJobSpec can assert the plan shape. */
+    * The sort LEADS with `report_lender`: `partitionBy("report_lender")`
+    * makes FileFormatWriter require an ordering on the partition column,
+    * and a sort that already satisfies it is reused as-is — otherwise the
+    * writer plans its OWN sort on top and the intended per-file
+    * (associated_lender, scenarioId) order would survive only via sort
+    * stability, which Spark does not document. Within one write partition
+    * report_lender is constant, so the trailing keys still give the
+    * reference's per-file order. Exposed so ReportJobSpec can assert the
+    * plan shape. */
   def partitionedForWrite(report: DataFrame): DataFrame =
     report.repartition(col("report_lender"))
-      .sortWithinPartitions(col("associated_lender"), col("scenarioId"))
+      .sortWithinPartitions(
+        col("report_lender"), col("associated_lender"), col("scenarioId"))
 
   /** Per-lender partitioned CSV write in the reference dialect
     * (run_exports_query.py:75-89): `outDir/report_lender=<lender>/…`,
