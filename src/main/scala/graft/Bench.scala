@@ -14,27 +14,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    DataFrameWriter action creates a fresh QueryExecution with fresh
   *    RDDs, so no shuffle output or stage is reused across iterations
   *    (verified by listener: stage/task counts are identical every
-  *    iteration; see BenchProbe).
-  *  - Three untimed warm-up passes first: JVM JIT + whole-stage-codegen
+  *    iteration; see BenchProbe). Build time is measured and reported per
+  *    query (`build` map + `build_total`), after a one-shot session
+  *    pre-touch (tiny SQL + noop write) that absorbs the first-use
+  *    class-loading/codegen cost that otherwise lands on whichever query
+  *    happens to build first.
+  *  - A COLD pass runs first — fresh JVM, no warm-up, caches unprimed —
+  *    and is reported under `cold` in the same JSON, so the artifact
+  *    itself shows the warm number is not a cache artifact.
+  *  - Then three untimed warm-up passes: JVM JIT + whole-stage-codegen
   *    compilation are one-time costs that would otherwise dominate
   *    sub-second queries (standard JVM benchmarking methodology, cf. JMH).
-  *  - Best-of-4 timed runs per query, System.gc() before each query's
-  *    series: single-run times at sub-second scale carry multi-hundred-ms
-  *    GC/CPU-contention jitter (driver-measured r2 times ranged 0.8×–3.5×
-  *    of local steady state on identical plans), and min-of-N is the
-  *    standard estimator for the contention-free cost.
-  *  - Caches (Tables.*Hot) are materialized once before warm-up and kept
-  *    across runs: the DuckDB baseline is likewise measured warm (best-of-N
-  *    after warm-up, OS page cache + buffer pool hot). Set BENCH_COLD=1 for
-  *    the no-cache variant: caches cleared, one cold pass per query, no
-  *    warm-up — reported alongside the warm number in README.md so the
-  *    gate isn't an artifact of session cache state.
+  *  - Timed repetitions run as [[Passes]] SEPARATED passes of [[BlockReps]]
+  *    consecutive reps per query, min over all passes. Two failure modes
+  *    are balanced here, both measured on this machine:
+  *    (a) a single per-query best-of-4 block is one contiguous ~2-5 s
+  *        window, so one external CPU spike can sit on one query's entire
+  *        series and min-of-N cannot reject it (the BENCH_r04 failure
+  *        mode — two adjacent queries inflated 4×/11× while five others
+  *        improved, not reproducible on identical code: 9.02 s artifact
+  *        vs 2.33 s steady state);
+  *    (b) fully round-robin interleaving (rep i of every query, then rep
+  *        i+1) is spike-proof but destroys per-query JIT/CPU-cache
+  *        locality — measured +60% on the total (interleaved 3.9-4.4 s vs
+  *        blocked 2.5 s on the same built plans in one JVM, A/B/A/B), a
+  *        real penalty the warm-DuckDB baseline (itself measured in
+  *        per-query blocks) never pays.
+  *    Separated short blocks keep (b)'s locality while fixing (a): one
+  *    query's reps now span the whole timed window, so a transient spike
+  *    contaminates at most one of its blocks and min-of-all-passes
+  *    discards it; a spike long enough to cover every pass inflates EVERY
+  *    query and is self-evident in the artifact.
+  *  - ALL per-rep times are emitted under `reps` (pass-major order), so
+  *    the artifact is self-diagnosing — a contention spike shows up as
+  *    one outlier block, not an unexplained total.
+  *  - Caches (Tables.*Hot) stay materialized across warm reps: the DuckDB
+  *    baseline is likewise measured warm (best-of-N after warm-up, OS page
+  *    cache + buffer pool hot).
   */
 object Bench {
+  private val Passes = 4
+  private val BlockReps = 4
+  private val Warmups = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val cold = sys.env.get("BENCH_COLD").exists(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,12 +82,22 @@ object Bench {
     def save(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    def run(name: String, tag: String)(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try save(df)
+      catch { case e: Throwable => System.err.println(s"[bench $tag] $name: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Pre-touch: absorb first-use session costs (catalog init, codegen
+    // compiler, noop-sink classloading) on a trivial action so they land
+    // neither on the first query's build nor on the cold pass's first row.
+    spark.sql("SELECT 1").collect()
+    save(spark.range(2).toDF("i"))
+
     // Build (and analyze) each headline plan once, prepared-statement
-    // style. Builder side effects — hot-table persist(), conf flags — all
-    // land here. Build time is MEASURED and reported per query in the
-    // output JSON (`build` map + `build_total`), so the headline exec
-    // numbers are transparently exec-only rather than silently so; a
-    // consumer that wants end-to-end wall-clock per query adds the two.
+    // style. Builder side effects — hot-table persist() registration, conf
+    // flags — land here (lazily; nothing materializes until the cold run).
     val builds = Seq.newBuilder[(String, Double)]
     val built: Seq[(String, DataFrame)] = Registry.headlines.map {
       case (name, q) =>
@@ -73,38 +108,47 @@ object Bench {
     }
     val buildTimes = builds.result()
 
-    val results: Seq[(String, Double)] =
-      if (cold) {
-        // Cold variant: caches dropped, one un-warmed run per query.
-        spark.catalog.clearCache()
-        built.map { case (name, df) =>
-          val t0 = System.nanoTime()
-          try save(df)
-          catch { case e: Throwable => System.err.println(s"[bench cold] $name: $e") }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
-      } else {
-        for (_ <- 1 to 3) built.foreach { case (name, df) =>
-          try save(df)
-          catch { case e: Throwable => System.err.println(s"[bench warmup] $name: $e") }
-        }
-        built.map { case (name, df) =>
-          System.gc()
-          val times = (1 to 4).map { _ =>
-            val t0 = System.nanoTime()
-            try save(df)
-            catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-            (System.nanoTime() - t0) / 1e9
-          }
-          name -> times.min
-        }
-      }
+    // Cold pass: first-ever execution of each query — JIT cold, hot-table
+    // caches unmaterialized (each query pays any cache fill it triggers),
+    // parquet footers unread.
+    val coldTimes: Seq[(String, Double)] =
+      built.map { case (name, df) => name -> run(name, "cold")(df) }
 
+    // Warm-up passes, then the timed passes of per-query blocks.
+    for (_ <- 1 to Warmups) built.foreach { case (name, df) =>
+      run(name, "warmup")(df)
+    }
+    val nReps = Passes * BlockReps
+    val repTimes: Array[Array[Double]] = Array.fill(built.size, nReps)(0.0)
+    for (pass <- 0 until Passes) {
+      for (((name, df), qi) <- built.zipWithIndex) {
+        System.gc()
+        for (r <- 0 until BlockReps)
+          repTimes(qi)(pass * BlockReps + r) = run(name, s"pass$pass")(df)
+      }
+    }
+    val results: Seq[(String, Double)] = built.zipWithIndex.map {
+      case ((name, _), qi) => name -> repTimes(qi).min
+    }
+
+    def jnum(v: Double): String = f"$v%.3f"
     def jmap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      xs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    def jreps(xs: Seq[(String, Seq[Double])]): String =
+      xs.map { case (k, vs) => "\"" + k + "\":" + vs.map(jnum).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val coldTotal = coldTimes.map(_._2).sum
     val buildTotal = buildTimes.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"build":${jmap(buildTimes)},"build_total":$buildTotal%.3f,"sf":"$sfDir"}""")
+    val reps = built.zipWithIndex.map { case ((name, _), qi) =>
+      name -> repTimes(qi).toSeq
+    }
+    println(
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec"""" +
+        s""","queries":${jmap(results)},"reps":${jreps(reps)}""" +
+        s""","cold":{"value":${jnum(coldTotal)},"queries":${jmap(coldTimes)}}""" +
+        s""","build":${jmap(buildTimes)},"build_total":${jnum(buildTotal)}""" +
+        s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }
