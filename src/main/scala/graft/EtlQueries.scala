@@ -60,9 +60,11 @@ object EtlQueries {
     * [[Tables.eventsHot]]: the single-row-group testdata parquet scans as
     * ONE task, which would serialize the heavy string-synthesis +
     * `from_json` work of the downstream pipeline into that task; the
-    * 32-way cache spreads it across cores. Order-safe: the pipeline's only
-    * order-sensitive consumer is the per-scenario max_by, and
-    * (event_id % 400, ts) is duplicate-free in the testdata. */
+    * 32-way cache spreads it across cores. The pipeline's only
+    * order-sensitive consumer is the per-scenario max_by; the view carries
+    * `_tie` (the unique event_id) so the dedup can order by a composite
+    * key that is deterministic by construction on BOTH engines — no data
+    * property needed. */
   def synthView(spark: SparkSession, dir: String): DataFrame =
     Tables.eventsHot(spark, dir)
       .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
@@ -91,10 +93,12 @@ object EtlQueries {
       (k * 7 % 1000).cast("double").as("paygIncome"),
       (k * 3 % 500).cast("double").as("weeklyRentalIncome"),
       (k * 11 % 2000).cast("double").as("selfEmployedIncome"),
-      (col("event_id") % 11 =!= 0).as("isValidExport"))
+      (col("event_id") % 11 =!= 0).as("isValidExport"),
+      col("event_id").as("_tie"))
 
   private def exportsE2e(spark: SparkSession, dir: String): DataFrame =
-    ExportsEtl.forAllLenders(synthView(spark, dir), "2024-01-01", "2024-02-01")
+    ExportsEtl.forAllLenders(synthView(spark, dir), "2024-01-01", "2024-02-01",
+        tieCol = Some(col("_tie")))
       .drop("report_lender")
       .withColumn("time_us", unix_micros(col("time")))
       .drop("time")
@@ -159,7 +163,8 @@ object EtlQueries {
        |    CAST(k * 7 % 1000 AS DOUBLE) AS "paygIncome",
        |    CAST(k * 3 % 500 AS DOUBLE) AS "weeklyRentalIncome",
        |    CAST(k * 11 % 2000 AS DOUBLE) AS "selfEmployedIncome",
-       |    event_id % 11 <> 0 AS "isValidExport"
+       |    event_id % 11 <> 0 AS "isValidExport",
+       |    event_id AS _tie
        |  FROM ev),
        |base AS (
        |  SELECT "time", "scenarioId", "results",
@@ -168,7 +173,7 @@ object EtlQueries {
        |    "totalProposedLoanAmount", "applicantCount", "householdCount",
        |    "transactionType", "dependantsCount", "lvr", "lvrBucket",
        |    "applicantsWithHecs", "paygIncome", "weeklyRentalIncome",
-       |    "selfEmployedIncome",
+       |    "selfEmployedIncome", _tie,
        |    CASE WHEN v."exportedLender" IS NOT NULL THEN (
        |      array_filter(results :: JSON [],
        |        x -> json_extract_string(x, 'lenderName') = v."exportedLender")
@@ -180,23 +185,23 @@ object EtlQueries {
        |    AND "time" < TIMESTAMP '2024-02-01'),
        |grouped_by_scenarioId AS (
        |  SELECT "scenarioId", MAX("time") AS "time",
-       |    MAX_BY(COALESCE("exportedLender", ''), "time") AS "exportedLender",
-       |    MAX_BY("primaryIncome", "time") AS "primaryIncome",
-       |    MAX_BY("rateType", "time") AS "rateType",
-       |    MAX_BY("loanPurpose", "time") AS "loanPurpose",
-       |    MAX_BY("totalProposedLoanAmount", "time") AS "totalProposedLoanAmount",
-       |    MAX_BY("applicantCount", "time") AS "applicantCount",
-       |    MAX_BY("householdCount", "time") AS "householdCount",
-       |    MAX_BY("transactionType", "time") AS "transactionType",
-       |    MAX_BY("dependantsCount", "time") AS "dependantsCount",
-       |    MAX_BY("lvr", "time") AS "lvr",
-       |    MAX_BY("lvrBucket", "time") AS "lvrBucket",
-       |    MAX_BY("applicantsWithHecs", "time") AS "applicantsWithHecs",
-       |    MAX_BY("paygIncome", "time") AS "paygIncome",
-       |    MAX_BY("weeklyRentalIncome", "time") AS "weeklyRentalIncome",
-       |    MAX_BY("selfEmployedIncome", "time") AS "selfEmployedIncome",
-       |    MAX_BY("results", "time") AS "results",
-       |    MAX_BY("exported_lender_result", "time") AS exported_lender_result,
+       |    MAX_BY(COALESCE("exportedLender", ''), epoch_us("time") * 1024 + _tie % 1024) AS "exportedLender",
+       |    MAX_BY("primaryIncome", epoch_us("time") * 1024 + _tie % 1024) AS "primaryIncome",
+       |    MAX_BY("rateType", epoch_us("time") * 1024 + _tie % 1024) AS "rateType",
+       |    MAX_BY("loanPurpose", epoch_us("time") * 1024 + _tie % 1024) AS "loanPurpose",
+       |    MAX_BY("totalProposedLoanAmount", epoch_us("time") * 1024 + _tie % 1024) AS "totalProposedLoanAmount",
+       |    MAX_BY("applicantCount", epoch_us("time") * 1024 + _tie % 1024) AS "applicantCount",
+       |    MAX_BY("householdCount", epoch_us("time") * 1024 + _tie % 1024) AS "householdCount",
+       |    MAX_BY("transactionType", epoch_us("time") * 1024 + _tie % 1024) AS "transactionType",
+       |    MAX_BY("dependantsCount", epoch_us("time") * 1024 + _tie % 1024) AS "dependantsCount",
+       |    MAX_BY("lvr", epoch_us("time") * 1024 + _tie % 1024) AS "lvr",
+       |    MAX_BY("lvrBucket", epoch_us("time") * 1024 + _tie % 1024) AS "lvrBucket",
+       |    MAX_BY("applicantsWithHecs", epoch_us("time") * 1024 + _tie % 1024) AS "applicantsWithHecs",
+       |    MAX_BY("paygIncome", epoch_us("time") * 1024 + _tie % 1024) AS "paygIncome",
+       |    MAX_BY("weeklyRentalIncome", epoch_us("time") * 1024 + _tie % 1024) AS "weeklyRentalIncome",
+       |    MAX_BY("selfEmployedIncome", epoch_us("time") * 1024 + _tie % 1024) AS "selfEmployedIncome",
+       |    MAX_BY("results", epoch_us("time") * 1024 + _tie % 1024) AS "results",
+       |    MAX_BY("exported_lender_result", epoch_us("time") * 1024 + _tie % 1024) AS exported_lender_result,
        |    list_filter(list(exported_lender_result), x -> x IS NOT NULL)
        |      AS exportedLendersResults
        |  FROM base GROUP BY "scenarioId"),

@@ -103,15 +103,11 @@ object Tables {
     * events-heavy consumer — in particular the exports pipeline, whose
     * from_json over `props`-derived payloads otherwise runs inside the
     * serial scan stage. Order-safety: the argmax consumers order by the
-    * µs-TRUNCATED key (`ts_us` = ts div 1000 / `ts_ts`), so the checked
-    * property is duplicate-freeness of the truncated keys themselves:
-    * (user_id, ts div 1000) and (event_id%400, ts div 1000) both have zero
-    * duplicate groups at sf0.01 and sf0.1 (a raw-ns check would not cover a
-    * µs collision). A data-independent tie-breaker is not available here:
-    * DuckDB's MAX_BY accepts only scalar ordering keys, so the oracle side
-    * could not mirror a (ts, event_id) composite — the data property is
-    * therefore checked, not assumed. Counts/sums are order-independent by
-    * construction. */
+    * scalar composite `ts_us * 1024 + event_id % 1024` (mirrored verbatim
+    * in their DuckDB oracles — MAX_BY takes scalar keys on both engines),
+    * so determinism holds by construction under any repartitioning, with
+    * no dependence on the data being tie-free. Counts/sums are
+    * order-independent by construction. */
   def eventsHot(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "eventsHot") {
       events(spark, dir)

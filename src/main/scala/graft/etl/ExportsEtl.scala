@@ -85,12 +85,24 @@ object ExportsEtl {
     * takes — per column, independently — the value from the latest record
     * where that column is non-NULL. Spark's max_by would return the
     * (possibly NULL) value at the max key; masking the ordering key when
-    * the value is NULL reproduces DuckDB exactly. */
-  def dedupLatestPerScenario(df: DataFrame): DataFrame = {
+    * the value is NULL reproduces DuckDB exactly.
+    *
+    * Tie-breaking: the reference's MAX_BY is nondeterministic on equal
+    * `time` values. When `tieCol` is given (a non-negative unique id
+    * carried on the input), ordering uses the scalar composite
+    * `epoch_µs(time) * 1024 + tieCol % 1024` — deterministic by
+    * construction and expressible verbatim in a DuckDB oracle (MAX_BY takes
+    * only scalar keys); `max(time)` stays correct because the composite is
+    * monotone in time. Without `tieCol` the reference's literal
+    * order-by-time semantics apply. */
+  def dedupLatestPerScenario(df: DataFrame, tieCol: Option[Column] = None): DataFrame = {
+    val ordKey = tieCol
+      .map(t => unix_micros(col("time")) * 1024 + t % 1024)
+      .getOrElse(col("time"))
     val aggs =
       max(col("time")).as("time") +:
         DedupCols.map(c =>
-          max_by(col(c), when(col(c).isNotNull, col("time"))).as(c)) :+
+          max_by(col(c), when(col(c).isNotNull, ordKey)).as(c)) :+
         collect_list(col("exported_lender_result")).as("exportedLendersResults")
     df.groupBy(col("scenarioId")).agg(aggs.head, aggs.tail: _*)
   }
@@ -202,9 +214,10 @@ object ExportsEtl {
 
   /** The reference-faithful per-lender query (one `{lender_name}`),
     * including its trailing total ORDER BY (exports_results.sql:204-205). */
-  def forLender(view: DataFrame, params: QueryParams): DataFrame = {
+  def forLender(view: DataFrame, params: QueryParams,
+                tieCol: Option[Column] = None): DataFrame = {
     val prepared = withGlobalCalculations(filterFailing(withFailingExport(
-      dedupLatestPerScenario(base(view, params.startDate, params.endDate)))))
+      dedupLatestPerScenario(base(view, params.startDate, params.endDate), tieCol))))
     finalProjection(classifyPerformance(
       explodeForLender(prepared, lit(params.lenderName))))
       .orderBy(col("associated_lender"), col("scenarioId"))
@@ -214,9 +227,10 @@ object ExportsEtl {
     * non-null lender list (S2) crossJoins the deduped scenarios — ONE scan
     * and one plan instead of the reference's query-per-lender loop; output
     * additionally carries `report_lender` for partitioned writes. */
-  def forAllLenders(view: DataFrame, startDate: String, endDate: String): DataFrame = {
+  def forAllLenders(view: DataFrame, startDate: String, endDate: String,
+                    tieCol: Option[Column] = None): DataFrame = {
     val prepared = withGlobalCalculations(filterFailing(withFailingExport(
-      dedupLatestPerScenario(base(view, startDate, endDate)))))
+      dedupLatestPerScenario(base(view, startDate, endDate), tieCol))))
     // Lender list from the RAW view, like the reference's get_lenders
     // (run_exports_query.py:38-45) — a lender whose scenarios all fail
     // still gets its report.

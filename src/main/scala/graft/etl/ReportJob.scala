@@ -61,9 +61,32 @@ object ReportJob {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).filter(_.isDirectory).foreach { st =>
-      Csv.prependBom(spark, st.getPath.toString)
-    }
+    // Skip _-prefixed dirs (Hadoop-hidden: _quarantine, _SUCCESS-style) —
+    // only lender partition dirs carry CSVs that need the BOM.
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      .foreach { st => Csv.prependBom(spark, st.getPath.toString) }
+  }
+
+  /** Per-lender failure isolation (reference: run_exports_query.py:241-242
+    * catches one lender's exception and CONTINUES the loop). The
+    * single-pass plan has no per-lender exception boundary — a malformed
+    * `results` JSON would not throw at all: `from_json` yields NULL under
+    * Spark's permissive parsing and the scenario silently reclassifies
+    * (exported_lender_result NULL → failingExport), poisoning the report
+    * with no trace. The production shape of the reference's guard is
+    * row-level quarantine at ingestion: split out rows whose non-null
+    * `results` does not parse against [[ExportsEtl.ResultsType]], side-cart
+    * them under `<outDir>/_quarantine/` (parquet — full row fidelity), and
+    * run the report on the clean remainder. Finer-grained than the
+    * reference: one poison row loses that ROW, not a whole lender's
+    * report, and never fails the job.
+    *
+    * @return (clean rows, quarantined rows). */
+  def splitQuarantine(view: DataFrame): (DataFrame, DataFrame) = {
+    val malformed = col("results").isNotNull &&
+      from_json(col("results"), ExportsEtl.ResultsType).isNull
+    (view.where(!malformed), view.where(malformed))
   }
 
   /** merge_all_lenders.py: glob-read every per-lender file as all-string,
@@ -77,11 +100,16 @@ object ReportJob {
     Csv.readTabCsvAllString(spark, resultDir)
   }
 
-  /** Full monthly run: report → per-lender CSVs → consolidated CSV. */
+  /** Full monthly run: quarantine split → report → per-lender CSVs →
+    * consolidated CSV. Quarantine is written AFTER the partitioned report
+    * write — `.mode("overwrite")` on the report truncates `outDir` first,
+    * which would otherwise delete the quarantine side-cart. */
   def run(view: DataFrame, startDate: String, endDate: String,
           outDir: String, resultDir: String): DataFrame = {
-    val report = ExportsEtl.forAllLenders(view, startDate, endDate)
+    val (clean, quarantined) = splitQuarantine(view)
+    val report = ExportsEtl.forAllLenders(clean, startDate, endDate)
     writePerLender(report, outDir)
+    quarantined.write.mode("overwrite").parquet(s"$outDir/_quarantine")
     mergeAll(view.sparkSession, outDir, resultDir)
   }
 }

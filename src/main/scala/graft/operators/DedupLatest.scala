@@ -27,10 +27,22 @@ object DedupLatest {
     * reproduces that exactly; unmasked Spark max_by would return the
     * possibly-NULL value at the max key.
     */
-  def latestBy(df: DataFrame, keys: Seq[String], ord: String, payload: Seq[String]): DataFrame = {
+  def latestBy(df: DataFrame, keys: Seq[String], ord: String, payload: Seq[String]): DataFrame =
+    latestByScalar(df, keys, ord, col(ord), payload)
+
+  /** As [[latestBy]] but the max_by ordering key is the caller-supplied
+    * scalar `ordKey`. `ordKey` must be MONOTONE in `ord` (rows with larger
+    * `ord` get larger `ordKey`) so that `max(ord)` is still the argmax
+    * row's value; a composite like `ord * 1024 + unique_id % 1024` breaks
+    * ties on `ord` deterministically by construction instead of relying on
+    * the data being tie-free. Unlike [[latestByTieBroken]]'s struct key, a
+    * scalar composite is expressible in engines whose MAX_BY takes only
+    * scalar ordering keys (DuckDB), so oracle twins can mirror it exactly. */
+  def latestByScalar(df: DataFrame, keys: Seq[String], ord: String, ordKey: Column,
+                     payload: Seq[String]): DataFrame = {
     val aggs: Seq[Column] =
       max(col(ord)).as(ord) +:
-        payload.map(c => max_by(col(c), when(col(c).isNotNull, col(ord))).as(c))
+        payload.map(c => max_by(col(c), when(col(c).isNotNull, ordKey)).as(c))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -19,8 +19,10 @@ class ReportJobSpec extends AnyFunSuite {
     val merged = ReportJob.run(fixture.viewForJob, "2024-01-01", "2025-01-01",
       s"$tmp/output", s"$tmp/result")
 
+    // _quarantine is always written (empty here) — lender dirs are the rest
     val lenderDirs = new java.io.File(s"$tmp/output").listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .map(_.getName).sorted
     assert(lenderDirs.toSeq ==
       Seq("report_lender=alpha", "report_lender=beta", "report_lender=gamma"))
 
@@ -57,6 +59,38 @@ class ReportJobSpec extends AnyFunSuite {
     // merge read-back is all-string with the 22 report columns (lender
     // partition column excluded from file contents, like the reference)
     assert(merged.columns.length == 22)
+  }
+
+  test("poison rows land in _quarantine; every other lender file still written") {
+    val fixture = new ExportsEtlSpec
+    // A malformed-results row (truncated JSON): from_json yields NULL, so
+    // without the quarantine split it would silently reclassify the
+    // scenario; with it, the ROW is side-carted and the job completes.
+    val poison = Seq((java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+        "sPOISON", """[{"lenderName":"alpha","doesService":""", "alpha"))
+      .toDF("time", "scenarioId", "results", "exportedLender")
+    val poisoned = fixture.viewForJob.unionByName(poison, allowMissingColumns = true)
+
+    val tmp = Files.createTempDirectory("graft_quarantine").toString
+    val merged = ReportJob.run(poisoned, "2024-01-01", "2025-01-01",
+      s"$tmp/output", s"$tmp/result")
+
+    // the poison row — and only it — is in the quarantine side-cart
+    val q = spark.read.parquet(s"$tmp/output/_quarantine")
+    assert(q.select("scenarioId").as[String].collect().toSeq == Seq("sPOISON"))
+
+    // all lender reports written, none corrupted by the BOM pass
+    val lenderDirs = new java.io.File(s"$tmp/output").listFiles()
+      .filter(d => d.isDirectory && !d.getName.startsWith("_"))
+      .map(_.getName).sorted
+    assert(lenderDirs.toSeq ==
+      Seq("report_lender=alpha", "report_lender=beta", "report_lender=gamma"))
+
+    // the report equals the clean-fixture report: the poison row changed
+    // nothing downstream
+    val expected = graft.etl.ExportsEtl
+      .forAllLenders(fixture.viewForJob, "2024-01-01", "2025-01-01").count()
+    assert(merged.count() == expected)
   }
 
   test("saltedCounts equals plain groupBy count") {
