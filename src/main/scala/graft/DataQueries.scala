@@ -23,6 +23,15 @@ object DataQueries {
   private val SignBands = 4 // embedding sign-LSH bands
   private val SignBits = 2  // sign bits per band (demo-width; more at scale)
 
+  /** Hot-bucket guard for every LSH candidate join
+    * ([[Dedup.capHotBuckets]]): buckets above this size are dropped before
+    * the self-join. Chosen comfortably above anything the testdata
+    * produces (measured maxima: minhash 4, embedding sign-LSH 69 at
+    * sf0.1), so the DuckDB oracles — which do not model the cap — are
+    * untouched, while a degenerate bucket at corpus scale is bounded at
+    * cap²/2 pairs instead of going quadratic. */
+  private val HotBucketCap = 256
+
   /** Shared DuckDB SQL fragments (shingles / signature / dot product). */
   private val duckWords = "string_split_regex(text, '\\s+')"
   private val duckShingles =
@@ -128,11 +137,12 @@ object DataQueries {
     * pairs dump and the connected-components grouping. */
   private def similarPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingleSig(spark, dir)
-    val buckets = docs
+    val buckets = Dedup.capHotBuckets(docs
       .select(col("doc_id"), col("sig"),
         explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+        col("bb.bucket").as("bucket")),
+      Seq("band", "bucket"), HotBucketCap)
     val a = buckets.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
       col("band"), col("bucket"))
     val b = buckets.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
@@ -170,9 +180,10 @@ object DataQueries {
     * anywhere: cost is O(collisions), not O(n² / blocks). */
   private def ngramJaccardTop(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingleSig(spark, dir)
-    val buckets = docs
+    val buckets = Dedup.capHotBuckets(docs
       .select(col("doc_id"), explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      Seq("band", "bucket"), HotBucketCap)
     val cands = buckets.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
       .join(buckets.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -245,10 +256,11 @@ object DataQueries {
         concat((0 until SignBits).map(o =>
           signBit(try_element_at(col("embedding"), lit(j * SignBits + o + 1)))): _*)
           .as("bucket")))
-    val buckets = e.select(col("vec_id"), col("label"),
-        explode(signBuckets).as("bb"))
-      .select(col("vec_id"), col("label"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+    val buckets = Dedup.capHotBuckets(
+      e.select(col("vec_id"), col("label"), explode(signBuckets).as("bb"))
+        .select(col("vec_id"), col("label"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket")),
+      Seq("label", "band", "bucket"), HotBucketCap)
     val cands = buckets
       .select(col("vec_id").as("id_a"), col("label"), col("band"), col("bucket"))
       .join(buckets.select(col("vec_id").as("id_b"), col("label"), col("band"),

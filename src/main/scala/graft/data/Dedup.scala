@@ -42,6 +42,32 @@ object Dedup {
       j => struct(j.as("band"),
         md5(concat_ws("|", slice(sig, j * r + 1, lit(r)))).as("bucket")))
 
+  /** Drop oversized LSH buckets before the candidate self-join. A
+    * degenerate bucket of size s contributes s(s-1)/2 candidate pairs, so
+    * ONE hot bucket (e.g. every sub-3-word document sharing the
+    * empty-shingle signature) makes the (band, bucket) self-join quadratic
+    * within that bucket at corpus scale. Buckets above `cap` are
+    * non-discriminative by definition — they collide a constant fraction
+    * of the corpus, so membership carries almost no similarity signal, and
+    * any truly-similar pair still collides in some other, selective band
+    * w.h.p. Dropping them bounds the join output at
+    * O(buckets × cap²) with no meaningful recall loss.
+    *
+    * Scale shape: one extra hash aggregation over the bucket table plus an
+    * equi-join on the same `keyCols` the candidate join uses, so the
+    * bucket rows are already co-partitioned for the join that follows.
+    *
+    * @param keyCols the bucket identity, e.g. (band, bucket) or
+    *                (label, band, bucket). */
+  def capHotBuckets(buckets: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    require(cap > 1, s"cap must exceed 1, got $cap")
+    val keep = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_bucket_n"))
+      .where(col("_bucket_n") <= cap)
+      .select(keyCols.map(col): _*)
+    buckets.join(keep, keyCols)
+  }
+
   /** Estimated Jaccard from two equal-length signatures: matching fraction. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / k
@@ -92,16 +118,32 @@ object Dedup {
       .persist()
     var labels = bi.select(col("s").as("id")).distinct()
       .withColumn("component", col("id")).persist()
-    var changed = 1L
+    // Convergence check: labels are MONOTONE (next = min(own, neighbors')
+    // can only decrease per id, and the id set is fixed), so the fixpoint
+    // is reached exactly when sum(component) stops strictly decreasing —
+    // one tiny aggregate over the table that must materialize anyway,
+    // instead of a join back against the previous generation.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevSum = labelSum(labels)
+    var changed = prevSum.nonEmpty // empty graph is converged at iteration 0
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val msgs = bi.join(labels, bi("s") === labels("id"))
         .select(col("d").as("id"), col("component"))
+      // localCheckpoint (eager), NOT persist: persist short-circuits
+      // EXECUTION but the logical plan still doubles per generation, so a
+      // high-iteration run OOMs the driver in ANALYSIS long before data
+      // size matters. Checkpointing truncates the lineage each generation,
+      // keeping plan size constant across iterations. (A production
+      // cluster run would use reliable checkpoint() with a configured
+      // checkpoint dir to also survive executor loss.)
       val next = labels.select(col("id"), col("component")).union(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      changed = nextSum != prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
@@ -113,11 +155,96 @@ object Dedup {
     // converged run always exits via a final zero-change iteration, so the
     // usable propagation depth is maxIter - 1) — and an unproven component
     // labeling can silently diverge from any transitive-closure oracle.
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"connectedComponents did not provably converge within $maxIter " +
-          s"iterations (last iteration still changed $changed labels); " +
-          "raise maxIter above the expected component diameter + 1")
+          "iterations (labels were still changing in the last permitted " +
+          "one); raise maxIter above the expected component diameter + 1, " +
+          "or use connectedComponentsStar for long-chain graphs")
+    labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (the MapReduce-native formulation from the published
+    * "Connected Components in MapReduce and Beyond" line of work): each
+    * round rewires every node's strictly-larger neighbors (large-star),
+    * then its smaller-or-self neighbors (small-star), onto the minimum of
+    * its closed neighborhood. The edge set contracts toward a star forest
+    * whose centers are the component minima in O(log² n) rounds REGARDLESS
+    * OF DIAMETER — the variant for long-chain graphs, where
+    * [[connectedComponents]]'s label propagation needs diameter+1
+    * iterations. Prefer min-label for near-dup clusters (dense, tiny
+    * diameter: fewer shuffles per round); prefer this for arbitrary graph
+    * shapes.
+    *
+    * Scale shape: each round is two groupBy-min aggregations and two
+    * equi-joins over O(edges) rows — no driver-side data, intermediate
+    * generations persisted and released one-by-one. Convergence is
+    * edge-set stability (`next ≡ prev`), checked distributively.
+    *
+    * Same contract as [[connectedComponents]]: one row per node appearing
+    * in `edges`, (id, component = min node id of the component), loud
+    * failure if the round budget is exhausted before provable convergence.
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct().persist()
+    // Canonical undirected form: hi > lo, self-loops dropped (their nodes
+    // stay in `nodes` and label themselves).
+    var e = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("hi"),
+        least(col(srcCol), col(dstCol)).as("lo"))
+      .where(col("hi") =!= col("lo")).distinct().persist()
+
+    // One star operation over the canonical edge set. For each center u of
+    // the symmetrized neighborhood: m = min(Γ(u) ∪ {u}); large-star emits
+    // (v, m) for the neighbors v > u, small-star emits (v, m) for v < u
+    // plus (u, m). Every emitted pair has v >= m, so canonical form is
+    // preserved by construction.
+    def star(cur: DataFrame, large: Boolean): DataFrame = {
+      val nb = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val sel = if (large) nb.where(col("v") > col("u"))
+                else nb.where(col("v") < col("u"))
+      val emitted = sel.join(mins, "u").select(col("v"), col("m"))
+      val all = if (large) emitted
+                else emitted.union(mins.select(col("u").as("v"), col("m")))
+      all.where(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val lg = star(e, large = true).persist()
+      // localCheckpoint truncates lineage each round — same rationale as
+      // in [[connectedComponents]]: without it the plan doubles per round
+      // and planning cost, not data, becomes the bound.
+      val next = star(lg, large = false).localCheckpoint(true)
+      // Edge-set stability: equal cardinality + next ⊆ prev ⟺ next ≡ prev
+      // (both sides are distinct sets).
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      lg.unpersist()
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not provably converge within $maxIter " +
+          "rounds; raise maxIter (rounds needed grow ~log² of the largest " +
+          "component)")
+    // Fixpoint is a star forest: every non-center node carries exactly one
+    // (node, center) edge; centers and isolated nodes label themselves.
+    val labels = nodes
+      .join(e.select(col("hi").as("id"), col("lo").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    e.unpersist()
+    nodes.unpersist()
     labels
   }
 }

@@ -123,6 +123,48 @@ class DataOpsSpec extends AnyFunSuite {
       (10L, 3L, 2L, true)))
   }
 
+  test("capHotBuckets drops only degenerate buckets, bounding candidates") {
+    // One degenerate bucket (100 members — would be 4950 pairs) and two
+    // discriminative ones (3 and 2 members) across two bands.
+    val buckets =
+      ((1 to 100).map(i => (s"d$i", 0L, "HOT")) ++
+        Seq(("a", 0L, "cold1"), ("b", 0L, "cold1"), ("c", 0L, "cold1"),
+            ("a", 1L, "cold2"), ("d", 1L, "cold2")))
+        .toDF("doc_id", "band", "bucket")
+    val capped = Dedup.capHotBuckets(buckets, Seq("band", "bucket"), cap = 10)
+    // every HOT row gone, every discriminative row kept
+    assert(capped.where($"bucket" === "HOT").count() == 0)
+    assert(capped.count() == 5)
+    // the candidate self-join over the capped buckets is bounded:
+    // C(3,2) + C(2,2) = 4 pairs instead of 4950 + 4
+    val a = capped.select($"doc_id".as("id_a"), $"band", $"bucket")
+    val b = capped.select($"doc_id".as("id_b"), $"band", $"bucket")
+    val pairs = a.join(b, Seq("band", "bucket")).where($"id_a" < $"id_b")
+    assert(pairs.count() == 4)
+  }
+
+  test("connectedComponentsStar matches min-label and survives long chains") {
+    // chain 0-1-…-63: diameter 63. Min-label propagation needs
+    // diameter+1 iterations, so a 10-round budget must fail LOUDLY —
+    // never return a silently-split labeling.
+    val chain = (0 until 63).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 10)
+    }
+    // the star contraction converges in O(log² n) rounds on the same graph
+    val star = Dedup.connectedComponentsStar(chain, "a", "b")
+    assert(star.select($"component").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(star.count() == 64)
+    // mixed shapes (two components, self-loops, a cycle): star ≡ min-label
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L),
+      (20L, 20L), (5L, 5L), (3L, 1L)).toDF("a", "b")
+    val viaLabels = Dedup.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val viaStars = Dedup.connectedComponentsStar(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaStars == viaLabels)
+  }
+
   test("connectedComponents: chain, cycle, disjoint pair, empty edges") {
     // Chain 1-2-3-4-5-6 (diameter forces multiple label iterations),
     // cycle 10-11-12-10, disjoint pair 20-21.
