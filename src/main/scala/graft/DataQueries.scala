@@ -46,6 +46,37 @@ object DataQueries {
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"
 
+  /** Squared-L2 twin of `Similarity.sqDist` (same left-fold order). */
+  private def duckSqDist(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * " +
+      s"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
+
+  /** One k-means round as DuckDB CTEs (twin of one `Similarity.fitCentroids`
+    * iteration): assignment against centroid table `prev` (squared L2,
+    * ties to lower cell), per-coordinate quantized-long mean, empty-cell
+    * carry-over → centroid table `out`. */
+  private def duckKmeansRound(prev: String, out: String): String =
+    s"""a_$out AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckSqDist("e.embedding", "c.cvec")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN $prev c) x WHERE rn = 1),
+       |s_$out AS (
+       |  SELECT cell, pos,
+       |    CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000)
+       |                  AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(*) * 1000 AS DOUBLE) AS v
+       |  FROM (SELECT cell, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS pos FROM a_$out) u
+       |  GROUP BY cell, pos),
+       |n_$out AS (SELECT cell, list(v ORDER BY pos) AS cvec
+       |           FROM s_$out GROUP BY cell),
+       |$out AS (
+       |  SELECT p.cell, COALESCE(n.cvec, p.cvec) AS cvec
+       |  FROM $prev p LEFT JOIN n_$out n ON p.cell = n.cell)""".stripMargin
+
   /** Near-dup decision threshold on estimated Jaccard — single source for
     * the Spark builders and every oracle that embeds it. */
   private val DupThreshold = 0.5
@@ -294,6 +325,11 @@ object DataQueries {
   private def simIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queriesOf(spark, dir),
         Tables.embeddings(spark, dir), cellCol = "label", k = 3, nprobe = 2)
+      .dumpOrdered("q_id", "rnk")
+
+  private def simIvfFitted(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKFitted(queriesOf(spark, dir),
+        Tables.embeddings(spark, dir), kCells = 8, rounds = 2, k = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
 
   // ------------------------------------------------------------- text
@@ -753,6 +789,45 @@ object DataQueries {
          |       sqrt(${duckDot("e.embedding", "e.embedding")})) AS cos_sim
          |  FROM assign a JOIN embeddings e ON e.label = a.cell
          |  WHERE a.q_id <> e.vec_id),
+         |r AS (
+         |  SELECT q_id, cell, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_id, cell, rnk, vec_id AS neighbor_id, cos_sim FROM r
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)),
+
+    "data_sim_ivf_fitted" -> Q(simIvfFitted, Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id < 10),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |           AS cell,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 8) s),
+         |${duckKmeansRound("c0", "c1")},
+         |${duckKmeansRound("c1", "c2")},
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckSqDist("e.embedding", "c.cvec")}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) x WHERE rn = 1),
+         |probes AS (
+         |  SELECT q_id, q_vec, cell FROM (
+         |    SELECT q.q_id, q.q_vec, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        ${duckSqDist("q.q_vec", "c.cvec")}, c.cell) AS rn
+         |    FROM q CROSS JOIN c2 c) x WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, a.cell, a.vec_id,
+         |    ${duckDot("p.q_vec", "a.embedding")} /
+         |      (sqrt(${duckDot("p.q_vec", "p.q_vec")}) *
+         |       sqrt(${duckDot("a.embedding", "a.embedding")})) AS cos_sim
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE p.q_id <> a.vec_id),
          |r AS (
          |  SELECT q_id, cell, vec_id, cos_sim,
          |    row_number() OVER (PARTITION BY q_id

@@ -65,6 +65,99 @@ object Similarity {
       .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Squared-L2 distance as an index-ordered left fold in doubles — same
+    * engine-portable determinism contract as [[dot]]. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Fixed-round Lloyd k-means over the embedding column — the coarse-
+    * quantizer fitting a production IVF runs offline, in an ORACLE-ABLE
+    * form: every arithmetic step is either a per-row left fold
+    * (deterministic on any engine) or an INTEGER sum (order-independent —
+    * a plain float mean would differ bit-wise between partitionings and
+    * engines), so the fitted centroids are bit-identical everywhere.
+    *
+    *  - seeds: the k lowest-id vectors, cells numbered 0..k-1 in id order;
+    *  - assignment: nearest centroid by squared L2, ties to the lower cell;
+    *  - update: per-coordinate mean of coordinates quantized to 1e-3
+    *    (long sums, one double division at the end); a cell that loses
+    *    all members keeps its previous centroid;
+    *  - `rounds` is a FIXED budget, not a convergence test — a float
+    *    convergence check would re-introduce order dependence, and
+    *    production k-means runs a fixed budget offline anyway.
+    *
+    * Scale: each round broadcasts k centroids, assigns in a map-only pass
+    * (corpus never shuffled), and aggregates keyed (cell, coordinate) —
+    * shuffle volume O(k × dim) after map-side combine.
+    *
+    * @return (cell: long, cvec: array<double>) — k rows. */
+  def fitCentroids(corpus: DataFrame, k: Int, rounds: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0; got k=$k, rounds=$rounds")
+    val seedW = Window.orderBy(col(idCol)) // k rows post-limit: single tiny partition
+    var cents = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .withColumn("cell", (row_number().over(seedW) - 1).cast("long"))
+      .select(col("cell"), transform(col(vecCol), _.cast("double")).as("cvec"))
+    for (_ <- 1 to rounds) {
+      val sums = assignCells(corpus, cents, idCol, vecCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("x").cast("double") * 1000).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("v", col("s").cast("double") / (col("n") * 1000).cast("double"))
+      val updated = sums.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cell"), transform(col("pv"), _.getField("v")).as("cvec_new"))
+      cents = cents.join(updated, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cvec_new"), col("cvec")).as("cvec"))
+    }
+    cents
+  }
+
+  /** Nearest fitted cell per row (squared L2, ties to the lower cell):
+    * the at-ingest assignment step of a fitted IVF index. Output = the
+    * input columns plus `cell`. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("d2", sqDist(col(vecCol), col("cvec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .drop("rn", "d2", "cvec")
+  }
+
+  /** [[ivfTopK]] with a FITTED coarse quantizer: cells come from
+    * [[fitCentroids]] instead of a pre-existing cell column, queries route
+    * to their `nprobe` nearest centroids by squared L2, and only the
+    * probed cells are scored exactly — the production IVF shape (fit
+    * offline, assign at ingest, probe at query). At scale the assigned
+    * corpus is written bucketed/partitioned by `cell`, making each probe
+    * a partition-pruned scan. */
+  def ivfTopKFitted(queries: DataFrame, corpus: DataFrame, kCells: Int,
+                    rounds: Int, k: Int, nprobe: Int = 1,
+                    qId: String = "q_id", qVec: String = "q_vec",
+                    cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cents = fitCentroids(corpus, kCells, rounds, cId, cVec)
+    val assigned = assignCells(corpus, cents, cId, cVec)
+    val routed = queries.crossJoin(broadcast(cents))
+      .withColumn("d2", sqDist(col(qVec), col("cvec")))
+    val wA = Window.partitionBy(col(qId)).orderBy(col("d2"), col("cell"))
+    val probes = routed.withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= nprobe)
+      .select(col(qId), col(qVec), col("cell"))
+    val inCell = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosineFast(corpus)(col(qVec), col(cVec)))
+    val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
+    inCell.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(qId), col("cell"), col("rnk"), col(cId).as("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Deterministic cell representatives: the min-id member per cell. */
   def representatives(corpus: DataFrame, cellCol: String, idCol: String,
                       vecCol: String): DataFrame = {

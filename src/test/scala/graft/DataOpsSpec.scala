@@ -42,6 +42,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ivf == bf)
   }
 
+  test("ivfTopKFitted with nprobe = kCells equals brute force; centroids well-formed") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val cents = graft.data.Similarity.fitCentroids(emb, k = 4, rounds = 2)
+      .orderBy("cell").collect()
+    assert(cents.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(cents.forall(_.getSeq[Double](1).length ==
+      emb.select(size($"embedding")).head.getInt(0)))
+    // probing every cell must degrade to exact brute-force top-k
+    val brute = graft.data.Similarity.bruteForceTopK(q, emb, k = 3)
+      .select($"q_id", $"rnk", $"neighbor_id")
+      .orderBy("q_id", "rnk").as[(Long, Long, Long)].collect().toSeq
+    val fitted = graft.data.Similarity
+      .ivfTopKFitted(q, emb, kCells = 4, rounds = 2, k = 3, nprobe = 4)
+      .select($"q_id", $"rnk", $"neighbor_id")
+      .orderBy("q_id", "rnk").as[(Long, Long, Long)].collect().toSeq
+    assert(fitted == brute)
+  }
+
   test("shingles: fewer than n words yields empty, order preserved") {
     val df = Seq("a b c d", "a b", "").toDF("t")
     val got = df.select(
