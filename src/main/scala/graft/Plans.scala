@@ -12,7 +12,8 @@ object Plans {
 
   private val Audited = Seq("ref_p2_time_filter", "ref_q1_agg",
     "ref_j1_dim_join", "ref_a1_dedup_latest", "ref_w1_global_aggs",
-    "data_sim_cosine_topk", "data_asof_join", "data_sessionize")
+    "data_sim_cosine_topk", "data_sim_ivf_fitted", "data_dedup_minhash_pairs",
+    "data_asof_join", "data_sessionize")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -49,7 +50,9 @@ object Plans {
       |  (`partial_max`/`partial_max_by` below the exchange), shuffle is
       |  O(users) not O(events). `max_by` over string payloads plans as
       |  SortAggregate (no mutable fixed-width buffer); the NULL-skip mask on
-      |  the ordering key preserves DuckDB MAX_BY semantics.
+      |  the ordering key preserves DuckDB MAX_BY semantics, and the key
+      |  itself is the composite `ts_us * 1024 + event_id % 1024` —
+      |  tie-broken by construction, same expression in the oracle.
       |- **ref_w1_global_aggs** — the `COUNT(DISTINCT) OVER ()` rewrite: the
       |  1-row global aggregate and the per-type counts are computed once and
       |  broadcast back (`BroadcastNestedLoopJoin`/`BroadcastHashJoin`); no
@@ -61,6 +64,23 @@ object Plans {
       |  shuffle, Final above) prunes each partition to the top k rows before
       |  the exchange — the declarative row_number+filter formulation already
       |  gets bounded-heap semantics, so no custom top-k operator is needed.
+      |- **data_sim_ivf_fitted** — the fitted coarse quantizer's plan keeps
+      |  the corpus un-shuffled end to end: every k-means assignment is a
+      |  `BroadcastNestedLoopJoin` of the k-row centroid table against the
+      |  corpus scan (a map-only pass), the centroid update aggregates on
+      |  (cell, pos) — shuffle O(k × dim) after partial aggregation — and
+      |  the probe stage broadcasts the (query, cell) routing table into
+      |  the assigned corpus. The only corpus-cardinality shuffles are the
+      |  per-vector argmin windows (hash on vec_id), which at production
+      |  scale collapse to nothing when the assignment is written out
+      |  bucketed by `cell`.
+      |- **data_dedup_minhash_pairs** — candidates come from an EQUI-join
+      |  on (band, bucket) — never a cartesian (broadcast at testdata
+      |  statistics, SMJ/shuffle-hash at scale). The hot-bucket guard is
+      |  one extra map-side-combinable HashAggregate (bucket sizes ≤ cap)
+      |  whose keep-list broadcast is planned ONCE and `ReusedExchange`d
+      |  by both join sides. Exact-Jaccard scoring touches LSH-collided
+      |  pairs only.
       |- **data_asof_join** — the union+window as-of shape: ONE
       |  `Exchange hashpartitioning(user_id)` feeds a single `Window`
       |  (`last(__rp) ignore nulls`) over the tagged union — no range-join
