@@ -400,6 +400,21 @@ object DataQueries {
       .orderBy(col("df").desc, col("tf").desc, col("token"))
       .limit(200)
 
+  /** The skewed-aggregation mitigation as an oracle-checked query: token
+    * counts via the two-phase salted aggregate
+    * ([[graft.operators.Skew.saltedCounts]]) — a hot key (stopword)
+    * spreads across 8 reducers in phase one and re-aggregates in phase
+    * two. The oracle is the PLAIN count: salting must be semantically
+    * invisible, and the hash-compare proves it on real data, not just the
+    * unit fixture. */
+  private def vocabSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedCounts(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token")),
+      "token", saltFrom = Seq("doc_id", "token"), n = 8)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(200)
+
   /** Within-document repetition signals (the Gopher-style quality rules):
     * total/distinct token counts, the most-frequent token's share, and the
     * distinct ratio. Two chained hash aggregations — (doc, token) then doc —
@@ -1011,6 +1026,12 @@ object DataQueries {
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t GROUP BY token
          |ORDER BY df DESC, tf DESC, token LIMIT 200""".stripMargin)),
+
+    "data_vocab_salted" -> Q(vocabSalted, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($duckWords) AS token FROM documents)
+         |SELECT token, count(*) AS cnt FROM t GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 200""".stripMargin)),
 
     "data_text_repetition" -> Q(textRepetition, Some(
       s"""WITH t AS (

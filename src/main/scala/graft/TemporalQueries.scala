@@ -36,6 +36,30 @@ object TemporalQueries {
       .dumpOrdered("purchase_id")
   }
 
+  private val ForwardTolUs = 86400000000L // 1 day in microseconds
+
+  /** Forward as-of with tolerance: each purchase picks the same user's
+    * EARLIEST click at-or-after it, kept only when within one day — the
+    * mirror direction plus the pandas-merge_asof-style match window, both
+    * over the same single-shuffle union+window plan. Oracle: DuckDB ASOF
+    * with the reversed inequality and the tolerance as a post-CASE (the
+    * nearest match failing the tolerance means no match at all). */
+  private def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"), col("value"))
+    graft.operators.AsOfJoin.forward(purchases, clicks, Seq("user_id"),
+        leftTime = "p_ts", rightTime = "click_ts", payload = Seq("click_id"),
+        prefix = "",
+        tolerance = Some((lt, rt) => rt - lt <= ForwardTolUs))
+      .withColumn("gap_us", col("click_ts") - col("p_ts"))
+      .dumpOrdered("purchase_id")
+  }
+
   /** Per-user sessions with a 30-minute inactivity gap
     * ([[graft.streaming.EventStreams.userSessions]] — the same function
     * sessionizes a stream with watermark-bounded state). */
@@ -56,6 +80,27 @@ object TemporalQueries {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.p_ts >= c.click_ts
         |ORDER BY purchase_id""".stripMargin)),
+
+    "data_asof_forward" -> Q(asofForward, Some(
+      s"""WITH c AS (
+         |  SELECT user_id, epoch_us(ts) AS click_ts, max(event_id) AS click_id
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |p AS (
+         |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT p.user_id, p.purchase_id, p.p_ts, p.value,
+         |         c.click_ts, c.click_id
+         |  FROM p ASOF LEFT JOIN c
+         |    ON p.user_id = c.user_id AND p.p_ts <= c.click_ts)
+         |SELECT user_id, purchase_id, p_ts, value,
+         |  CASE WHEN click_ts - p_ts <= $ForwardTolUs THEN click_ts END
+         |    AS click_ts,
+         |  CASE WHEN click_ts - p_ts <= $ForwardTolUs THEN click_id END
+         |    AS click_id,
+         |  CASE WHEN click_ts - p_ts <= $ForwardTolUs THEN click_ts - p_ts END
+         |    AS gap_us
+         |FROM j ORDER BY purchase_id""".stripMargin)),
 
     "data_sessionize" -> Q(sessionize, Some(
       s"""WITH e AS (

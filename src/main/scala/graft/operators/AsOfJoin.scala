@@ -1,12 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed backward as-of join: each left row picks up the payload of
-  * the right row with the greatest time `<=` the left row's time within the
-  * same key group (a LEFT join — unmatched left rows keep NULL payload).
+/** Distributed as-of join, backward and forward: each left row picks up
+  * the payload of the nearest right row at-or-before (backward) /
+  * at-or-after (forward) its time within the same key group (a LEFT
+  * join — unmatched left rows keep NULL payload), optionally bounded by a
+  * match tolerance.
   *
   * Implementation is the union+window shape, the scalable formulation of
   * as-of on a shared-nothing engine: tag both inputs, union them, and run
@@ -44,10 +46,36 @@ object AsOfJoin {
     * @param payload     right columns to attach to matching left rows
     * @param prefix      prefix for the attached columns (`rightTime` is
     *                    attached too, also prefixed)
+    * @param tolerance   optional match window: predicate over (left time,
+    *                    matched right time); a nearest match failing it is
+    *                    NULLed out (no farther row is considered — exactly
+    *                    the pandas `merge_asof(tolerance=...)` contract,
+    *                    and the post-filter a SQL twin can express)
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame =
+    unionWindowJoin(left, right, keys, leftTime, rightTime, payload, prefix,
+      forwardDir = false, tolerance)
+
+  /** Forward as-of join: each left row picks up the payload of the right
+    * row with the SMALLEST time `>=` the left row's time within the same
+    * key group — the mirror of [[backward]] (inclusive, DuckDB
+    * `ASOF JOIN ... ON l.t <= r.t`), same single-shuffle union+window
+    * plan (traversed in descending time order), same determinism and NULL
+    * contracts. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      prefix: String = "asof_",
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame =
+    unionWindowJoin(left, right, keys, leftTime, rightTime, payload, prefix,
+      forwardDir = true, tolerance)
+
+  private def unionWindowJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payload: Seq[String], prefix: String, forwardDir: Boolean,
+      tolerance: Option[(Column, Column) => Column]): DataFrame = {
     val rp = struct((rightTime +: payload).map(col): _*)
     val rpType = right.select(rp.as("__rp")).schema.head.dataType
     val leftRest = left.columns.filterNot(keys.contains).toSeq
@@ -64,12 +92,23 @@ object AsOfJoin {
           rp.as("__rp")) ++
           leftRest.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
 
+    // Backward walks time ascending (nearest preceding right row); forward
+    // walks it descending (nearest following). Right rows sort before left
+    // at equal (time): side 0 < side 1 under either direction, keeping the
+    // match inclusive.
+    val tOrd = if (forwardDir) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(tOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lSide.unionByName(rSide)
-      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__m0", last(col("__rp"), ignoreNulls = true).over(w))
+    val bounded = tolerance match {
+      case Some(p) => matched.withColumn("__m",
+        when(p(col("__t"), col(s"__m0.$rightTime")), col("__m0")))
+      case None => matched.withColumn("__m", col("__m0"))
+    }
+    bounded
       .where(col("__side") === 1)
       .select((keys ++ leftRest).map(col) ++
         (rightTime +: payload).map(p => col(s"__m.$p").as(prefix + p)): _*)

@@ -50,4 +50,32 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
 
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
+
+  property("forward with tolerance equals the in-memory reference") =
+    forAll(leftGen, rightGen) { (ls, rs) =>
+      val tol = 2L
+      val rdd = rs.zipWithIndex.map { case ((k, t), i) => (k, t, s"p$i") }
+        .groupBy { case (k, t, _) => (k, t) }
+        .map { case ((k, t), rows) => (k, t, rows.map(_._3).max) }.toList
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "lt", "lid")
+      val right = rdd.toDF("k", "rt", "pay")
+
+      val got = AsOfJoin.forward(left, right, Seq("k"), "lt", "rt", Seq("pay"),
+          tolerance = Some((lt, rt) => rt - lt <= tol))
+        .select($"lid", $"asof_rt", $"asof_pay")
+        .as[(Long, Option[Long], Option[String])]
+        .collect().sortBy(_._1).toList
+
+      // Reference: the NEAREST following right row; if it fails the
+      // tolerance the row is unmatched (no farther row is considered).
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val best = rdd.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(r => (r._2, r._3)).headOption
+          .filter(r => r._2 - t <= tol)
+        (i.toLong, best.map(_._2), best.map(_._3))
+      }.sortBy(_._1)
+
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
 }
