@@ -22,6 +22,25 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("report refresh stream: incremental ingest + refresh equals the batch report") {
+    val fixture = new ExportsEtlSpec
+    val base = java.nio.file.Files.createTempDirectory("graft_refresh")
+    val viewDir = base.resolve("view").toString
+    val ingest = base.resolve("ingest").toString
+    val report = base.resolve("report").toString
+    fixture.viewForJob.repartition(3).write.parquet(viewDir) // several micro-batches
+    val stream = spark.readStream.schema(fixture.viewForJob.schema)
+      .option("maxFilesPerTrigger", "1").parquet(viewDir)
+    val q = graft.streaming.ReportRefresh.start(stream, ingest,
+      "2024-01-01", "2025-01-01", report)
+    assert(q.awaitTermination(180000), "AvailableNow query did not finish")
+    val got = spark.read.parquet(report)
+    val expected = graft.etl.ExportsEtl.forAllLenders(fixture.viewForJob,
+      "2024-01-01", "2025-01-01")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("windowed counts converge to the batch aggregation") {
     val streamed = EventStreams.runToMemory(
       EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsGlob)),
