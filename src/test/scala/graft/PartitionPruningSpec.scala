@@ -39,4 +39,28 @@ class PartitionPruningSpec extends AnyFunSuite {
       }
     assert(matched.contains(3), s"expected 3 partitions, got $matched")
   }
+
+  test("cell-partitioned ANN corpus: an nprobe probe scans only its cell dirs") {
+    import spark.implicits._
+    // The fitted-IVF 100 TB layout: assignment written partitionBy(cell),
+    // so a probe of nprobe cells is a planning-time directory prune — the
+    // claim in Similarity.ivfTopKFitted's doc, locked here.
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cents = graft.data.Similarity.fitCentroids(emb, k = 4, rounds = 1)
+    val assigned = graft.data.Similarity.assignCells(emb, cents)
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/corpus_by_cell"
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(dir)
+
+    val nCells = assigned.select($"cell").distinct().count()
+    assert(nCells >= 3, s"fixture degenerate: only $nCells cells")
+    val probe = spark.read.parquet(dir).where($"cell".isin(0L, 1L))
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.contains(2), s"expected 2 of $nCells cell dirs, got $scanned")
+    assert(probe.count() ==
+      assigned.where($"cell".isin(0L, 1L)).count())
+  }
 }
