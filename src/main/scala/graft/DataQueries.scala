@@ -29,7 +29,17 @@ object DataQueries {
     * produces (measured maxima: minhash 4, embedding sign-LSH 69 at
     * sf0.1), so the DuckDB oracles — which do not model the cap — are
     * untouched, while a degenerate bucket at corpus scale is bounded at
-    * cap²/2 pairs instead of going quadratic. */
+    * cap²/2 pairs instead of going quadratic.
+    *
+    * The cap and the band WIDTH scale together: a bucket's expected size
+    * is corpus / 2^bits (sign-LSH) or corpus / signature-space (minhash),
+    * so at larger corpora the bands must widen (more [[SignBits]], larger
+    * R) until typical buckets sit back under the cap — the cap is a guard
+    * against DEGENERATE buckets, not a substitute for discriminative
+    * bands. At this testdata scale the demo-width 2-bit sign bands stay
+    * under it; a 100 TB run with these exact widths would trip the cap
+    * everywhere (correctly signaling the bands carry no signal at that
+    * scale). */
   private val HotBucketCap = 256
 
   /** Shared DuckDB SQL fragments (shingles / signature / dot product). */
@@ -76,6 +86,35 @@ object DataQueries {
        |$out AS (
        |  SELECT p.cell, COALESCE(n.cvec, p.cvec) AS cvec
        |  FROM $prev p LEFT JOIN n_$out n ON p.cell = n.cell)""".stripMargin
+
+  /** One power-iteration round as DuckDB CTEs (twin of one
+    * `Similarity.pc1` iteration): center, project onto `prev`'s v,
+    * accumulate `C·v` as quantized-long sums per coordinate, normalize. */
+  private def duckPowerRound(prev: String, out: String): String =
+    s"""d_$out AS (
+       |  SELECT
+       |    list_transform(list_zip(e.embedding, p.mean),
+       |      x -> CAST(x[1] AS DOUBLE) - x[2]) AS cx,
+       |    p.v
+       |  FROM embeddings e CROSS JOIN $prev p),
+       |pr_$out AS (
+       |  SELECT cx,
+       |    list_reduce(list_transform(list_zip(cx, v), x -> x[1] * x[2]),
+       |      (p, q) -> p + q) AS d
+       |  FROM d_$out),
+       |w_$out AS (
+       |  SELECT pos, sum(CAST(round(d * cx[pos] * 1000) AS BIGINT)) AS sw
+       |  FROM (SELECT cx, d, unnest(range(1, len(cx) + 1)) AS pos
+       |        FROM pr_$out) u
+       |  GROUP BY pos),
+       |wl_$out AS (SELECT list(CAST(sw AS DOUBLE) ORDER BY pos) AS w
+       |            FROM w_$out),
+       |$out AS (
+       |  SELECT m.mean,
+       |    list_transform(wl.w, x -> x / sqrt(
+       |      list_reduce(list_transform(wl.w, y -> y * y), (p, q) -> p + q)))
+       |      AS v
+       |  FROM mean m CROSS JOIN wl_$out wl)""".stripMargin
 
   /** Near-dup decision threshold on estimated Jaccard — single source for
     * the Spark builders and every oracle that embeds it. */
@@ -331,6 +370,10 @@ object DataQueries {
     Similarity.ivfTopKFitted(queriesOf(spark, dir),
         Tables.embeddings(spark, dir), kCells = 8, rounds = 2, k = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
+
+  private def embedPca1(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pc1Scores(Tables.embeddings(spark, dir), rounds = 3)
+      .dumpOrdered("vec_id")
 
   // ------------------------------------------------------------- text
 
@@ -850,6 +893,33 @@ object DataQueries {
          |  FROM scored)
          |SELECT q_id, cell, rnk, vec_id AS neighbor_id, cos_sim FROM r
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)),
+
+    "data_embed_pca1" -> Q(embedPca1, Some(
+      s"""WITH m0 AS (
+         |  SELECT pos,
+         |    CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000)
+         |                  AS BIGINT)) AS DOUBLE)
+         |      / CAST(count(*) * 1000 AS DOUBLE) AS mv
+         |  FROM (SELECT embedding,
+         |          unnest(range(1, len(embedding) + 1)) AS pos
+         |        FROM embeddings) u
+         |  GROUP BY pos),
+         |mean AS (SELECT list(mv ORDER BY pos) AS mean FROM m0),
+         |p0 AS (
+         |  SELECT mean,
+         |    list_transform(range(1, len(mean) + 1),
+         |      i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v
+         |  FROM mean),
+         |${duckPowerRound("p0", "p1")},
+         |${duckPowerRound("p1", "p2")},
+         |${duckPowerRound("p2", "p3")}
+         |SELECT e.vec_id,
+         |  list_reduce(list_transform(
+         |    list_zip(list_transform(list_zip(e.embedding, p.mean),
+         |               x -> CAST(x[1] AS DOUBLE) - x[2]), p.v),
+         |    x -> x[1] * x[2]), (p, q) -> p + q) AS pc1_score
+         |FROM embeddings e CROSS JOIN p3 p
+         |ORDER BY vec_id""".stripMargin)),
 
     "data_text_tokens" -> Q(textTokens, Some(
       s"""SELECT doc_id,

@@ -158,6 +158,67 @@ object Similarity {
         col("cos_sim"))
   }
 
+  /** Element-wise difference (a - b) in doubles — centering helper. */
+  def vecSub(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") - y)
+
+  private def dotDD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Top principal component of the embedding column by FIXED-ROUND power
+    * iteration — the whitening/outlier-scoring step of an embedding
+    * curation pipeline, in the same cross-engine-deterministic arithmetic
+    * as [[fitCentroids]]: the mean and every matrix-vector product
+    * `C·v = Σ x̄ (x̄ᵀv)` accumulate as sums of 1e-3-quantized LONGS
+    * (order-independent), while per-row dot products and the final
+    * normalization are index-ordered left folds. Deterministic init
+    * (v₀ = e₁) and a fixed round budget, so an oracle can replay the
+    * exact rounds in SQL.
+    *
+    * Scale: each round is one broadcast of the (mean, v) row, a map-only
+    * pass over the corpus, and an aggregation keyed by coordinate —
+    * shuffle O(dim) after map-side combine; the corpus is never shuffled.
+    *
+    * @return a 1-row DataFrame (mean: array<double>, v: array<double>)
+    *         with v the unit-norm PC1 estimate after `rounds` iterations. */
+  def pc1(corpus: DataFrame, rounds: Int,
+          vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val mean = corpus.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("x").cast("double") * 1000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("mv", col("s").cast("double") / (col("n") * 1000).cast("double"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(transform(col("pm"), _.getField("mv")).as("mean"))
+    var comp = mean.select(col("mean"),
+      transform(col("mean"), (_, i) => when(i === 0, 1.0).otherwise(0.0)).as("v"))
+    for (_ <- 1 to rounds) {
+      val w = corpus.crossJoin(broadcast(comp))
+        .withColumn("cx", vecSub(col(vecCol), col("mean")))
+        .withColumn("d", dotDD(col("cx"), col("v")))
+        .select(col("d"), posexplode(col("cx")).as(Seq("pos", "cxj")))
+        .groupBy(col("pos"))
+        .agg(sum(round(col("d") * col("cxj") * 1000).cast("long")).as("sw"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("pos"), col("sw")))).as("ps"))
+        .select(transform(col("ps"), _.getField("sw").cast("double")).as("w"))
+      val norm = sqrt(aggregate(col("w"), lit(0.0), (a, x) => a + x * x))
+      comp = mean.crossJoin(w)
+        .select(col("mean"), transform(col("w"), x => x / norm).as("v"))
+    }
+    comp
+  }
+
+  /** Per-vector projection onto [[pc1]]: the scalar whitening feature
+    * (outlier score) — `(x - mean) · v`. */
+  def pc1Scores(corpus: DataFrame, rounds: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    corpus.crossJoin(broadcast(pc1(corpus, rounds, vecCol)))
+      .select(col(idCol),
+        dotDD(vecSub(col(vecCol), col("mean")), col("v")).as("pc1_score"))
+
   /** Deterministic cell representatives: the min-id member per cell. */
   def representatives(corpus: DataFrame, cellCol: String, idCol: String,
                       vecCol: String): DataFrame = {

@@ -63,6 +63,19 @@ class DataOpsSpec extends AnyFunSuite {
     assert(fitted == brute)
   }
 
+  test("pc1 scores are bit-identical under repartitioning; v is unit norm") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.pc1Scores(emb, rounds = 2)
+      .orderBy("vec_id").as[(Long, Double)].collect().toSeq
+    // exact double equality across partitionings — the quantized-long
+    // accumulation is the reason this holds at all
+    val b = Similarity.pc1Scores(emb.repartition(7), rounds = 2)
+      .orderBy("vec_id").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+    val v = Similarity.pc1(emb, rounds = 2).select($"v").head.getSeq[Double](0)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "v not unit norm")
+  }
+
   test("shingles: fewer than n words yields empty, order preserved") {
     val df = Seq("a b c d", "a b", "").toDF("t")
     val got = df.select(
