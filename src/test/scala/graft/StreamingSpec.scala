@@ -41,6 +41,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("report refresh restart: old files are not re-ingested, new ones are") {
+    val fixture = new ExportsEtlSpec
+    val base = java.nio.file.Files.createTempDirectory("graft_refresh2")
+    val viewDir = base.resolve("view").toString
+    val ingest = base.resolve("ingest").toString
+    val report = base.resolve("report").toString
+    val schema = fixture.viewForJob.schema
+    // first run: half the fixture
+    val firstHalf = fixture.viewForJob.where($"scenarioId" < "s4")
+    firstHalf.write.parquet(viewDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(viewDir)
+      val q = graft.streaming.ReportRefresh.start(stream, ingest,
+        "2024-01-01", "2025-01-01", report)
+      assert(q.awaitTermination(180000), "AvailableNow query did not finish")
+    }
+    runOnce()
+    assert(spark.read.parquet(ingest).count() == firstHalf.count())
+    // second run after new data lands: checkpoint skips the old files —
+    // ingest holds each row exactly once, and the refreshed report equals
+    // the full batch report
+    fixture.viewForJob.where($"scenarioId" >= "s4")
+      .write.mode("append").parquet(viewDir)
+    runOnce()
+    assert(spark.read.parquet(ingest).count() == fixture.viewForJob.count())
+    val got = spark.read.parquet(report)
+    val expected = graft.etl.ExportsEtl.forAllLenders(fixture.viewForJob,
+      "2024-01-01", "2025-01-01")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("windowed counts converge to the batch aggregation") {
     val streamed = EventStreams.runToMemory(
       EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsGlob)),
