@@ -65,15 +65,16 @@ object Plans {
       |  the exchange — the declarative row_number+filter formulation already
       |  gets bounded-heap semantics, so no custom top-k operator is needed.
       |- **data_sim_ivf_fitted** — the fitted coarse quantizer's plan keeps
-      |  the corpus un-shuffled end to end: every k-means assignment is a
-      |  `BroadcastNestedLoopJoin` of the k-row centroid table against the
-      |  corpus scan (a map-only pass), the centroid update aggregates on
-      |  (cell, pos) — shuffle O(k × dim) after partial aggregation — and
-      |  the probe stage broadcasts the (query, cell) routing table into
-      |  the assigned corpus. The only corpus-cardinality shuffles are the
-      |  per-vector argmin windows (hash on vec_id), which at production
-      |  scale collapse to nothing when the assignment is written out
-      |  bucketed by `cell`.
+      |  the corpus un-shuffled end to end: cell assignment is a MAP-ONLY
+      |  projection (the k fitted centroids are collected to the driver —
+      |  bounded, the classic k-means broadcast — and inlined as a literal
+      |  argmin fold, so NO window and NO exchange touches the corpus;
+      |  DataOpsSpec asserts the zero-exchange plan), the centroid update
+      |  aggregates on (cell, pos) — shuffle O(k × dim) after partial
+      |  aggregation — and the probe stage broadcasts the (query, cell)
+      |  routing table into the assigned corpus. At rest the assignment is
+      |  written partitionBy(cell), making each probe a planning-time
+      |  directory prune (PartitionPruningSpec).
       |- **data_dedup_minhash_pairs** — candidates come from an EQUI-join
       |  on (band, bucket) — never a cartesian (broadcast at testdata
       |  statistics, SMJ/shuffle-hash at scale). The hot-bucket guard is

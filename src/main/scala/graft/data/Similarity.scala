@@ -102,7 +102,7 @@ object Similarity {
       .withColumn("cell", (row_number().over(seedW) - 1).cast("long"))
       .select(col("cell"), transform(col(vecCol), _.cast("double")).as("cvec"))
     for (_ <- 1 to rounds) {
-      val sums = assignCells(corpus, cents, idCol, vecCol)
+      val sums = assignCellsBroadcast(corpus, cents, vecCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(round(col("x").cast("double") * 1000).cast("long")).as("s"),
@@ -119,7 +119,13 @@ object Similarity {
 
   /** Nearest fitted cell per row (squared L2, ties to the lower cell):
     * the at-ingest assignment step of a fitted IVF index. Output = the
-    * input columns plus `cell`. */
+    * input columns plus `cell`.
+    *
+    * Fully-declarative form: the per-vector argmin is a window over the
+    * broadcast crossJoin. `WindowGroupLimit(Partial)` prunes each
+    * partition to one row per vector BEFORE the exchange, so the shuffle
+    * carries O(corpus) rows, not O(corpus × k) — but it is still one
+    * corpus-row shuffle. [[assignCellsBroadcast]] removes even that. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
@@ -127,6 +133,28 @@ object Similarity {
     val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .drop("rn", "d2", "cvec")
+  }
+
+  /** [[assignCells]] as a MAP-ONLY projection — the 100 TB shape: the k
+    * centroids are collected to the driver (k × dim doubles, bounded —
+    * the classic k-means broadcast) and inlined as literal vectors, so
+    * the argmin is a single fold expression evaluated inside the corpus
+    * scan: no window, no shuffle, no exchange of any kind. Identical
+    * output to [[assignCells]] (same left-fold d2, strict-< fold keeps
+    * the lower cell on ties) — parity-spec'd. The collect() is an eager
+    * bounded driver materialization, like any k-means round barrier. */
+  def assignCellsBroadcast(corpus: DataFrame, centroids: DataFrame,
+                           vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cents.nonEmpty, "no centroids to assign against")
+    val init = struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cell"))
+    val folded = cents.foldLeft(init: Column) { case (acc, (cellId, vec)) =>
+      val d2 = sqDist(col(vecCol), array(vec.map(lit): _*))
+      when(d2 < acc.getField("d2"),
+        struct(d2.as("d2"), lit(cellId).as("cell"))).otherwise(acc)
+    }
+    corpus.withColumn("cell", folded.getField("cell"))
   }
 
   /** [[ivfTopK]] with a FITTED coarse quantizer: cells come from
@@ -141,7 +169,7 @@ object Similarity {
                     qId: String = "q_id", qVec: String = "q_vec",
                     cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val cents = fitCentroids(corpus, kCells, rounds, cId, cVec)
-    val assigned = assignCells(corpus, cents, cId, cVec)
+    val assigned = assignCellsBroadcast(corpus, cents, cVec)
     val routed = queries.crossJoin(broadcast(cents))
       .withColumn("d2", sqDist(col(qVec), col("cvec")))
     val wA = Window.partitionBy(col(qId)).orderBy(col("d2"), col("cell"))

@@ -63,6 +63,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(fitted == brute)
   }
 
+  test("assignCellsBroadcast (map-only) equals the declarative window assignCells") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.data.Similarity.fitCentroids(emb, k = 5, rounds = 1)
+    val windowed = graft.data.Similarity.assignCells(emb, cents)
+      .select($"vec_id", $"cell").orderBy("vec_id")
+      .as[(Long, Long)].collect().toSeq
+    val mapOnly = graft.data.Similarity.assignCellsBroadcast(emb, cents)
+      .select($"vec_id", $"cell").orderBy("vec_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(mapOnly == windowed)
+    // the map-only form plans NO exchange below the dump sort
+    val plan = graft.data.Similarity.assignCellsBroadcast(emb, cents)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty, s"expected shuffle-free assignment:\n$plan")
+  }
+
   test("pc1 scores are bit-identical under repartitioning; v is unit norm") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.pc1Scores(emb, rounds = 2)
