@@ -443,6 +443,56 @@ object DataQueries {
       .orderBy(col("df").desc, col("tf").desc, col("token"))
       .limit(200)
 
+  private val ChunkSize = 64   // tokens per chunk
+  private val ChunkStride = 48 // 16-token overlap between adjacent chunks
+
+  /** Fixed-size overlapping token chunks — the context-window splitting
+    * step of a training-data pipeline. Pure integer arithmetic for the
+    * chunk count (`(n - C + S - 1) div S + 1`) and identical 1-based
+    * slice semantics on both engines, so chunk boundaries and texts are
+    * engine-exact. Per-row expression work only — embarrassingly
+    * parallel, no shuffle before the dump sort. */
+  private def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    val C = ChunkSize; val S = ChunkStride
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= C, lit(1L))
+          .otherwise(expr(s"(n - $C + $S - 1) div $S + 1")))
+      .withColumn("ch", explode(transform(
+        sequence(lit(0L), col("n_chunks") - 1),
+        i => struct(i.as("chunk_id"),
+          concat_ws(" ", slice(col("toks"), (i * S + 1).cast("int"), lit(C)))
+            .as("chunk"),
+          least(lit(C.toLong), col("n") - i * S).as("chunk_tokens")))))
+      .select(col("doc_id"), col("ch.chunk_id"), col("ch.chunk"),
+        col("ch.chunk_tokens"))
+      .dumpOrdered("doc_id", "chunk_id")
+  }
+
+  private val PackBin = 512   // tokens per packed sequence bin
+  private val PackBuckets = 8 // parallel packing buckets
+
+  /** Sequence-packing PLAN: documents deterministically bucketed
+    * (`doc_id % buckets`), a per-bucket running token offset (window over
+    * the bucket, ordered by doc_id), and the target bin `offset div
+    * binSize`. This is the scalable shape of greedy packing: buckets pack
+    * independently in parallel (one shuffle on `bucket`, window state =
+    * one running long), and the packer executes the plan by slicing docs
+    * that straddle a bin boundary. Exact long arithmetic end to end. */
+  private def packPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", col("doc_id") % PackBuckets)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"tok_offset div $PackBin"))
+      .dumpOrdered("doc_id")
+  }
+
   /** The skewed-aggregation mitigation as an oracle-checked query: token
     * counts via the two-phase salted aggregate
     * ([[graft.operators.Skew.saltedCounts]]) — a hot key (stopword)
@@ -1096,6 +1146,39 @@ object DataQueries {
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t GROUP BY token
          |ORDER BY df DESC, tf DESC, token LIMIT 200""".stripMargin)),
+
+    "data_text_chunk" -> Q(textChunks, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckWords AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    CASE WHEN len(toks) <= $ChunkSize THEN 1
+         |         ELSE (CAST(len(toks) AS BIGINT) - $ChunkSize
+         |               + ${ChunkStride - 1}) // $ChunkStride + 1 END
+         |      AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, i AS chunk_id,
+         |  array_to_string(
+         |    toks[(i * $ChunkStride + 1):(i * $ChunkStride + $ChunkSize)],
+         |    ' ') AS chunk,
+         |  least($ChunkSize, n - i * $ChunkStride) AS chunk_tokens
+         |FROM (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS i
+         |      FROM c) x
+         |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    "data_pack_plan" -> Q(packPlan, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($duckWords) AS BIGINT) AS n_tok,
+         |         doc_id % $PackBuckets AS bucket
+         |  FROM documents)
+         |SELECT doc_id, n_tok, bucket,
+         |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset,
+         |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |FROM d ORDER BY doc_id""".stripMargin)),
 
     "data_vocab_salted" -> Q(vocabSalted, Some(
       s"""WITH t AS (
