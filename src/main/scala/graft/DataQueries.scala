@@ -732,6 +732,114 @@ object DataQueries {
         "doc_id")
       .dumpOrdered("doc_id")
 
+  // ------------------------------------------- corpus-level curation (r5)
+
+  private val DedupCell = 16 // words per non-overlapping dedup cell
+
+  /** C4-style corpus-level repeated-span removal: documents split into
+    * non-overlapping [[DedupCell]]-word cells, each cell keyed by md5, one
+    * occurrence kept corpus-wide (the lexicographically first
+    * (doc_id, chunk_id) — C4 keeps exactly one copy of every three-sentence
+    * span), and each document reassembled from its surviving cells.
+    *
+    * Scale shape: keeper election is a map-side-combinable
+    * `min(struct(doc_id, chunk_id))` hash aggregate over cell hashes —
+    * skew-immune even when one boilerplate cell occurs in millions of
+    * documents (partial aggregation collapses each mapper's copies to one
+    * row before the shuffle; a window over the hash would instead sort the
+    * hot partition). Join-back on the hash is a plain equi-join;
+    * reassembly is a per-doc hash aggregate. Three shuffles, each
+    * O(cells), no quadratic step anywhere. */
+  private def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val C = DedupCell
+    val cells = Tables.documents(spark, dir)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("ch", explode(transform(
+        sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),
+        i => struct(i.as("chunk_id"),
+          concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C)))
+            .as("chunk")))))
+      .select(col("doc_id"), col("ch.chunk_id"), col("ch.chunk"),
+        md5(col("ch.chunk")).as("h"))
+    val keepers = cells.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keeper"))
+    cells.join(keepers, Seq("h"))
+      .withColumn("kept", col("keeper.doc_id") === col("doc_id") &&
+        col("keeper.chunk_id") === col("chunk_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("kept"),
+          struct(col("chunk_id"), col("chunk"))))).as("kc"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        array_join(transform(col("kc"), x => x("chunk")), " ").as("kept_text"))
+      .dumpOrderedTail("doc_id")
+  }
+
+  /** Corpus unigram "LM" familiarity score (the CCNet-shaped quality
+    * signal): fit token frequencies over the whole corpus, then score each
+    * document by the mean corpus frequency of its tokens. The fitted vocab
+    * is the broadcast model — at real scale a 10M-row unigram table is
+    * ~100 MB, comfortably broadcastable, so scoring is a map-only pass
+    * over the corpus (the corpus itself never shuffles to meet the model).
+    * All-integer sums; the single final division is the only double op, so
+    * the score is bit-identical across engines (no transcendental log —
+    * IEEE-754 division is correctly rounded, libm log10 is not guaranteed
+    * to be). */
+  private def unigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    toks.join(broadcast(vocab), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("sum_tf"))
+      .select(col("doc_id"), col("n_words"), col("sum_tf"),
+        (col("sum_tf").cast("double") / col("n_words").cast("double"))
+          .as("avg_tf"))
+      .dumpOrderedTail("doc_id")
+  }
+
+  /** Blocklist exclusion: drop every document whose fingerprint appears on
+    * a blocklist — the opt-out / known-bad-hash filter of a crawl
+    * pipeline, and the one LEFT ANTI join in the suite. The blocklist here
+    * is derived (fingerprints shared by >1 doc) so the oracle can rebuild
+    * it, but the operator shape is the production one: broadcast the
+    * bounded blocklist, anti-join the corpus map-side — the corpus never
+    * shuffles. An external blocklist too large to broadcast degrades to a
+    * shuffled anti-join by removing the hint, not by rewriting the query. */
+  private def filterBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val block = d.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("fp"))
+    d.join(broadcast(block), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Per-source token-length histogram with power-of-2 bins — the corpus
+    * profiling step that sizes chunking/packing decisions. Bins are an
+    * integer CASE ladder (no float log2, which libm computes differently
+    * per engine); one map-side-combinable aggregate over (source, bin). */
+  private def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Seq(16L, 32L, 64L, 128L, 256L)
+    val n = col("n_tok")
+    val bin = edges.zipWithIndex.foldRight(lit(s"ge_${edges.last}")) {
+      case ((e, i), elseCol) =>
+        val lo = if (i == 0) "lt" else s"${edges(i - 1)}"
+        when(n < e, s"${lo}_$e").otherwise(elseCol)
+    }
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bin", bin)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("sum_tokens"),
+        min(n).as("min_tokens"), max(n).as("max_tokens"))
+      .dumpOrderedTail("source", "bin")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_dedup_exact" -> Q(dedupExact, Some(
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -1242,6 +1350,69 @@ object DataQueries {
         |  ascii(substr(text, 3, 1)) / 255.0 AS f2,
         |  ascii(substr(text, 4, 1)) / 255.0 AS f3
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "data_chunk_dedup" -> Q(chunkDedup, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckWords AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_id,
+         |    array_to_string(
+         |      toks[(i * $DedupCell + 1):(i * $DedupCell + $DedupCell)],
+         |      ' ') AS chunk
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, (n + ${DedupCell - 1}) // $DedupCell)) AS i
+         |        FROM c) x),
+         |f AS (
+         |  SELECT doc_id, chunk_id, chunk,
+         |    row_number() OVER (PARTITION BY md5(chunk)
+         |                       ORDER BY doc_id, chunk_id) AS rn
+         |  FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+         |                      ORDER BY chunk_id), '') AS kept_text
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "data_text_unigram" -> Q(unigramScore, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($duckWords) AS token FROM documents),
+         |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(cnt) AS BIGINT) AS sum_tf,
+         |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tf
+         |FROM t JOIN v USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "data_filter_blocklist" -> Q(filterBlocklist, Some(
+      s"""WITH f AS (
+         |  SELECT doc_id, source, n_chars,
+         |    md5(array_to_string(list_sort(list_distinct($duckWords)), ' '))
+         |      AS fp
+         |  FROM documents),
+         |b AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 1)
+         |SELECT doc_id, source, n_chars FROM f
+         |WHERE fp NOT IN (SELECT fp FROM b)
+         |ORDER BY doc_id""".stripMargin)),
+
+    "data_length_histogram" -> Q(lengthHistogram, Some(
+      s"""WITH d AS (
+         |  SELECT source, CAST(len($duckWords) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT source, n_tok,
+         |    CASE WHEN n_tok < 16 THEN 'lt_16'
+         |         WHEN n_tok < 32 THEN '16_32'
+         |         WHEN n_tok < 64 THEN '32_64'
+         |         WHEN n_tok < 128 THEN '64_128'
+         |         WHEN n_tok < 256 THEN '128_256'
+         |         ELSE 'ge_256' END AS bin
+         |  FROM d)
+         |SELECT source, bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+         |FROM b GROUP BY source, bin
+         |ORDER BY source, bin""".stripMargin)),
   )
 
   /** Pair queries may legitimately be empty on tiny scale factors. */

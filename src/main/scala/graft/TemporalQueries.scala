@@ -2,6 +2,7 @@ package graft
 
 import graft.Out.OrderedOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal operators over the `events` table: distributed as-of join and
@@ -67,6 +68,34 @@ object TemporalQueries {
     graft.streaming.EventStreams.userSessions(Tables.events(spark, dir))
       .dumpOrdered("user_id", "session_start")
 
+  /** Per-user rolling features over the purchase stream — the ROWS-frame
+    * window surface (moving sum/avg, lag delta, row_number) a feature
+    * pipeline computes per entity. One hash exchange on `user_id` + one
+    * per-partition sort serves ALL five windows (identical partitioning
+    * and ordering → Spark plans a single Window operator, single sort).
+    * Frame order is made total by construction — (ts_us, event_id) with
+    * event_id unique — so lag/rolling values are deterministic regardless
+    * of time collisions. Money sums run cents-exact in longs inside the
+    * frame; the single division producing the moving average is the only
+    * double op (frame-order float addition would differ between engines'
+    * window implementations). */
+  private def eventRolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val frame = w.rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("delta_cents", col("cents") - lag(col("cents"), 1).over(w))
+      .withColumn("roll7_cents", sum(col("cents")).over(frame))
+      .withColumn("roll7_n", count(lit(1)).over(frame))
+      .withColumn("roll7_avg",
+        col("roll7_cents").cast("double") / col("roll7_n").cast("double"))
+      .dumpOrdered("event_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_asof_join" -> Q(asofJoin, Some(
       """WITH c AS (
@@ -122,5 +151,25 @@ object TemporalQueries {
          |    AS sum_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin)),
+
+    "data_event_rolling" -> Q(eventRolling, Some(
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, ts_us, cents,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  cents - lag(cents, 1) OVER w AS delta_cents,
+        |  CAST(sum(cents) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS roll7_cents,
+        |  count(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS roll7_n,
+        |  CAST(sum(cents) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE)
+        |    / CAST(count(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE) AS roll7_avg
+        |FROM p
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY event_id""".stripMargin)),
   )
 }
