@@ -13,7 +13,8 @@ object Plans {
   private val Audited = Seq("ref_p2_time_filter", "ref_q1_agg",
     "ref_j1_dim_join", "ref_a1_dedup_latest", "ref_w1_global_aggs",
     "data_sim_cosine_topk", "data_sim_ivf_fitted", "data_dedup_minhash_pairs",
-    "data_asof_join", "data_sessionize")
+    "data_asof_join", "data_sessionize", "data_chunk_dedup",
+    "data_event_rolling")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -92,6 +93,21 @@ object Plans {
       |  `HashAggregate` → exchange on `user_id` → `MergingSessions`
       |  (session merge); state is per-session aggregates, never the raw
       |  per-user event timeline.
+      |- **data_chunk_dedup** — corpus-wide keeper election is a
+      |  partial+final `HashAggregate` on the cell hash
+      |  (`min(struct(doc_id, chunk_id))`) — map-side combine collapses a
+      |  boilerplate cell that occurs in millions of documents to one row
+      |  per mapper BEFORE the shuffle, so a hot hash cannot skew a
+      |  reducer (a `row_number` window over the hash would sort the hot
+      |  partition instead; CorpusOpsSpec asserts no Window). Join-back is
+      |  a plain equi-join on the hash; document reassembly is a per-doc
+      |  hash aggregate. Three O(cells) shuffles, nothing quadratic.
+      |- **data_event_rolling** — all five rolling columns share the same
+      |  (partitionBy user_id, orderBy ts_us, event_id) spec, so Spark
+      |  plans exactly ONE `Window` operator fed by ONE
+      |  `Exchange hashpartitioning(user_id)` + one sort (CorpusOpsSpec
+      |  asserts both counts); frame order is total by construction
+      |  (event_id unique), making every lag/rolling value deterministic.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —
