@@ -840,6 +840,125 @@ object DataQueries {
       .dumpOrderedTail("source", "bin")
   }
 
+  private val TfIdfScale = 1000000L // fixed-point idf scale (integer-exact)
+  private val TfIdfK = 10           // retrieved docs per query
+
+  /** TF-IDF retrieval top-k — the inverted-index search surface of a data
+    * pipeline. Postings (doc, term, tf) are one map-side-combinable
+    * aggregate over exploded tokens; document frequency is a second
+    * aggregate over the postings; queries (the first three documents'
+    * leading distinct terms) and the idf model (bounded by vocabulary,
+    * like [[unigramScore]]'s) are broadcast, so the postings table — the
+    * only thing that scales with the corpus — shuffles exactly once for
+    * the per-(query, doc) score aggregation. Per-query top-k goes through
+    * row_number + filter, which Spark plans as `WindowGroupLimit`
+    * (bounded-heap partial below the shuffle).
+    *
+    * idf is fixed-point integer: `(SCALE * (N+1)) div (df+1)` — integer
+    * floor division is bit-identical on both engines, so scores are exact
+    * longs, with no float-log idf that libm would round differently. */
+  private def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        expr(s"($TfIdfScale * (n_docs + 1)) div (df + 1)").as("idf_scaled"))
+    val queries = docs.where(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
+          .as("term"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(queries), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("idf_scaled")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TfIdfK)
+      .dumpOrdered("query_id", "rnk")
+  }
+
+  /** BPE merge-candidate counts — the first iteration of byte-pair-
+    * encoding tokenizer training: count every adjacent token pair across
+    * the corpus, keep the top candidates. The pair count is one
+    * map-side-combinable aggregate (shuffle bounded by vocabulary², not
+    * corpus size); the global top-k runs as `TakeOrderedAndProject` —
+    * per-partition bounded heaps merged on the driver, never a full sort.
+    * The rank column is computed AFTER the limit, over k rows only.
+    * Total order (cnt desc, a, b) makes the cut deterministic. */
+  private def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val counts = Tables.documents(spark, dir)
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .select(explode(expr(
+        // guard: sequence(1, 0) would generate DESCENDING [1, 0], not empty
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(1, size(t) - 1),
+          |                 i -> struct(t[i-1] AS a, t[i] AS b))
+          |  ELSE cast(null AS array<struct<a:string,b:string>>) END"""
+          .stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("a"), col("b"))).cast("long"))
+      .dumpOrdered("rnk")
+  }
+
+  /** Exact-percentile quality gate: keep documents at or above the corpus
+    * p75 of token length. The percentile is computed from a VALUE
+    * HISTOGRAM — one map-side-combinable aggregate to O(distinct lengths)
+    * rows, a cumulative sum over that bounded histogram, and
+    * `min(value | 4*cum >= 3*n)` (integer cross-multiplication, no
+    * division) — never by sorting the corpus or collecting values to one
+    * reducer, which is how exact percentiles stay exact at 100 TB when
+    * the metric's domain is bounded. The single-partition window runs
+    * over histogram rows only. */
+  private def qualityThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    val histo = d.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
+    val cum = histo.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = cum.crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+      .where(col("cum") * 4 >= col("n") * 3)
+      .agg(min(col("n_tok")).as("p75"))
+    d.crossJoin(broadcast(thr))
+      .where(col("n_tok") >= col("p75"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Blocked fuzzy self-join — entity resolution by bounded edit
+    * distance. Candidate pairs come from an EQUI-join on the blocking key
+    * (name prefix + segment), never a cartesian; `levenshtein` (identical
+    * DP both engines) scores candidates only, and `key_a < key_b`
+    * canonicalizes pairs. Block size bounds the quadratic exactly like
+    * the LSH hot-bucket cap does for MinHash ([[Dedup.capHotBuckets]]). */
+  private def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(tag: String) = Tables.customer(spark, dir)
+      .select(
+        expr("substring(c_name, 1, length(c_name) - 2)").as("blk"),
+        col("c_mktsegment").as("seg"),
+        col("c_custkey").as(s"key_$tag"), col("c_name").as(s"name_$tag"))
+    side("a").join(side("b"), Seq("blk", "seg"))
+      .where(col("key_a") < col("key_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("seg"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .dumpOrdered("key_a", "key_b")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_dedup_exact" -> Q(dedupExact, Some(
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -1413,6 +1532,74 @@ object DataQueries {
          |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
          |FROM b GROUP BY source, bin
          |ORDER BY source, bin""".stripMargin)),
+
+    "data_tfidf_topk" -> Q(tfidfTopK, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckWords) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT term, ($TfIdfScale * (n_docs + 1)) // (df + 1) AS idf_scaled
+         |  FROM dfreq CROSS JOIN n),
+         |q AS (
+         |  SELECT doc_id AS query_id,
+         |    unnest(list_distinct(($duckWords)[1:4])) AS term
+         |  FROM documents WHERE doc_id < 3),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(sum(tf.tf * idf.idf_scaled) AS BIGINT) AS score,
+         |    count(*) AS n_terms
+         |  FROM tf JOIN q USING (term) JOIN idf USING (term)
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, doc_id, score, n_terms, rnk FROM r
+         |WHERE rnk <= $TfIdfK ORDER BY query_id, rnk""".stripMargin)),
+
+    "data_bpe_pairs" -> Q(bpePairs, Some(
+      s"""WITH t AS (SELECT $duckWords AS t FROM documents),
+         |p AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b
+         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t) x),
+         |c AS (SELECT a, b, count(*) AS cnt FROM p GROUP BY a, b
+         |      ORDER BY cnt DESC, a, b LIMIT 50)
+         |SELECT a, b, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rnk
+         |FROM c ORDER BY rnk""".stripMargin)),
+
+    "data_quality_threshold" -> Q(qualityThreshold, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($duckWords) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |h AS (SELECT n_tok, count(*) AS c FROM d GROUP BY n_tok),
+         |cum AS (
+         |  SELECT n_tok, sum(c) OVER (ORDER BY n_tok
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |thr AS (
+         |  SELECT min(n_tok) AS p75 FROM cum CROSS JOIN
+         |    (SELECT count(*) AS n FROM d) n
+         |  WHERE cum * 4 >= n * 3)
+         |SELECT doc_id, source, n_tok, p75 FROM d CROSS JOIN thr
+         |WHERE n_tok >= p75 ORDER BY doc_id""".stripMargin)),
+
+    "data_fuzzy_join" -> Q(fuzzyJoin, Some(
+      """WITH s AS (
+        |  SELECT substring(c_name, 1, length(c_name) - 2) AS blk,
+        |    c_mktsegment AS seg, c_custkey, c_name
+        |  FROM customer)
+        |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  a.c_name AS name_a, b.c_name AS name_b, a.seg AS seg,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM s a JOIN s b USING (blk, seg)
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin)),
   )
 
   /** Pair queries may legitimately be empty on tiny scale factors. */

@@ -96,6 +96,98 @@ object TemporalQueries {
       .dumpOrdered("event_id")
   }
 
+  /** CDC / changelog application — the MERGE-INTO semantics of an
+    * incremental ingest: each user's event stream is a changelog
+    * (`error` = delete, anything else = upsert), and the final state is
+    * the LATEST operation per key with deleted keys suppressed. One
+    * map-side-combinable `max_by` aggregate on the composite ordering key
+    * `ts_us * 1024 + event_id % 1024` (the same tie-broken-by-construction
+    * key as the A1 exports dedup — RefQueries argmax contract), shuffle
+    * O(keys); the delete filter is a post-aggregation predicate, so
+    * tombstones never need a second pass. */
+  private def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ck = expr("ts_us * 1024 + event_id % 1024")
+    Tables.events(spark, dir)
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_id"), ck).as("last_event_id"),
+        max_by(col("ts_us"), ck).as("last_ts_us"),
+        max_by(col("op"), ck).as("last_op"),
+        max_by(col("cents"), ck).as("last_cents"),
+        count(lit(1)).as("n_ops"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+      .where(col("last_op") === "U")
+      .drop("last_op")
+      .dumpOrdered("user_id")
+  }
+
+  /** Tumbling-window (1 h) per-type event aggregation — the batch twin of
+    * the streaming windowed aggregate, as one map-side-combinable hash
+    * aggregate on (type, bucket). Buckets are epoch-aligned on both
+    * engines (Spark `window()` and DuckDB `time_bucket` share the
+    * 1970-01-01T00:00Z origin); the boundary is emitted as unix micros so
+    * no timestamp representation reaches the hash. Money sums stay
+    * cents-exact in longs, the final average is the single double op. */
+  private def timeBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"),
+        window(col("ts_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("bucket_us"),
+        col("n_events"),
+        (col("sum_cents").cast("double") / lit(100.0)).as("sum_value"))
+      .dumpOrdered("event_type", "bucket_us")
+
+  /** Month-cohort retention matrix: users grouped by first-active month,
+    * counted in every later month they return — the engagement-analysis
+    * staple. Months are exact integer codes (year*12 + month, no date
+    * arithmetic ambiguity). Three aggregates, each map-side combinable:
+    * per-(user, month) distinct activity, per-user cohort (min month),
+    * then the (cohort, offset) matrix; the cohort join-back stays
+    * partitioned on user_id. */
+  private def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (year(col("ts_ts")) * 12 + month(col("ts_ts"))).cast("long")
+          .as("mcode"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("mcode")).as("cohort"))
+    activity.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"),
+        (col("mcode") - col("cohort")).as("month_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .dumpOrderedTail("cohort", "month_offset")
+  }
+
+  /** View→purchase conversion funnel: each user's first `view`, their
+    * first `purchase` STRICTLY AFTER it, and the conversion flag — the
+    * ordered-step funnel a product pipeline computes per entity. Two
+    * map-side-combinable aggregates (first-view, then first-qualifying-
+    * purchase among events joined back on user_id) and a left join; no
+    * window over the raw event timeline. `min(ts_us)` needs no
+    * tie-break — the minimum of a set of longs is unique. */
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val firstView = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_view_us"))
+    val firstPurchase = ev.where(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .where(col("ts_us") > col("first_view_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_purchase_us"))
+    firstView.join(firstPurchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view_us"),
+        col("first_purchase_us"),
+        col("first_purchase_us").isNotNull.as("converted"))
+      .dumpOrdered("user_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_asof_join" -> Q(asofJoin, Some(
       """WITH c AS (
@@ -171,5 +263,62 @@ object TemporalQueries {
         |FROM p
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY event_id""".stripMargin)),
+
+    "data_cdc_apply" -> Q(cdcApply, Some(
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) * 1024 + event_id % 1024 AS ck
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    max_by(event_id, ck) AS last_event_id,
+        |    max_by(ts_us, ck) AS last_ts_us,
+        |    max_by(op, ck) AS last_op,
+        |    max_by(cents, ck) AS last_cents,
+        |    count(*) AS n_ops,
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deletes
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, last_event_id, last_ts_us, last_cents, n_ops,
+        |  n_deletes
+        |FROM s WHERE last_op = 'U' ORDER BY user_id""".stripMargin)),
+
+    "data_time_bucket" -> Q(timeBucket, Some(
+      """SELECT event_type,
+        |  epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM events GROUP BY event_type, bucket_us
+        |ORDER BY event_type, bucket_us""".stripMargin)),
+
+    "data_retention_cohort" -> Q(retentionCohort, Some(
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(year(ts) * 12 + month(ts) AS BIGINT) AS mcode
+        |  FROM events),
+        |c AS (SELECT user_id, min(mcode) AS cohort FROM a GROUP BY user_id)
+        |SELECT cohort, mcode - cohort AS month_offset, count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort, month_offset
+        |ORDER BY cohort, month_offset""".stripMargin)),
+
+    "data_funnel" -> Q(funnel, Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |fv AS (
+        |  SELECT user_id, min(ts_us) AS first_view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (
+        |  SELECT e.user_id, min(e.ts_us) AS first_purchase_us
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fv.first_view_us
+        |  GROUP BY e.user_id)
+        |SELECT user_id, first_view_us, first_purchase_us,
+        |  first_purchase_us IS NOT NULL AS converted
+        |FROM fv LEFT JOIN fp USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
   )
 }

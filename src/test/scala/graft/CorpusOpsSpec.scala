@@ -80,6 +80,109 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 400L, Some(200L))))
   }
 
+  test("tfidf retrieval broadcasts queries and idf; corpus joins are equi") {
+    val p = plan("data_tfidf_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast joins for query terms and idf model in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected bounded-heap per-query top-k in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+  }
+
+  test("bpe pair top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("data_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected partial top-k merge in:\n$p")
+  }
+
+  test("bpe pair extraction yields no pairs for single-token docs") {
+    // sequence(1, 0) generates DESCENDING [1, 0]; the CASE guard must
+    // suppress it rather than emitting a (t[0], null) pair.
+    val df = Seq("solo", "a b c").toDF("text")
+      .select(split($"text", "\\s+").as("t"))
+      .select(explode(expr(
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(1, size(t) - 1),
+          |                 i -> struct(t[i-1] AS a, t[i] AS b))
+          |  ELSE cast(null AS array<struct<a:string,b:string>>) END"""
+          .stripMargin)).as("p"))
+      .select($"p.a", $"p.b").orderBy("a", "b")
+      .as[(String, String)].collect().toSeq
+    assert(df == Seq(("a", "b"), ("b", "c")))
+  }
+
+  test("quality threshold: window runs over the value histogram, not docs") {
+    val p = plan("data_quality_threshold")
+    // executedPlan prints top-down: the Window node must sit ABOVE the
+    // n_tok histogram aggregate (its input), never above a raw doc scan.
+    val w = p.indexOf("Window")
+    val h = p.indexOf("HashAggregate(keys=[n_tok")
+    assert(w >= 0 && h >= 0 && w < h,
+      s"expected Window fed by the n_tok histogram aggregate in:\n$p")
+    // and the gate keeps at least the top quartile
+    val rows = Registry.byName("data_quality_threshold")
+      .build(spark, TestSpark.sf)
+    val n = Tables.documents(spark, TestSpark.sf).count()
+    val kept = rows.count()
+    assert(kept * 4 >= n && kept < n, s"p75 gate kept $kept of $n")
+  }
+
+  test("fuzzy join is block-equi, never cartesian; pairs are canonical") {
+    val p = plan("data_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"expected blocked equi-join in:\n$p")
+    val rows = Registry.byName("data_fuzzy_join").build(spark, TestSpark.sf)
+      .select($"key_a", $"key_b", $"dist").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, d) => a < b && d == 1 })
+  }
+
+  test("cdc apply: deleted keys are suppressed, aggregation is map-side") {
+    val p = plan("data_cdc_apply")
+    assert(p.contains("partial_max_by"),
+      s"expected map-side partial max_by in:\n$p")
+    // semantics on a synthetic changelog: user 1 ends on an upsert, user 2
+    // ends on a delete (tombstone) and must vanish from the final state
+    val ev = Seq(
+      (1L, 100L, 1L, "purchase", 1.0),
+      (2L, 200L, 1L, "error", 0.0),
+      (3L, 300L, 1L, "view", 2.0),
+      (4L, 100L, 2L, "purchase", 1.0),
+      (5L, 200L, 2L, "error", 0.0)
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val ck = expr("ts_us * 1024 + event_id % 1024")
+    val state = ev
+      .withColumn("op", when($"event_type" === "error", "D").otherwise("U"))
+      .groupBy($"user_id")
+      .agg(max_by($"event_id", ck).as("last_event_id"),
+        max_by($"op", ck).as("last_op"))
+      .where($"last_op" === "U")
+      .select($"user_id", $"last_event_id")
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(state == Seq((1L, 3L)))
+  }
+
+  test("cohort retention and funnel are aggregate-only — no event window") {
+    // Both ops could be written as windows over the per-user event
+    // timeline; the aggregate+join form keeps partial aggregation and
+    // avoids sorting user partitions.
+    for (name <- Seq("data_retention_cohort", "data_funnel")) {
+      val p = plan(name)
+      assert(!p.contains("Window ["), s"unexpected Window in $name:\n$p")
+      assert(p.contains("partial_"), s"expected partial aggregation in $name")
+    }
+  }
+
+  test("time bucketing is one map-side-combinable aggregate") {
+    val p = plan("data_time_bucket")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected partial aggregation in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected a single hash exchange in:\n$p")
+  }
+
   test("unigram scores: constant-text corpus scores uniformly") {
     val docs = Seq((1L, "a a b"), (2L, "a a b")).toDF("doc_id", "text")
     val toks = docs.select($"doc_id", explode(split($"text", "\\s+")).as("token"))
