@@ -959,6 +959,62 @@ object DataQueries {
       .dumpOrdered("key_a", "key_b")
   }
 
+  private val NShards = 8 // training shards (thousands at real scale)
+
+  /** Training-shard plan: deterministic pseudo-random shard assignment +
+    * intra-shard order — the "shuffle the corpus for training" step, with
+    * no `rand()` (reproducible under retries, like [[sampleStratified]]).
+    * Shard = 16 bits of md5 mod [[NShards]]; order within a shard is the
+    * full md5 (uncorrelated with doc order). The row_number window
+    * partitions BY SHARD, so it parallelizes across shards — no global
+    * sort, no single partition anywhere. */
+  private def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("shard|"), col("doc_id").cast("string")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("h"),
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % NShards)
+          .as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Pairwise source-overlap matrix: shared distinct shingles and Jaccard
+    * between every source pair — the corpus-analysis step that finds
+    * mirrored / cross-contaminated crawls before training. The self-join
+    * is on the SHINGLE key, so each shingle contributes at most
+    * sources²/2 pairs regardless of corpus size (the per-key fan-out is
+    * bounded by the source count, unlike a doc-level join); everything
+    * else is map-side-combinable aggregation. The one double op is the
+    * final Jaccard division. */
+  private def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), R))
+          .as("shingle"))
+      .distinct()
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("source").as("source_a"), col("shingle"))
+      .join(sh.select(col("source").as("source_b"), col("shingle")),
+        Seq("shingle"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .dumpOrdered("source_a", "source_b")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_dedup_exact" -> Q(dedupExact, Some(
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -1600,6 +1656,39 @@ object DataQueries {
         |WHERE a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY key_a, key_b""".stripMargin)),
+
+    "data_shard_plan" -> Q(shardPlan, Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    md5('shard|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, h,
+         |    CAST(list_sum(list_transform(range(1, 5), i ->
+         |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+         |        * 16.0 ** (4 - i))) AS BIGINT) % $NShards AS shard
+         |  FROM h)
+         |SELECT doc_id, source, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin)),
+
+    "data_source_overlap" -> Q(sourceOverlap, Some(
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, unnest($duckShingles) AS shingle
+         |  FROM documents),
+         |n AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS n_shared
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_shared, na.n AS n_a, nb.n AS n_b,
+         |  CAST(n_shared AS DOUBLE) /
+         |    CAST(na.n + nb.n - n_shared AS DOUBLE) AS jaccard
+         |FROM p JOIN n na ON p.source_a = na.source
+         |       JOIN n nb ON p.source_b = nb.source
+         |ORDER BY source_a, source_b""".stripMargin)),
   )
 
   /** Pair queries may legitimately be empty on tiny scale factors. */

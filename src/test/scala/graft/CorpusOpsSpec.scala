@@ -183,6 +183,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"expected a single hash exchange in:\n$p")
   }
 
+  test("shard plan: window partitions by shard, positions are contiguous") {
+    val p = plan("data_shard_plan")
+    val winLine = p.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert(winLine.contains("shard"),
+      s"row_number window must partition by shard, got:\n$winLine")
+    val byShard = Registry.byName("data_shard_plan")
+      .build(spark, TestSpark.sf)
+      .groupBy($"shard").agg(count(lit(1)).as("n"), max($"pos").as("mx"),
+        min($"pos").as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(byShard.nonEmpty)
+    assert(byShard.forall { case (_, n, mx, mn) => mn == 1L && mx == n },
+      "positions must be 1..n within each shard")
+  }
+
+  test("source overlap joins on the shingle key, never doc-level pairs") {
+    val p = plan("data_source_overlap")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    val rows = Registry.byName("data_source_overlap")
+      .build(spark, TestSpark.sf)
+      .select($"n_shared", $"n_a", $"n_b", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (s, a, b, j) =>
+      s <= math.min(a, b) && j >= 0.0 && j <= 1.0 })
+  }
+
   test("unigram scores: constant-text corpus scores uniformly") {
     val docs = Seq((1L, "a a b"), (2L, "a a b")).toDF("doc_id", "text")
     val toks = docs.select($"doc_id", explode(split($"text", "\\s+")).as("token"))
