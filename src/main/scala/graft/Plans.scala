@@ -14,7 +14,7 @@ object Plans {
     "ref_j1_dim_join", "ref_a1_dedup_latest", "ref_w1_global_aggs",
     "data_sim_cosine_topk", "data_sim_ivf_fitted", "data_dedup_minhash_pairs",
     "data_asof_join", "data_sessionize", "data_chunk_dedup",
-    "data_event_rolling")
+    "data_event_rolling", "data_tfidf_topk")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -108,6 +108,13 @@ object Plans {
       |  `Exchange hashpartitioning(user_id)` + one sort (CorpusOpsSpec
       |  asserts both counts); frame order is total by construction
       |  (event_id unique), making every lag/rolling value deterministic.
+      |- **data_tfidf_topk** — the inverted-index retrieval shape: postings
+      |  (doc, term, tf) aggregate once (partial+final HashAggregate); the
+      |  df/idf model and the query-term table enter through
+      |  `BroadcastExchange`s (both bounded by vocabulary, not corpus), so
+      |  the postings table is the only thing shuffled; per-query top-k
+      |  goes through `WindowGroupLimit` (bounded heap below the final
+      |  window sort). Integer fixed-point idf — scores are exact longs.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —
