@@ -1,0 +1,95 @@
+package graft
+
+import graft.Out.OrderedOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Additional source-format coverage beyond CSV/parquet: JSONL ingest with
+  * corrupt-record quarantine (the malformed-data path every 100 TB crawl
+  * ingest needs) and an ORC round-trip (the second columnar format Spark
+  * ships natively). Both are write→read round-trips whose read-back equals
+  * a plain parquet projection, so the DuckDB oracle hash-compares the
+  * LOSSLESSNESS property; the quarantine counts are runtime-validated
+  * invariants (`require`), like the S5 CSV sink validation.
+  */
+object FormatQueries {
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt/$name"
+
+  /** JSONL ingest with PERMISSIVE corrupt-record capture: documents are
+    * dumped as JSON lines, two malformed lines are injected, and the read
+    * back uses an EXPLICIT schema (never inference — at 100 TB schema
+    * inference is a full extra pass) plus a `_corrupt_record` column.
+    * Good rows flow on; corrupt rows are counted and quarantined, not
+    * fatal, and the count is validated before the result is returned.
+    * Output = the parsed good rows, so the oracle checks the JSON
+    * round-trip is lossless against the parquet source. */
+  private def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).where(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val good = src.select(to_json(struct(src.columns.map(col): _*)).as("line"))
+    val bad = Seq(
+      """{"doc_id": 999999, "text": unquoted garbage}""",
+      """not json at all""").toDF("line")
+    val path = tmp("jsonl_in")
+    good.unionAll(bad).coalesce(1)
+      .write.mode("overwrite").text(path)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    // cache() before splitting on _corrupt_record: Spark's JSON reader
+    // forbids filtering ONLY the corrupt column off an un-materialized
+    // scan (SPARK-26409); the bounded sample makes this a test-scale
+    // materialization, production quarantines via foreachBatch split.
+    read.cache()
+    val corrupt = read.where(col("_corrupt_record").isNotNull).count()
+    require(corrupt == 2, s"expected 2 quarantined lines, got $corrupt")
+    read.where(col("_corrupt_record").isNull)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** ORC write→read round-trip on a lineitem slice — type fidelity across
+    * Spark's second native columnar format (longs, ints, doubles,
+    * strings, timestamps). The timestamp is emitted as a formatted string
+    * (engines disagree on dumped timestamp physical types, not values). */
+  private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.lineitem(spark, dir).where(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+    val path = tmp("orc_roundtrip")
+    src.write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("l_shipdate_str"))
+      .dumpOrdered("l_orderkey", "l_linenumber")
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    "data_jsonl_ingest" -> Q(jsonlIngest, Some(
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    "data_orc_roundtrip" -> Q(orcRoundtrip, Some(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_extendedprice, l_returnflag,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_str
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+  )
+}

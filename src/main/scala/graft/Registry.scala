@@ -4,7 +4,7 @@ package graft
 object Registry {
   def all: Seq[(String, Q)] =
     RefQueries.defs ++ JsonQueries.defs ++ CsvQueries.defs ++ DataQueries.defs ++
-      TemporalQueries.defs ++ EtlQueries.defs :+
+      TemporalQueries.defs ++ EtlQueries.defs ++ FormatQueries.defs :+
       ("ref_e2e_monthly_report" ->
         Q(Pipeline.monthlyReport, Some(Pipeline.oracle), headline = true))
 

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-format coverage: JSONL ingest quarantine semantics and ORC
+  * round-trip fidelity (the oracle checks losslessness; these lock the
+  * error-path behavior and the explicit-schema contract).
+  */
+class FormatSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("JSONL permissive read quarantines corrupt lines, keeps good rows") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_spec/jsonl"
+    Seq(
+      """{"id": 1, "v": "a"}""",
+      """{"id": 2, "v": "b"}""",
+      """{"id": broken""").toDF("line")
+      .coalesce(1).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    read.cache()
+    assert(read.where($"_corrupt_record".isNotNull).count() == 1)
+    val good = read.where($"_corrupt_record".isNull)
+      .select($"id", $"v").orderBy("id").as[(Long, String)].collect().toSeq
+    assert(good == Seq((1L, "a"), (2L, "b")))
+    read.unpersist()
+  }
+
+  test("corrupt rows carry the raw line for the quarantine side-channel") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_spec/raw"
+    Seq("""{"id": 1}""", """garbage""").toDF("line")
+      .coalesce(1).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    read.cache()
+    val raw = read.where($"_corrupt_record".isNotNull)
+      .select($"_corrupt_record").as[String].collect().toSeq
+    assert(raw == Seq("garbage"), "quarantine must preserve the raw line")
+    read.unpersist()
+  }
+
+  test("ORC round-trip preserves types bit-exactly") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_spec/orc"
+    val src = Seq((1L, 2, 3.5, "x"), (4L, 5, 6.25, "y"))
+      .toDF("a", "b", "c", "d")
+    src.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    // read-back schema is nullable-relaxed; names and types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("a").collect().toSeq ==
+      src.orderBy("a").collect().toSeq)
+  }
+}
