@@ -188,6 +188,36 @@ object TemporalQueries {
       .dumpOrdered("user_id")
   }
 
+  private val ZBits = 10 // per-dimension bits in the Z-curve
+
+  /** Z-order clustering stats: interleave (user bucket, hour bucket) into
+    * a 20-bit Morton code, cluster into 64 z-ranges, and report each
+    * range's per-dimension min/max span — the data-skipping layout for
+    * queries that filter on user AND time (a single-column sort serves
+    * one dimension; the Z-curve bounds BOTH spans per file, so parquet
+    * min/max stats prune either predicate). The interleave is a 10-term
+    * shift-and-mask sum — identical integer ops on both engines — and the
+    * output is the per-range stats table a layout optimizer reads.
+    * CorpusOpsSpec quantifies the skipping: mean per-range span ≤ 1/4 of
+    * the global domain on both dimensions simultaneously. */
+  private def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    def interleave(a: String, b: String): String =
+      (0 until ZBits).map { i =>
+        s"(((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i}))"
+      }.mkString(" + ")
+    val z = interleave("ub", "hb")
+    Tables.events(spark, dir)
+      .select(pmod(col("user_id"), lit(1024L)).as("ub"),
+        pmod(expr("ts_us div 3600000000"), lit(1024L)).as("hb"))
+      .withColumn("z", expr(z))
+      .withColumn("zrange", expr("z div 16384")) // 64 ranges of the curve
+      .groupBy(col("zrange"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ub")).as("ub_min"), max(col("ub")).as("ub_max"),
+        min(col("hb")).as("hb_min"), max(col("hb")).as("hb_max"))
+      .dumpOrderedTail("zrange")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_asof_join" -> Q(asofJoin, Some(
       """WITH c AS (
@@ -320,5 +350,20 @@ object TemporalQueries {
         |  first_purchase_us IS NOT NULL AS converted
         |FROM fv LEFT JOIN fp USING (user_id)
         |ORDER BY user_id""".stripMargin)),
+
+    "data_zorder_layout" -> Q(zorderLayout, Some {
+      val z = (0 until ZBits).map { i =>
+        s"((((ub >> $i) & 1) << ${2 * i + 1}) + (((hb >> $i) & 1) << ${2 * i}))"
+      }.mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT user_id % 1024 AS ub,
+         |    (epoch_us(ts) // 3600000000) % 1024 AS hb
+         |  FROM events),
+         |z AS (SELECT ub, hb, ($z) AS z FROM d)
+         |SELECT z // 16384 AS zrange, count(*) AS n_events,
+         |  min(ub) AS ub_min, max(ub) AS ub_max,
+         |  min(hb) AS hb_min, max(hb) AS hb_max
+         |FROM z GROUP BY zrange ORDER BY zrange""".stripMargin
+    }),
   )
 }

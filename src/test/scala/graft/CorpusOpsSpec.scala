@@ -210,6 +210,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       s <= math.min(a, b) && j >= 0.0 && j <= 1.0 })
   }
 
+  test("z-order ranges bound BOTH dimension spans at once") {
+    // The point of the Morton layout: a single-column sort gives narrow
+    // spans on one dimension only; z-ranges must average well under the
+    // global domain on user AND hour buckets simultaneously, or the
+    // interleave is wrong and min/max skipping buys nothing.
+    val stats = Registry.byName("data_zorder_layout")
+      .build(spark, TestSpark.sf)
+      .select($"n_events", $"ub_max" - $"ub_min", $"hb_max" - $"hb_min")
+      .as[(Long, Long, Long)].collect()
+    assert(stats.length > 1)
+    def meanSpan(f: ((Long, Long, Long)) => Long) =
+      stats.map(f).sum.toDouble / stats.length
+    assert(meanSpan(_._2) <= 1024 / 4.0, s"user span too wide: $stats")
+    assert(meanSpan(_._3) <= 1024 / 4.0, s"hour span too wide: $stats")
+  }
+
   test("unigram scores: constant-text corpus scores uniformly") {
     val docs = Seq((1L, "a a b"), (2L, "a a b")).toDF("doc_id", "text")
     val toks = docs.select($"doc_id", explode(split($"text", "\\s+")).as("token"))
