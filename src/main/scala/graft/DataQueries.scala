@@ -1015,6 +1015,52 @@ object DataQueries {
       .dumpOrdered("source_a", "source_b")
   }
 
+  /** Per-source exact percentiles (p50/p90 of token length) via the same
+    * value-histogram construction as [[qualityThreshold]], generalized to
+    * groups: histogram on (source, n_tok), cumulative sum per source
+    * (window over O(distinct) histogram rows, partitioned by source so it
+    * parallelizes), threshold election by integer cross-multiplication.
+    * This is how per-language/per-source quality cutoffs stay exact at
+    * corpus scale — no per-group sort of raw docs, no percentile state
+    * larger than the value domain. */
+  private def groupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    val histo = d.groupBy(col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("c"))
+    val cum = histo.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("source"))
+        .orderBy(col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    cum.join(broadcast(tot), Seq("source"))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("n_tok"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("n_tok"))).as("p90"),
+        max(col("n")).as("n_docs"))
+      .dumpOrderedTail("source")
+  }
+
+  /** Within-source quantile normalization: each document's quality metric
+    * mapped to its percent rank INSIDE its source, then to one of four
+    * quality buckets — the CCNet-style move that makes thresholds
+    * comparable across sources with different length distributions. One
+    * window per source partition (parallel across sources); the frame
+    * order (n_tok, doc_id) is total, so ranks are deterministic, and
+    * percent_rank's (rank-1)/(n-1) is the same IEEE division on both
+    * engines. */
+  private def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tok"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("bucket", least(floor(col("pr") * 4), lit(3L)).cast("long"))
+      .dumpOrdered("doc_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_dedup_exact" -> Q(dedupExact, Some(
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -1689,6 +1735,35 @@ object DataQueries {
          |FROM p JOIN n na ON p.source_a = na.source
          |       JOIN n nb ON p.source_b = nb.source
          |ORDER BY source_a, source_b""".stripMargin)),
+
+    "data_group_percentiles" -> Q(groupPercentiles, Some(
+      s"""WITH d AS (
+         |  SELECT source, CAST(len($duckWords) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |h AS (SELECT source, n_tok, count(*) AS c FROM d GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, n_tok,
+         |    sum(c) OVER (PARTITION BY source ORDER BY n_tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |t AS (SELECT source, count(*) AS n FROM d GROUP BY source)
+         |SELECT source,
+         |  min(CASE WHEN cum * 2 >= n THEN n_tok END) AS p50,
+         |  min(CASE WHEN cum * 10 >= n * 9 THEN n_tok END) AS p90,
+         |  max(n) AS n_docs
+         |FROM cum JOIN t USING (source)
+         |GROUP BY source ORDER BY source""".stripMargin)),
+
+    "data_quantile_norm" -> Q(quantileNorm, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($duckWords) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT doc_id, source, n_tok,
+         |  percent_rank() OVER (PARTITION BY source
+         |                       ORDER BY n_tok, doc_id) AS pr,
+         |  CAST(least(floor(percent_rank() OVER (PARTITION BY source
+         |         ORDER BY n_tok, doc_id) * 4), 3) AS BIGINT) AS bucket
+         |FROM d ORDER BY doc_id""".stripMargin)),
   )
 
   /** Pair queries may legitimately be empty on tiny scale factors. */
