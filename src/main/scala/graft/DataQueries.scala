@@ -191,9 +191,24 @@ object DataQueries {
         col("group_size"), col("is_dup"))
       .dumpOrdered("doc_id")
 
-  private def withShingleSig(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus with the token array and 3-shingles materialized as columns —
+    * tokens BEFORE the shingle HOF: element_at over an attribute is an
+    * array lookup, while a nested split(text) inside the (interpreted)
+    * HOF re-splits the text once per accessed element. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("sh", TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", TextAnalysis.shingles(col("toks"), 3))
+
+  /** (doc_id, …, sh, sig) with the signature as the per-row HOF
+    * expression: zero shuffle, embarrassingly parallel, and — measured —
+    * the FASTER form despite interpreted HOF evaluation, because the
+    * alternative ([[Dedup.minhashSigAgg]], bit-parity-spec'd in
+    * DataOpsSpec) aggregates STRING minima, which Spark plans as
+    * SortAggregate (no mutable fixed-width buffer): 4 s HOF vs 22 s agg
+    * on the bands query at sf0.1. */
+  private def withShingleSig(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
       .withColumn("sig", Dedup.minhashSig(col("sh"), K))
 
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
@@ -260,7 +275,8 @@ object DataQueries {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val sets = shingled(spark, dir)
+      .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), Seq("id_b"))
@@ -289,8 +305,13 @@ object DataQueries {
     val agg = udaf(new graft.functions.MinHashAggregator(K))
     Tables.documents(spark, dir)
       .select(col("lang"), col("source"),
-        explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
-          .as("sh"))
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("lang"), col("source"),
+        explode(TextAnalysis.shingles(col("toks"), 3)).as("sh"))
+      // min over a SET equals min over the multiset: dedup (group, shingle)
+      // first so the udaf updates once per distinct shingle, not once per
+      // occurrence (vocab-repetitive corpora repeat shingles heavily)
+      .distinct()
       .groupBy(col("lang"), col("source"))
       .agg(array_join(agg(col("sh")), ",").as("sig"))
       .dumpOrdered("lang", "source")
@@ -557,8 +578,9 @@ object DataQueries {
     * aggregation, never shuffling raw shingles by anything but doc_id. */
   private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))).as("sh"))
+        TextAnalysis.shingles(col("toks"), 3))).as("sh"))
     val bench = sh.where(col("doc_id") < 10).select(col("sh")).distinct()
       .withColumn("__hit", lit(1))
     sh.where(col("doc_id") >= 10)
@@ -983,24 +1005,36 @@ object DataQueries {
 
   /** Pairwise source-overlap matrix: shared distinct shingles and Jaccard
     * between every source pair — the corpus-analysis step that finds
-    * mirrored / cross-contaminated crawls before training. The self-join
-    * is on the SHINGLE key, so each shingle contributes at most
-    * sources²/2 pairs regardless of corpus size (the per-key fan-out is
-    * bounded by the source count, unlike a doc-level join); everything
-    * else is map-side-combinable aggregation. The one double op is the
-    * final Jaccard division. */
+    * mirrored / cross-contaminated crawls before training. ONE shuffle of
+    * the corpus (shingle → `collect_set(source)`, partial-merged map-side,
+    * each set bounded by the source count), then pairs expand per shingle
+    * from the sorted set — at most sources²/2 rows per shingle, by
+    * construction, with no self-join and no second scan (a shingle-keyed
+    * self-join computes the same matrix but re-shuffles the distinct
+    * (source, shingle) table twice more; measured 8.8 s → 1.7 s at
+    * sf0.1). Per-source totals fall out of the same sets. The one double
+    * op is the final Jaccard division. */
   private def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val sets = Tables.documents(spark, dir)
+      // materialize the token array BEFORE the shingle lambda: element_at
+      // over an attribute is an array lookup, while a nested split(text)
+      // inside the (interpreted) HOF re-splits the text once per accessed
+      // element — measured 5.5 s → 0.9 s on this aggregate at sf0.1
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("source"),
-        explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), R))
-          .as("shingle"))
-      .distinct()
-    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairs = sh.select(col("source").as("source_a"), col("shingle"))
-      .join(sh.select(col("source").as("source_b"), col("shingle")),
-        Seq("shingle"))
-      .where(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+        explode(TextAnalysis.shingles(col("toks"), R)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+    // both consumers share the aggregate's Exchange (ReusedExchange) — the
+    // corpus scan+explode runs once; no cache needed (or wanted at scale)
+    val counts = sets.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sets.select(explode(expr(
+      """filter(flatten(transform(ss, a -> transform(ss,
+        |  b -> struct(a AS source_a, b AS source_b)))),
+        |  p -> p.source_a < p.source_b)""".stripMargin)).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     pairs
       .join(broadcast(counts.select(col("source").as("source_a"),

@@ -10,6 +10,25 @@ class DataOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("minhashSigAgg is bit-identical to the per-row HOF signature") {
+    // The aggregate form is the scale path (codegen'd md5s, map-side
+    // minima); the HOF expression is the composable form. Same values —
+    // including the all-null signature for empty shingle arrays.
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c")),
+      (3L, Seq.empty[String])
+    ).toDF("doc_id", "sh")
+    val k = 5
+    val hof = docs
+      .select($"doc_id", graft.data.Dedup.minhashSig($"sh", k).as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[Option[String]])].collect().toSeq
+    val agg = graft.data.Dedup.minhashSigAgg(docs, "doc_id", "sh", k)
+      .orderBy("doc_id").as[(Long, Seq[Option[String]])].collect().toSeq
+    assert(agg == hof)
+    assert(agg.find(_._1 == 3L).get._2 == Seq.fill(k)(None))
+  }
+
   test("KMV sketch equals brute-force bottom-k md5 and estimates within error") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
