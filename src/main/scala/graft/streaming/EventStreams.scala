@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface. The reference is a monthly batch job
@@ -143,6 +145,56 @@ object EventStreams {
     events
       .withWatermark("ts_ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserTotals(user_id: Long, n_purchases: Long, cents_total: Long)
+
+  /** Per-user running purchase totals on the MODERN arbitrary-state API
+    * (`transformWithState`, Spark 4): a [[StatefulProcessor]] holding one
+    * [[ValueState]] row per user, with state TTL as a first-class config —
+    * the operational upgrade over [[latestPerUser]]'s
+    * `mapGroupsWithState` (typed state handles, optional timers,
+    * per-state TTL instead of hand-rolled timeout bookkeeping). Requires
+    * the RocksDB state store provider (set in the caller's session conf);
+    * state stays O(1) per key, partitioned across executors.
+    *
+    * Updates are set-aggregative (count + cents sum), so per-batch
+    * arrival order inside a key never changes the final state —
+    * StreamingSpec asserts parity with the batch aggregate. */
+  class RunningTotalsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, EventRow, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var cur =
+        if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
+      rows.foreach { r =>
+        if (r.event_type == "purchase")
+          cur = UserTotals(key, cur.n_purchases + 1,
+            cur.cents_total + math.round(r.value * 100))
+      }
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** [[RunningTotalsProcessor]] wired over an event stream: one updated
+    * totals row per touched user per micro-batch (Update mode). */
+  def runningUserTotals(events: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Drive a streaming DataFrame to completion against a bounded input and
     * return the final results from a memory sink (test/verification

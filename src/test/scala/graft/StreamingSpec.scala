@@ -238,4 +238,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows.exceptAll(batch).isEmpty &&
       batch.exceptAll(finalRows).isEmpty)
   }
+
+  test("transformWithState running totals converge to the batch aggregate") {
+    // The modern arbitrary-state API needs the RocksDB state store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // several micro-batches so per-user state genuinely accumulates
+      val d = java.nio.file.Files.createTempDirectory("graft_tws")
+      Tables.events(spark, TestSpark.sf)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(3).write.mode("overwrite").parquet(d.toString)
+      val streamed = EventStreams.runToMemory(
+        EventStreams.runningUserTotals(
+          EventStreams.readEvents(spark, d.toString)).toDF(),
+        "running_totals", OutputMode.Update())
+      // totals are monotone in n_purchases per user; the final state is the
+      // max row each user emitted
+      val finalRows = streamed.groupBy($"user_id")
+        .agg(max_by(struct($"n_purchases", $"cents_total"), $"n_purchases")
+          .as("s"))
+        .select($"user_id", $"s.n_purchases", $"s.cents_total")
+      val batch = Tables.events(spark, TestSpark.sf)
+        .groupBy($"user_id")
+        .agg(count(when($"event_type" === "purchase", 1)).as("n_purchases"),
+          coalesce(sum(when($"event_type" === "purchase",
+            round($"value" * 100).cast("long"))), lit(0L)).as("cents_total"))
+      assert(finalRows.count() == batch.count())
+      assert(finalRows.exceptAll(batch).isEmpty &&
+        batch.exceptAll(finalRows).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
