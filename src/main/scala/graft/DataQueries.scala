@@ -772,32 +772,10 @@ object DataQueries {
     * hot partition). Join-back on the hash is a plain equi-join;
     * reassembly is a per-doc hash aggregate. Three shuffles, each
     * O(cells), no quadratic step anywhere. */
-  private def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val C = DedupCell
-    val cells = Tables.documents(spark, dir)
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("ch", explode(transform(
-        sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),
-        i => struct(i.as("chunk_id"),
-          concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C)))
-            .as("chunk")))))
-      .select(col("doc_id"), col("ch.chunk_id"), col("ch.chunk"),
-        md5(col("ch.chunk")).as("h"))
-    val keepers = cells.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keeper"))
-    cells.join(keepers, Seq("h"))
-      .withColumn("kept", col("keeper.doc_id") === col("doc_id") &&
-        col("keeper.chunk_id") === col("chunk_id"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        array_sort(collect_list(when(col("kept"),
-          struct(col("chunk_id"), col("chunk"))))).as("kc"))
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-        array_join(transform(col("kc"), x => x("chunk")), " ").as("kept_text"))
+  private def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(Tables.documents(spark, dir), "doc_id", "text",
+      DedupCell)
       .dumpOrderedTail("doc_id")
-  }
 
   /** Corpus unigram "LM" familiarity score (the CCNet-shaped quality
     * signal): fit token frequencies over the whole corpus, then score each

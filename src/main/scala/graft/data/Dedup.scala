@@ -30,6 +30,40 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
   }
 
+  /** C4-style corpus-level repeated-span removal over any (id, text)
+    * table: non-overlapping `cellWords`-word cells keyed by md5, one
+    * occurrence kept corpus-wide (the lexicographically first
+    * (id, chunk_id)), each row reassembled from its surviving cells in
+    * chunk order. Keeper election is a map-side-combinable `min(struct)`
+    * hash aggregate — skew-immune for boilerplate cells (see the
+    * data_chunk_dedup scaladoc for the full scale argument). */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      cellWords: Int): DataFrame = {
+    val C = cellWords
+    val cells = docs
+      .withColumn("toks", split(col(textCol), "\\s+"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("ch", explode(transform(
+        sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),
+        i => struct(i.as("chunk_id"),
+          concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C)))
+            .as("chunk")))))
+      .select(col(idCol), col("ch.chunk_id"), col("ch.chunk"),
+        md5(col("ch.chunk")).as("h"))
+    val keepers = cells.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("keeper"))
+    cells.join(keepers, Seq("h"))
+      .withColumn("kept", col(s"keeper.$idCol") === col(idCol) &&
+        col("keeper.chunk_id") === col("chunk_id"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("kept"),
+          struct(col("chunk_id"), col("chunk"))))).as("kc"))
+      .select(col(idCol), col("n_chunks"), col("n_kept"),
+        array_join(transform(col("kc"), x => x("chunk")), " ").as("kept_text"))
+  }
+
   /** MinHash signature: k lexicographic-min md5("<seed>|<shingle>") strings. */
   def minhashSig(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
