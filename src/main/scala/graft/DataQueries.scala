@@ -1073,6 +1073,28 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Per-source embedding centroids as a (source, pos) stats table — the
+    * cluster-summary / domain-embedding step of a curation pipeline.
+    * Sums accumulate as 1e-3-quantized LONGS (the [[Similarity]] k-means
+    * technique): integer addition is associative, so the result is
+    * bit-identical under any partitioning and across engines; the mean is
+    * the single final double division. One map-side-combinable aggregate,
+    * shuffle O(sources × dims). */
+  private def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir).select(
+        col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+    joined
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("source"), col("pos").cast("long").as("pos"))
+      .agg(sum(round(col("x").cast("double") * 1000).cast("long")).as("qsum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("source"), col("pos"), col("qsum"), col("n_vecs"),
+        (col("qsum").cast("double") /
+          (col("n_vecs") * 1000).cast("double")).as("mean"))
+      .dumpOrderedTail("source", "pos")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_dedup_exact" -> Q(dedupExact, Some(
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -1747,6 +1769,22 @@ object DataQueries {
          |FROM p JOIN n na ON p.source_a = na.source
          |       JOIN n nb ON p.source_b = nb.source
          |ORDER BY source_a, source_b""".stripMargin)),
+
+    "data_embed_centroids" -> Q(embedCentroids, Some(
+      """WITH j AS (
+        |  SELECT d.source, v.embedding
+        |  FROM embeddings v JOIN documents d ON v.vec_id = d.doc_id),
+        |e AS (
+        |  SELECT source, pos - 1 AS pos, embedding[pos] AS x
+        |  FROM (SELECT source, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS pos FROM j) u)
+        |SELECT source, CAST(pos AS BIGINT) AS pos,
+        |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+        |    AS BIGINT) AS qsum,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+        |    AS DOUBLE) / (count(*) * 1000) AS mean
+        |FROM e GROUP BY source, pos ORDER BY source, pos""".stripMargin)),
 
     "data_group_percentiles" -> Q(groupPercentiles, Some(
       s"""WITH d AS (
