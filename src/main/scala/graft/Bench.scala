@@ -82,11 +82,23 @@ object Bench {
     def save(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // A failed execution must NOT contribute a (fast) elapsed time — a
+    // query that starts throwing would otherwise masquerade as the best
+    // rep and poison `min`. Failures are counted and emitted in the JSON
+    // (`errors` key) so the artifact itself shows them; the recorded time
+    // for a failed rep is +Infinity (never selected by min, and an
+    // all-failed query prints as a non-numeric sentinel the gate can't
+    // mistake for fast).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def run(name: String, tag: String)(df: DataFrame): Double = {
       val t0 = System.nanoTime()
-      try save(df)
-      catch { case e: Throwable => System.err.println(s"[bench $tag] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try { save(df); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench $tag] $name: $e")
+          errors.getOrElseUpdate(name, s"$tag: ${e.toString.take(200)}")
+          Double.PositiveInfinity
+      }
     }
 
     // Pre-touch: absorb first-use session costs (catalog init, codegen
@@ -131,7 +143,8 @@ object Bench {
       case ((name, _), qi) => name -> repTimes(qi).min
     }
 
-    def jnum(v: Double): String = f"$v%.3f"
+    def jnum(v: Double): String =
+      if (v.isInfinite || v.isNaN) "\"failed\"" else f"$v%.3f"
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     def jreps(xs: Seq[(String, Seq[Double])]): String =
@@ -143,11 +156,17 @@ object Bench {
     val reps = built.zipWithIndex.map { case ((name, _), qi) =>
       name -> repTimes(qi).toSeq
     }
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
+      }.mkString(",\"errors\":{", ",", "}")
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec"""" +
         s""","queries":${jmap(results)},"reps":${jreps(reps)}""" +
         s""","cold":{"value":${jnum(coldTotal)},"queries":${jmap(coldTimes)}}""" +
         s""","build":${jmap(buildTimes)},"build_total":${jnum(buildTotal)}""" +
+        errJson +
         s""","sf":"$sfDir"}""")
     spark.stop()
   }

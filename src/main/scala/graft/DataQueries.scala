@@ -951,11 +951,13 @@ object DataQueries {
         col("c_mktsegment").as("seg"),
         col("c_custkey").as(s"key_$tag"), col("c_name").as(s"name_$tag"))
     side("a").join(side("b"), Seq("blk", "seg"))
-      .where(col("key_a") < col("key_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= 1)
+      .where(col("key_a") < col("key_b"))
+      // score once, filter on the column — the DP is the per-pair cost
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= 1)
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
-        col("seg"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        col("seg"), col("dist"))
       .dumpOrdered("key_a", "key_b")
   }
 
@@ -999,8 +1001,11 @@ object DataQueries {
       // inside the (interpreted) HOF re-splits the text once per accessed
       // element — measured 5.5 s → 0.9 s on this aggregate at sf0.1
       .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      // shingle width is the corpus-analysis 3-gram, like every other text
+      // shingle site — NOT the LSH rows-per-band constant R, which happens
+      // to equal 3 but tunes band geometry, not text granularity
       .select(col("source"),
-        explode(TextAnalysis.shingles(col("toks"), R)).as("shingle"))
+        explode(TextAnalysis.shingles(col("toks"), 3)).as("shingle"))
       .groupBy(col("shingle"))
       .agg(array_sort(collect_set(col("source"))).as("ss"))
     // both consumers share the aggregate's Exchange (ReusedExchange) — the

@@ -185,23 +185,23 @@ object EtlQueries {
        |    AND "time" < TIMESTAMP '2024-02-01'),
        |grouped_by_scenarioId AS (
        |  SELECT "scenarioId", MAX("time") AS "time",
-       |    MAX_BY(COALESCE("exportedLender", ''), epoch_us("time") * 1024 + _tie % 1024) AS "exportedLender",
-       |    MAX_BY("primaryIncome", epoch_us("time") * 1024 + _tie % 1024) AS "primaryIncome",
-       |    MAX_BY("rateType", epoch_us("time") * 1024 + _tie % 1024) AS "rateType",
-       |    MAX_BY("loanPurpose", epoch_us("time") * 1024 + _tie % 1024) AS "loanPurpose",
-       |    MAX_BY("totalProposedLoanAmount", epoch_us("time") * 1024 + _tie % 1024) AS "totalProposedLoanAmount",
-       |    MAX_BY("applicantCount", epoch_us("time") * 1024 + _tie % 1024) AS "applicantCount",
-       |    MAX_BY("householdCount", epoch_us("time") * 1024 + _tie % 1024) AS "householdCount",
-       |    MAX_BY("transactionType", epoch_us("time") * 1024 + _tie % 1024) AS "transactionType",
-       |    MAX_BY("dependantsCount", epoch_us("time") * 1024 + _tie % 1024) AS "dependantsCount",
-       |    MAX_BY("lvr", epoch_us("time") * 1024 + _tie % 1024) AS "lvr",
-       |    MAX_BY("lvrBucket", epoch_us("time") * 1024 + _tie % 1024) AS "lvrBucket",
-       |    MAX_BY("applicantsWithHecs", epoch_us("time") * 1024 + _tie % 1024) AS "applicantsWithHecs",
-       |    MAX_BY("paygIncome", epoch_us("time") * 1024 + _tie % 1024) AS "paygIncome",
-       |    MAX_BY("weeklyRentalIncome", epoch_us("time") * 1024 + _tie % 1024) AS "weeklyRentalIncome",
-       |    MAX_BY("selfEmployedIncome", epoch_us("time") * 1024 + _tie % 1024) AS "selfEmployedIncome",
-       |    MAX_BY("results", epoch_us("time") * 1024 + _tie % 1024) AS "results",
-       |    MAX_BY("exported_lender_result", epoch_us("time") * 1024 + _tie % 1024) AS exported_lender_result,
+       |    MAX_BY(COALESCE("exportedLender", ''), epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "exportedLender",
+       |    MAX_BY("primaryIncome", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "primaryIncome",
+       |    MAX_BY("rateType", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "rateType",
+       |    MAX_BY("loanPurpose", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "loanPurpose",
+       |    MAX_BY("totalProposedLoanAmount", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "totalProposedLoanAmount",
+       |    MAX_BY("applicantCount", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "applicantCount",
+       |    MAX_BY("householdCount", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "householdCount",
+       |    MAX_BY("transactionType", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "transactionType",
+       |    MAX_BY("dependantsCount", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "dependantsCount",
+       |    MAX_BY("lvr", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "lvr",
+       |    MAX_BY("lvrBucket", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "lvrBucket",
+       |    MAX_BY("applicantsWithHecs", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "applicantsWithHecs",
+       |    MAX_BY("paygIncome", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "paygIncome",
+       |    MAX_BY("weeklyRentalIncome", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "weeklyRentalIncome",
+       |    MAX_BY("selfEmployedIncome", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "selfEmployedIncome",
+       |    MAX_BY("results", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS "results",
+       |    MAX_BY("exported_lender_result", epoch_us("time")::HUGEINT * 9223372036854775808 + _tie) AS exported_lender_result,
        |    list_filter(list(exported_lender_result), x -> x IS NOT NULL)
        |      AS exportedLendersResults
        |  FROM base GROUP BY "scenarioId"),

@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   */
 object FormatQueries {
 
+  /** Process-unique scratch root: two concurrent graft JVMs (e.g. bench +
+    * verify) must never race on the same write→read round-trip dir. */
+  private lazy val runId = java.util.UUID.randomUUID().toString.take(8)
   private def tmp(name: String) =
-    s"${System.getProperty("java.io.tmpdir")}/graft_fmt/$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$runId/$name"
 
   /** JSONL ingest with PERMISSIVE corrupt-record capture: documents are
     * dumped as JSON lines, two malformed lines are injected, and the read
@@ -48,16 +51,28 @@ object FormatQueries {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-    // cache() before splitting on _corrupt_record: Spark's JSON reader
-    // forbids filtering ONLY the corrupt column off an un-materialized
-    // scan (SPARK-26409); the bounded sample makes this a test-scale
-    // materialization, production quarantines via foreachBatch split.
+    // Materialize the quarantine SPLIT, not a long-lived cache: good rows
+    // land in a clean parquet table, corrupt raw lines in _quarantine —
+    // the production ingest shape (cf. ReportJob.splitQuarantine). The
+    // cache exists only around the split (Spark forbids querying only the
+    // corrupt column off an un-materialized scan, SPARK-26409) and is
+    // dropped before returning, so repeated builds leak nothing; the
+    // returned plan reads the clean parquet and never references
+    // _corrupt_record.
     read.cache()
-    val corrupt = read.where(col("_corrupt_record").isNotNull).count()
+    val corrupt =
+      try {
+        read.where(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record").as("raw_line"))
+          .write.mode("overwrite").parquet(tmp("jsonl_in/_quarantine"))
+        read.where(col("_corrupt_record").isNull)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").parquet(tmp("jsonl_clean"))
+        spark.read.parquet(tmp("jsonl_in/_quarantine")).count()
+      } finally read.unpersist()
     require(corrupt == 2, s"expected 2 quarantined lines, got $corrupt")
-    read.where(col("_corrupt_record").isNull)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"))
+    spark.read.parquet(tmp("jsonl_clean"))
       .dumpOrdered("doc_id")
   }
 

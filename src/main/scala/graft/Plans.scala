@@ -52,7 +52,8 @@ object Plans {
       |  O(users) not O(events). `max_by` over string payloads plans as
       |  SortAggregate (no mutable fixed-width buffer); the NULL-skip mask on
       |  the ordering key preserves DuckDB MAX_BY semantics, and the key
-      |  itself is the composite `ts_us * 1024 + event_id % 1024` —
+      |  itself is the collision-free composite `ts_us * 2^63 + event_id`
+      |  (DECIMAL(38,0) / HUGEINT in the oracle) —
       |  tie-broken by construction, same expression in the oracle.
       |- **ref_w1_global_aggs** — the `COUNT(DISTINCT) OVER ()` rewrite: the
       |  1-row global aggregate and the per-type counts are computed once and

@@ -31,16 +31,16 @@ object RefQueries {
     * is single-row-group, so the plain reader runs the scan + partial
     * aggregate in ONE task (~340 ms at sf0.1); the cached form spreads it
     * across the session's cores. Deterministic BY CONSTRUCTION: the
-    * ordering key is the scalar composite `ts_us * 1024 + event_id % 1024`
-    * (no int64 overflow: epoch-µs ~1.7e15 × 1024 < 2^63), mirrored
-    * verbatim in the DuckDB oracle, so a µs-timestamp collision breaks the
-    * same way on both engines instead of relying on the data being
-    * tie-free. */
+    * ordering key is the COLLISION-FREE scalar composite
+    * `ts_us * 2^63 + event_id` ([[graft.operators.DedupLatest.ordKey128]],
+    * DECIMAL(38,0) on Spark / HUGEINT in the oracle — identical total
+    * order), so determinism needs no data property at all: distinct rows
+    * get distinct keys. */
   private def a1Dedup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsHot(spark, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
         col("value"), col("props"))
-    val ordKey = col("ts_us") * 1024 + col("event_id") % 1024
+    val ordKey = DedupLatest.ordKey128(col("ts_us"), col("event_id"))
     DedupLatest.latestByScalar(ev, Seq("user_id"), "ts_us", ordKey,
         Seq("event_type", "value", "props"))
       .select(col("user_id"), col("ts_us").as("last_ts_us"),
@@ -376,9 +376,15 @@ object RefQueries {
 
     "ref_a1_dedup_latest" -> Q(a1Dedup, Some(
       """SELECT user_id, max(epoch_us(ts)) AS last_ts_us,
-        |  max_by(event_type, epoch_us(ts) * 1024 + event_id % 1024) AS last_event_type,
-        |  max_by(value, epoch_us(ts) * 1024 + event_id % 1024) AS last_value,
-        |  max_by(props, epoch_us(ts) * 1024 + event_id % 1024) AS last_props
+        |  max_by(event_type,
+        |    epoch_us(ts)::HUGEINT * 9223372036854775808 + event_id)
+        |    AS last_event_type,
+        |  max_by(value,
+        |    epoch_us(ts)::HUGEINT * 9223372036854775808 + event_id)
+        |    AS last_value,
+        |  max_by(props,
+        |    epoch_us(ts)::HUGEINT * 9223372036854775808 + event_id)
+        |    AS last_props
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin), headline = true),
 
     "ref_a2_collect_filter" -> Q(a2CollectFilter, Some(

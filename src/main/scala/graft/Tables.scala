@@ -103,11 +103,12 @@ object Tables {
     * events-heavy consumer — in particular the exports pipeline, whose
     * from_json over `props`-derived payloads otherwise runs inside the
     * serial scan stage. Order-safety: the argmax consumers order by the
-    * scalar composite `ts_us * 1024 + event_id % 1024` (mirrored verbatim
-    * in their DuckDB oracles — MAX_BY takes scalar keys on both engines),
-    * so determinism holds by construction under any repartitioning, with
-    * no dependence on the data being tie-free. Counts/sums are
-    * order-independent by construction. */
+    * COLLISION-FREE scalar composite `ts_us * 2^63 + event_id`
+    * (DedupLatest.ordKey128 — DECIMAL(38,0) on Spark, HUGEINT in the
+    * DuckDB oracles, identical total order), so determinism holds by
+    * construction under any repartitioning, with no dependence on any
+    * data property. Counts/sums are order-independent by
+    * construction. */
   def eventsHot(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "eventsHot") {
       events(spark, dir)

@@ -100,13 +100,15 @@ object TemporalQueries {
     * incremental ingest: each user's event stream is a changelog
     * (`error` = delete, anything else = upsert), and the final state is
     * the LATEST operation per key with deleted keys suppressed. One
-    * map-side-combinable `max_by` aggregate on the composite ordering key
-    * `ts_us * 1024 + event_id % 1024` (the same tie-broken-by-construction
-    * key as the A1 exports dedup — RefQueries argmax contract), shuffle
-    * O(keys); the delete filter is a post-aggregation predicate, so
-    * tombstones never need a second pass. */
+    * map-side-combinable `max_by` aggregate on the collision-free
+    * composite ordering key `ts_us * 2^63 + event_id`
+    * ([[graft.operators.DedupLatest.ordKey128]], same construction as the
+    * A1 exports dedup), shuffle O(keys); the delete filter is a
+    * post-aggregation predicate, so tombstones never need a second
+    * pass. */
   private def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val ck = expr("ts_us * 1024 + event_id % 1024")
+    val ck = graft.operators.DedupLatest.ordKey128(
+      col("ts_us"), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("op",
         when(col("event_type") === "error", "D").otherwise("U"))
@@ -299,7 +301,7 @@ object TemporalQueries {
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
         |    CAST(round(value * 100) AS BIGINT) AS cents,
-        |    epoch_us(ts) * 1024 + event_id % 1024 AS ck
+        |    epoch_us(ts)::HUGEINT * 9223372036854775808 + event_id AS ck
         |  FROM events),
         |s AS (
         |  SELECT user_id,

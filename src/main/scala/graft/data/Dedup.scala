@@ -36,12 +36,19 @@ object Dedup {
     * (id, chunk_id)), each row reassembled from its surviving cells in
     * chunk order. Keeper election is a map-side-combinable `min(struct)`
     * hash aggregate — skew-immune for boilerplate cells (see the
-    * data_chunk_dedup scaladoc for the full scale argument). */
+    * data_chunk_dedup scaladoc for the full scale argument).
+    *
+    * Tokenization is [[graft.data.TextAnalysis.tokens]] — the corpus-wide
+    * definition, so a tokenizer change can never desynchronize dedup from
+    * the rest of the pipeline. Rows with NULL `textCol` produce no cells
+    * and are DROPPED from the output (explode of a null sequence), like
+    * every other text operator's explode path — filter or coalesce
+    * upstream if null docs must survive. */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
       cellWords: Int): DataFrame = {
     val C = cellWords
     val cells = docs
-      .withColumn("toks", split(col(textCol), "\\s+"))
+      .withColumn("toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("ch", explode(transform(
         sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),

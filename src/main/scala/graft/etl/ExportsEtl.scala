@@ -89,15 +89,18 @@ object ExportsEtl {
     *
     * Tie-breaking: the reference's MAX_BY is nondeterministic on equal
     * `time` values. When `tieCol` is given (a non-negative unique id
-    * carried on the input), ordering uses the scalar composite
-    * `epoch_µs(time) * 1024 + tieCol % 1024` — deterministic by
-    * construction and expressible verbatim in a DuckDB oracle (MAX_BY takes
-    * only scalar keys); `max(time)` stays correct because the composite is
-    * monotone in time. Without `tieCol` the reference's literal
-    * order-by-time semantics apply. */
+    * carried on the input), ordering uses the COLLISION-FREE scalar
+    * composite `epoch_µs(time) * 2^63 + tieCol`
+    * ([[graft.operators.DedupLatest.ordKey128]]: DECIMAL(38,0) here,
+    * HUGEINT in the oracle — identical total order, and distinct
+    * (time, tie) rows always get distinct keys, so the 16 independent
+    * MAX_BYs can never tear fields from different tied rows); `max(time)`
+    * stays correct because the composite is monotone in time. Without
+    * `tieCol` the reference's literal order-by-time semantics apply. */
   def dedupLatestPerScenario(df: DataFrame, tieCol: Option[Column] = None): DataFrame = {
     val ordKey = tieCol
-      .map(t => unix_micros(col("time")) * 1024 + t % 1024)
+      .map(t => graft.operators.DedupLatest.ordKey128(
+        unix_micros(col("time")), t))
       .getOrElse(col("time"))
     val aggs =
       max(col("time")).as("time") +:

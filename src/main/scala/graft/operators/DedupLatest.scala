@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object DedupLatest {
 
+  /** Collision-FREE scalar ordering key over (time, unique tie column):
+    * `time * 2^63 + tie` in DECIMAL(38,0) — distinct (time, tie) pairs map
+    * to distinct keys for any non-negative tie < 2^63 (epoch-µs × 2^63 ≈
+    * 1.6e34 ≪ 1e38, no precision loss). The DuckDB oracle twin is the
+    * same arithmetic in HUGEINT (`x::HUGEINT * 9223372036854775808 + tie`
+    * — MAX_BY takes HUGEINT keys, and int128 order = this decimal order),
+    * so both engines order identically with NO modulus collision — unlike
+    * a `time * k + tie % k` int64 composite, whose ties under collision
+    * would let each independent max_by pick fields from different rows. */
+  def ordKey128(time: Column, tie: Column): Column =
+    time.cast("decimal(20,0)") * lit(BigDecimal("9223372036854775808")) +
+      tie.cast("decimal(20,0)")
+
   /** Keep the latest record per `keys`, ordering by `ord`; `payload` columns
     * are carried via `max_by`. Output columns: keys ++ ord ++ payload.
     *

@@ -174,8 +174,11 @@ object EventStreams {
         if (totals.exists()) totals.get() else UserTotals(key, 0L, 0L)
       rows.foreach { r =>
         if (r.event_type == "purchase")
+          // HALF_UP like Spark's round() in the batch twin — math.round is
+          // floor(x+0.5), which diverges on negative halves (refunds)
           cur = UserTotals(key, cur.n_purchases + 1,
-            cur.cents_total + math.round(r.value * 100))
+            cur.cents_total + BigDecimal(r.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       }
       totals.update(cur)
       Iterator.single(cur)

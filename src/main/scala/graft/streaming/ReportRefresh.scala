@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
 /** The reference's monthly report (run_exports_query.py + exports_results
@@ -20,27 +21,46 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * single-pass plan (one scan of the ingest table per trigger, however
   * many lenders).
   *
-  * Delivery contract: the file-source checkpoint makes ingest
-  * exactly-once (each source file appends exactly once across restarts),
-  * and the report overwrite is idempotent, so a crash between append and
-  * report write costs at most one stale refresh. The checkpoint lives
-  * under `<ingestDir>/_checkpoint` — an `_`-prefixed dir, invisible to
-  * the parquet re-read.
+  * Delivery contract: ingest is exactly-once INCLUDING mid-batch crashes.
+  * The file-source checkpoint deduplicates source files across restarts,
+  * and the batch write itself is idempotent — each micro-batch OVERWRITES
+  * its own `batch_id=<id>` partition directory (the documented
+  * foreachBatch idempotence pattern), so a crash after the ingest write
+  * but before the checkpoint commit makes the replayed batch overwrite
+  * its identical partition, never append a duplicate. The report
+  * overwrite is idempotent too, so the worst case of any crash is one
+  * stale refresh. The checkpoint lives under `<ingestDir>/_checkpoint` —
+  * an `_`-prefixed dir, invisible to the parquet re-read.
   */
 object ReportRefresh {
 
   def start(viewStream: DataFrame, ingestDir: String,
             startDate: String, endDate: String,
-            reportDir: String): StreamingQuery =
+            reportDir: String): StreamingQuery = {
+    // The refresh is a BATCH job: run it on the DRIVING session, not the
+    // micro-batch's cloned session (whose streaming-specific conf
+    // overrides apply to the batch plan too).
+    val session = viewStream.sparkSession
     viewStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$ingestDir/_checkpoint")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(ingestDir)
-        val full = batch.sparkSession.read.parquet(ingestDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$ingestDir/batch_id=$batchId")
+        // The ingest path's files just changed out-of-band for any plan
+        // cached over it: the report pipeline persists its prepared
+        // subtree (ExportsEtl.withGlobalCalculations), and a cached
+        // relation rooted at this SAME path from the previous batch would
+        // be substituted into this batch's plan, refreshing the report
+        // from STALE data. refreshByPath is the documented contract for
+        // exactly this — it invalidates cached data over the path.
+        session.catalog.refreshByPath(ingestDir)
+        val full = session.read.parquet(ingestDir)
+          .drop("batch_id") // partition-discovery column, not view data
         graft.etl.ExportsEtl.forAllLenders(full, startDate, endDate)
           .write.mode("overwrite").parquet(reportDir)
       }
       .start()
+  }
 }
