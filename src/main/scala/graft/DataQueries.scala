@@ -1100,6 +1100,21 @@ object DataQueries {
       .dumpOrderedTail("source", "pos")
   }
 
+  /** Corpus stats by ROLLUP(lang, source) — the subtotal/grand-total
+    * reporting surface (GROUPING SETS family). Spark expands the rollup
+    * into grouping sets inside ONE aggregate (Expand + partial+final
+    * HashAggregate — one shuffle for all three levels, not one per
+    * level); `grouping_id()` disambiguates NULL-as-subtotal from
+    * NULL-as-value identically on both engines. All-integer outputs. */
+  private def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        grouping_id().cast("long").as("gid"))
+      .dumpOrderedTail("gid", "lang", "source")
+
   val defs: Seq[(String, Q)] = Seq(
     "data_dedup_exact" -> Q(dedupExact, Some(
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
@@ -1790,6 +1805,17 @@ object DataQueries {
         |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
         |    AS DOUBLE) / (count(*) * 1000) AS mean
         |FROM e GROUP BY source, pos ORDER BY source, pos""".stripMargin)),
+
+    "data_rollup_stats" -> Q(rollupStats, Some(
+      s"""WITH d AS (
+         |  SELECT lang, source,
+         |    CAST(len($duckWords) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+         |FROM d GROUP BY ROLLUP(lang, source)
+         |ORDER BY gid, lang, source""".stripMargin)),
 
     "data_group_percentiles" -> Q(groupPercentiles, Some(
       s"""WITH d AS (
