@@ -72,6 +72,14 @@ object Bench {
       // (skew-join splitting, runtime broadcast); the static planner still
       // picks broadcast joins here from parquet size stats.
       .config("spark.sql.adaptive.enabled", "false")
+      // ObjectHashAggregate (ArgMaxFields, collect_list) falls back to
+      // sort-based aggregation once a task's in-memory hash map reaches
+      // this many groups; the Spark default (128) was tuned for huge
+      // collect_list buffers and kicks in far too early for fixed-size
+      // argmax buffers. 64k groups × ~1 KB buffer ≈ 64 MB/task worst
+      // case — comfortably inside executor memory, and past that the
+      // sort-based fallback is the correct safety valve at 100 TB.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -143,6 +151,20 @@ object Bench {
       case ((name, _), qi) => name -> repTimes(qi).min
     }
 
+    // AQE-on variant (VERDICT r5 #5): the bench pins AQE off for plan
+    // stability, but production 100 TB sessions run it on — prove no
+    // headline query regresses under coalesced/skew-joined runtime plans.
+    // Each writer action creates a fresh QueryExecution, so flipping the
+    // conf re-plans without rebuilding; one warm-up pass absorbs the
+    // AQE-path codegen, then min over one block per query.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    built.foreach { case (name, df) => run(name, "aqe-warmup")(df) }
+    val aqeTimes: Seq[(String, Double)] = built.map { case (name, df) =>
+      System.gc()
+      name -> (0 until BlockReps).map(_ => run(name, "aqe")(df)).min
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     def jnum(v: Double): String =
       if (v.isInfinite || v.isNaN) "\"failed\"" else f"$v%.3f"
     def jmap(xs: Seq[(String, Double)]): String =
@@ -159,12 +181,18 @@ object Bench {
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\""
+        // AnalysisException messages embed newlines (plan fragments) and
+        // other control chars, which are illegal raw inside JSON strings —
+        // flatten them so the artifact stays parseable exactly when a
+        // failure is being reported.
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'")
+          .replaceAll("[\\x00-\\x1f]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec"""" +
         s""","queries":${jmap(results)},"reps":${jreps(reps)}""" +
         s""","cold":{"value":${jnum(coldTotal)},"queries":${jmap(coldTimes)}}""" +
+        s""","aqe":{"value":${jnum(aqeTimes.map(_._2).sum)},"queries":${jmap(aqeTimes)}}""" +
         s""","build":${jmap(buildTimes)},"build_total":${jnum(buildTotal)}""" +
         errJson +
         s""","sf":"$sfDir"}""")

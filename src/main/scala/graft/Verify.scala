@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Match Bench: keep ObjectHashAggregate (ArgMaxFields/collect_list)
+      // in hash mode well past the 128-group Spark default before the
+      // sort-based fallback engages (see Bench.scala for the sizing note).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

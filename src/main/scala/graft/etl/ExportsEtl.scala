@@ -85,7 +85,12 @@ object ExportsEtl {
     * takes — per column, independently — the value from the latest record
     * where that column is non-NULL. Spark's max_by would return the
     * (possibly NULL) value at the max key; masking the ordering key when
-    * the value is NULL reproduces DuckDB exactly.
+    * the value is NULL reproduces DuckDB exactly. Since round 6 the 16
+    * masked `max_by`s are ONE [[graft.functions.ArgMaxFields]] typed
+    * aggregate with identical semantics — hash aggregation
+    * (ObjectHashAggregate) instead of the SortAggregate the string-typed
+    * `max_by` buffers forced, and the ordering key is evaluated once per
+    * row instead of 16 times.
     *
     * Tie-breaking: the reference's MAX_BY is nondeterministic on equal
     * `time` values. When `tieCol` is given (a non-negative unique id
@@ -102,12 +107,16 @@ object ExportsEtl {
       .map(t => graft.operators.DedupLatest.ordKey128(
         unix_micros(col("time")), t))
       .getOrElse(col("time"))
-    val aggs =
-      max(col("time")).as("time") +:
-        DedupCols.map(c =>
-          max_by(col(c), when(col(c).isNotNull, ordKey)).as(c)) :+
-        collect_list(col("exported_lender_result")).as("exportedLendersResults")
-    df.groupBy(col("scenarioId")).agg(aggs.head, aggs.tail: _*)
+    graft.functions.ArgMaxFunctions.register(df.sparkSession)
+    df.groupBy(col("scenarioId"))
+      .agg(
+        max(col("time")).as("time"),
+        graft.functions.ArgMaxFunctions
+          .argmax_fields(ordKey, DedupCols.map(col): _*).as("_latest"),
+        collect_list(col("exported_lender_result")).as("exportedLendersResults"))
+      .select(col("scenarioId") +: col("time") +:
+        DedupCols.map(c => col("_latest").getField(c).as(c)) :+
+        col("exportedLendersResults"): _*)
   }
 
   /** Step 3 `with_failing_export` (exports_results.sql:83-96): the

@@ -43,8 +43,11 @@ object DedupLatest {
   def latestBy(df: DataFrame, keys: Seq[String], ord: String, payload: Seq[String]): DataFrame =
     latestByScalar(df, keys, ord, col(ord), payload)
 
-  /** As [[latestBy]] but the max_by ordering key is the caller-supplied
-    * scalar `ordKey`. `ordKey` must be MONOTONE in `ord` (rows with larger
+  /** As [[latestBy]] but the argmax ordering key is the caller-supplied
+    * scalar `ordKey`. Implemented as ONE [[graft.functions.ArgMaxFields]]
+    * typed aggregate (per-field DuckDB MAX_BY NULL-skip semantics) so the
+    * plan is ObjectHashAggregate, not the SortAggregate that N string-typed
+    * `max_by` buffers force. `ordKey` must be MONOTONE in `ord` (rows with larger
     * `ord` get larger `ordKey`) so that `max(ord)` is still the argmax
     * row's value; a composite like `ord * 1024 + unique_id % 1024` breaks
     * ties on `ord` deterministically by construction instead of relying on
@@ -53,6 +56,21 @@ object DedupLatest {
     * scalar ordering keys (DuckDB), so oracle twins can mirror it exactly. */
   def latestByScalar(df: DataFrame, keys: Seq[String], ord: String, ordKey: Column,
                      payload: Seq[String]): DataFrame = {
+    graft.functions.ArgMaxFunctions.register(df.sparkSession)
+    val packed = graft.functions.ArgMaxFunctions
+      .argmax_fields(ordKey, payload.map(col): _*).as("_latest")
+    df.groupBy(keys.map(col): _*)
+      .agg(max(col(ord)).as(ord), packed)
+      .select((keys.map(col) :+ col(ord)) ++
+        payload.map(c => col("_latest").getField(c).as(c)): _*)
+  }
+
+  /** Pre-round-6 formulation of [[latestByScalar]]: N independent NULL-masked
+    * `max_by`s. Semantically identical, but the string-typed `Max_By` buffers
+    * force SortAggregate (no hash aggregation) — kept only as the parity
+    * reference for DedupLatestSpec and OpProbe A/B numbers. */
+  def latestByScalarMaxBy(df: DataFrame, keys: Seq[String], ord: String, ordKey: Column,
+                          payload: Seq[String]): DataFrame = {
     val aggs: Seq[Column] =
       max(col(ord)).as(ord) +:
         payload.map(c => max_by(col(c), when(col(c).isNotNull, ordKey)).as(c))
