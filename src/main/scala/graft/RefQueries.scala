@@ -46,7 +46,11 @@ object RefQueries {
       .select(col("user_id"), col("ts_us").as("last_ts_us"),
         col("event_type").as("last_event_type"), col("value").as("last_value"),
         col("props").as("last_props"))
-      .dumpOrderedTail("user_id")
+      // dumpOrdered, NOT dumpOrderedTail: the user_id-partitioned events
+      // cache makes this body EXCHANGE-FREE (single-stage complete
+      // aggregate), and coalesce(1) over a shuffle-free body would
+      // serialize the whole aggregate into one task.
+      .dumpOrdered("user_id")
   }
 
   /** A2 (exports_results.sql:73-76): collect_list + lambda filter + fold.

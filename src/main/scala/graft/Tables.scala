@@ -111,8 +111,20 @@ object Tables {
     * construction. */
   def eventsHot(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "eventsHot") {
+      // HASH-partitioned by user_id (not round-robin): the cache's
+      // outputPartitioning then already satisfies the per-user aggregates'
+      // ClusteredDistribution — a1's groupBy(user_id) and w1's
+      // (event_type, user_id) pre-agg (a superset of the partition key)
+      // plan as single-stage complete aggregates with NO exchange.
+      // Measured at sf0.1: a1 aggregate 0.21 s → one stage (~0.1 s class);
+      // probed in A1Probe. This is the "reuse one partitioning across
+      // stages" play from SURVEY §perf: pay the shuffle once at cache
+      // fill, not per query. user_id is high-cardinality vs 32 partitions,
+      // so balance matches round-robin closely; scenario-keyed consumers
+      // (synthView) still re-shuffle exactly as before.
       events(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism).persist()
+        .repartition(spark.sparkContext.defaultParallelism, col("user_id"))
+        .persist()
     }
 
   /** Epoch-microseconds of midnight UTC on the given ISO date. */

@@ -50,11 +50,16 @@ object Dedup {
     val cells = docs
       .withColumn("toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("ch", explode(transform(
+      // n = 0 guard (an empty token array): sequence(0, -1) would emit a
+      // DESCENDING two-element [0, -1] — two phantom cells the DuckDB
+      // twin's range() never produces. NULL here makes explode drop the
+      // row: zero cells, matching the oracle for any future tokenizer
+      // that can return empty arrays.
+      .withColumn("ch", explode(when(col("n") > 0, transform(
         sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),
         i => struct(i.as("chunk_id"),
           concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C)))
-            .as("chunk")))))
+            .as("chunk"))))))
       .select(col(idCol), col("ch.chunk_id"), col("ch.chunk"),
         md5(col("ch.chunk")).as("h"))
     val keepers = cells.groupBy(col("h"))
@@ -71,8 +76,23 @@ object Dedup {
         array_join(transform(col("kc"), x => x("chunk")), " ").as("kept_text"))
   }
 
-  /** MinHash signature: k lexicographic-min md5("<seed>|<shingle>") strings. */
-  def minhashSig(shingles: Column, k: Int): Column =
+  /** MinHash signature: k lexicographic-min md5("<seed>|<shingle>") strings.
+    * Evaluated by the one-pass compiled
+    * [[graft.functions.MinHashSig]] expression (registered on the active
+    * session on first use) — bit-identical to [[minhashSigHof]], several
+    * times cheaper per row (see the expression's scaladoc). */
+  def minhashSig(shingles: Column, k: Int): Column = {
+    graft.functions.MinHashFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.MinHashFunctions.minhash_sig(shingles, k)
+  }
+
+  /** Composable-HOF form of [[minhashSig]]: the semantic definition, kept
+    * as the parity reference (DataOpsSpec asserts bit-identical output)
+    * and for sessions where registering functions is undesirable. ~3
+    * interpreted lambda dispatches per (seed, shingle) — use the
+    * expression form on hot paths. */
+  def minhashSigHof(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingles, s => md5(concat(i.cast("string"), lit("|"), s)))))
 

@@ -29,6 +29,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(agg.find(_._1 == 3L).get._2 == Seq.fill(k)(None))
   }
 
+  test("MinHashSig expression is bit-identical to the HOF definition") {
+    // minhashSig now routes through the one-pass compiled expression;
+    // the HOF form is the semantic definition (and the DuckDB oracle's
+    // shape). Any divergence desynchronizes the LSH family from its
+    // oracles, so assert identity across the awkward inputs: NULL array,
+    // empty array, NULL elements, repeated shingles, multi-byte UTF-8.
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "a b c")),
+      (2L, Seq("solo")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]]),
+      (5L, Seq("héllo wörld ünïcode", "日本語 テスト one")),
+      (6L, Seq(null, "after-null", null))
+    ).toDF("doc_id", "sh")
+    val k = 7
+    val fast = docs.select($"doc_id", Dedup.minhashSig($"sh", k).as("sig"))
+      .orderBy("doc_id").as[(Long, Option[Seq[Option[String]]])].collect().toSeq
+    val hof = docs.select($"doc_id", Dedup.minhashSigHof($"sh", k).as("sig"))
+      .orderBy("doc_id").as[(Long, Option[Seq[Option[String]]])].collect().toSeq
+    assert(fast == hof)
+    // NULL array behaves like empty: the outer transform runs over the
+    // seed sequence either way -> k NULLs, never a NULL array.
+    assert(fast.find(_._1 == 4L).get._2.get.forall(_.isEmpty))
+    assert(fast.find(_._1 == 3L).get._2.get.forall(_.isEmpty))
+  }
+
   test("KMV sketch equals brute-force bottom-k md5 and estimates within error") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
