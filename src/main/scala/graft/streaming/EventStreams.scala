@@ -186,17 +186,25 @@ object EventStreams {
   }
 
   /** [[RunningTotalsProcessor]] wired over an event stream: one updated
-    * totals row per touched user per micro-batch (Update mode). */
+    * totals row per touched user per micro-batch (Update mode).
+    *
+    * Time mode follows the TTL: state TTL is only legal under
+    * processing-time mode (Spark rejects a non-NONE TTL with
+    * `TimeMode.None()` at query start), so passing a real `ttl` switches
+    * the processor to `TimeMode.ProcessingTime()`; with the default
+    * NONE the state machine stays time-agnostic. */
   def runningUserTotals(events: DataFrame,
       ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTotals] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+        timeMode, OutputMode.Update())
   }
 
   /** Drive a streaming DataFrame to completion against a bounded input and

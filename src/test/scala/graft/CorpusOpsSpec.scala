@@ -144,15 +144,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(p.contains("partial_max_by"),
       s"expected map-side partial max_by in:\n$p")
     // semantics on a synthetic changelog: user 1 ends on an upsert, user 2
-    // ends on a delete (tombstone) and must vanish from the final state
+    // ends on a delete (tombstone) and must vanish from the final state.
+    // Uses the PRODUCTION ordering key (DedupLatest.ordKey128) — the
+    // collision-free composite cdcApply ships — with a deliberate ts tie
+    // (events 3 and 1027 for user 1) whose event_ids collide mod 1024, the
+    // exact case the old `ts*1024 + id%1024` composite mis-ordered.
     val ev = Seq(
       (1L, 100L, 1L, "purchase", 1.0),
       (2L, 200L, 1L, "error", 0.0),
       (3L, 300L, 1L, "view", 2.0),
+      (1027L, 300L, 1L, "view", 3.0), // ts tie with event 3; 1027 % 1024 == 3
       (4L, 100L, 2L, "purchase", 1.0),
       (5L, 200L, 2L, "error", 0.0)
     ).toDF("event_id", "ts_us", "user_id", "event_type", "value")
-    val ck = expr("ts_us * 1024 + event_id % 1024")
+    val ck = graft.operators.DedupLatest.ordKey128($"ts_us", $"event_id")
     val state = ev
       .withColumn("op", when($"event_type" === "error", "D").otherwise("U"))
       .groupBy($"user_id")
@@ -161,7 +166,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       .where($"last_op" === "U")
       .select($"user_id", $"last_event_id")
       .orderBy("user_id").as[(Long, Long)].collect().toSeq
-    assert(state == Seq((1L, 3L)))
+    // tie on ts_us=300 broken by event_id: 1027 wins (the mod-1024
+    // composite would have seen equal keys and picked either)
+    assert(state == Seq((1L, 1027L)))
   }
 
   test("cohort retention and funnel are aggregate-only — no event window") {
