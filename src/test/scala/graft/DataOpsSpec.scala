@@ -55,6 +55,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(fast.find(_._1 == 3L).get._2.get.forall(_.isEmpty))
   }
 
+  test("MinHashMergeAggregator over per-doc sigs equals row-streaming group sig") {
+    // min is associative: elementwise-min of per-doc signatures == the
+    // signature of the group's shingle multiset. The group query ships the
+    // merge plan (map-only per-doc sigs + O(groups x k) aggregate); the
+    // row-streaming MinHashAggregator over exploded shingles is the
+    // semantic definition. Include a doc with an empty shingle array
+    // (all-null sig) to cover null-skipping in the merge.
+    val k = 5
+    val docs = Seq(
+      ("en", 1L, Seq("a b", "b c", "c d")),
+      ("en", 2L, Seq("b c", "x y")),    // overlaps doc 1
+      ("en", 3L, Seq.empty[String]),    // all-null sig, must not poison min
+      ("de", 4L, Seq("u v", "v w"))
+    ).toDF("lang", "doc_id", "sh")
+    val merge = udaf(new graft.functions.MinHashMergeAggregator(k))
+    val viaMerge = docs
+      .select($"lang", Dedup.minhashSig(array_distinct($"sh"), k).as("ds"))
+      .groupBy($"lang").agg(merge($"ds").as("sig"))
+      .orderBy("lang").as[(String, Seq[Option[String]])].collect().toSeq
+    val rowAgg = udaf(new graft.functions.MinHashAggregator(k))
+    val viaRows = docs
+      .select($"lang", explode_outer($"sh").as("s"))
+      .groupBy($"lang").agg(rowAgg($"s").as("sig"))
+      .orderBy("lang").as[(String, Seq[Option[String]])].collect().toSeq
+    assert(viaMerge == viaRows)
+    assert(viaMerge.forall(_._2.forall(_.isDefined)))
+  }
+
   test("KMV sketch equals brute-force bottom-k md5 and estimates within error") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
