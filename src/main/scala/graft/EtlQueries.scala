@@ -130,8 +130,11 @@ object EtlQueries {
 
   /** The oracle: synthesized view + exports_results.sql's literal CTE
     * structure (windows, JSON lambdas, unnest-with-stub), fanned over the
-    * distinct-lender list. */
-  private val oracle: String =
+    * distinct-lender list. `timeProj` is the final-SELECT projection of the
+    * `time` column: the in-memory e2e compares unix micros, the CSV
+    * round-trip compares a seconds-precision string (the reference CSV
+    * dialect's timestamp grain — `yyyy-MM-dd HH:mm:ssxx`). */
+  private def oracleSql(timeProj: String): String =
     s"""WITH ev AS (
        |  SELECT *, TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
        |  FROM events),
@@ -270,13 +273,61 @@ object EtlQueries {
        |  "dependantsCount", COALESCE("exportedLender", '') AS "exportedLender",
        |  "householdCount", "loanPurpose", "lvr", "lvrBucket", "paygIncome",
        |  "primaryIncome", "rateType", "scenarioId", "selfEmployedIncome",
-       |  epoch_us("time") AS time_us, "totalProposedLoanAmount",
+       |  $timeProj, "totalProposedLoanAmount",
        |  "transactionType", "weeklyRentalIncome", count_all_loan_purpose,
        |  count_all_unique_scenario_id, sum_all_total_proposed_loan_amount,
        |  performance
        |FROM performance_result
        |ORDER BY associated_lender, "scenarioId"""".stripMargin
 
+  private def tmpDir(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_report/$name"
+
+  /** S4+S6+S7+O2 as ONE oracle-checked chain — the reference's full outer
+    * loop (run_exports_query.py per-lender CSVs + merge_all_lenders.py
+    * consolidation): quarantine split → single-pass all-lenders report →
+    * per-lender partitioned BOM'd CSV write → glob re-read → union-by-name
+    * → consolidated single-file write → all-string re-read. The re-read is
+    * cast back to source types (losslessness of the round-trip is the
+    * property under test; the byte-level dialect assertions live in
+    * CsvSpec/ReportJobSpec) and compared against the SAME DuckDB oracle as
+    * ref_exports_pipeline_e2e, with `time` at the CSV dialect's
+    * seconds-precision grain. */
+  private def reportRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val merged = graft.etl.ReportJob.run(
+      synthView(spark, dir), "2024-01-01", "2024-02-01",
+      tmpDir("s7_out"), tmpDir("s7_result"))
+    merged.select(
+      col("associated_lender"),
+      col("applicantCount").cast("long"),
+      col("applicantsWithHecs").cast("long"),
+      col("dependantsCount").cast("long"),
+      col("exportedLender"),
+      col("householdCount").cast("long"),
+      col("loanPurpose"),
+      col("lvr").cast("double"),
+      col("lvrBucket"),
+      col("paygIncome").cast("double"),
+      col("primaryIncome"),
+      col("rateType"),
+      col("scenarioId"),
+      col("selfEmployedIncome").cast("double"),
+      date_format(to_timestamp(col("time"), "yyyy-MM-dd HH:mm:ssxx"),
+        "yyyy-MM-dd HH:mm:ss").as("time_str"),
+      col("totalProposedLoanAmount").cast("double"),
+      col("transactionType"),
+      col("weeklyRentalIncome").cast("double"),
+      col("count_all_loan_purpose").cast("long"),
+      col("count_all_unique_scenario_id").cast("long"),
+      col("sum_all_total_proposed_loan_amount").cast("double"),
+      col("performance"))
+      .dumpOrdered("associated_lender", "scenarioId")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
-    "ref_exports_pipeline_e2e" -> Q(exportsE2e, Some(oracle), headline = true))
+    "ref_exports_pipeline_e2e" -> Q(exportsE2e,
+      Some(oracleSql("""epoch_us("time") AS time_us""")), headline = true),
+    "ref_s7_report_roundtrip" -> Q(reportRoundtrip,
+      Some(oracleSql(
+        """strftime("time", '%Y-%m-%d %H:%M:%S') AS time_str"""))))
 }
