@@ -186,7 +186,7 @@ object DataQueries {
   // ---------------------------------------------------------------- dedup
 
   private def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.exact(Tables.documentsHot(spark, dir), "doc_id", "text")
       .select(col("doc_id"), col("content_hash"), col("keeper_id"),
         col("group_size"), col("is_dup"))
       .dumpOrdered("doc_id")
@@ -196,7 +196,7 @@ object DataQueries {
     * array lookup, while a nested split(text) inside the (interpreted)
     * HOF re-splits the text once per accessed element. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsHot(spark, dir)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", TextAnalysis.shingles(col("toks"), 3))
 
@@ -287,7 +287,7 @@ object DataQueries {
   }
 
   private def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
+    val sigs = Tables.documentsHot(spark, dir)
       .withColumn("simhash", Dedup.simhash16(TextAnalysis.tokens(col("text"))))
     val groups = sigs.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_size"))
@@ -313,7 +313,7 @@ object DataQueries {
     * are engine-independent. */
   private def minhashGroupSig(spark: SparkSession, dir: String): DataFrame = {
     val merge = udaf(new graft.functions.MinHashMergeAggregator(K))
-    Tables.documents(spark, dir)
+    Tables.documentsHot(spark, dir)
       .select(col("lang"), col("source"),
         TextAnalysis.tokens(col("text")).as("toks"))
       // per-doc distinct: min over a set equals min over the multiset,
@@ -782,7 +782,7 @@ object DataQueries {
     * reassembly is a per-doc hash aggregate. Three shuffles, each
     * O(cells), no quadratic step anywhere. */
   private def chunkDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.chunkDedup(Tables.documents(spark, dir), "doc_id", "text",
+    Dedup.chunkDedup(Tables.documentsHot(spark, dir), "doc_id", "text",
       DedupCell)
       .dumpOrderedTail("doc_id")
 

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-probe runner (VERDICT r5 #3): times the headline queries plus the
+  * LSH/dedup family on an arbitrary SF directory (the ScaleGen ~sf1 copy,
+  * or sf0.1 for the comparison row) and prints one JSON line per query with
+  * the min warm time and the physical join-node mix — so a scale step's
+  * broadcast→SortMergeJoin plan flips are OBSERVED in the artifact rather
+  * than inferred. Methodology is a lighter Bench (1 warmup, min of
+  * `SPARK_GRAFT_REPS` timed reps, noop sink, AQE off like Bench); the
+  * full-rigor per-round artifact stays `graft.Bench`.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=… runMain graft.ScaleBench`.
+  */
+object ScaleBench {
+  /** The dedup/LSH family named by the verdict's scale-probe item, over
+    * and above the headline set. */
+  private val ExtraQueries = Seq(
+    "data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
+    "data_dedup_minhash_pairs", "data_dedup_minhash_groupsig",
+    "data_dedup_ngram_jaccard", "data_dedup_components",
+    "data_dedup_embedding")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+
+    val names = Registry.headlines.map(_._1) ++ ExtraQueries
+    val byName = Registry.byName
+    names.foreach { name =>
+      val df = byName(name).build(spark, sfDir)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val warm = once() // cold-ish first run: fills hot-table caches
+        val best = (1 to reps).map(_ => once()).min
+        val joins = df.queryExecution.executedPlan
+          .collect { case p if p.nodeName.contains("Join") => p.nodeName }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val joinJson = joins.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        println(f"""{"q":"$name","first":$warm%.3f,"warm":$best%.3f,"joins":$joinJson}""")
+      } catch {
+        case e: Throwable =>
+          println(s"""{"q":"$name","error":"${e.toString.take(160)
+            .replaceAll("[\"\\\\\\x00-\\x1f]", " ")}"}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -127,6 +127,24 @@ object Tables {
         .persist()
     }
 
+  /** Full documents table, repartitioned + persisted — the working set of
+    * the LSH/shingle family. Same rationale as [[eventsHot]]: the testdata
+    * parquet is single-row-group, so the (expensive) per-row
+    * tokenize→shingle→minhash stage otherwise runs inside ONE scan task;
+    * the 32-way cache spreads it across cores (BENCH_SCALE.md "layout
+    * control": bands on a 16-part copy of the same bytes ran 6× faster).
+    * Order-safety: every consumer is per-row (tokens/shingles/signatures)
+    * or order-free-aggregated (min(struct) keepers, per-seed min(md5)
+    * merges, band-bucket equi-joins) and every dump ends in a total sort
+    * on unique keys, so repartitioning cannot change results. At
+    * production scale inputs arrive multi-file and this cache becomes
+    * optional, exactly like [[eventsHot]]. */
+  def documentsHot(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "documentsHot") {
+      documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+    }
+
   /** Epoch-microseconds of midnight UTC on the given ISO date. */
   def usOf(isoDate: String): Long =
     java.time.LocalDate.parse(isoDate)
