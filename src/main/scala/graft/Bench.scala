@@ -188,14 +188,26 @@ object Bench {
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'")
           .replaceAll("[\\x00-\\x1f]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
-    println(
+    val json =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec"""" +
         s""","queries":${jmap(results)},"reps":${jreps(reps)}""" +
         s""","cold":{"value":${jnum(coldTotal)},"queries":${jmap(coldTimes)}}""" +
         s""","aqe":{"value":${jnum(aqeTimes.map(_._2).sum)},"queries":${jmap(aqeTimes)}}""" +
         s""","build":${jmap(buildTimes)},"build_total":${jnum(buildTotal)}""" +
         errJson +
-        s""","sf":"$sfDir"}""")
+        s""","sf":"$sfDir"}"""
+    println(json)
+    // Durable copy + a clean re-print AFTER spark.stop(): Spark's logging
+    // threads share the process stdout/stderr pipe with the println above,
+    // so a stdout-scraping harness can catch the line interleaved with (or
+    // drowned by) shutdown logs — every BENCH_r0*.json so far has
+    // parsed:null with a log-only tail. Post-stop there are no concurrent
+    // writers, and the file copy survives any amount of pipe noise.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] file write: $e") }
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
