@@ -48,6 +48,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - ALL per-rep times are emitted under `reps` (pass-major order), so
   *    the artifact is self-diagnosing — a contention spike shows up as
   *    one outlier block, not an unexplained total.
+  *  - Expect the FIRST rep of every block (indices ≡ 0 mod [[BlockReps]])
+  *    to run 2-3× the block's steady state: it pays the explicit
+  *    System.gc() issued at block start plus re-warming CPU caches / JIT
+  *    code locality after every other query's block ran in between. An
+  *    isolated-session probe (E2eProbe: per-rep GC ≤ 40 ms, uncorrelated
+  *    with wall time) rules out GC pressure from the query itself;
+  *    within-block steady-state max/min is < 1.3 for every headline
+  *    query. min-of-all-reps therefore reads the steady state, and the
+  *    block-start outliers in `reps` are methodology, not the query.
   *  - Caches (Tables.*Hot) stay materialized across warm reps: the DuckDB
   *    baseline is likewise measured warm (best-of-N after warm-up, OS page
   *    cache + buffer pool hot).

@@ -48,12 +48,13 @@ object Plans {
       |  columns), restoring scan parallelism over the single-row-group
       |  testdata for this order-independent (dump-sorted) consumer.
       |- **ref_a1_dedup_latest** — single aggregation, map-side partial
-      |  (`partial_max`/`partial_max_by` below the exchange), shuffle is
-      |  O(users) not O(events). `max_by` over string payloads plans as
-      |  SortAggregate (no mutable fixed-width buffer); the NULL-skip mask on
-      |  the ordering key preserves DuckDB MAX_BY semantics, and the key
-      |  itself is the collision-free composite `ts_us * 2^63 + event_id`
-      |  (DECIMAL(38,0) / HUGEINT in the oracle) —
+      |  (`partial_argmax_fields` below the exchange), shuffle is O(users)
+      |  not O(events). The payload columns ride ONE `ArgMaxFields` typed
+      |  aggregate (per-field DuckDB MAX_BY NULL-skip semantics) so the plan
+      |  is ObjectHashAggregate — the per-column string `max_by` fan-out it
+      |  replaced forced SortAggregate, the round-5 bench's only outlier.
+      |  The ordering key is the collision-free composite
+      |  `ts_us * 2^63 + event_id` (DECIMAL(38,0) / HUGEINT in the oracle) —
       |  tie-broken by construction, same expression in the oracle.
       |- **ref_w1_global_aggs** — the `COUNT(DISTINCT) OVER ()` rewrite: the
       |  1-row global aggregate and the per-type counts are computed once and
