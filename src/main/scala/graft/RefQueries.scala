@@ -83,11 +83,13 @@ object RefQueries {
   private def p2TimeFilter(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val lo = Tables.usOf("2024-01-10")
     val hi = Tables.usOf("2024-01-20")
-    // Filter on the RAW ts column (ns) so the predicate pushes down to the
-    // parquet scan — a predicate on derived ts_us (= ts div 1000) does not.
-    // ts >= lo*1000 ⟺ ts_us >= lo for non-negative epochs.
+    // Filter on the RAW ts column so the predicate pushes down to the
+    // parquet scan — a predicate on derived ts_us does not. The literal is
+    // built in ts's own dtype (Tables.tsLiteral); a half-open µs range is
+    // exact in every flavor the driver has generated.
     Tables.events(spark, dir)
-      .where(col("ts") >= lo * 1000 && col("ts") < hi * 1000 && col("value") > 0)
+      .where(col("ts") >= Tables.tsLiteral(spark, dir, lo) &&
+        col("ts") < Tables.tsLiteral(spark, dir, hi) && col("value") > 0)
       .select(col("event_id"), col("event_type"), col("ts_us"))
       .dumpOrdered("event_id")
   }

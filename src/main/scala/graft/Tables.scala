@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver testdata (TESTDATA.md, FIXTURES.md §B).
   *
   * Parquet is self-describing, so no schemas are forced here. One quirk:
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-  * unless `spark.sql.legacy.parquet.nanosAsLong` is set — we set it
-  * idempotently on the session and expose the raw nanosecond long plus a
-  * microsecond-truncated long (`ts_us`) and timestamp (`ts_ts`). DuckDB
-  * v1.0 itself truncates ns→µs when reading the same parquet, so the µs
-  * grain is the cross-engine-stable one used by every oracle-checked query.
+  * `events.ts` has drifted across driver regenerations — TIMESTAMP(NANOS)
+  * (read as a raw ns long under `spark.sql.legacy.parquet.nanosAsLong`)
+  * through round 5, plain TIMESTAMP(MICROS) without timezone (read as
+  * TIMESTAMP_NTZ) from round 6 — so [[events]] normalizes BY DTYPE to the
+  * same two derived columns every consumer uses: a microsecond epoch long
+  * (`ts_us`) and a µs timestamp (`ts_ts`). The NTZ→µs conversion is a
+  * `timestampdiff` against the NTZ epoch literal — timezone-INDEPENDENT,
+  * so a driver session without our UTC conf still gets identical values.
+  * DuckDB reads either flavor as naive TIMESTAMP and `epoch_us(ts)` yields
+  * the same µs, so the µs grain stays the cross-engine-stable one used by
+  * every oracle-checked query.
   */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -27,13 +32,37 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** events with `ts` as raw ns long, plus µs long + µs timestamp columns. */
+  /** events with `ts` normalized to a µs epoch long (`ts_us`) + µs
+    * timestamp (`ts_ts`), whatever flavor this testdata generation uses. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Runtime-settable legacy conf; required for TIMESTAMP(NANOS) parquet.
+    // Runtime-settable legacy conf; required iff the data is TIMESTAMP(NANOS).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
+    val raw = read(spark, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000") // ns long
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // tz-independent: NTZ wall-clock minus the NTZ epoch, in µs
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts")) // tz-aware TIMESTAMP
+    }
+    raw.withColumn("ts_us", tsUs)
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** `ts`-typed literal for pushdown-friendly predicates on the RAW events
+    * time column: a filter must compare `ts` against a literal of its OWN
+    * dtype to reach `PushedFilters` (a cast around the column defeats
+    * row-group pruning). Given epoch µs, returns the literal in whichever
+    * flavor this generation's `ts` uses. */
+  def tsLiteral(spark: SparkSession, dir: String, us: Long): org.apache.spark.sql.Column = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(us * 1000L) // ns long
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      case _ => lit(java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
+    }
   }
 
   /** Hot-table memo: one `.persist()` call per (session, dir, name) — the

@@ -22,26 +22,31 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with `ts` as raw TIMESTAMP(NANOS) longs, matching the
-    * batch reader (Tables.events + nanosAsLong). */
+  /** events schema with `ts` as TIMESTAMP_NTZ µs, matching the current
+    * driver testdata generation (and what `Tables.events` writes back out
+    * when specs re-materialize it). Streaming sources require an explicit
+    * schema, so unlike the dtype-adaptive batch reader this one is pinned;
+    * change here if the driver regenerates with a different flavor. */
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Incremental read of an events parquet path (file or glob). */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Incremental read of an events parquet path (file or glob), with the
+    * same normalized `ts_us` (µs epoch long) + `ts_ts` (µs timestamp)
+    * derivations as the batch reader. The NTZ→µs step is timezone-
+    * independent (`timestampdiff` against the NTZ epoch literal). */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.readStream
       .schema(EventSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(path)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts_us",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
 
   /** Event-time windowed aggregate with watermark: per (1h window,
     * event_type) counts and cent-exact value sums. */
@@ -53,7 +58,9 @@ object EventStreams {
         (sum(round(col("value") * 100).cast("long")).cast(DecimalType(18, 2)) / 100)
           .cast(DecimalType(18, 2)).as("sum_value"))
 
-  case class EventRow(event_id: Long, ts: Long, user_id: Long,
+  /** Typed event row over the NORMALIZED µs column — state logic never
+    * touches the generation-dependent raw `ts`. */
+  case class EventRow(event_id: Long, ts_us: Long, user_id: Long,
                       event_type: String, value: Double, props: String)
   case class LatestEvent(user_id: Long, last_ts_us: Long,
                          last_event_type: String, last_value: Double,
@@ -64,16 +71,16 @@ object EventStreams {
   def latestPerUser(events: DataFrame): Dataset[LatestEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+    events.select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
         col("value"), col("props"))
       .as[EventRow]
       .groupByKey(_.user_id)
       .mapGroupsWithState[LatestEvent, LatestEvent](GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[LatestEvent]) =>
-          val candidate = rows.maxBy(_.ts)
+          val candidate = rows.maxBy(_.ts_us)
           val best = state.getOption match {
-            case Some(prev) if prev.last_ts_us >= candidate.ts / 1000 => prev
-            case _ => LatestEvent(userId, candidate.ts / 1000,
+            case Some(prev) if prev.last_ts_us >= candidate.ts_us => prev
+            case _ => LatestEvent(userId, candidate.ts_us,
               candidate.event_type, candidate.value, candidate.props)
           }
           state.update(best)
@@ -199,7 +206,7 @@ object EventStreams {
     import spark.implicits._
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    events.select(col("event_id"), col("ts"), col("user_id"),
+    events.select(col("event_id"), col("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"))
       .as[EventRow]
       .groupByKey(_.user_id)
