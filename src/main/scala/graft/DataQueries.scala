@@ -429,6 +429,54 @@ object DataQueries {
         TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
       .dumpOrdered("doc_id")
 
+  private def qualityGopher(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +:
+        TextAnalysis.gopherColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .dumpOrdered("doc_id")
+
+  private def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    val stats =
+      TextAnalysis.ngramRepStats(TextAnalysis.shingles(w, 2), "bi") ++
+        TextAnalysis.ngramRepStats(TextAnalysis.shingles(w, 3), "tri")
+    Tables.documentsHot(spark, dir)
+      .select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+      .dumpOrdered("doc_id")
+  }
+
+  /** Winnowing window width (hashes per selection window). */
+  private val WinnowW = 4
+
+  private def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        transform(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3),
+          s => md5(s)).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(TextAnalysis.winnowPositions(col("h"), WinnowW)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("h"), (col("pos") + 1).cast("int")).as("fp"))
+      .dumpOrdered("doc_id", "pos")
+
+  /** SemDeDup cosine threshold: this synthetic embedding corpus has no
+    * near-identical pairs (max pairwise cosine ≈ 0.51), so the demo
+    * threshold sits where flags are non-trivial; a production run keeps
+    * the same plan with τ ≈ 0.95+. */
+  private val SemTau = 0.3
+
+  private def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(spark, dir),
+        kCells = 8, rounds = 2, tau = SemTau)
+      .dumpOrdered("vec_id")
+
+  private def simSq8TopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sq8TopK(
+        Tables.embeddings(spark, dir).where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        Tables.embeddings(spark, dir), k = 5)
+      .dumpOrdered("q_id", "rnk")
+
   private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1854,6 +1902,136 @@ object DataQueries {
          |  CAST(least(floor(percent_rank() OVER (PARTITION BY source
          |         ORDER BY n_tok, doc_id) * 4), 3) AS BIGINT) AS bucket
          |FROM d ORDER BY doc_id""".stripMargin)),
+
+    "data_quality_gopher" -> Q(qualityGopher, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckWords AS w FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |         AS DOUBLE) / CAST(len(w) AS DOUBLE) AS alpha_frac,
+         |    CAST(len(list_filter(w, x ->
+         |      list_contains(['the','a','of','and','to'], x))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         |  n_stopwords,
+         |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_word_len,
+         |  symbol_ratio <= 0.1 AS r_symbol_ratio,
+         |  alpha_frac >= 0.8 AS r_alpha_words,
+         |  n_stopwords >= 2 AS r_stopwords,
+         |  n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |    AND n_stopwords >= 2 AS passes_gopher
+         |FROM f ORDER BY doc_id""".stripMargin)),
+
+    "data_ngram_coverage" -> Q(ngramCoverage, Some {
+      val duckBigrams =
+        s"""list_transform(range(1, len($duckWords)),
+           |      i -> $duckWords[i] || ' ' || $duckWords[i+1])""".stripMargin
+      def stats(g: String, p: String): String =
+        s"""SELECT doc_id,
+           |    CAST(len(g) AS BIGINT) AS n_${p}grams,
+           |    CASE WHEN len(g) > 0 THEN
+           |      CAST(list_sum(list_transform(
+           |        list_transform(list_distinct(g),
+           |          x -> len(list_filter(g, y -> y = x))),
+           |        c -> CASE WHEN c >= 2 THEN c ELSE 0 END)) AS DOUBLE)
+           |        / CAST(len(g) AS DOUBLE) END AS dup_${p}gram_frac,
+           |    CASE WHEN len(g) > 0 THEN
+           |      CAST(list_max(list_transform(list_distinct(g),
+           |        x -> len(list_filter(g, y -> y = x)))) AS DOUBLE)
+           |        / CAST(len(g) AS DOUBLE) END AS top_${p}gram_frac
+           |  FROM (SELECT doc_id, $g AS g FROM documents)""".stripMargin
+      s"""WITH b AS (
+         |  ${stats(duckBigrams, "bi")}),
+         |t AS (
+         |  ${stats(duckShingles, "tri")})
+         |SELECT b.doc_id, b.n_bigrams, b.dup_bigram_frac, b.top_bigram_frac,
+         |  t.n_trigrams, t.dup_trigram_frac, t.top_trigram_frac
+         |FROM b JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin
+    }),
+
+    "data_winnow_fingerprint" -> Q(winnowFingerprint, Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform($duckShingles, s -> md5(s)) AS h
+         |  FROM documents),
+         |sel AS (
+         |  SELECT doc_id, h,
+         |    CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+         |         WHEN len(h) < $WinnowW THEN
+         |           [CAST(list_position(h, list_min(h)) - 1 AS BIGINT)]
+         |         ELSE list_sort(list_distinct(list_transform(
+         |           range(0, len(h) - ${WinnowW - 1}),
+         |           p -> CAST(p + list_position(h[p+1:p+$WinnowW],
+         |                  list_min(h[p+1:p+$WinnowW])) - 1 AS BIGINT))))
+         |    END AS sel
+         |  FROM h)
+         |SELECT doc_id, pos, h[CAST(pos + 1 AS INTEGER)] AS fp
+         |FROM (SELECT doc_id, h, unnest(sel) AS pos FROM sel)
+         |ORDER BY doc_id, pos""".stripMargin)),
+
+    "data_dedup_semantic" -> Q(dedupSemantic, Some(
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |           AS cell,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 8) s),
+         |${duckKmeansRound("c0", "c1")},
+         |${duckKmeansRound("c1", "c2")},
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckSqDist("e.embedding", "c.cvec")}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) x WHERE rn = 1),
+         |pairs AS (
+         |  SELECT b.vec_id AS vec_id,
+         |    ${duckDot("a.embedding", "b.embedding")} /
+         |      (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+         |       sqrt(${duckDot("b.embedding", "b.embedding")})) AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |agg AS (
+         |  SELECT vec_id, count(*) AS n_prior, max(cos) AS max_prior_sim
+         |  FROM pairs GROUP BY vec_id)
+         |SELECT s.vec_id, s.cell,
+         |  COALESCE(g.n_prior, 0) AS n_prior, g.max_prior_sim,
+         |  COALESCE(g.max_prior_sim >= $SemTau, FALSE) AS is_semantic_dup
+         |FROM assign s LEFT JOIN agg g USING (vec_id)
+         |ORDER BY vec_id""".stripMargin)),
+
+    "data_sim_sq8_topk" -> Q(simSq8TopK, Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${duckDot("embedding", "embedding")}) AS norm
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(round(CAST(x AS DOUBLE) * 127.0 / norm) AS INTEGER)) AS qv
+         |  FROM e WHERE norm > 0),
+         |qs AS (SELECT vec_id AS q_id, qv AS qq FROM q8 WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT qs.q_id, q8.vec_id,
+         |    CAST(list_sum(list_transform(list_zip(qs.qq, q8.qv),
+         |      p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+         |      AS BIGINT) AS qdot
+         |  FROM q8 CROSS JOIN qs WHERE qs.q_id <> q8.vec_id),
+         |r AS (
+         |  SELECT q_id, vec_id, qdot,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT q_id, rnk, vec_id AS neighbor_id, qdot FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
   )
 
   /** Pair queries may legitimately be empty on tiny scale factors. */

@@ -155,6 +155,55 @@ object Dedup {
     buckets.join(keep, keyCols)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding column with the fixed-round deterministic
+    * k-means ([[Similarity.fitCentroids]]), then compare pairs ONLY within
+    * a cluster — a vector is a semantic duplicate when some LOWER-id
+    * vector in its cluster has cosine ≥ `tau` (keep-lowest-id, the same
+    * deterministic keeper rule as [[exact]]).
+    *
+    * Output: every input row's (id, cell) plus `n_prior` (lower-id
+    * same-cell peers), `max_prior_sim` (highest cosine against any of
+    * them; NULL when none), `is_semantic_dup`.
+    *
+    * Scale: the clustering bounds the candidate set exactly like LSH bands
+    * bound MinHash — the corpus is never all-pairs joined, only
+    * within-cell. Cell assignment is the map-only literal-centroid fold
+    * ([[Similarity.assignCellsBroadcast]], zero exchanges), so the only
+    * shuffles are the O(k × dim) k-means updates and the within-cell
+    * self-join on `cell`. Cell population stays bounded because k SCALES
+    * WITH THE CORPUS (SemDeDup runs ~100k clusters at web scale; expected
+    * cell size = corpus / k), making the per-cell pairwise cost
+    * O(corpus × cell) — a degenerate cell at production scale would be
+    * guarded with [[capHotBuckets]] on `cell`, not modeled here because
+    * the oracle twin replays the exact uncapped math. */
+  def semanticDedup(corpus: DataFrame, kCells: Int, rounds: Int, tau: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    import graft.functions.VectorFunctions.vec_dot
+    val cents = Similarity.fitCentroids(corpus, kCells, rounds, idCol, vecCol)
+    val assigned = Similarity.assignCellsBroadcast(corpus, cents, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("_norm"))
+    val a = assigned.select(col("cell"), col(idCol).as("_id_a"),
+      col(vecCol).as("_va"), col("_norm").as("_na"))
+    val b = assigned.select(col("cell"), col(idCol).as("_id_b"),
+      col(vecCol).as("_vb"), col("_norm").as("_nb"))
+    val prior = a.join(b, Seq("cell"))
+      .where(col("_id_a") < col("_id_b"))
+      .select(col("_id_b").as(idCol),
+        (vec_dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_cos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_prior"), max(col("_cos")).as("max_prior_sim"))
+    assigned.select(col(idCol), col("cell"))
+      .join(prior, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        col("max_prior_sim"),
+        coalesce(col("max_prior_sim") >= tau, lit(false)).as("is_semantic_dup"))
+  }
+
   /** Estimated Jaccard from two equal-length signatures: matching fraction. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / k

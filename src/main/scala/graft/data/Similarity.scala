@@ -186,6 +186,49 @@ object Similarity {
         col("cos_sim"))
   }
 
+  /** Norm-scaled int8 quantization of a float vector: each coordinate
+    * becomes `round(x · 127 / ‖v‖)` — the scalar-quantization (SQ8)
+    * compression real ANN engines (faiss SQ8) apply to cut index memory
+    * 4×. Unit-norm direction is preserved; magnitude folds into the scale
+    * factor. Same arithmetic as the `data_embed_quantize` checksum query,
+    * promoted to a reusable column op. */
+  def quantizeInt8(vec: Column, norm: Column): Column =
+    transform(vec, x => round(x.cast("double") * 127.0 / norm).cast("int"))
+
+  /** Quantized-domain top-k: both sides SQ8-quantized, similarity = the
+    * INTEGER dot product of the quantized vectors (a monotone estimate of
+    * cosine, since quantization normalizes magnitude away). All-integer
+    * scoring is exactly reproducible on any engine — no float summation
+    * order to agree on — which is what lets an oracle replay it; ties on
+    * the integer score break by corpus id.
+    *
+    * Scale: same broadcast-queries × corpus shape as [[bruteForceTopK]]
+    * (corpus never shuffled, per-partition WindowGroupLimit top-k before
+    * the exchange) but the scored payload is int8-scale integers — 4× less
+    * memory traffic per corpus row, and the integer multiply-add
+    * vectorizes better than float folds. Zero-norm corpus rows are
+    * dropped (no direction to compare). */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val d = fastDot(corpus) _
+    def q8(df: DataFrame, id: String, vec: String, out: String): DataFrame =
+      df.withColumn("_norm", sqrt(d(col(vec), col(vec))))
+        .where(col("_norm") > 0)
+        .select(col(id), quantizeInt8(col(vec), col("_norm")).as(out))
+    val qn = q8(queries, qId, qVec, "_qq")
+    val cn = q8(corpus, cId, cVec, "_qc")
+    val scored = cn.crossJoin(broadcast(qn))
+      .where(col(qId) =!= col(cId))
+      .withColumn("qdot",
+        aggregate(zip_with(col("_qq"), col("_qc"),
+          (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col(qId)).orderBy(col("qdot").desc, col(cId))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("qdot"))
+  }
+
   /** Element-wise difference (a - b) in doubles — centering helper. */
   def vecSub(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x.cast("double") - y)

@@ -63,6 +63,90 @@ object TextAnalysis {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
+  /** Gopher-style quality rule set (Rae et al. 2021, "Scaling Language
+    * Models", table A1 — the published heuristics, not any private list):
+    * per-rule boolean flags plus the features they test, so a curation
+    * pipeline can both filter (`passes_gopher`) and audit WHICH rule fired.
+    * All pure column expressions — the whole rule set evaluates inside the
+    * document scan, map-only at any corpus size. Thresholds are the
+    * paper's; word-soup synthetic corpora trivially pass the symbol/bullet
+    * rules, real corpora do not. */
+  def gopherColumns(text: Column): Seq[(String, Column)] = {
+    val w = tokens(text)
+    val nWords = size(w).cast("long")
+    val nd = nWords.cast("double")
+    val meanLen = aggregate(transform(w, x => length(x)), lit(0),
+      (acc, l) => acc + l).cast("double") / nd
+    // '#' or '...' occurrences per word (the paper's symbol-to-word ratio)
+    val symbolRatio =
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") / nd
+    // fraction of words containing at least one alphabetic character
+    val alphaFrac =
+      size(filter(w, x => x.rlike("[a-z]"))).cast("double") / nd
+    val nStop = markerCount(w, Stopwords)
+    val rWords = nWords >= 50 && nWords <= 100000
+    val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rSymbol = symbolRatio <= 0.1
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = nStop >= 2
+    Seq(
+      "n_words" -> nWords, "mean_word_len" -> meanLen,
+      "symbol_ratio" -> symbolRatio, "alpha_frac" -> alphaFrac,
+      "n_stopwords" -> nStop,
+      "r_word_count" -> rWords, "r_mean_word_len" -> rMeanLen,
+      "r_symbol_ratio" -> rSymbol, "r_alpha_words" -> rAlpha,
+      "r_stopwords" -> rStop,
+      "passes_gopher" -> (rWords && rMeanLen && rSymbol && rAlpha && rStop))
+  }
+
+  /** Per-document n-gram repetition stats (the Gopher/Rae "duplicate
+    * n-gram fraction" + "top n-gram fraction" repetition signals): over a
+    * gram array, the fraction of gram OCCURRENCES belonging to grams seen
+    * ≥ 2× in the document, and the fraction taken by the single most
+    * frequent gram. Pure HOFs — per-document local compute, no shuffle;
+    * the inner count is O(distinct × total) per doc, fine for bounded
+    * documents (the same stats for pathological multi-MB docs would use an
+    * explode + (doc, gram) count aggregate instead). Zero grams → NULL
+    * fractions (mirrored by the oracle). */
+  def ngramRepStats(grams: Column, prefix: String): Seq[(String, Column)] = {
+    val counts = transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+    val total = size(grams).cast("long")
+    val dupOcc = aggregate(counts, lit(0),
+      (acc, c) => acc + when(c >= 2, c).otherwise(0)).cast("long")
+    val top = array_max(counts).cast("long")
+    val totD = total.cast("double")
+    Seq(
+      s"n_${prefix}grams" -> total,
+      s"dup_${prefix}gram_frac" ->
+        when(total > 0, dupOcc.cast("double") / totD),
+      s"top_${prefix}gram_frac" ->
+        when(total > 0, top.cast("double") / totD))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): over the
+    * k-gram hash sequence `hashes`, slide a window of `w` consecutive
+    * hashes and select each window's minimum (leftmost on ties — a fixed
+    * deterministic tie rule both engines reproduce on hex strings);
+    * returns the sorted distinct 0-based positions of the selected hashes.
+    * Guarantees: any shared substring of length ≥ w + k − 1 yields at
+    * least one shared fingerprint, and selection density is ~2/(w+1).
+    * Pure HOFs — map-only inside the scan; fewer hashes than one window
+    * selects the global minimum (the standard short-document rule), an
+    * empty hash sequence selects nothing. */
+  def winnowPositions(hashes: Column, w: Int): Column = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val n = size(hashes)
+    val winners = transform(sequence(lit(0), n - w), p => {
+      val win = slice(hashes, p + 1, lit(w))
+      p + array_position(win, array_min(win)) - 1
+    })
+    when(n === 0, array().cast("array<long>"))
+      .when(n < w, array(array_position(hashes, array_min(hashes)) - 1))
+      .otherwise(array_sort(array_distinct(winners)))
+  }
+
   /** Quality features + a composite score; identical arithmetic is mirrored
     * in the DuckDB oracle so doubles match bit-for-bit. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {

@@ -305,4 +305,93 @@ class DataOpsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
     assert(empty.count() == 0)
   }
+
+  test("winnowPositions: window minima, ties leftmost, short and empty docs") {
+    val docs = Seq(
+      (1L, Seq("d", "b", "c", "a", "e", "f")), // windows of 3: min at 1,3,3,3
+      (2L, Seq("c", "a", "b")),                // shorter than w -> global min
+      (3L, Seq("a", "x", "a")),                // tie 'a': leftmost in each window
+      (4L, Seq.empty[String])                  // no hashes -> no fingerprints
+    ).toDF("doc_id", "h")
+    val got = docs
+      .select($"doc_id", TextAnalysis.winnowPositions($"h", 3).as("sel"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(got == Seq(
+      1L -> Seq(1L, 3L),
+      2L -> Seq(1L),       // w=3 == len: one window, min 'a' at 1
+      3L -> Seq(0L),       // single window [a,x,a]: leftmost 'a'
+      4L -> Seq.empty[Long]))
+    // w larger than every doc: global-min rule for all non-empty docs
+    val short = docs.where($"doc_id" === 2L)
+      .select(TextAnalysis.winnowPositions($"h", 10).as("sel"))
+      .as[Seq[Long]].head()
+    assert(short == Seq(1L))
+  }
+
+  test("ngramRepStats: duplicate and top fractions on a repetitive doc") {
+    val df = Seq((1L, "a b a b a"), (2L, "x y"), (3L, "solo")).toDF("doc_id", "text")
+    val w = TextAnalysis.tokens($"text")
+    val stats = TextAnalysis.ngramRepStats(TextAnalysis.shingles(w, 2), "bi")
+    val got = df.select($"doc_id" +: stats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    // "a b a b a": bigrams [a b, b a, a b, b a] -> all duplicated, top 2/4
+    assert(got == Seq(
+      (1L, 4L, Some(1.0), Some(0.5)),
+      (2L, 1L, Some(0.0), Some(1.0)),  // one bigram: no dups, top is itself
+      (3L, 0L, None, None)))           // too short for bigrams
+  }
+
+  test("gopherColumns: each rule flags independently") {
+    val fine = Seq.range(0, 60).map(i => s"word$i").mkString(" ") +
+      " the a of"  // 63 words, 3 stopwords, all alphabetic
+    val df = Seq(
+      (1L, fine),
+      (2L, "too short but the a of"),          // fails word count only
+      (3L, Seq.range(0, 60).map(_ => "#### ...").mkString(" "))  // symbols
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.gopherColumns($"text")
+    val got = df.select($"doc_id" +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+    val rows = got.collect()
+    val idx = got.columns.zipWithIndex.toMap
+    assert(rows(0).getBoolean(idx("passes_gopher")), "well-formed doc passes")
+    assert(!rows(1).getBoolean(idx("r_word_count")) &&
+      rows(1).getBoolean(idx("r_stopwords")), "short doc fails only length-ish rules")
+    assert(!rows(2).getBoolean(idx("r_symbol_ratio")) &&
+      !rows(2).getBoolean(idx("r_alpha_words")), "symbol doc fails symbol+alpha")
+    assert(!rows(2).getBoolean(idx("passes_gopher")))
+  }
+
+  test("semanticDedup: within-cell lower-id keeper, cross-cell blindness") {
+    // Two clusters of two identical vectors each: the higher id in each
+    // cluster is the semantic dup; nothing compares across cells.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, kCells = 2, rounds = 1, tau = 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, None, false),
+      (2L, 1L, 0L, None, false),
+      (3L, 0L, 1L, Some(1.0), true),
+      (4L, 1L, 1L, Some(1.0), true)))
+  }
+
+  test("sq8TopK ranks by integer quantized dot with id tie-break") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),  // same direction as q
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = Similarity.sq8TopK(queries, corpus, k = 3)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect().toSeq
+    // quantized: q=(127,0); id1=(127,0) dot 16129; id3=(90,90) dot 11430;
+    // id2=(0,127) dot 0. Magnitude is normalized away (id1 scores as a dup).
+    assert(got == Seq((0L, 1L, 1L, 16129L), (0L, 2L, 3L, 11430L),
+      (0L, 3L, 2L, 0L)))
+  }
 }
