@@ -470,6 +470,29 @@ object DataQueries {
         kCells = 8, rounds = 2, tau = SemTau)
       .dumpOrdered("vec_id")
 
+  /** Cell width for the incremental screen — finer than the corpus-wide
+    * [[DedupCell]]: ingest screening flags short boilerplate spans too. */
+  private val ScreenCell = 4
+
+  /** The snapshot boundary: docs below are the "existing corpus", docs at
+    * or above are the incoming batch. */
+  private val SnapshotId = 400L
+
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsHot(spark, dir)
+    Dedup.incrementalCellScreen(
+        docs.where(col("doc_id") >= SnapshotId),
+        docs.where(col("doc_id") < SnapshotId),
+        "doc_id", "text", ScreenCell)
+      .dumpOrderedTail("doc_id")
+  }
+
+  private def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +:
+        TextAnalysis.linearScoreColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .dumpOrdered("doc_id")
+
   private def simSq8TopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.sq8TopK(
         Tables.embeddings(spark, dir).where(col("vec_id") < 10)
@@ -1977,6 +2000,47 @@ object DataQueries {
          |SELECT doc_id, pos, h[CAST(pos + 1 AS INTEGER)] AS fp
          |FROM (SELECT doc_id, h, unnest(sel) AS pos FROM sel)
          |ORDER BY doc_id, pos""".stripMargin)),
+
+    "data_dedup_incremental" -> Q(dedupIncremental, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckWords AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(
+         |      toks[(i * $ScreenCell + 1):(i * $ScreenCell + $ScreenCell)],
+         |      ' ')) AS h
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, (n + ${ScreenCell - 1}) // $ScreenCell)) AS i
+         |        FROM c) x),
+         |corp AS (SELECT DISTINCT h AS hc FROM ch WHERE doc_id < $SnapshotId),
+         |b AS (
+         |  SELECT ch.doc_id, count(*) AS n_cells, count(hc) AS n_dup_cells
+         |  FROM ch LEFT JOIN corp ON ch.h = corp.hc
+         |  WHERE ch.doc_id >= $SnapshotId GROUP BY ch.doc_id)
+         |SELECT doc_id, n_cells, n_dup_cells,
+         |  CAST(n_dup_cells AS DOUBLE) / CAST(n_cells AS DOUBLE)
+         |    AS dup_cell_frac,
+         |  CAST(n_dup_cells AS DOUBLE) / CAST(n_cells AS DOUBLE) >= 0.5
+         |    AS is_mostly_dup
+         |FROM b ORDER BY doc_id""".stripMargin)),
+
+    "data_quality_classifier" -> Q(qualityClassifier, Some(
+      s"""WITH f AS (
+         |  SELECT doc_id, $duckWords AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, tok ->
+         |      (CAST(list_sum(list_transform(range(1, 5), i ->
+         |         (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+         |           * 16 ** (4 - i))) AS BIGINT) % 64) % 7 - 3))
+         |      AS BIGINT) AS score_sum
+         |  FROM f)
+         |SELECT doc_id, n_tokens, score_sum,
+         |  CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score,
+         |  CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.0
+         |    AS label_positive
+         |FROM s ORDER BY doc_id""".stripMargin)),
 
     "data_dedup_semantic" -> Q(dedupSemantic, Some(
       s"""WITH c0 AS (

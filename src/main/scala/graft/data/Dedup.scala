@@ -155,6 +155,55 @@ object Dedup {
     buckets.join(keep, keyCols)
   }
 
+  /** Non-overlapping `cellWords`-word cell hashes per row: (id, chunk_id,
+    * cell_hash) — the span-granular content key shared by [[chunkDedup]]
+    * (which also carries the chunk text for reassembly) and
+    * [[incrementalCellScreen]]. Same n=0 guard as chunkDedup: an empty
+    * token array yields zero cells, not phantom descending-sequence ones. */
+  def cellHashes(docs: DataFrame, idCol: String, textCol: String,
+                 cellWords: Int): DataFrame = {
+    val C = cellWords
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("ch", explode(when(col("n") > 0, transform(
+        sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),
+        i => struct(i.as("chunk_id"),
+          md5(concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C))))
+            .as("cell_hash"))))))
+      .select(col(idCol), col("ch.chunk_id"), col("ch.cell_hash"))
+  }
+
+  /** Incremental (snapshot-delta) span dedup: screen an INGEST BATCH
+    * against an existing corpus snapshot at `cellWords`-word span
+    * granularity — the production shape of C4-style dedup once the corpus
+    * is no longer rebuilt from scratch: the snapshot's cell-hash set is a
+    * persisted index, each new batch is scored against it, and only the
+    * batch (≪ corpus) is reprocessed. Per batch row: total cells, cells
+    * already present anywhere in the corpus, their fraction, and a
+    * majority-dup flag.
+    *
+    * Scale: one `distinct` over corpus cells (in production: a maintained
+    * bucketed table, built once, not recomputed per batch — bucket it by
+    * `cell_hash` and the batch-side join co-locates without shuffling the
+    * index) + one equi-join keyed on the hash + one per-doc aggregate.
+    * The corpus index is far too large to broadcast at 100 TB — this is
+    * deliberately a shuffle equi-join (with AQE free to pick SMJ), and a
+    * Bloom-filter pushdown on `cell_hash` would cut the batch-side
+    * shuffle further. No quadratic step anywhere. */
+  def incrementalCellScreen(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, cellWords: Int): DataFrame = {
+    val bc = cellHashes(batch, idCol, textCol, cellWords)
+    val idx = cellHashes(corpus, idCol, textCol, cellWords)
+      .select(col("cell_hash")).distinct().withColumn("_hit", lit(true))
+    bc.join(idx, Seq("cell_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_cells"), count(col("_hit")).as("n_dup_cells"))
+      .withColumn("dup_cell_frac",
+        col("n_dup_cells").cast("double") / col("n_cells").cast("double"))
+      .withColumn("is_mostly_dup", col("dup_cell_frac") >= 0.5)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding column with the fixed-round deterministic

@@ -124,6 +124,33 @@ object TextAnalysis {
         when(total > 0, top.cast("double") / totD))
   }
 
+  /** Hashed feature bucket of a token: the first 4 hex digits of its md5
+    * as an integer, mod `buckets` — the fasttext-style feature hashing
+    * trick, in the repo's portable-md5 arithmetic (both engines produce
+    * identical buckets; no engine-private hash). */
+  def hashBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % buckets
+
+  /** Linear text-classifier INFERENCE as a column expression (the shape of
+    * a fasttext/logistic quality filter applied at corpus scale): each
+    * token maps to a hashed feature bucket, each bucket carries a fixed
+    * integer weight, the document score is the mean bucket weight. Weights
+    * here are a deterministic function of the bucket (`b mod 7 − 3`) so an
+    * oracle can replay inference exactly; a real deployment broadcasts a
+    * trained weight array into the same expression (weights-as-literals,
+    * like the k-means centroid fold). All-integer accumulation with one
+    * final division — bit-identical across engines — and fully map-only:
+    * model inference costs one scan, no shuffle, no UDF. */
+  def linearScoreColumns(text: Column, buckets: Int = 64): Seq[(String, Column)] = {
+    val w = tokens(text)
+    val n = size(w).cast("long")
+    val scoreSum = aggregate(w, lit(0L),
+      (acc, tok) => acc + (hashBucket(tok, buckets) % 7 - 3))
+    val score = scoreSum.cast("double") / n.cast("double")
+    Seq("n_tokens" -> n, "score_sum" -> scoreSum, "score" -> score,
+      "label_positive" -> (score > 0.0))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting"): over the
     * k-gram hash sequence `hashes`, slide a window of `w` consecutive

@@ -380,6 +380,38 @@ class DataOpsSpec extends AnyFunSuite {
       (4L, 1L, 1L, Some(1.0), true)))
   }
 
+  test("incrementalCellScreen counts corpus-known spans per batch doc") {
+    // cells of 2 words; corpus holds "a b" and "c d"; batch doc 10 reuses
+    // both (4 cells, 2 known), doc 11 is fully novel.
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b x y c d z w"),   // cells: [a b][x y][c d][z w] -> 2 dups
+      (11L, "q r s t")            // cells: [q r][s t] -> 0 dups
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalCellScreen(batch, corpus, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq((10L, 4L, 2L, 0.5, true), (11L, 2L, 0L, 0.0, false)))
+  }
+
+  test("linearScoreColumns is the mean hashed-bucket weight") {
+    // Weight of a token = (hex4(md5 tok) % 64) % 7 - 3: recompute in plain
+    // Scala and compare — the operator must be exactly this arithmetic.
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 4), 16) % 64) % 7 - 3
+    }
+    val df = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cols = TextAnalysis.linearScoreColumns($"text")
+    val row = df.select(cols.map { case (n, c) => c.as(n) }: _*).head()
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val expectedSum = toks.map(weight).sum
+    assert(row.getLong(0) == 4L)
+    assert(row.getLong(1) == expectedSum)
+    assert(row.getDouble(2) == expectedSum.toDouble / 4.0)
+  }
+
   test("sq8TopK ranks by integer quantized dot with id tie-break") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),  // same direction as q
