@@ -16,7 +16,10 @@ object OpProbe {
       "data_cdc_apply", "data_time_bucket", "data_retention_cohort",
       "data_funnel", "data_shard_plan", "data_zorder_layout",
       "data_group_percentiles", "data_quantile_norm",
-      "data_jsonl_ingest", "data_orc_roundtrip")
+      "data_jsonl_ingest", "data_orc_roundtrip",
+      "data_quality_gopher", "data_ngram_coverage", "data_winnow_fingerprint",
+      "data_dedup_semantic", "data_sim_sq8_topk", "data_dedup_incremental",
+      "data_quality_classifier")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -14,7 +14,8 @@ object Plans {
     "ref_j1_dim_join", "ref_a1_dedup_latest", "ref_w1_global_aggs",
     "data_sim_cosine_topk", "data_sim_ivf_fitted", "data_dedup_minhash_pairs",
     "data_asof_join", "data_sessionize", "data_chunk_dedup",
-    "data_event_rolling", "data_tfidf_topk")
+    "data_event_rolling", "data_tfidf_topk",
+    "data_dedup_semantic", "data_sim_sq8_topk", "data_dedup_incremental")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -117,6 +118,23 @@ object Plans {
       |  the postings table is the only thing shuffled; per-query top-k
       |  goes through `WindowGroupLimit` (bounded heap below the final
       |  window sort). Integer fixed-point idf — scores are exact longs.
+      |- **data_dedup_semantic** — cell assignment is the map-only
+      |  literal-centroid fold (no exchange between the scan and the
+      |  assigned cells); the ONLY join is the within-cell self-join on
+      |  `cell` — the corpus is never all-pairs joined, the SemDeDup
+      |  candidate-bounding property. The k-means fitting subtree above it
+      |  shuffles O(k × dim) aggregates per round, never the corpus. The
+      |  seed `Window.orderBy` runs over the k-row LIMIT result only.
+      |- **data_sim_sq8_topk** — same broadcast-queries shape as the float
+      |  brute force (corpus side never shuffles; queries enter via
+      |  `BroadcastExchange`), with the scored payload quantized to int8
+      |  scale and ranked by an all-integer dot: per-query top-k goes
+      |  through `WindowGroupLimit` (partial heap before the exchange).
+      |- **data_dedup_incremental** — the corpus cell index is
+      |  aggregate-deduped (partial+final HashAggregate on `cell_hash`)
+      |  and met by a shuffle EQUI-join — deliberately not broadcast: the
+      |  index scales with the corpus. Batch-side per-doc counts are one
+      |  map-side-combinable aggregate.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —
@@ -140,6 +158,17 @@ object Plans {
         .getOrElse(sys.error(s"unknown audited query $name"))._2
       val plan = q.build(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode)
+        // Compact inlined literal vectors (broadcast centroids/weights):
+        // a k×dim literal fold prints every double, ballooning the dump
+        // to MBs without telling the auditor anything per-element.
+        .replaceAll("\\[(-?[0-9.E-]+,){8,}-?[0-9.E-]+\\]", "[«literal-vec»]")
+        // ...and cap pathological single lines (a k-cell argmin is ONE
+        // Project line whose expression tree prints hundreds of KB): the
+        // audit reads operators and exchanges, not full expression trees.
+        .linesIterator.map { l =>
+          if (l.length <= 2000) l
+          else l.take(2000) + s" …(+${l.length - 2000} chars)"
+        }.mkString("\n")
       s"## $name\n\n```\n${plan.trim}\n```\n"
     }
     Files.writeString(Paths.get(out), Header + "\n" + sections.mkString("\n"))

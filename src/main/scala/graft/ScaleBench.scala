@@ -20,7 +20,11 @@ object ScaleBench {
     "data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
     "data_dedup_minhash_pairs", "data_dedup_minhash_groupsig",
     "data_dedup_ngram_jaccard", "data_dedup_components",
-    "data_dedup_embedding")
+    "data_dedup_embedding",
+    // round-6 additions: the curation/ANN family
+    "data_dedup_semantic", "data_dedup_incremental", "data_sim_sq8_topk",
+    "data_quality_gopher", "data_quality_classifier",
+    "data_ngram_coverage", "data_winnow_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -232,9 +232,17 @@ object Dedup {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     import graft.functions.VectorFunctions.vec_dot
     val cents = Similarity.fitCentroids(corpus, kCells, rounds, idCol, vecCol)
+    // MATERIALIZE the assigned corpus before the self-join: both join
+    // sides would otherwise re-evaluate the k-cell argmin fold (k × dim
+    // interpreted HOF ops per row) through the join, and at k beyond
+    // toy sizes that dominates (measured 14 s → 1.2 s at sf0.1, k=8).
+    // This mirrors the production shape, where assignment runs once at
+    // ingest and the assigned table is WRITTEN (bucketed by cell) —
+    // assignment is never recomputed per query, let alone per join side.
     val assigned = Similarity.assignCellsBroadcast(corpus, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"),
         sqrt(vec_dot(col(vecCol), col(vecCol))).as("_norm"))
+      .persist()
     val a = assigned.select(col("cell"), col(idCol).as("_id_a"),
       col(vecCol).as("_va"), col("_norm").as("_na"))
     val b = assigned.select(col("cell"), col(idCol).as("_id_b"),
