@@ -435,17 +435,46 @@ object DataQueries {
         TextAnalysis.gopherColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
       .dumpOrdered("doc_id")
 
-  /** Distributed shape of [[TextAnalysis.ngramRepStats]] (the HOF form is
-    * the semantic definition + the oracle's shape, but its per-doc count
-    * is O(distinct × total) in INTERPRETED lambdas — measured 100 s at
-    * sf0.1 vs 0.9 s for this form): explode both gram sizes in one pass,
-    * count per (doc, n, gram) with a codegen'd hash aggregate, roll up to
-    * per-(doc, n) occurrence stats, pivot the two sizes wide, and re-join
-    * docs so gram-less documents keep their zero row. Three O(grams)
-    * map-side-combinable aggregates + one O(docs) equi-join — the shape
-    * that also survives multi-MB pathological documents, which the
-    * per-row HOF cannot. */
+  private def ngramFrac(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double"))
+
+  /** n-gram repetition signals via the compiled one-pass
+    * [[graft.functions.NgramStats]] expression: O(total) per document,
+    * zero shuffle — the whole query is a projection over the scan plus
+    * the dump sort. The HOF definition ([[TextAnalysis.ngramRepStats]])
+    * is O(distinct × total) interpreted lambdas (measured 100 s at
+    * sf0.1); [[ngramCoverageDistributed]] is the three-shuffle aggregate
+    * shape that spills for multi-MB pathological documents. Probe: HOF
+    * 100 s → distributed 3.2 s → this 0.5 s class at sf0.1. All three
+    * forms are bit-identical (DataOpsSpec parity). */
   private def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NgramFunctions.register(spark)
+    import graft.functions.NgramFunctions.ngram_stats
+    Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        ngram_stats(col("toks"), 2).as("b"), ngram_stats(col("toks"), 3).as("t"))
+      .select(col("doc_id"),
+        col("b.total").as("n_bigrams"),
+        ngramFrac(col("b.dup"), col("b.total")).as("dup_bigram_frac"),
+        ngramFrac(col("b.top"), col("b.total")).as("top_bigram_frac"),
+        col("t.total").as("n_trigrams"),
+        ngramFrac(col("t.dup"), col("t.total")).as("dup_trigram_frac"),
+        ngramFrac(col("t.top"), col("t.total")).as("top_trigram_frac"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Distributed alternative to [[ngramCoverage]]: explode both gram
+    * sizes in one pass, count per (doc, n, gram) with a codegen'd hash
+    * aggregate, roll up to per-(doc, n) occurrence stats, pivot the two
+    * sizes wide, and re-join docs so gram-less documents keep their zero
+    * row. Three O(grams) map-side-combinable aggregates + one O(docs)
+    * equi-join. Slower than the expression at normal document sizes
+    * (3.2 s vs 0.5 s class at sf0.1) but its memory is bounded by the
+    * aggregate hash map (which SPILLS), not by per-row distinct-gram
+    * count — the safe shape when single documents reach many MB.
+    * Parity-spec'd against [[ngramCoverage]]. */
+  private[graft] def ngramCoverageDistributed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsHot(spark, dir)
     val w = TextAnalysis.tokens(col("text"))
     val tagged = docs.select(col("doc_id"), explode(concat(
@@ -481,16 +510,50 @@ object DataQueries {
   /** Winnowing window width (hashes per selection window). */
   private val WinnowW = 4
 
-  private def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsHot(spark, dir)
+  /** One row per document: gram/fingerprint counts plus an md5 rollup of
+    * the full `pos:hash` posting sequence — the selection is verified
+    * hash-exactly without DUMPING O(corpus × density) posting rows
+    * through the single-task result sort (the exploded form measured
+    * 4.6 s at 10× scale, all of it dump; a real pipeline WRITES postings
+    * partitioned, it never collects them). The whole hash→select→rollup
+    * pass runs in the compiled [[graft.functions.WinnowFingerprint]]
+    * expression — the composable chain ([[winnowFingerprintHof]], also
+    * the oracle's shape) dispatches interpreted lambdas per shingle and
+    * per posting, which dominated at 10× scale (4.1 s → 0.6 s class);
+    * parity-spec'd in DataOpsSpec. */
+  private def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WinnowFunctions.register(spark)
+    // via shingled(): toks is MATERIALIZED before the shingle transform —
+    // shingles() indexes its token array per element, so a nested
+    // split(text) would re-split the document once per shingle (the
+    // O(len²) interpreted-HOF trap; measured as the entire 4.2 s tail of
+    // this query at 10× scale before this line).
+    shingled(spark, dir)
       .select(col("doc_id"),
-        transform(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3),
-          s => md5(s)).as("h"))
+        graft.functions.WinnowFunctions.winnow_fingerprint(col("sh"), WinnowW).as("s"))
+      .select(col("doc_id"), col("s.n_grams").as("n_grams"),
+        col("s.n_fingerprints").as("n_fingerprints"), col("s.fp_md5").as("fp_md5"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Composable-HOF twin of [[winnowFingerprint]] — the semantic
+    * definition ([[TextAnalysis.winnowPositions]] over a materialized
+    * md5 column, postings rolled up with array HOFs). Kept for the
+    * DataOpsSpec parity assertion; interpreted-lambda cost per shingle
+    * makes it the slow form at scale. */
+  private[graft] def winnowFingerprintHof(spark: SparkSession, dir: String): DataFrame = {
+    shingled(spark, dir)
+      .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("h"))
       .select(col("doc_id"), col("h"),
-        explode(TextAnalysis.winnowPositions(col("h"), WinnowW)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        element_at(col("h"), (col("pos") + 1).cast("int")).as("fp"))
-      .dumpOrdered("doc_id", "pos")
+        TextAnalysis.winnowPositions(col("h"), WinnowW).as("sel"))
+      .select(col("doc_id"),
+        size(col("h")).cast("long").as("n_grams"),
+        size(col("sel")).cast("long").as("n_fingerprints"),
+        md5(array_join(transform(col("sel"), p =>
+          concat(p.cast("string"), lit(":"),
+            element_at(col("h"), (p + 1).cast("int")))), ",")).as("fp_md5"))
+      .dumpOrdered("doc_id")
+  }
 
   /** SemDeDup cosine threshold: this synthetic embedding corpus has no
     * near-identical pairs (max pairwise cosine ≈ 0.51), so the demo
@@ -2030,9 +2093,12 @@ object DataQueries {
          |                  list_min(h[p+1:p+$WinnowW])) - 1 AS BIGINT))))
          |    END AS sel
          |  FROM h)
-         |SELECT doc_id, pos, h[CAST(pos + 1 AS INTEGER)] AS fp
-         |FROM (SELECT doc_id, h, unnest(sel) AS pos FROM sel)
-         |ORDER BY doc_id, pos""".stripMargin)),
+         |SELECT doc_id, CAST(len(h) AS BIGINT) AS n_grams,
+         |  CAST(len(sel) AS BIGINT) AS n_fingerprints,
+         |  md5(array_to_string(list_transform(sel, p ->
+         |    CAST(p AS VARCHAR) || ':' || h[CAST(p + 1 AS INTEGER)]), ','))
+         |    AS fp_md5
+         |FROM sel ORDER BY doc_id""".stripMargin)),
 
     "data_dedup_incremental" -> Q(dedupIncremental, Some(
       s"""WITH t AS (

@@ -380,6 +380,94 @@ class DataOpsSpec extends AnyFunSuite {
       (4L, 1L, 1L, Some(1.0), true)))
   }
 
+  test("WinnowSelect expression is bit-identical to the HOF definition") {
+    graft.functions.WinnowFunctions.register(spark)
+    import graft.functions.WinnowFunctions.winnow_select
+    // The DataOpsSpec winnowPositions fixtures plus adversarial tie/order
+    // patterns: strictly decreasing (every window min moves), strictly
+    // increasing (one min per start), all-equal (leftmost everywhere),
+    // and a longer pseudo-random hex mix.
+    val rng = new scala.util.Random(7)
+    val docs = Seq(
+      Seq("d", "b", "c", "a", "e", "f"),
+      Seq("c", "a", "b"),
+      Seq("a", "x", "a"),
+      Seq.empty[String],
+      Seq("f", "e", "d", "c", "b", "a"),
+      Seq("a", "b", "c", "d", "e", "f"),
+      Seq("m", "m", "m", "m", "m"),
+      Seq.fill(64)(rng.nextInt(16).toHexString * 4)
+    ).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "h")
+    for (w <- Seq(1, 2, 4, 10)) {
+      val fast = docs.select($"doc_id", winnow_select($"h", w).as("s"))
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+      val hof = docs.select($"doc_id",
+          TextAnalysis.winnowPositions($"h", w).as("s"))
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+      assert(fast == hof, s"w=$w")
+    }
+  }
+
+  test("winnow_fingerprint fused expression = composable HOF chain on testdata") {
+    val a = Registry.byName("data_winnow_fingerprint").build(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val b = DataQueries.winnowFingerprintHof(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+    // degenerate inputs: empty and null shingle arrays -> zero counts,
+    // md5("") rollup, never a null struct
+    graft.functions.WinnowFunctions.register(spark)
+    import graft.functions.WinnowFunctions.winnow_fingerprint
+    val weird = Seq((1L, Seq.empty[String]), (2L, null.asInstanceOf[Seq[String]]))
+      .toDF("doc_id", "sh")
+      .select(winnow_fingerprint($"sh", 4).as("s"))
+      .select($"s.n_grams", $"s.n_fingerprints", $"s.fp_md5")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(weird == Seq.fill(2)((0L, 0L, "d41d8cd98f00b204e9800998ecf8427e")))
+  }
+
+  test("NgramStats expression = HOF definition; query = distributed shape") {
+    graft.functions.NgramFunctions.register(spark)
+    import graft.functions.NgramFunctions.ngram_stats
+    // Edge fixtures: heavy repetition, exactly n tokens, fewer than n,
+    // repeated single token, multi-byte UTF-8.
+    val docs = Seq(
+      (1L, "a b a b a"), (2L, "x y"), (3L, "solo"),
+      (4L, "z z z z z z"), (5L, "héllo wörld héllo wörld héllo")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+    for (n <- Seq(2, 3)) {
+      val viaExpr = docs.select($"doc_id", ngram_stats($"toks", n).as("s"))
+        .select($"doc_id", $"s.total", $"s.dup", $"s.top")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val hof = TextAnalysis.ngramRepStats(
+        TextAnalysis.shingles($"toks", n), "g")
+      val viaHof = docs.select($"doc_id",
+          hof.head._2.as("t"),
+          (hof(1)._2 * hof.head._2).as("d"),  // dup_frac * total = dup
+          (hof(2)._2 * hof.head._2).as("x"))  // top_frac * total = top
+        .na.fill(0.0)
+        // frac * total round-trips through doubles — round, don't truncate
+        .select($"doc_id", $"t", round($"d").cast("long"), round($"x").cast("long"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(viaExpr == viaHof, s"n=$n")
+    }
+    // NULL / empty arrays: zero stats, never a null struct
+    val weird = Seq((1L, Seq.empty[String]), (2L, null.asInstanceOf[Seq[String]]))
+      .toDF("doc_id", "toks")
+    val z = weird.select(ngram_stats($"toks", 2).as("s"))
+      .select($"s.total", $"s.dup", $"s.top")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(z == Seq((0L, 0L, 0L), (0L, 0L, 0L)))
+    // Full-query parity: expression plan vs distributed plan on testdata
+    val a = Registry.byName("data_ngram_coverage").build(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val b = DataQueries.ngramCoverageDistributed(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("incrementalCellScreen counts corpus-known spans per batch doc") {
     // cells of 2 words; corpus holds "a b" and "c d"; batch doc 10 reuses
     // both (4 cells, 2 known), doc 11 is fully novel.
