@@ -589,6 +589,18 @@ object DataQueries {
         TextAnalysis.linearScoreColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
       .dumpOrdered("doc_id")
 
+  private val PqM = 4      // PQ subspaces (dim 64 -> 16-dim sub-vectors)
+  private val PqK = 4      // centroids per subspace codebook
+  private val PqRounds = 1 // fixed k-means budget per codebook
+
+  private def simPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(
+        Tables.embeddings(spark, dir).where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        Tables.embeddings(spark, dir), m = PqM, k = PqK, rounds = PqRounds,
+        topK = 5)
+      .dumpOrdered("q_id", "rnk")
+
   private def simSq8TopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.sq8TopK(
         Tables.embeddings(spark, dir).where(col("vec_id") < 10)
@@ -2171,6 +2183,70 @@ object DataQueries {
          |  COALESCE(g.max_prior_sim >= $SemTau, FALSE) AS is_semantic_dup
          |FROM assign s LEFT JOIN agg g USING (vec_id)
          |ORDER BY vec_id""".stripMargin)),
+
+    "data_sim_pq_topk" -> Q(simPqTopK, Some {
+      val sub = 16 // dim 64 / PqM
+      def sCtes(s: Int): String = {
+        val a = s * sub + 1
+        val b = (s + 1) * sub
+        val sv = s"embedding[$a:$b]"
+        s"""c0_$s AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           |           AS cell,
+           |    list_transform($sv, x -> CAST(x AS DOUBLE)) AS cvec
+           |  FROM (SELECT vec_id, embedding FROM embeddings
+           |        ORDER BY vec_id LIMIT $PqK) z),
+           |a_$s AS (
+           |  SELECT vec_id, sv, cell FROM (
+           |    SELECT e.vec_id, e.$sv AS sv, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${duckSqDist(s"e.$sv", "c.cvec")}, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN c0_$s c) x WHERE rn = 1),
+           |u_$s AS (
+           |  SELECT cell, list(v ORDER BY pos) AS cvec_new FROM (
+           |    SELECT cell, pos,
+           |      CAST(sum(CAST(round(CAST(sv[pos] AS DOUBLE) * 1000)
+           |                    AS BIGINT)) AS DOUBLE)
+           |        / CAST(count(*) * 1000 AS DOUBLE) AS v
+           |    FROM (SELECT cell, sv, unnest(range(1, ${sub + 1})) AS pos
+           |          FROM a_$s) y
+           |    GROUP BY cell, pos) g GROUP BY cell),
+           |c1_$s AS (
+           |  SELECT c0.cell, COALESCE(u.cvec_new, c0.cvec) AS cvec
+           |  FROM c0_$s c0 LEFT JOIN u_$s u USING (cell)),
+           |enc_$s AS (
+           |  SELECT vec_id, $s AS s, cell AS code FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${duckSqDist(s"e.$sv", "c.cvec")}, c.cell) AS rn
+           |    FROM embeddings e CROSS JOIN c1_$s c) x WHERE rn = 1),
+           |qt_$s AS (
+           |  SELECT q.q_id, $s AS s, c.cell,
+           |    CAST(round(${duckDot(s"q.q_vec[$a:$b]", "c.cvec")} * 1000000)
+           |      AS BIGINT) AS qdot
+           |  FROM q CROSS JOIN c1_$s c)""".stripMargin
+      }
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id < 10),
+         |${(0 until PqM).map(sCtes).mkString(",\n")},
+         |enc AS (${(0 until PqM).map(s => s"SELECT * FROM enc_$s")
+                     .mkString(" UNION ALL ")}),
+         |qt AS (${(0 until PqM).map(s => s"SELECT * FROM qt_$s")
+                    .mkString(" UNION ALL ")}),
+         |sc AS (
+         |  SELECT qt.q_id, enc.vec_id, CAST(sum(qt.qdot) AS BIGINT) AS score
+         |  FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.cell
+         |  WHERE qt.q_id <> enc.vec_id
+         |  GROUP BY qt.q_id, enc.vec_id),
+         |r AS (
+         |  SELECT q_id, vec_id, score,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT q_id, rnk, vec_id AS neighbor_id, score FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    }),
 
     "data_sim_sq8_topk" -> Q(simSq8TopK, Some(
       s"""WITH e AS (

@@ -229,6 +229,92 @@ object Similarity {
       .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("qdot"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — the faiss PQ scheme):
+    * the vector splits into `m` contiguous subspaces and each subspace
+    * gets its own `k`-centroid codebook from the same fixed-round,
+    * engine-bit-identical k-means as the IVF coarse quantizer
+    * ([[fitCentroids]] — quantized-long means, deterministic seeds/ties).
+    * @return (s, cell, cvec): m × k rows, `cvec` of dim/m doubles. */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, rounds: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(m > 0 && d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val sub = d / m
+    (0 until m).map { s =>
+      fitCentroids(
+        corpus.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("_sv")),
+        k, rounds, idCol, "_sv")
+        .select(lit(s).as("s"), col("cell"), col("cvec"))
+    }.reduce(_.union(_))
+  }
+
+  /** PQ-encode the corpus: each row's vector becomes `m` small codes
+    * (`code_0..code_{m-1}`, each the row's nearest codebook centroid in
+    * that subspace) — the 4-byte-per-vector compressed index that makes
+    * web-scale ANN memory-feasible (m bytes vs dim floats). Assignment
+    * is the map-only literal-centroid fold per subspace
+    * ([[assignCellsBroadcast]]): zero exchanges, the corpus never
+    * shuffles to meet the codebooks. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = corpus.select(size(col(vecCol))).head.getInt(0)
+    val sub = d / m
+    (0 until m).foldLeft(corpus) { (df, s) =>
+      assignCellsBroadcast(
+        df.withColumn("_sv", slice(col(vecCol), s * sub + 1, sub)),
+        codebooks.where(col("s") === s).select(col("cell"), col("cvec")),
+        "_sv")
+        .withColumnRenamed("cell", s"code_$s").drop("_sv")
+    }
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): per query, a
+    * distance TABLE of `round(dot(q_sub, centroid) · 10⁶)` longs per
+    * (subspace, centroid) is computed ONCE (m × k bounded entries,
+    * inlined as literal arrays), and each corpus row's score is just m
+    * array lookups summed — `Σ_s table_s[code_s]` — over its compressed
+    * codes. All-integer scoring (quantized-long dots, ties by id), so an
+    * oracle replays it exactly; float-sum order never matters.
+    *
+    * Scale: the classic PQ search shape — codebooks and query tables are
+    * bounded and broadcast; the corpus side touches only its m small
+    * codes per row (never the full vector), map-only until the per-query
+    * top-k's WindowGroupLimit. Recall follows codebook quality like any
+    * PQ index; brute force ([[bruteForceTopK]]) and SQ8 ([[sq8TopK]])
+    * are the exact/cheap-exact baselines above it. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, m: Int, k: Int,
+             rounds: Int, topK: Int,
+             qId: String = "q_id", qVec: String = "q_vec",
+             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val d = corpus.select(size(col(cVec))).head.getInt(0)
+    val sub = d / m
+    val cb = pqCodebooks(corpus, m, k, rounds, cId, cVec).persist()
+    val encoded = pqEncode(corpus, cb, m, cId, cVec)
+      .select(col(cId) +: (0 until m).map(s => col(s"code_$s")): _*)
+    // driver-side bounded collect: m × k × (d/m) doubles, like any
+    // k-means barrier; inlined as literals into the query-table exprs
+    val cents: Map[(Int, Long), Seq[Double]] = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val qTabs = (0 until m).map { s =>
+      array((0L until k.toLong).map { c =>
+        round(dot(slice(col(qVec), s * sub + 1, sub),
+          array(cents((s, c)).map(lit): _*)) * 1e6).cast("long")
+      }: _*).as(s"_qt_$s")
+    }
+    val qt = queries.select(col(qId) +: qTabs: _*)
+    val score = (0 until m).map(s =>
+      element_at(col(s"_qt_$s"), (col(s"code_$s") + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(qt))
+      .where(col(qId) =!= col(cId))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("score"))
+  }
+
   /** Element-wise difference (a - b) in doubles — centering helper. */
   def vecSub(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x.cast("double") - y)

@@ -500,6 +500,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == expectedSum.toDouble / 4.0)
   }
 
+  test("pqTopK: identical vectors share codes; nearest neighbor is the twin") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (3L, Seq(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(corpus, m = 2, k = 2, rounds = 1)
+    assert(cb.count() == 4) // m * k codebook rows
+    val enc = Similarity.pqEncode(corpus, cb, m = 2)
+      .select($"vec_id", $"code_0", $"code_1")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // identical vectors must get identical code words
+    assert(enc(0)._2 == enc(2)._2 && enc(0)._3 == enc(2)._3)
+    assert(enc(1)._2 == enc(3)._2 && enc(1)._3 == enc(3)._3)
+    assert(enc(0)._2 != enc(1)._2 || enc(0)._3 != enc(1)._3)
+    val queries = corpus.where($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val top = Similarity.pqTopK(queries, corpus, m = 2, k = 2, rounds = 1,
+        topK = 3)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect().toSeq
+    // the twin (id 2, same codes) must outscore the orthogonal pair
+    assert(top.head._3 == 2L)
+    assert(top.head._4 > top(1)._4)
+  }
+
   test("sq8TopK ranks by integer quantized dot with id tie-break") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),  // same direction as q
