@@ -315,6 +315,66 @@ object Similarity {
       .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("score"))
   }
 
+  /** Full faiss-style IVF-PQ search: a coarse quantizer ([[fitCentroids]]
+    * on the full vector) prunes the corpus to the query's `nprobe`
+    * nearest cells, then PQ asymmetric-distance scoring ([[pqTopK]]'s
+    * table-lookup arithmetic) ranks ONLY the probed cells' codes — the
+    * shape that serves billion-vector indexes: coarse cells bound the
+    * candidate set, PQ codes bound the memory per candidate, and neither
+    * step touches a full-precision corpus vector at query time.
+    *
+    * Scale: the assigned+encoded corpus is written once at ingest
+    * (bucketed/partitioned by coarse cell → each probe is a
+    * partition-pruned scan); codebooks, coarse centroids, and per-query
+    * distance tables are all bounded broadcasts. Scoring is map-only to
+    * the per-query WindowGroupLimit top-k. All-integer ADC scores, so
+    * the oracle replays ranking exactly. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, kCells: Int,
+                coarseRounds: Int, m: Int, k: Int, rounds: Int, topK: Int,
+                nprobe: Int = 1,
+                qId: String = "q_id", qVec: String = "q_vec",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val d = corpus.select(size(col(cVec))).head.getInt(0)
+    require(m > 0 && d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val sub = d / m
+    val coarse = fitCentroids(corpus, kCells, coarseRounds, cId, cVec)
+    val cb = pqCodebooks(corpus, m, k, rounds, cId, cVec).persist()
+    // the per-subspace assignment inside pqEncode writes its own "cell"
+    // column — stash the coarse cell under a reserved name around it
+    val encoded = pqEncode(
+      assignCellsBroadcast(corpus, coarse, cVec)
+        .withColumnRenamed("cell", "_coarse"), cb, m, cId, cVec)
+      .select(col(cId) +: col("_coarse").as("cell") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+    // route each query to its nprobe nearest coarse cells
+    val routed = queries.crossJoin(broadcast(coarse))
+      .withColumn("_d2", sqDist(col(qVec), col("cvec")))
+    val wr = Window.partitionBy(col(qId)).orderBy(col("_d2"), col("cell"))
+    val probes = routed.withColumn("_rn", row_number().over(wr))
+      .where(col("_rn") <= nprobe)
+      .select(col(qId), col(qVec), col("cell"))
+    val cents: Map[(Int, Long), Seq[Double]] = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val qTabs = (0 until m).map { s =>
+      array((0L until k.toLong).map { c =>
+        round(dot(slice(col(qVec), s * sub + 1, sub),
+          array(cents((s, c)).map(lit): _*)) * 1e6).cast("long")
+      }: _*).as(s"_qt_$s")
+    }
+    val qt = probes.select(col(qId) +: col("cell") +: qTabs: _*)
+    val score = (0 until m).map(s =>
+      element_at(col(s"_qt_$s"), (col(s"code_$s") + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = encoded.join(broadcast(qt), Seq("cell"))
+      .where(col(qId) =!= col(cId))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col(qId), col("cell"), col("rnk"), col(cId).as("neighbor_id"),
+        col("score"))
+  }
+
   /** Element-wise difference (a - b) in doubles — centering helper. */
   def vecSub(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x.cast("double") - y)

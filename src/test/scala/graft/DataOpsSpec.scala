@@ -524,6 +524,22 @@ class DataOpsSpec extends AnyFunSuite {
     assert(top.head._4 > top(1)._4)
   }
 
+  test("ivfPqTopK probes the query's coarse cell and finds the twin") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (3L, Seq(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // nprobe=1: only the query's own coarse cell is scored, so the
+    // orthogonal pair (other cell) must NOT appear in the results
+    val top = Similarity.ivfPqTopK(queries, corpus, kCells = 2,
+        coarseRounds = 1, m = 2, k = 2, rounds = 1, topK = 3, nprobe = 1)
+      .orderBy("rnk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(top.map(_._4) == Seq(2L), s"got $top") // only the twin, id 2
+  }
+
   test("sq8TopK ranks by integer quantized dot with id tie-break") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),  // same direction as q
