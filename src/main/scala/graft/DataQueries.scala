@@ -398,11 +398,11 @@ object DataQueries {
 
   private def simIvfFitted(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKFitted(queriesOf(spark, dir),
-        Tables.embeddings(spark, dir), kCells = 8, rounds = 2, k = 3, nprobe = 2)
+        Tables.embeddingsHot(spark, dir), kCells = 8, rounds = 2, k = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
 
   private def embedPca1(spark: SparkSession, dir: String): DataFrame =
-    Similarity.pc1Scores(Tables.embeddings(spark, dir), rounds = 3)
+    Similarity.pc1Scores(Tables.embeddingsHot(spark, dir), rounds = 3)
       .dumpOrdered("vec_id")
 
   // ------------------------------------------------------------- text
@@ -562,7 +562,7 @@ object DataQueries {
   private val SemTau = 0.3
 
   private def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    Dedup.semanticDedup(Tables.embeddings(spark, dir),
+    Dedup.semanticDedup(Tables.embeddingsHot(spark, dir),
         kCells = 8, rounds = 2, tau = SemTau)
       .dumpOrdered("vec_id")
 
@@ -597,12 +597,12 @@ object DataQueries {
     Similarity.pqTopK(
         Tables.embeddings(spark, dir).where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-        Tables.embeddings(spark, dir), m = PqM, k = PqK, rounds = PqRounds,
+        Tables.embeddingsHot(spark, dir), m = PqM, k = PqK, rounds = PqRounds,
         topK = 5)
       .dumpOrdered("q_id", "rnk")
 
   private def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfPqTopK(queriesOf(spark, dir), Tables.embeddings(spark, dir),
+    Similarity.ivfPqTopK(queriesOf(spark, dir), Tables.embeddingsHot(spark, dir),
         kCells = 8, coarseRounds = 2, m = PqM, k = PqK, rounds = PqRounds,
         topK = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
@@ -611,7 +611,7 @@ object DataQueries {
     Similarity.sq8TopK(
         Tables.embeddings(spark, dir).where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-        Tables.embeddings(spark, dir), k = 5)
+        Tables.embeddingsHot(spark, dir), k = 5)
       .dumpOrdered("q_id", "rnk")
 
   private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {

@@ -18,7 +18,7 @@ object OpProbe {
       "data_group_percentiles", "data_quantile_norm",
       "data_jsonl_ingest", "data_orc_roundtrip",
       "data_quality_gopher", "data_ngram_coverage", "data_winnow_fingerprint",
-      "data_dedup_semantic", "data_sim_sq8_topk", "data_sim_pq_topk", "data_dedup_incremental",
+      "data_dedup_semantic", "data_sim_sq8_topk", "data_sim_pq_topk", "data_sim_ivfpq", "data_dedup_incremental",
       "data_quality_classifier")
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -23,7 +23,7 @@ object ScaleBench {
     "data_dedup_embedding",
     // round-6 additions: the curation/ANN family
     "data_dedup_semantic", "data_dedup_incremental", "data_sim_sq8_topk",
-    "data_sim_pq_topk",
+    "data_sim_pq_topk", "data_sim_ivfpq",
     "data_quality_gopher", "data_quality_classifier",
     "data_ngram_coverage", "data_winnow_fingerprint")
 

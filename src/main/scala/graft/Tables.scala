@@ -174,6 +174,24 @@ object Tables {
         .repartition(spark.sparkContext.defaultParallelism).persist()
     }
 
+  /** Full embeddings table, repartitioned + persisted — the working set
+    * of the fitted-quantizer ANN family (k-means rounds, PQ codebooks,
+    * cell assignment). Same rationale as [[documentsHot]]: the testdata
+    * parquet is single-row-group, so the interpreted literal-centroid
+    * assignment exprs otherwise run inside ONE scan task, serially, and
+    * re-run per evaluation (measured at sf0.1: data_sim_ivfpq 16.8 s →
+    * 12.7 s from this cache alone; → 1.5 s combined with the O(k)
+    * argmin restructure in `assignCellsBroadcast`).
+    * Order-safety: every consumer is per-row (folds, codes),
+    * order-free-aggregated (quantized-long k-means sums), or seeded by
+    * an explicit `orderBy(id).limit(k)` — partitioning cannot change any
+    * result. */
+  def embeddingsHot(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "embeddingsHot") {
+      embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+    }
+
   /** Epoch-microseconds of midnight UTC on the given ISO date. */
   def usOf(isoDate: String): Long =
     java.time.LocalDate.parse(isoDate)

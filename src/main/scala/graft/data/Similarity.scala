@@ -148,13 +148,22 @@ object Similarity {
     val cents = centroids.select(col("cell"), col("cvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     require(cents.nonEmpty, "no centroids to assign against")
-    val init = struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cell"))
-    val folded = cents.foldLeft(init: Column) { case (acc, (cellId, vec)) =>
-      val d2 = sqDist(col(vecCol), array(vec.map(lit): _*))
-      when(d2 < acc.getField("d2"),
-        struct(d2.as("d2"), lit(cellId).as("cell"))).otherwise(acc)
-    }
-    corpus.withColumn("cell", folded.getField("cell"))
+    // Argmin as array_position(min): each of the k distances is computed
+    // ONCE. The obvious alternative — a foldLeft of when(d2 < acc.d2)
+    // chains — references the accumulator SUBTREE twice per step
+    // (condition + else), so the expression tree and its interpreted
+    // evaluation grow O(2^k): measured 4 s for a bare k=8 assignment
+    // over 2000 cached rows, vs milliseconds for this form. Ties: the
+    // first (lowest-cell) occurrence of the minimum, same rule as the
+    // strict-< fold; all-NULL distances (null vector) map to cell -1,
+    // same as the fold's init.
+    val d2s = array(cents.map { case (_, vec) =>
+      sqDist(col(vecCol), array(vec.map(lit): _*))
+    }: _*)
+    val ids = array(cents.map { case (cellId, _) => lit(cellId) }: _*)
+    val pos = array_position(d2s, array_min(d2s))
+    corpus.withColumn("cell",
+      when(pos > 0, element_at(ids, pos.cast("int"))).otherwise(lit(-1L)))
   }
 
   /** [[ivfTopK]] with a FITTED coarse quantizer: cells come from
