@@ -72,7 +72,9 @@ object Plans {
       |  the corpus un-shuffled end to end: cell assignment is a MAP-ONLY
       |  projection (the k fitted centroids are collected to the driver —
       |  bounded, the classic k-means broadcast — and inlined as a literal
-      |  argmin fold, so NO window and NO exchange touches the corpus;
+      |  argmin expression (array_position of array_min — O(k), see the
+      |  assignCellsBroadcast scaladoc), so NO window and NO exchange
+      |  touches the corpus;
       |  DataOpsSpec asserts the zero-exchange plan), the centroid update
       |  aggregates on (cell, pos) — shuffle O(k × dim) after partial
       |  aggregation — and the probe stage broadcasts the (query, cell)
@@ -119,7 +121,7 @@ object Plans {
       |  goes through `WindowGroupLimit` (bounded heap below the final
       |  window sort). Integer fixed-point idf — scores are exact longs.
       |- **data_dedup_semantic** — cell assignment is the map-only
-      |  literal-centroid fold (no exchange between the scan and the
+      |  literal-centroid argmin expression (no exchange between the scan and the
       |  assigned cells); the ONLY join is the within-cell self-join on
       |  `cell` — the corpus is never all-pairs joined, the SemDeDup
       |  candidate-bounding property. The k-means fitting subtree above it
