@@ -607,6 +607,43 @@ object DataQueries {
         topK = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
 
+  /** Repetition gate for [[curationGate]]: documents whose duplicated-
+    * trigram occupancy exceeds this fraction are dropped as repetitive. */
+  private val RepTau = 0.1
+
+  /** Round-6 curation gate: the NEW operator family composed into one
+    * per-document fate decision — exact dedup (md5 keeper), the Gopher
+    * rule set, the duplicate-trigram repetition signal (compiled
+    * [[graft.functions.NgramStats]]), and the hashed linear classifier —
+    * all evaluated in ONE pass over the scan plus the exact-dup hash
+    * aggregate; first matching rule wins, mirroring a production filter
+    * stack's precedence (dedup before quality before model score). */
+  private def curationGate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NgramFunctions.register(spark)
+    import graft.functions.NgramFunctions.ngram_stats
+    val hashed = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper_id"))
+    val gopher = TextAnalysis.gopherColumns(col("text")).toMap
+    val clf = TextAnalysis.linearScoreColumns(col("text")).toMap
+    val flags = hashed.join(keepers, Seq("h"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("tri", ngram_stats(col("toks"), 3))
+      .select(col("doc_id"), col("keeper_id"),
+        gopher("passes_gopher").as("passes_gopher"),
+        when(col("tri.total") > 0,
+          col("tri.dup").cast("double") / col("tri.total").cast("double"))
+          .otherwise(0.0).as("dup_tri_frac"),
+        clf("score").as("clf_score"))
+    flags.withColumn("fate",
+        when(col("doc_id") =!= col("keeper_id"), "exact_dup")
+          .when(!col("passes_gopher"), "quality")
+          .when(col("dup_tri_frac") > RepTau, "repetitive")
+          .when(col("clf_score") <= 0.0, "classifier")
+          .otherwise("kept"))
+      .dumpOrdered("doc_id")
+  }
+
   private def simSq8TopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.sq8TopK(
         Tables.embeddings(spark, dir).where(col("vec_id") < 10)
@@ -2253,6 +2290,63 @@ object DataQueries {
          |SELECT q_id, rnk, vec_id AS neighbor_id, score FROM r
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
     }),
+
+    "data_curation_gate" -> Q(curationGate, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckWords AS w FROM documents),
+         |k AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS keeper_id
+         |  FROM documents GROUP BY md5(text)),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |         AS DOUBLE) / CAST(len(w) AS DOUBLE) AS alpha_frac,
+         |    CAST(len(list_filter(w, x ->
+         |      list_contains(['the','a','of','and','to'], x))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM t),
+         |gp AS (
+         |  SELECT doc_id,
+         |    n_words >= 50 AND n_words <= 100000
+         |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |      AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |      AND n_stopwords >= 2 AS passes_gopher
+         |  FROM f),
+         |tri AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(g) > 0 THEN
+         |      CAST(list_sum(list_transform(
+         |        list_transform(list_distinct(g),
+         |          x -> len(list_filter(g, y -> y = x))),
+         |        c -> CASE WHEN c >= 2 THEN c ELSE 0 END)) AS DOUBLE)
+         |        / CAST(len(g) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_tri_frac
+         |  FROM (SELECT doc_id, $duckShingles AS g FROM documents) x),
+         |clf AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(list_sum(list_transform(w, tok ->
+         |      (CAST(list_sum(list_transform(range(1, 5), i ->
+         |         (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+         |           * 16 ** (4 - i))) AS BIGINT) % 64) % 7 - 3))
+         |      AS BIGINT) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS clf_score
+         |  FROM t)
+         |SELECT d.doc_id, k.keeper_id, gp.passes_gopher, tri.dup_tri_frac,
+         |  clf.clf_score,
+         |  CASE WHEN d.doc_id <> k.keeper_id THEN 'exact_dup'
+         |       WHEN NOT gp.passes_gopher THEN 'quality'
+         |       WHEN tri.dup_tri_frac > $RepTau THEN 'repetitive'
+         |       WHEN clf.clf_score <= 0.0 THEN 'classifier'
+         |       ELSE 'kept' END AS fate
+         |FROM documents d
+         |JOIN k ON md5(d.text) = k.h
+         |JOIN gp USING (doc_id) JOIN tri USING (doc_id)
+         |JOIN clf USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
 
     "data_sim_ivfpq" -> Q(simIvfPqTopK, Some {
       val sub = 16 // dim 64 / PqM
