@@ -607,6 +607,31 @@ object DataQueries {
         topK = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
 
+  /** Expected CDC chunk length in tokens (the boundary-hash divisor). */
+  private val CdcDivisor = 8
+
+  /** Corpus-wide dedup over CONTENT-DEFINED chunks: same keeper-election
+    * shape as `data_chunk_dedup` (map-side-combinable min(struct) per
+    * chunk hash, equi-join back), but boundaries come from token hashes
+    * ([[Dedup.cdcChunkHashes]]) instead of fixed offsets — an inserted
+    * token re-keys one chunk, not every later cell, so shared spans
+    * between near-identical documents still collide. */
+  private def chunkCdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Dedup.cdcChunkHashes(
+      Tables.documentsHot(spark, dir), "doc_id", "text", CdcDivisor)
+    val keepers = chunks.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keeper"))
+    chunks.join(keepers, Seq("chunk_hash"))
+      .withColumn("kept", col("keeper.doc_id") === col("doc_id") &&
+        col("keeper.chunk_idx") === col("chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac",
+        col("n_kept").cast("double") / col("n_chunks").cast("double"))
+      .dumpOrderedTail("doc_id")
+  }
+
   /** Repetition gate for [[curationGate]]: documents whose duplicated-
     * trigram occupancy exceeds this fraction are dropped as repetitive. */
   private val RepTau = 0.1
@@ -2289,6 +2314,43 @@ object DataQueries {
          |  FROM sc)
          |SELECT q_id, rnk, vec_id AS neighbor_id, score FROM r
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    }),
+
+    "data_chunk_cdc" -> Q(chunkCdcDedup, Some {
+      val hex4 = (x: String) =>
+        s"""CAST(list_sum(list_transform(range(1, 5), i ->
+           |        (strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1)
+           |          * 16 ** (4 - i))) AS BIGINT)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckWords AS w FROM documents),
+         |c AS (SELECT doc_id, w, len(w) AS n FROM t),
+         |st AS (
+         |  SELECT doc_id, w, n,
+         |    list_concat([1], CASE WHEN n >= 2 THEN
+         |      list_filter(range(2, n + 1), p ->
+         |        ${hex4("w[p]")} % $CdcDivisor = 0)
+         |      ELSE [] END) AS starts
+         |  FROM c),
+         |ch AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+         |    md5(array_to_string(
+         |      w[starts[i]:
+         |        CASE WHEN i < len(starts) THEN starts[i + 1] - 1
+         |             ELSE n END], ' ')) AS h
+         |  FROM (SELECT doc_id, w, n, starts,
+         |          unnest(range(1, len(starts) + 1)) AS i
+         |        FROM st) x),
+         |f AS (
+         |  SELECT doc_id, chunk_idx, h,
+         |    row_number() OVER (PARTITION BY h
+         |                       ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS kept_frac
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }),
 
     "data_curation_gate" -> Q(curationGate, Some(

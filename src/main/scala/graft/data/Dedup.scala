@@ -174,6 +174,41 @@ object Dedup {
       .select(col(idCol), col("ch.chunk_id"), col("ch.cell_hash"))
   }
 
+  /** Content-defined chunk hashes per row: chunk boundaries fall where a
+    * token's hash satisfies `hash % divisor == 0` (the rolling-hash
+    * boundary rule of CDC dedup à la LBFS/FastCDC), so an insertion
+    * shifts only its OWN chunk's boundaries — unlike [[cellHashes]]'
+    * fixed-width cells, where one inserted token re-keys every later
+    * cell of the document. Token hash is the portable first-4-hex-digits
+    * md5 integer ([[TextAnalysis.hashBucket]]'s arithmetic), expected
+    * chunk length ≈ `divisor` tokens. Output: (id, chunk_idx,
+    * chunk_hash) — one row per chunk, chunk 0 starts at the first token.
+    * Map-only per row (HOFs over the token array), no shuffle. */
+  def cdcChunkHashes(docs: DataFrame, idCol: String, textCol: String,
+                     divisor: Int): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val chunks = docs
+      .withColumn("toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("n", size(col("toks")))
+      // boundary positions (1-based, from token 2 on): a new chunk starts
+      // AT each position whose token hashes to 0 mod divisor
+      .withColumn("starts", concat(array(lit(1)),
+        when(col("n") >= 2,
+          filter(sequence(lit(2), greatest(col("n"), lit(2))),
+            p => p <= col("n") &&
+              TextAnalysis.hashBucket(element_at(col("toks"), p), divisor) === 0))
+          .otherwise(array().cast("array<int>"))))
+    chunks.select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("starts")) - 1), c => {
+          val s = element_at(col("starts"), c + 1)
+          val e = when(c < size(col("starts")) - 1,
+            element_at(col("starts"), c + 2) - 1).otherwise(col("n"))
+          md5(concat_ws(" ", slice(col("toks"), s, e - s + 1)))
+        })).as(Seq("chunk_idx", "chunk_hash")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_hash"))
+  }
+
   /** Incremental (snapshot-delta) span dedup: screen an INGEST BATCH
     * against an existing corpus snapshot at `cellWords`-word span
     * granularity — the production shape of C4-style dedup once the corpus

@@ -468,6 +468,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("cdcChunkHashes: boundaries match the scalar rule; insertions stay local") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def hex4(tok: String): Long = java.lang.Long.parseLong(md5hex(tok).take(4), 16)
+    def chunksOf(toks: Seq[String], d: Int): Seq[String] = {
+      val starts = 1 +: (2 to toks.length).filter(p => hex4(toks(p - 1)) % d == 0)
+      starts.zipWithIndex.map { case (s, c) =>
+        val e = if (c < starts.length - 1) starts(c + 1) - 1 else toks.length
+        md5hex(toks.slice(s - 1, e).mkString(" "))
+      }
+    }
+    val toks = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val d = 4
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkHashes(df, "doc_id", "text", d)
+      .orderBy("chunk_idx").as[(Long, Long, String)].collect().toSeq
+    val expected = chunksOf(toks, d).zipWithIndex
+      .map { case (h, i) => (1L, i.toLong, h) }
+    assert(got == expected)
+    assert(got.length > 1, "fixture must actually produce a boundary")
+    // a front insertion re-keys only chunks BEFORE the first boundary:
+    // every chunk from the first boundary on is shared with the original
+    val shifted = Seq((2L, ("zzz" +: toks).mkString(" "))).toDF("doc_id", "text")
+    val gotShift = Dedup.cdcChunkHashes(shifted, "doc_id", "text", d)
+      .as[(Long, Long, String)].collect().map(_._3).toSet
+    assert(got.drop(1).map(_._3).toSet.subsetOf(gotShift),
+      "every chunk after the first boundary must survive the insertion")
+  }
+
   test("incrementalCellScreen counts corpus-known spans per batch doc") {
     // cells of 2 words; corpus holds "a b" and "c d"; batch doc 10 reuses
     // both (4 cells, 2 known), doc 11 is fully novel.
