@@ -25,7 +25,8 @@ object ScaleBench {
     "data_dedup_semantic", "data_dedup_incremental", "data_sim_sq8_topk",
     "data_sim_pq_topk", "data_sim_ivfpq",
     "data_quality_gopher", "data_quality_classifier",
-    "data_ngram_coverage", "data_winnow_fingerprint")
+    "data_ngram_coverage", "data_winnow_fingerprint",
+    "data_chunk_cdc", "data_curation_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
