@@ -15,7 +15,8 @@ object Plans {
     "data_sim_cosine_topk", "data_sim_ivf_fitted", "data_dedup_minhash_pairs",
     "data_asof_join", "data_sessionize", "data_chunk_dedup",
     "data_event_rolling", "data_tfidf_topk",
-    "data_dedup_semantic", "data_sim_sq8_topk", "data_dedup_incremental")
+    "data_dedup_semantic", "data_sim_sq8_topk", "data_dedup_incremental",
+    "data_sim_ivfpq", "data_chunk_cdc", "data_curation_gate")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -137,6 +138,20 @@ object Plans {
       |  and met by a shuffle EQUI-join — deliberately not broadcast: the
       |  index scales with the corpus. Batch-side per-doc counts are one
       |  map-side-combinable aggregate.
+      |- **data_sim_ivfpq** — the full IVF-PQ query shape: the encoded
+      |  corpus (coarse cell + m codes) meets the per-query routing+ADC
+      |  table through ONE `BroadcastExchange` equi-join on the coarse
+      |  cell; scoring is m `element_at` lookups per row (no vector math
+      |  at query time), then per-query `WindowGroupLimit` top-k. The
+      |  k-means subtrees above shuffle O(k × dim) aggregates only.
+      |- **data_chunk_cdc** — content-defined chunking is a map-only
+      |  per-row HOF (boundary filter + chunk slices) feeding the same
+      |  keeper-election HashAggregate + equi-join as fixed-cell dedup;
+      |  nothing quadratic, no window over the chunk hash.
+      |- **data_curation_gate** — the whole precedence chain (Gopher
+      |  rules, compiled NgramStats repetition, hashed classifier) is one
+      |  projection inside the scan; the only shuffle is the exact-dup
+      |  keeper HashAggregate and its join-back.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —
