@@ -142,6 +142,22 @@ object TextAnalysis {
     * final division — bit-identical across engines — and fully map-only:
     * model inference costs one scan, no shuffle, no UDF. */
   def linearScoreColumns(text: Column, buckets: Int = 64): Seq[(String, Column)] = {
+    // compiled one-pass accumulation; [[linearScoreColumnsHof]] is the
+    // composable definition (and the oracle's shape) — parity-spec'd
+    graft.functions.TextExprFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    val w = tokens(text)
+    val n = size(w).cast("long")
+    val scoreSum = graft.functions.TextExprFunctions.hashed_weight_sum(w, buckets)
+    val score = scoreSum.cast("double") / n.cast("double")
+    Seq("n_tokens" -> n, "score_sum" -> scoreSum, "score" -> score,
+      "label_positive" -> (score > 0.0))
+  }
+
+  /** Composable-HOF twin of [[linearScoreColumns]] — the semantic
+    * definition, kept for the DataOpsSpec parity assertion; ~6
+    * interpreted dispatches per token make it the slow form at scale. */
+  def linearScoreColumnsHof(text: Column, buckets: Int = 64): Seq[(String, Column)] = {
     val w = tokens(text)
     val n = size(w).cast("long")
     val scoreSum = aggregate(w, lit(0L),

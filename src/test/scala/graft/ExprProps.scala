@@ -42,6 +42,22 @@ object ExprProps extends Properties("Round6Exprs") {
       Prop(got == expected) :| s"ws=$ws n=$n got=$got expected=$expected"
     }
 
+  private val utfTok = Gen.oneOf("a", "bb", "ü", "日本", "x9")
+  private val utfText = Gen.choose(0, 15)
+    .flatMap(n => Gen.listOfN(n, utfTok)).map(_.mkString(" "))
+
+  property("HashedWeightSum equals the HOF accumulation on any text") =
+    forAll(utfText, Gen.oneOf(7, 64, 101)) { (text, buckets) =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      def run(cols: Seq[(String, org.apache.spark.sql.Column)]) =
+        df.select(cols.map { case (n, c) => c.as(n) }: _*)
+          .select($"n_tokens", $"score_sum", $"score", $"label_positive")
+          .as[(Long, Long, Double, Boolean)].head()
+      val fast = run(TextAnalysis.linearScoreColumns($"text", buckets))
+      val hof = run(TextAnalysis.linearScoreColumnsHof($"text", buckets))
+      Prop(fast == hof) :| s"text='$text' buckets=$buckets fast=$fast hof=$hof"
+    }
+
   // tiny hash alphabet -> constant ties inside windows
   private val hash = Gen.oneOf("0", "1", "2")
   private val hashes = Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, hash))
