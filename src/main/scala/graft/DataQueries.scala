@@ -2112,10 +2112,10 @@ object DataQueries {
          |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
          |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
          |      / CAST(len(w) AS DOUBLE) AS symbol_ratio,
-         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '(?i)[a-z]')))
          |         AS DOUBLE) / CAST(len(w) AS DOUBLE) AS alpha_frac,
          |    CAST(len(list_filter(w, x ->
-         |      list_contains(['the','a','of','and','to'], x))) AS BIGINT)
+         |      list_contains(['the','a','of','and','to'], lower(x)))) AS BIGINT)
          |      AS n_stopwords
          |  FROM t)
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
@@ -2339,7 +2339,7 @@ object DataQueries {
          |             ELSE n END], ' ')) AS h
          |  FROM (SELECT doc_id, w, n, starts,
          |          unnest(range(1, len(starts) + 1)) AS i
-         |        FROM st) x),
+         |        FROM st WHERE n > 0) x),
          |f AS (
          |  SELECT doc_id, chunk_idx, h,
          |    row_number() OVER (PARTITION BY h
@@ -2366,10 +2366,10 @@ object DataQueries {
          |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
          |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
          |      / CAST(len(w) AS DOUBLE) AS symbol_ratio,
-         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '(?i)[a-z]')))
          |         AS DOUBLE) / CAST(len(w) AS DOUBLE) AS alpha_frac,
          |    CAST(len(list_filter(w, x ->
-         |      list_contains(['the','a','of','and','to'], x))) AS BIGINT)
+         |      list_contains(['the','a','of','and','to'], lower(x)))) AS BIGINT)
          |      AS n_stopwords
          |  FROM t),
          |gp AS (

@@ -59,8 +59,11 @@ object Tables {
     read(spark, dir, "events").schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => lit(us * 1000L) // ns long
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // floorDiv/floorMod: nanoOfSecond must be non-negative, so a
+        // pre-1970 µs epoch needs floored (not truncating) division.
         lit(java.time.LocalDateTime.ofEpochSecond(
-          us / 1000000L, ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
       case _ => lit(java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
     }
   }
@@ -76,18 +79,27 @@ object Tables {
     * `spark.catalog.clearCache()`) is re-persisted on next use, so later
     * timings in the same session stay representative. */
   private val hotMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def memo(spark: SparkSession, dir: String, name: String)
-                  (build: => DataFrame): DataFrame = {
+  /** Generic persisted-DataFrame memo for any session-scoped cacheable
+    * build (also used by operators that materialize a derived working set,
+    * e.g. `Dedup.semanticDedup`'s assigned corpus): one persist() per
+    * (session, key), dead sessions evicted, clearCache survivors
+    * re-armed. `build` must end in `.persist()`. */
+  def memoBy(spark: SparkSession, key: String)
+            (build: => DataFrame): DataFrame = {
     hotMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    val df = hotMemo.computeIfAbsent((spark, dir, name), _ => build)
+    val df = hotMemo.computeIfAbsent((spark, key), _ => build)
     // storageLevel consults the session's cache manager: NONE means the
     // original persist() was undone by a clearCache — re-arm it (lazy; the
     // next action re-materializes).
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     df
   }
+
+  private def memo(spark: SparkSession, dir: String, name: String)
+                  (build: => DataFrame): DataFrame =
+    memoBy(spark, s"$dir#$name")(build)
 
   /** The q1 aggregate columns of lineitem, repartitioned to the session's
     * parallelism and persisted — the shared working set for the numeric

@@ -198,13 +198,16 @@ object Dedup {
             p => p <= col("n") &&
               TextAnalysis.hashBucket(element_at(col("toks"), p), divisor) === 0))
           .otherwise(array().cast("array<int>"))))
-    chunks.select(col(idCol), posexplode(transform(
+    // Same n=0/null gate as cellHashes: an empty (or null-text) document
+    // yields ZERO chunks — not a phantom md5("") chunk that every empty
+    // doc would collide on. posexplode drops the NULL the `when` emits.
+    chunks.select(col(idCol), posexplode(when(col("n") > 0, transform(
         sequence(lit(0), size(col("starts")) - 1), c => {
           val s = element_at(col("starts"), c + 1)
           val e = when(c < size(col("starts")) - 1,
             element_at(col("starts"), c + 2) - 1).otherwise(col("n"))
           md5(concat_ws(" ", slice(col("toks"), s, e - s + 1)))
-        })).as(Seq("chunk_idx", "chunk_hash")))
+        }))).as(Seq("chunk_idx", "chunk_hash")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk_hash"))
   }
@@ -274,10 +277,17 @@ object Dedup {
     // This mirrors the production shape, where assignment runs once at
     // ingest and the assigned table is WRITTEN (bucketed by cell) —
     // assignment is never recomputed per query, let alone per join side.
-    val assigned = Similarity.assignCellsBroadcast(corpus, cents, vecCol)
-      .select(col(idCol), col(vecCol), col("cell"),
-        sqrt(vec_dot(col(vecCol), col(vecCol))).as("_norm"))
-      .persist()
+    // Memoized per (session, corpus plan, params): repeated query builds
+    // (probe re-runs, bench reps) reuse ONE cache entry instead of
+    // stacking a fresh persist() per build — the returned plan references
+    // the cached DF, so it cannot be unpersisted here.
+    val assigned = graft.Tables.memoBy(corpus.sparkSession,
+      s"semdedup:${corpus.semanticHash()}:$kCells:$rounds:$idCol:$vecCol") {
+      Similarity.assignCellsBroadcast(corpus, cents, vecCol)
+        .select(col(idCol), col(vecCol), col("cell"),
+          sqrt(vec_dot(col(vecCol), col(vecCol))).as("_norm"))
+        .persist()
+    }
     val a = assigned.select(col("cell"), col(idCol).as("_id_a"),
       col(vecCol).as("_va"), col("_norm").as("_na"))
     val b = assigned.select(col("cell"), col(idCol).as("_id_b"),

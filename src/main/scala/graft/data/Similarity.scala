@@ -319,9 +319,14 @@ object Similarity {
       .where(col(qId) =!= col(cId))
       .withColumn("score", score)
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val out = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= topK)
       .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("score"))
+    // every consumer of cb was a driver-side collect during this build
+    // (pqEncode's per-subspace assignment + the query tables), so the
+    // cache is dead weight once the plan is assembled — release it.
+    cb.unpersist()
+    out
   }
 
   /** Full faiss-style IVF-PQ search: a coarse quantizer ([[fitCentroids]]
@@ -378,10 +383,14 @@ object Similarity {
       .where(col(qId) =!= col(cId))
       .withColumn("score", score)
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val out = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= topK)
       .select(col(qId), col("cell"), col("rnk"), col(cId).as("neighbor_id"),
         col("score"))
+    // cb fully consumed by driver-side collects during this build — release
+    // (same rationale as pqTopK).
+    cb.unpersist()
+    out
   }
 
   /** Element-wise difference (a - b) in doubles — centering helper. */

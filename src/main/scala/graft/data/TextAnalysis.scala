@@ -80,10 +80,12 @@ object TextAnalysis {
     // '#' or '...' occurrences per word (the paper's symbol-to-word ratio)
     val symbolRatio =
       size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") / nd
-    // fraction of words containing at least one alphabetic character
+    // fraction of words containing at least one alphabetic character —
+    // case-insensitive ("The" is alphabetic; Gopher's rule means ANY letter)
     val alphaFrac =
-      size(filter(w, x => x.rlike("[a-z]"))).cast("double") / nd
-    val nStop = markerCount(w, Stopwords)
+      size(filter(w, x => x.rlike("(?i)[a-z]"))).cast("double") / nd
+    // stopword hits are case-insensitive too ("The" counts as "the")
+    val nStop = markerCount(transform(w, x => lower(x)), Stopwords)
     val rWords = nWords >= 50 && nWords <= 100000
     val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
     val rSymbol = symbolRatio <= 0.1

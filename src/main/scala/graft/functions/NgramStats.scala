@@ -29,31 +29,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * for multi-MB pathological documents prefer the distributed aggregate
   * shape, which spills.
   *
-  * Null semantics, matching the HOF form: a NULL or shorter-than-n token
-  * array has zero grams → (0, 0, 0); the struct itself is never null.
+  * Null semantics, matching the HOF form: a shorter-than-n token array has
+  * zero grams → (0, 0, 0); a NULL array propagates NULL (like the HOF's
+  * `transform`/`size` over a NULL input).
   */
 case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"n-gram width must be >= 1, got $n")
 
   override def dataType: DataType = NgramStatsImpl.Schema
-  override def nullable: Boolean = false
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "ngram_stats"
 
-  override def eval(input: InternalRow): Any =
-    NgramStatsImpl.compute(child.eval(input).asInstanceOf[ArrayData], n)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
-      .CodeGenerator.javaType(dataType)
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    ev.copy(
-      code = code"""
-        ${c.code}
-        $javaType ${ev.value} = graft.functions.NgramStatsImpl.compute(
-          ${c.isNull} ? null : ${c.value}, $n);""",
-      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else NgramStatsImpl.compute(v.asInstanceOf[ArrayData], n)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramStatsImpl.compute($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): NgramStats =
     copy(child = newChild)

@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * elements ahead, which is precisely the leftmost-tie rule.
   *
   * Contract notes (matching the HOF): fewer hashes than one window →
-  * select the global minimum; empty or NULL array → empty selection.
+  * select the global minimum; empty array → empty selection; NULL array →
+  * NULL (propagated, exactly like the HOF's `transform`/`array_min`).
   * NULL elements never occur in the md5-hash inputs this serves; they are
   * skipped as candidates here (the HOF's `array_min` skips them too).
   */
@@ -31,24 +32,18 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1, s"window must be >= 1, got $w")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "winnow_select"
 
-  override def eval(input: InternalRow): Any =
-    WinnowSelectImpl.compute(child.eval(input).asInstanceOf[ArrayData], w)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
-      .CodeGenerator.javaType(dataType)
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    ev.copy(
-      code = code"""
-        ${c.code}
-        $javaType ${ev.value} = graft.functions.WinnowSelectImpl.compute(
-          ${c.isNull} ? null : ${c.value}, $w);""",
-      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else WinnowSelectImpl.compute(v.asInstanceOf[ArrayData], w)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowSelectImpl.compute($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
     copy(child = newChild)
@@ -57,6 +52,8 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
 object WinnowSelectImpl {
 
   def compute(hashes: ArrayData, w: Int): ArrayData = {
+    // null is handled by the expression's null-propagation; the guard here
+    // is defensive for direct callers.
     if (hashes == null || hashes.numElements() == 0)
       return new GenericArrayData(Array.empty[Long])
     val n = hashes.numElements()
@@ -125,24 +122,18 @@ case class WinnowFingerprint(child: Expression, w: Int) extends UnaryExpression 
   require(w >= 1, s"window must be >= 1, got $w")
 
   override def dataType: DataType = WinnowFingerprintImpl.Schema
-  override def nullable: Boolean = false
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "winnow_fingerprint"
 
-  override def eval(input: InternalRow): Any =
-    WinnowFingerprintImpl.compute(child.eval(input).asInstanceOf[ArrayData], w)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val javaType = org.apache.spark.sql.catalyst.expressions.codegen
-      .CodeGenerator.javaType(dataType)
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    ev.copy(
-      code = code"""
-        ${c.code}
-        $javaType ${ev.value} = graft.functions.WinnowFingerprintImpl.compute(
-          ${c.isNull} ? null : ${c.value}, $w);""",
-      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else WinnowFingerprintImpl.compute(v.asInstanceOf[ArrayData], w)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFingerprintImpl.compute($c, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
     copy(child = newChild)

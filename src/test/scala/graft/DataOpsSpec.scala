@@ -415,16 +415,18 @@ class DataOpsSpec extends AnyFunSuite {
     val b = DataQueries.winnowFingerprintHof(spark, TestSpark.sf)
       .collect().map(_.toSeq).toSeq
     assert(a.nonEmpty && a == b)
-    // degenerate inputs: empty and null shingle arrays -> zero counts,
-    // md5("") rollup, never a null struct
+    // degenerate inputs: empty shingle array -> zero counts + md5("")
+    // rollup; NULL shingle array propagates NULL (matching the HOF chain,
+    // where transform over a NULL array is NULL)
     graft.functions.WinnowFunctions.register(spark)
     import graft.functions.WinnowFunctions.winnow_fingerprint
     val weird = Seq((1L, Seq.empty[String]), (2L, null.asInstanceOf[Seq[String]]))
       .toDF("doc_id", "sh")
-      .select(winnow_fingerprint($"sh", 4).as("s"))
-      .select($"s.n_grams", $"s.n_fingerprints", $"s.fp_md5")
-      .as[(Long, Long, String)].collect().toSeq
-    assert(weird == Seq.fill(2)((0L, 0L, "d41d8cd98f00b204e9800998ecf8427e")))
+      .select($"doc_id", winnow_fingerprint($"sh", 4).as("s"))
+      .orderBy("doc_id").collect().toSeq
+    assert(weird(0).getStruct(1).toSeq ==
+      Seq(0L, 0L, "d41d8cd98f00b204e9800998ecf8427e"))
+    assert(weird(1).isNullAt(1), "NULL shingle array must propagate NULL")
   }
 
   test("NgramStats expression = HOF definition; query = distributed shape") {
@@ -453,13 +455,14 @@ class DataOpsSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
       assert(viaExpr == viaHof, s"n=$n")
     }
-    // NULL / empty arrays: zero stats, never a null struct
+    // Empty array → zero stats; NULL array propagates NULL like the HOF
+    // (size/transform over NULL), so the expression and HOF agree there too
     val weird = Seq((1L, Seq.empty[String]), (2L, null.asInstanceOf[Seq[String]]))
       .toDF("doc_id", "toks")
-    val z = weird.select(ngram_stats($"toks", 2).as("s"))
-      .select($"s.total", $"s.dup", $"s.top")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(z == Seq((0L, 0L, 0L), (0L, 0L, 0L)))
+    val z = weird.select($"doc_id", ngram_stats($"toks", 2).as("s"))
+      .orderBy("doc_id").collect().toSeq
+    assert(z(0).getStruct(1).toSeq == Seq(0L, 0L, 0L))
+    assert(z(1).isNullAt(1), "NULL token array must propagate NULL")
     // Full-query parity: expression plan vs distributed plan on testdata
     val a = Registry.byName("data_ngram_coverage").build(spark, TestSpark.sf)
       .collect().map(_.toSeq).toSeq
