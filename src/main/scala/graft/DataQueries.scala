@@ -401,9 +401,56 @@ object DataQueries {
         Tables.embeddingsHot(spark, dir), kCells = 8, rounds = 2, k = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
 
+  /** Same parameters and oracle as `data_sim_ivf_fitted`, but served from
+    * the at-rest partitionBy(cell) layout with a pruned probe read — the
+    * hash-match against the unpruned oracle proves pruning loses nothing. */
+  private def simIvfPruned(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKFittedPruned(queriesOf(spark, dir),
+        Tables.embeddingsHot(spark, dir), kCells = 8, rounds = 2, k = 3,
+        nprobe = 2, outDir = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_ivf_pruned/${new java.io.File(dir).getName}")
+      .dumpOrdered("q_id", "rnk")
+
   private def embedPca1(spark: SparkSession, dir: String): DataFrame =
     Similarity.pc1Scores(Tables.embeddingsHot(spark, dir), rounds = 3)
       .dumpOrdered("vec_id")
+
+  /** Recall@k of every fitted ANN variant against the exact brute-force
+    * ranking — the quality curve a user tunes nprobe/m against. Both
+    * engines re-run the ANN queries and count integer hit overlaps, so the
+    * metric itself is oracle-checked. Per method: |ANN top-k ∩ BF top-k|
+    * summed over queries, recall = hits / (n_queries × k).
+    *
+    * Scale: the joins are per-(query, neighbor) — output-bounded, nothing
+    * corpus-sized; recall audits always run on a sampled query set. */
+  private def simRecall(spark: SparkSession, dir: String): DataFrame = {
+    val q = queriesOf(spark, dir)
+    val hot = Tables.embeddingsHot(spark, dir)
+    val bf = Similarity.bruteForceTopK(q, Tables.embeddings(spark, dir), k = 5)
+      .select(col("q_id"), col("neighbor_id"), col("rnk"))
+    val variants = Seq(
+      ("ivf_fitted", 3,
+        Similarity.ivfTopKFitted(q, hot, kCells = 8, rounds = 2, k = 3, nprobe = 2)),
+      ("ivfpq", 3,
+        Similarity.ivfPqTopK(q, hot, kCells = 8, coarseRounds = 2,
+          m = PqM, k = PqK, rounds = PqRounds, topK = 3, nprobe = 2)),
+      ("pq", 5,
+        Similarity.pqTopK(q, hot, m = PqM, k = PqK, rounds = PqRounds, topK = 5)),
+      ("sq8", 5, Similarity.sq8TopK(q, hot, k = 5)))
+    val tagged = variants.map { case (m, kAt, df) =>
+      df.select(lit(m).as("method"), lit(kAt).cast("long").as("k_at"),
+        col("q_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    tagged
+      .join(bf, Seq("q_id", "neighbor_id"), "left")
+      .withColumn("hit", when(col("rnk") <= col("k_at"), 1L).otherwise(0L))
+      .groupBy(col("method"), col("k_at"))
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        sum(col("hit")).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") /
+        (col("n_queries") * col("k_at")).cast("double"))
+      .dumpOrdered("method")
+  }
 
   // ------------------------------------------------------------- text
 
@@ -1004,9 +1051,15 @@ object DataQueries {
         col("meta.height").as("height"))
       .dumpOrdered("doc_id")
 
+  /** Real bytes→features: text → actual WAV/BMP container bytes → parsed
+    * back by the pure-JVM decoder. The oracle predicts the features from
+    * the SOURCE text, so the differential only passes when the decoder
+    * truly inverts the container layout (header offsets, endianness, row
+    * stride, sign). Every `doc_id % 10 == 3` payload is raw text — the
+    * sniffing/dirty-data path — and must come back (unknown, invalid). */
   private def mmDecode(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeFeaturesStub(
-        Multimodal.packMedia(Tables.documents(spark, dir), "doc_id", "text"),
+    Multimodal.decodeFeatures(
+        Multimodal.packRealMedia(Tables.documents(spark, dir), "doc_id", "text"),
         "doc_id")
       .dumpOrdered("doc_id")
 
@@ -1371,7 +1424,7 @@ object DataQueries {
         grouping_id().cast("long").as("gid"))
       .dumpOrderedTail("gid", "lang", "source")
 
-  val defs: Seq[(String, Q)] = Seq(
+  private val baseDefs: Seq[(String, Q)] = Seq(
     "data_dedup_exact" -> Q(dedupExact, Some(
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
         |g AS (SELECT content_hash, min(doc_id) AS keeper_id,
@@ -1874,13 +1927,46 @@ object DataQueries {
         |  CAST(doc_id % 480 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    "data_mm_decode_stub" -> Q(mmDecode, Some(
-      """SELECT doc_id,
-        |  ascii(substr(text, 1, 1)) / 255.0 AS f0,
-        |  ascii(substr(text, 2, 1)) / 255.0 AS f1,
-        |  ascii(substr(text, 3, 1)) / 255.0 AS f2,
-        |  ascii(substr(text, 4, 1)) / 255.0 AS f3
-        |FROM documents ORDER BY doc_id""".stripMargin)),
+    // The oracle never touches the container bytes: it derives every
+    // feature from the source text (the encoders' input), so agreement
+    // proves the Spark-side decode parsed the real WAV/BMP layout.
+    "data_mm_decode" -> Q(mmDecode, Some(
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, least(length(text), 64) + 1),
+         |      i -> ascii(substr(text, i, 1))) AS codes
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_transform(codes, c -> ((c % 128) - 64) * 256) AS samples,
+         |    list_transform(codes[1:(len(codes) // ${Multimodal.BmpWidth})
+         |                           * ${Multimodal.BmpWidth}],
+         |      c -> c % 256) AS pix
+         |  FROM c)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 3 THEN 'unknown'
+         |       WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS format,
+         |  doc_id % 10 <> 3 AS valid,
+         |  CASE WHEN doc_id % 10 <> 3 AND doc_id % 2 = 1
+         |       THEN CAST(${Multimodal.BmpWidth} AS INTEGER) END AS width,
+         |  CASE WHEN doc_id % 10 <> 3 AND doc_id % 2 = 1
+         |       THEN CAST(len(pix) // ${Multimodal.BmpWidth} AS INTEGER)
+         |  END AS height,
+         |  CASE WHEN doc_id % 10 <> 3 AND doc_id % 2 = 0
+         |       THEN CAST(${Multimodal.WavRate} AS INTEGER) END AS sample_rate,
+         |  CAST(CASE WHEN doc_id % 10 = 3 THEN 0
+         |            WHEN doc_id % 2 = 0 THEN len(samples)
+         |            ELSE len(pix) END AS BIGINT) AS n_values,
+         |  CAST(CASE WHEN doc_id % 10 = 3 THEN NULL
+         |            WHEN doc_id % 2 = 0 THEN list_sum(samples)
+         |            ELSE list_sum(pix) END AS BIGINT) AS sum_val,
+         |  CAST(CASE WHEN doc_id % 10 = 3 THEN NULL
+         |            WHEN doc_id % 2 = 0 THEN list_min(samples)
+         |            ELSE list_min(pix) END AS BIGINT) AS min_val,
+         |  CAST(CASE WHEN doc_id % 10 = 3 THEN NULL
+         |            WHEN doc_id % 2 = 0 THEN list_max(samples)
+         |            ELSE list_max(pix) END AS BIGINT) AS max_val
+         |FROM w ORDER BY doc_id""".stripMargin)),
 
     "data_chunk_dedup" -> Q(chunkDedup, Some(
       s"""WITH t AS (
@@ -2522,6 +2608,47 @@ object DataQueries {
          |SELECT q_id, rnk, vec_id AS neighbor_id, qdot FROM r
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
   )
+
+  /** The recall oracle re-runs each ANN variant's EXISTING oracle SQL as a
+    * nested-WITH derived table (no duplication — one source of truth per
+    * variant) and counts hit overlaps against the brute-force ranking. */
+  private lazy val recallOracle: String = {
+    val o = baseDefs.toMap
+    def body(n: String): String = o(n).oracle.getOrElse(
+      sys.error(s"recall oracle needs the $n oracle"))
+    s"""WITH bf AS (SELECT * FROM (${body("data_sim_cosine_topk")}) x),
+       |ivff AS (SELECT * FROM (${body("data_sim_ivf_fitted")}) x),
+       |ivfpq AS (SELECT * FROM (${body("data_sim_ivfpq")}) x),
+       |pq AS (SELECT * FROM (${body("data_sim_pq_topk")}) x),
+       |sq8 AS (SELECT * FROM (${body("data_sim_sq8_topk")}) x),
+       |tagged AS (
+       |  SELECT 'ivf_fitted' AS method, 3 AS k_at, q_id, neighbor_id FROM ivff
+       |  UNION ALL
+       |  SELECT 'ivfpq', 3, q_id, neighbor_id FROM ivfpq
+       |  UNION ALL
+       |  SELECT 'pq', 5, q_id, neighbor_id FROM pq
+       |  UNION ALL
+       |  SELECT 'sq8', 5, q_id, neighbor_id FROM sq8),
+       |j AS (
+       |  SELECT t.method, t.k_at, t.q_id,
+       |    CASE WHEN bf.rnk IS NOT NULL AND bf.rnk <= t.k_at
+       |         THEN 1 ELSE 0 END AS hit
+       |  FROM tagged t LEFT JOIN bf
+       |    ON bf.q_id = t.q_id AND bf.neighbor_id = t.neighbor_id)
+       |SELECT method, CAST(k_at AS BIGINT) AS k_at,
+       |  CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+       |  CAST(sum(hit) AS BIGINT) AS n_hits,
+       |  CAST(sum(hit) AS DOUBLE)
+       |    / CAST(count(DISTINCT q_id) * k_at AS DOUBLE) AS recall
+       |FROM j GROUP BY method, k_at ORDER BY method""".stripMargin
+  }
+
+  val defs: Seq[(String, Q)] =
+    baseDefs :+
+      ("data_sim_recall" -> Q(simRecall, Some(recallOracle))) :+
+      // identical output contract to the unpruned fitted IVF -> same oracle
+      ("data_sim_ivf_pruned" -> Q(simIvfPruned,
+        baseDefs.toMap.apply("data_sim_ivf_fitted").oracle))
 
   /** Pair queries may legitimately be empty on tiny scale factors. */
   val mayBeEmpty: Set[String] =

@@ -16,7 +16,8 @@ object Plans {
     "data_asof_join", "data_sessionize", "data_chunk_dedup",
     "data_event_rolling", "data_tfidf_topk",
     "data_dedup_semantic", "data_sim_sq8_topk", "data_dedup_incremental",
-    "data_sim_ivfpq", "data_chunk_cdc", "data_curation_gate")
+    "data_sim_ivfpq", "data_chunk_cdc", "data_curation_gate",
+    "data_sim_ivf_pruned", "data_mm_decode")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -152,6 +153,18 @@ object Plans {
       |  rules, compiled NgramStats repetition, hashed classifier) is one
       |  projection inside the scan; the only shuffle is the exact-dup
       |  keeper HashAggregate and its join-back.
+      |- **data_sim_ivf_pruned** — the at-rest IVF serving shape: the
+      |  assigned corpus is read back from its partitionBy(cell) layout
+      |  and the probe's literal IN lands in `PartitionFilters` on that
+      |  scan — a planning-time directory prune, zero data filters, so
+      |  each query touches only `nprobe/kCells` of the corpus bytes.
+      |  The scoring subtree above it is identical to
+      |  `data_sim_ivf_fitted` (hash-equal results by construction).
+      |- **data_mm_decode** — bytes→features is ONE codegen'd projection
+      |  (`wav_encode`/`bmp_encode` → `media_decode`) inside the document
+      |  scan: no shuffle, no UDF, no per-row JVM boxing beyond the byte
+      |  arrays themselves; at 100 TB multimodal featurization stays a
+      |  map-only pass.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —

@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads ride as opaque `binary`
   * columns with a typed metadata struct; decode/feature-extraction runs
-  * per-partition over the bytes.
+  * over the bytes inside the scan.
   *
-  * The DECODE STEP IS A STUB: real image/audio codecs are not available in
-  * this container, so [[decodeFeaturesStub]] derives a deterministic fake
-  * feature vector from the leading payload bytes. Everything around it —
-  * the binary column, metadata schema, typed Dataset hop, per-partition
-  * batch shape, and fixed-width output schema — is the real plumbing a
-  * production decode (JNI codec / ONNX runtime per partition) would use.
+  * The REAL decode path is [[graft.functions.MediaCodecImpl]]: a pure-JVM
+  * parse of two actual container formats — RIFF/WAVE PCM16 (chunk-list
+  * walk, `fmt ` validation, signed-LE samples) and 8-bit BMP
+  * (BITMAPINFOHEADER, palette offset, 4-byte row stride, bottom-up rows)
+  * — surfaced here as [[packRealMedia]] (tabular → container bytes) and
+  * [[decodeFeatures]] (bytes → integer-domain feature struct). Exotic
+  * codecs (JPEG/PNG/MP4) would slot into the same `media_decode`
+  * expression with a JNI/ONNX call; [[decodeFeaturesStub]] remains as the
+  * honest codec-unavailable fallback showing that batched-typed shape.
   */
 object Multimodal {
 
@@ -53,6 +56,56 @@ object Multimodal {
         }
       }
     out.toDF(idCol, "f0", "f1", "f2", "f3")
+  }
+
+  /** Character-code array of the first `maxN` chars of `text` — the
+    * deterministic tabular source both the encoders and the SQL oracle
+    * derive from (ASCII code points; both engines' `ascii` agree). */
+  def textCodes(text: Column, maxN: Int): Column = {
+    val n = least(length(text), lit(maxN))
+    when(n >= 1, transform(sequence(lit(1), n), i => ascii(text.substr(i, lit(1)))))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  val WavRate = 8000
+  val BmpWidth = 7 // deliberately not a multiple of 4: exercises row padding
+
+  /** Build REAL container payloads from the text column: even ids → a
+    * RIFF/WAVE PCM16 file of `(code % 128 - 64) * 256` samples, odd ids →
+    * an 8-bit BMP of `code % 256` pixels at [[BmpWidth]] (tail chars past
+    * the last full row dropped), and every `id % 10 == 3` → the RAW text
+    * bytes (no container) to exercise the decoder's format sniffing.
+    * Map-only codegen'd expressions — at 100 TB this is a projection on
+    * the scan, no shuffle. */
+  def packRealMedia(df: DataFrame, idCol: String, textCol: String,
+                    maxN: Int = 64): DataFrame = {
+    graft.functions.MediaFunctions.register(df.sparkSession)
+    import graft.functions.MediaFunctions.{bmp_encode, wav_encode}
+    val codes = textCodes(col(textCol), maxN)
+    val samples = transform(codes, c => (pmod(c, lit(128)) - 64) * 256)
+    val pixels = transform(codes, c => pmod(c, lit(256)))
+    val fullRows = slice(pixels, lit(1),
+      floor(size(pixels) / BmpWidth).cast("int") * BmpWidth)
+    df.select(col(idCol),
+      when(col(idCol) % 10 === 3, col(textCol).cast("binary"))
+        .when(col(idCol) % 2 === 0, wav_encode(samples, WavRate))
+        .otherwise(bmp_encode(fullRows, BmpWidth)).as("payload"))
+  }
+
+  /** Decode `payload` into the integer-domain feature struct
+    * ([[graft.functions.MediaCodecImpl.Schema]]), flattened to columns.
+    * Unknown/corrupt payloads yield (format, valid=false, zero counts)
+    * rather than failing the scan — the production contract for dirty
+    * multimodal corpora. */
+  def decodeFeatures(media: DataFrame, idCol: String): DataFrame = {
+    graft.functions.MediaFunctions.register(media.sparkSession)
+    import graft.functions.MediaFunctions.media_decode
+    media.select(col(idCol), media_decode(col("payload")).as("m"))
+      .select(col(idCol), col("m.format").as("format"),
+        col("m.valid").as("valid"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.sample_rate").as("sample_rate"),
+        col("m.n_values").as("n_values"), col("m.sum_val").as("sum_val"),
+        col("m.min_val").as("min_val"), col("m.max_val").as("max_val"))
   }
 
   /** Frame sampling analog: every `stride`-th byte of the payload as a

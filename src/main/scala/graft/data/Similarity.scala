@@ -195,6 +195,50 @@ object Similarity {
         col("cos_sim"))
   }
 
+  /** [[ivfTopKFitted]] with the assigned corpus MATERIALIZED
+    * `partitionBy(cell)` and each probe served by a PARTITION-PRUNED read
+    * — the at-rest layout a production IVF uses, end to end: fit offline,
+    * assign + write once at ingest, and at query time touch only the
+    * probed cells' files (planning-time `PartitionFilters`, since the
+    * probe list is a bounded literal set — nq × nprobe cells collected
+    * from the routing table, the same bounded-model barrier as the
+    * centroid collect). Result is bit-identical to [[ivfTopKFitted]]:
+    * floats round-trip parquet exactly and the scoring chain is shared.
+    *
+    * Scale: the one-time write shuffles nothing (assignment is map-only);
+    * each query-time scan reads only `nprobe / kCells` of the corpus
+    * bytes — the pruning IS the index. */
+  def ivfTopKFittedPruned(queries: DataFrame, corpus: DataFrame, kCells: Int,
+                          rounds: Int, k: Int, nprobe: Int, outDir: String,
+                          qId: String = "q_id", qVec: String = "q_vec",
+                          cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = fitCentroids(corpus, kCells, rounds, cId, cVec)
+    assignCellsBroadcast(corpus, cents, cVec)
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    val routed = queries.crossJoin(broadcast(cents))
+      .withColumn("d2", sqDist(col(qVec), col("cvec")))
+    val wA = Window.partitionBy(col(qId)).orderBy(col("d2"), col("cell"))
+    val probes = routed.withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= nprobe)
+      .select(col(qId), col(qVec), col("cell"))
+    val probeCells: Seq[Long] = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // literal IN over the partition column -> planning-time pruning (the
+    // filter lands in PartitionFilters, not a post-scan Filter)
+    val pruned = spark.read.parquet(outDir)
+      .where(col("cell").isin(probeCells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val inCell = pruned.join(broadcast(probes), Seq("cell"))
+      .where(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosineFast(corpus)(col(qVec), col(cVec)))
+    val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
+    inCell.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(qId), col("cell"), col("rnk"), col(cId).as("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Norm-scaled int8 quantization of a float vector: each coordinate
     * becomes `round(x · 127 / ‖v‖)` — the scalar-quantization (SQ8)
     * compression real ANN engines (faiss SQ8) apply to cut index memory

@@ -1,0 +1,336 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM media container codecs: a REAL bytes→features decode path for
+  * the multimodal family (replacing the round-6 `decodeFeaturesStub`), with
+  * no external codec library — the two containers parsed are simple enough
+  * that a from-scratch parser IS the production-grade artifact:
+  *
+  *  - WAV (RIFF/WAVE, PCM16 mono): proper chunk-list walking (id + LE u32
+  *    size + even-byte padding per the RIFF spec), `fmt ` validation
+  *    (PCM, mono, 16-bit), and signed little-endian sample extraction
+  *    from the `data` chunk.
+  *  - BMP (BITMAPINFOHEADER, 8-bit uncompressed): magic + header
+  *    validation, explicit pixel-array offset, 4-byte row-stride padding,
+  *    and bottom-up OR top-down (negative height) row order.
+  *
+  * Decoded features are kept in INTEGER domain (count / sum / min / max of
+  * samples or pixel luminance) so a SQL oracle can replay them exactly —
+  * no float summation order to agree on. The encoders exist so a query can
+  * build real container bytes from tabular data and the differential gate
+  * can prove decode ∘ encode == identity-on-features: the decoder only
+  * matches the oracle's text-derived expectations when every header
+  * offset, endianness choice, stride and sign convention is right.
+  *
+  * All three are native Catalyst expressions (codegen'd, no UDFs) — the
+  * decode runs inside whole-stage codegen on the scan, map-only at any
+  * corpus size, which is the 100 TB shape: featurization is a projection,
+  * never a shuffle.
+  */
+object MediaCodecImpl {
+
+  /** Decode output schema. `format` is "wav" / "bmp" / "unknown"; metric
+    * fields are NULL when absent-for-format or invalid; `n_values` is 0
+    * (not NULL) for an invalid payload so counts aggregate cleanly. */
+  val Schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_values", LongType, nullable = false),
+    StructField("sum_val", LongType, nullable = true),
+    StructField("min_val", LongType, nullable = true),
+    StructField("max_val", LongType, nullable = true)))
+
+  private val FmtWav = UTF8String.fromString("wav")
+  private val FmtBmp = UTF8String.fromString("bmp")
+  private val FmtUnknown = UTF8String.fromString("unknown")
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+  private def i32(b: Array[Byte], o: Int): Int = u32(b, o).toInt
+  private def i16(b: Array[Byte], o: Int): Short =
+    ((b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)).toShort
+
+  private def putU16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+  }
+  private def putU32(b: Array[Byte], o: Int, v: Long): Unit = {
+    b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+    b(o + 2) = ((v >> 16) & 0xFF).toByte; b(o + 3) = ((v >> 24) & 0xFF).toByte
+  }
+  private def putTag(b: Array[Byte], o: Int, tag: String): Unit = {
+    var i = 0
+    while (i < 4) { b(o + i) = tag.charAt(i).toByte; i += 1 }
+  }
+  private def tagAt(b: Array[Byte], o: Int, tag: String): Boolean =
+    b.length >= o + 4 && b(o) == tag.charAt(0).toByte &&
+      b(o + 1) == tag.charAt(1).toByte && b(o + 2) == tag.charAt(2).toByte &&
+      b(o + 3) == tag.charAt(3).toByte
+
+  /** RIFF/WAVE PCM16 mono encoder: canonical 44-byte header + LE samples.
+    * Sample ints are truncated to i16 (caller keeps them in range). */
+  def wavEncode(samples: ArrayData, rate: Int): Array[Byte] = {
+    if (samples == null) return null
+    val n = samples.numElements()
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    putTag(out, 0, "RIFF"); putU32(out, 4, 36L + dataLen)
+    putTag(out, 8, "WAVE"); putTag(out, 12, "fmt ")
+    putU32(out, 16, 16L)
+    putU16(out, 20, 1)      // PCM
+    putU16(out, 22, 1)      // mono
+    putU32(out, 24, rate.toLong)
+    putU32(out, 28, rate.toLong * 2) // byte rate
+    putU16(out, 32, 2)      // block align
+    putU16(out, 34, 16)     // bits per sample
+    putTag(out, 36, "data"); putU32(out, 40, dataLen.toLong)
+    var i = 0
+    while (i < n) {
+      putU16(out, 44 + i * 2, samples.getInt(i).toShort & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
+  /** 8-bit grayscale BMP encoder (BITMAPINFOHEADER + 256-entry gray
+    * palette): `pixels` row-major top-down, truncated to `height =
+    * n / width` full rows; rows written bottom-up, stride padded to 4. */
+  def bmpEncode(pixels: ArrayData, width: Int): Array[Byte] = {
+    if (pixels == null) return null
+    val height = pixels.numElements() / width
+    val stride = (width + 3) & ~3
+    val imageSize = stride * height
+    val dataOffset = 14 + 40 + 256 * 4
+    val out = new Array[Byte](dataOffset + imageSize)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    putU32(out, 2, (dataOffset + imageSize).toLong)
+    putU32(out, 6, 0L)
+    putU32(out, 10, dataOffset.toLong)
+    putU32(out, 14, 40L)               // biSize
+    putU32(out, 18, width.toLong)
+    putU32(out, 22, height.toLong)     // positive = bottom-up
+    putU16(out, 26, 1)                 // planes
+    putU16(out, 28, 8)                 // bpp
+    putU32(out, 30, 0L)                // BI_RGB
+    putU32(out, 34, imageSize.toLong)
+    putU32(out, 38, 2835L); putU32(out, 42, 2835L) // 72 dpi
+    putU32(out, 46, 256L); putU32(out, 50, 0L)
+    var c = 0
+    while (c < 256) { // gray palette: B,G,R,0
+      val o = 54 + c * 4
+      out(o) = c.toByte; out(o + 1) = c.toByte; out(o + 2) = c.toByte
+      c += 1
+    }
+    var r = 0
+    while (r < height) {
+      val srcRow = height - 1 - r // bottom-up file order
+      var x = 0
+      while (x < width) {
+        out(dataOffset + r * stride + x) =
+          (pixels.getInt(srcRow * width + x) & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def invalid(format: UTF8String): InternalRow =
+    new GenericInternalRow(Array[Any](
+      format, false, null, null, null, 0L, null, null, null))
+
+  /** Sniff + parse: RIFF/WAVE → PCM16 stats, BM → 8-bit BMP pixel stats,
+    * anything else → ("unknown", valid=false). */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    if (tagAt(bytes, 0, "RIFF") && tagAt(bytes, 8, "WAVE")) decodeWav(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      decodeBmp(bytes)
+    else invalid(FmtUnknown)
+  }
+
+  private def decodeWav(b: Array[Byte]): InternalRow = {
+    // walk the chunk list: id(4) + size(LE u32) + payload, padded to even
+    var off = 12
+    var fmtOk = false
+    var rate = 0
+    var dataOff = -1
+    var dataLen = -1L
+    while (off + 8 <= b.length) {
+      val size = u32(b, off + 4)
+      val payload = off + 8
+      if (tagAt(b, off, "fmt ")) {
+        fmtOk = size >= 16 && payload + 16 <= b.length &&
+          u16(b, payload) == 1 &&      // PCM
+          u16(b, payload + 2) == 1 &&  // mono
+          u16(b, payload + 14) == 16   // 16-bit
+        if (fmtOk) rate = u32(b, payload + 4).toInt
+      } else if (tagAt(b, off, "data") && dataOff < 0) {
+        dataOff = payload
+        dataLen = size
+      }
+      off = payload + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 0 ||
+        dataOff + dataLen > b.length || (dataLen & 1) != 0)
+      return invalid(FmtWav)
+    val n = (dataLen / 2).toInt
+    var sum = 0L
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val v = i16(b, dataOff + i * 2).toLong
+      sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      FmtWav, true, null, null, rate, n.toLong,
+      if (n > 0) sum else null, if (n > 0) min else null,
+      if (n > 0) max else null))
+  }
+
+  private def decodeBmp(b: Array[Byte]): InternalRow = {
+    if (b.length < 54) return invalid(FmtBmp)
+    val dataOffset = u32(b, 10)
+    val biSize = u32(b, 14)
+    val width = i32(b, 18)
+    val rawHeight = i32(b, 22)
+    val bpp = u16(b, 28)
+    val compression = u32(b, 30)
+    // top-down files store height negative; row order never affects the
+    // order-independent stats, so both orders share one scan
+    val height = Math.abs(rawHeight)
+    if (biSize < 40 || width <= 0 || bpp != 8 || compression != 0)
+      return invalid(FmtBmp)
+    val stride = (width + 3) & ~3
+    val need = dataOffset + stride.toLong * height
+    if (dataOffset < 54 || need > b.length) return invalid(FmtBmp)
+    val n = width.toLong * height
+    var sum = 0L
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var r = 0
+    while (r < height) {
+      val rowOff = dataOffset.toInt + r * stride
+      var x = 0
+      while (x < width) {
+        val v = (b(rowOff + x) & 0xFF).toLong
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        x += 1
+      }
+      r += 1
+    }
+    new GenericInternalRow(Array[Any](
+      FmtBmp, true, width, height, null, n,
+      if (n > 0) sum else null, if (n > 0) min else null,
+      if (n > 0) max else null))
+  }
+}
+
+/** `wav_encode(samples array<int>)` → binary RIFF/WAVE PCM16 mono. */
+case class WavEncode(child: Expression, rate: Int) extends UnaryExpression {
+  require(rate > 0, s"sample rate must be positive, got $rate")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.wavEncode(input.asInstanceOf[ArrayData], rate)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaCodecImpl.wavEncode($c, $rate);")
+
+  override protected def withNewChildInternal(newChild: Expression): WavEncode =
+    copy(child = newChild)
+}
+
+/** `bmp_encode(pixels array<int>)` → binary 8-bit grayscale BMP. */
+case class BmpEncode(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, s"width must be positive, got $width")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bmp_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.bmpEncode(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaCodecImpl.bmpEncode($c, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): BmpEncode =
+    copy(child = newChild)
+}
+
+/** `media_decode(payload binary)` → the [[MediaCodecImpl.Schema]] feature
+  * struct. NULL payload propagates NULL. */
+case class MediaDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecImpl.Schema
+  override def prettyName: String = "media_decode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaCodecImpl.decode($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDecode =
+    copy(child = newChild)
+}
+
+object MediaFunctions {
+
+  /** Idempotent session registration (same pattern as [[VectorFunctions]]). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    def intLit(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions
+          .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected an integer literal, got $other")
+    }
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("media_decode")))
+      registry.createOrReplaceTempFunction(
+        "media_decode", exprs => MediaDecode(exprs.head), "scala_udf")
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("wav_encode")))
+      registry.createOrReplaceTempFunction(
+        "wav_encode",
+        exprs => WavEncode(exprs.head, intLit(exprs(1), "wav_encode(samples, rate)")),
+        "scala_udf")
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bmp_encode")))
+      registry.createOrReplaceTempFunction(
+        "bmp_encode",
+        exprs => BmpEncode(exprs.head, intLit(exprs(1), "bmp_encode(pixels, width)")),
+        "scala_udf")
+  }
+
+  /** Column-API handles; require [[register]] on the session first. */
+  def media_decode(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("media_decode", payload)
+  def wav_encode(samples: Column, rate: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "wav_encode", samples, org.apache.spark.sql.functions.lit(rate))
+  def bmp_encode(pixels: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "bmp_encode", pixels, org.apache.spark.sql.functions.lit(width))
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.Multimodal
+import graft.functions.MediaFunctions
+
+/** The pure-JVM WAV/BMP codec: round-trips, real container-layout quirks
+  * (RIFF chunk walking with pad bytes, BMP row stride and bottom-up /
+  * top-down order), and rejection of corrupt payloads. */
+class MediaCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def decodeBytes(payloads: Seq[Array[Byte]]) = {
+    MediaFunctions.register(spark)
+    import MediaFunctions.media_decode
+    payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+      .select($"id", media_decode($"payload").as("m"))
+      .orderBy("id")
+      .select($"id", $"m.format", $"m.valid", $"m.width", $"m.height",
+        $"m.sample_rate", $"m.n_values", $"m.sum_val", $"m.min_val", $"m.max_val")
+      .collect()
+  }
+
+  test("WAV round-trip: header, rate, signed LE samples incl. extremes") {
+    MediaFunctions.register(spark)
+    import MediaFunctions.{media_decode, wav_encode}
+    val samples = Seq(0, 1, -1, 32767, -32768, 1000, -999)
+    val row = Seq(Tuple1(samples)).toDF("s")
+      .select(media_decode(wav_encode($"s", 44100)).as("m"))
+      .select($"m.format", $"m.valid", $"m.sample_rate", $"m.n_values",
+        $"m.sum_val", $"m.min_val", $"m.max_val")
+      .head()
+    assert(row.getString(0) == "wav" && row.getBoolean(1))
+    assert(row.getInt(2) == 44100)
+    assert(row.getLong(3) == samples.length.toLong)
+    assert(row.getLong(4) == samples.map(_.toLong).sum)
+    assert(row.getLong(5) == -32768L && row.getLong(6) == 32767L)
+  }
+
+  test("WAV chunk walking: a LIST chunk with odd size (pad byte) before data") {
+    // Hand-assemble: RIFF [LIST(3 bytes + pad)] [fmt ] [data], so a decoder
+    // that assumes fmt-at-12/data-at-36 fails but a real chunk walker works.
+    val samples = Seq(5, -7, 300)
+    val canonical = graft.functions.MediaCodecImpl.wavEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(samples.toArray),
+      8000)
+    val fmtChunk = canonical.slice(12, 36) // "fmt " + 16 + payload
+    val dataChunk = canonical.slice(36, canonical.length)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0) // pad to 4
+    val body = list ++ fmtChunk ++ dataChunk
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(Array[Byte](
+      ((body.length + 4) & 0xFF).toByte, (((body.length + 4) >> 8) & 0xFF).toByte, 0, 0))
+    out.write("WAVE".getBytes); out.write(body)
+    val got = decodeBytes(Seq(out.toByteArray)).head
+    assert(got.getString(1) == "wav" && got.getBoolean(2))
+    assert(got.getLong(6) == 3L)
+    assert(got.getLong(7) == samples.map(_.toLong).sum)
+  }
+
+  test("BMP round-trip: stride padding at width 7, bottom-up rows") {
+    MediaFunctions.register(spark)
+    import MediaFunctions.{bmp_encode, media_decode}
+    val pixels = (0 until 21).map(i => (i * 11) % 256) // 3 rows of 7
+    val row = Seq(Tuple1(pixels)).toDF("p")
+      .select(media_decode(bmp_encode($"p", 7)).as("m"))
+      .select($"m.format", $"m.valid", $"m.width", $"m.height",
+        $"m.n_values", $"m.sum_val", $"m.min_val", $"m.max_val")
+      .head()
+    assert(row.getString(0) == "bmp" && row.getBoolean(1))
+    assert(row.getInt(2) == 7 && row.getInt(3) == 3)
+    assert(row.getLong(4) == 21L)
+    assert(row.getLong(5) == pixels.map(_.toLong).sum)
+    assert(row.getLong(6) == pixels.min.toLong && row.getLong(7) == pixels.max.toLong)
+  }
+
+  test("BMP top-down (negative height) decodes to the same stats") {
+    val pixels = (0 until 14).map(i => i * 3)
+    val bu = graft.functions.MediaCodecImpl.bmpEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pixels.toArray), 7)
+    val td = bu.clone()
+    // height i32 LE at offset 22 -> negate (two rows -> -2)
+    val h = -2
+    td(22) = (h & 0xFF).toByte; td(23) = ((h >> 8) & 0xFF).toByte
+    td(24) = ((h >> 16) & 0xFF).toByte; td(25) = ((h >> 24) & 0xFF).toByte
+    val Seq(a, b) = decodeBytes(Seq(bu, td)).toSeq
+    assert(a.getBoolean(2) && b.getBoolean(2))
+    assert(a.getLong(6) == b.getLong(6) && a.getLong(7) == b.getLong(7))
+    assert(b.getInt(4) == 2) // |height|
+  }
+
+  test("corrupt payloads: bad magic, truncated data, unsupported bpp") {
+    val goodWav = graft.functions.MediaCodecImpl.wavEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1, 2, 3)), 8000)
+    val truncated = goodWav.slice(0, goodWav.length - 2) // data chunk short
+    val goodBmp = graft.functions.MediaCodecImpl.bmpEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1, 2, 3, 4, 5, 6, 7)), 7)
+    val bpp24 = goodBmp.clone(); bpp24(28) = 24
+    val garbage = "just some text".getBytes
+    val got = decodeBytes(Seq(truncated, bpp24, garbage))
+    assert(got(0).getString(1) == "wav" && !got(0).getBoolean(2))
+    assert(got(1).getString(1) == "bmp" && !got(1).getBoolean(2))
+    assert(got(2).getString(1) == "unknown" && !got(2).getBoolean(2))
+    assert(got.forall(_.getLong(6) == 0L)) // n_values 0, not null
+  }
+
+  test("packRealMedia + decodeFeatures on testdata matches text-derived truth") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val got = Multimodal.decodeFeatures(
+      Multimodal.packRealMedia(docs, "doc_id", "text"), "doc_id")
+      .orderBy("doc_id").collect()
+    val src = docs.select($"doc_id", $"text").orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(got.length == src.length && got.nonEmpty)
+    src.zip(got).foreach { case ((id, text), r) =>
+      val codes = text.take(64).map(_.toInt)
+      if (id % 10 == 3) {
+        assert(r.getString(1) == "unknown" && !r.getBoolean(2) && r.getLong(6) == 0L)
+      } else if (id % 2 == 0) {
+        val samples = codes.map(c => ((c % 128) - 64).toLong * 256)
+        assert(r.getString(1) == "wav" && r.getBoolean(2))
+        assert(r.getInt(5) == Multimodal.WavRate)
+        assert(r.getLong(6) == samples.length.toLong)
+        assert(r.getLong(7) == samples.sum)
+      } else {
+        val pix = codes.take(codes.length / Multimodal.BmpWidth * Multimodal.BmpWidth)
+          .map(c => (c % 256).toLong)
+        assert(r.getString(1) == "bmp" && r.getBoolean(2))
+        assert(r.getInt(3) == Multimodal.BmpWidth)
+        assert(r.getLong(6) == pix.length.toLong)
+        assert(r.getLong(7) == pix.sum)
+      }
+    }
+  }
+}

@@ -63,4 +63,39 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(probe.count() ==
       assigned.where($"cell".isin(0L, 1L)).count())
   }
+
+  test("ivfTopKFittedPruned: pruned-read result == unpruned, plan prunes") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    // 2 queries x nprobe 2 <= 4 of 8 cells: the probe union must NOT
+    // saturate the cell set, or there is nothing left to prune
+    val q = emb.where($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val dir = Files.createTempDirectory("graft_ivf_pruned_spec").toString + "/at"
+    val pruned = graft.data.Similarity.ivfTopKFittedPruned(
+      q, emb, kCells = 8, rounds = 2, k = 3, nprobe = 2, outDir = dir)
+    val unpruned = graft.data.Similarity.ivfTopKFitted(
+      q, emb, kCells = 8, rounds = 2, k = 3, nprobe = 2)
+    val a = pruned.orderBy("q_id", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val b = unpruned.orderBy("q_id", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b, "pruned probe must lose nothing")
+    // the probe scan must prune at planning time: fewer partitions listed
+    // than cells exist, and the IN filter in PartitionFilters. (sparkPlan,
+    // not executedPlan: AQE wraps the joined query in AdaptiveSparkPlanExec
+    // whose leaves are not the file scans.)
+    val scan = pruned.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("graft_ivf_pruned_spec")) =>
+          (f.selectedPartitions.partitionCount,
+            f.metadata.getOrElse("PartitionFilters", ""))
+      }
+    assert(scan.nonEmpty, "no file scan over the partitioned corpus found")
+    val (nParts, pf) = scan.get
+    assert(pf.contains("cell"), s"partition filter missing: $pf")
+    val nCells = spark.read.parquet(dir).select($"cell").distinct().count()
+    assert(nParts < nCells, s"scanned $nParts of $nCells cells — no pruning")
+  }
 }

@@ -276,4 +276,62 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState TTL: expired state is evicted, counters restart") {
+    // In ProcessingTime time-mode the query free-runs micro-batches to
+    // advance the TTL clock, so neither processAllAvailable nor
+    // Trigger.AvailableNow ever settles — the test POLLS the memory sink
+    // for each expected state transition instead of blocking on the query.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def rowsOf(name: String): Seq[(Long, Long, Long)] =
+        spark.table(name).select($"user_id", $"n_purchases", $"cents_total")
+          .as[(Long, Long, Long)].collect().toSeq
+      def waitFor(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (!cond && System.currentTimeMillis < deadline) Thread.sleep(250)
+        assert(cond, s"timed out waiting for $what")
+      }
+      def run(name: String, ttl: java.time.Duration,
+              sleepMs: Long): Seq[(Long, Long, Long)] = {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+        def writeBatch(eventId: Long): Unit =
+          spark.sql(
+            s"""SELECT CAST($eventId AS BIGINT) AS event_id,
+               |  TIMESTAMP_NTZ'2024-01-01 00:00:00' AS ts,
+               |  CAST(7 AS BIGINT) AS user_id, 'purchase' AS event_type,
+               |  CAST(10.0 AS DOUBLE) AS value, '{}' AS props""".stripMargin)
+            .write.mode("append").parquet(dir)
+        writeBatch(1L)
+        val q = EventStreams.runningUserTotals(
+            EventStreams.readEvents(spark, dir),
+            org.apache.spark.sql.streaming.TTLConfig(ttl)).toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update()).start()
+        try {
+          waitFor(s"$name batch 1")(rowsOf(name).nonEmpty)
+          Thread.sleep(sleepMs)
+          writeBatch(2L)
+          waitFor(s"$name batch 2")(rowsOf(name).size >= 2)
+        } finally q.stop()
+        rowsOf(name)
+      }
+      // control: generous TTL -> state survives, counter reaches 2
+      val kept = run("ttl_kept", java.time.Duration.ofHours(1), 100)
+      assert(kept.contains((7L, 2L, 2000L)),
+        s"state should survive under a long TTL, got $kept")
+      // expiry: 2s TTL + 3.5s pause -> state evicted, counter restarts at 1
+      val evicted = run("ttl_evicted", java.time.Duration.ofSeconds(2), 3500)
+      assert(evicted == Seq((7L, 1L, 1000L), (7L, 1L, 1000L)),
+        s"state must be evicted after its TTL, got $evicted")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
