@@ -1,0 +1,67 @@
+# DuckDB side of the sf1 per-query parity probe (VERDICT r6 #1): runs the
+# ScaleBench query set's oracle SQL over a ScaleGen parquet directory with
+# the same protocol as duck_bench.py (32 threads, warmups, best-of-N), so
+# BENCH_SCALE.md can publish Spark/DuckDB ratios at sf0.1p AND sf1 instead
+# of asserting that Spark's fixed per-job floor "stops mattering at scale".
+#
+# Usage: python3 tools/duck_scale.py <sfDir> [reps] [warmups]
+#   (needs target/vdump/oracle_sql.json from a prior `runMain graft.Verify`)
+import glob
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+# Mirror graft.ScaleBench: the headline seven + the LSH/dedup/curation family.
+HEADLINES = ["ref_a1_dedup_latest", "ref_w1_global_aggs", "ref_j1_dim_join",
+             "ref_q1_agg", "data_sim_cosine_topk", "ref_exports_pipeline_e2e",
+             "ref_e2e_monthly_report"]
+EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
+          "data_dedup_minhash_pairs", "data_dedup_minhash_groupsig",
+          "data_dedup_ngram_jaccard", "data_dedup_components",
+          "data_dedup_embedding", "data_dedup_semantic",
+          "data_dedup_incremental", "data_sim_sq8_topk", "data_sim_pq_topk",
+          "data_sim_ivfpq", "data_quality_gopher", "data_quality_classifier",
+          "data_ngram_coverage", "data_winnow_fingerprint", "data_chunk_cdc",
+          "data_curation_gate"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+sf = sys.argv[1]
+reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+warmups = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+sqls = json.load(open("target/vdump/oracle_sql.json"))
+
+con = duckdb.connect()
+con.execute("SET threads TO 32")
+for t in TABLES:
+    path = f"{sf}/{t}.parquet"
+    # ScaleGen writes Spark-style directories of part files; the driver
+    # testdata is a single file per table. Glob both.
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    if not glob.glob(src.replace("*.parquet", "**")) and not os.path.exists(path):
+        raise SystemExit(f"missing table {path}")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+
+out = {}
+for q in HEADLINES + EXTRAS:
+    if q not in sqls:
+        out[q] = {"skip": "no oracle sql"}
+        continue
+    try:
+        for _ in range(warmups):
+            con.execute(sqls[q]).fetchall()
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            rows = con.execute(sqls[q]).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[q] = {"sec": round(best, 3), "rows": len(rows)}
+    except Exception as e:  # noqa: BLE001 - record and continue
+        out[q] = {"error": str(e)[:200]}
+print(json.dumps({"sf": sf, "queries": out,
+                  "total": round(sum(v["sec"] for v in out.values()
+                                     if "sec" in v), 3)}))
