@@ -4,7 +4,8 @@ package graft
 object Registry {
   def all: Seq[(String, Q)] =
     RefQueries.defs ++ JsonQueries.defs ++ CsvQueries.defs ++ DataQueries.defs ++
-      TemporalQueries.defs ++ EtlQueries.defs ++ FormatQueries.defs :+
+      TemporalQueries.defs ++ EtlQueries.defs ++ FormatQueries.defs ++
+      IndexQueries.defs :+
       ("ref_e2e_monthly_report" ->
         Q(Pipeline.monthlyReport, Some(Pipeline.oracle), headline = true))
 

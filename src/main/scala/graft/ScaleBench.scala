@@ -26,7 +26,10 @@ object ScaleBench {
     "data_sim_pq_topk", "data_sim_ivfpq",
     "data_quality_gopher", "data_quality_classifier",
     "data_ngram_coverage", "data_winnow_fingerprint",
-    "data_chunk_cdc", "data_curation_gate")
+    "data_chunk_cdc", "data_curation_gate",
+    // round-7 additions: the indexing/membership family
+    "data_dedup_spans", "data_sketch_cms", "data_decontaminate_bloom",
+    "data_search_postings", "data_search_phrase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,7 +45,10 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorFunctions.register(spark)
 
-    val names = Registry.headlines.map(_._1) ++ ExtraQueries
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => Registry.headlines.map(_._1) ++ ExtraQueries
+    }
     val byName = Registry.byName
     names.foreach { name =>
       val df = byName(name).build(spark, sfDir)

@@ -1,0 +1,188 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus indexing + membership operators for the training-data pipeline:
+  * exact-substring (duplicate-span) removal, a count-min sketch for
+  * heavy-hitter estimation, Bloom-filter membership for benchmark
+  * decontamination, and a positional inverted index with phrase serving.
+  *
+  * All hashing is the repo's portable-md5 arithmetic (first 4 hex digits
+  * of an md5 as an integer), so a DuckDB oracle replays every bucket and
+  * bit position exactly — no engine-private hash anywhere.
+  */
+object Indexing {
+
+  /** Seeded hash bucket in [0, m): the seeded twin of
+    * [[TextAnalysis.hashBucket]] — first 4 md5 hex digits of
+    * `"seed|value"` as an integer, mod m. m must be ≤ 65536 (the hash
+    * has 16 bits); widen to more hex digits before raising m. */
+  def seededBucket(x: Column, seed: Column, m: Int): Column = {
+    require(m > 0 && m <= 65536, s"m must be in (0, 65536], got $m")
+    conv(substring(md5(concat_ws("|", seed.cast("string"), x)), 1, 4), 16, 10)
+      .cast("long") % m
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact-substring (duplicate-span) removal — Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better": token
+  // spans whose n-gram occurs more than once ANYWHERE in the corpus are
+  // removed from every document (we drop all occurrences; the paper
+  // discusses keeping one — dropping all is deterministic under any
+  // partitioning, which is what a parallel engine wants).
+  // ---------------------------------------------------------------------
+
+  /** Per-document duplicate-span removal over word n-grams.
+    *
+    * Scale shape: occurrences explode to one row per (doc, position) —
+    * O(total tokens); the duplicated-hash set comes from ONE hash
+    * aggregate on the n-gram hash (map-side combinable); occurrences
+    * join that set on the hash (equi-join, output ≤ occurrence count —
+    * a corpus-hot n-gram contributes k occurrence rows joining ONE hash
+    * row, linear, never pairwise); the per-doc mask is a sorted
+    * start-position list folded back with one HOF filter, O(len ×
+    * dup-starts) per row. No self-join, no window over the corpus.
+    *
+    * Output: (id, n_tokens, n_removed, kept_frac, cleaned_text); all
+    * NULL for NULL text.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val toks = docs.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+    val occ = toks.where(col("nt") >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0L), col("nt") - n),
+        p => struct(p.as("pos"),
+          md5(concat_ws(" ", slice(col("toks"), (p + 1).cast("int"), lit(n))))
+            .as("h")))).as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.h").as("h"))
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("h"))
+    val starts = occ.join(dup, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<long>")))
+      .withColumn("kept", when(col("toks").isNotNull,
+        filter(sequence(lit(0L), col("nt") - 1),
+          i => !exists(col("starts"), s => s <= i && i < s + n))))
+      .select(col(idCol),
+        col("nt").as("n_tokens"),
+        (col("nt") - size(col("kept"))).cast("long").as("n_removed"),
+        (size(col("kept")).cast("double") / col("nt").cast("double"))
+          .as("kept_frac"),
+        when(col("toks").isNotNull, concat_ws(" ",
+          transform(col("kept"),
+            i => element_at(col("toks"), (i + 1).cast("int")))))
+          .as("cleaned_text"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005): d seeded rows of w
+  // counters; point estimate = min over rows. The sketch is a TABLE of
+  // (r, bucket, cnt) — built by one hash aggregate (map-side combinable,
+  // shuffle O(d·w) regardless of corpus size) and merged across corpora
+  // by summing counters.
+  // ---------------------------------------------------------------------
+
+  /** Build the (r, bucket, cnt) CMS table over a single value column. */
+  def cmsTable(values: DataFrame, c: String, d: Int, w: Int): DataFrame =
+    values.select(explode(transform(sequence(lit(0), lit(d - 1)),
+        r => struct(r.cast("long").as("r"),
+          seededBucket(col(c), r, w).as("bucket")))).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for a (small) query set: min over the d row
+    * counters. `queries` keeps its other columns. The CMS table has d·w
+    * rows — broadcast it. */
+  def cmsEstimate(cms: DataFrame, queries: DataFrame, c: String,
+      d: Int, w: Int): DataFrame = {
+    val keyCols = queries.columns.map(col).toSeq
+    queries.select(keyCols :+ explode(transform(sequence(lit(0), lit(d - 1)),
+        r => struct(r.cast("long").as("r"),
+          seededBucket(col(c), r, w).as("bucket")))).as("cell"): _*)
+      .select(keyCols :+ col("cell.r").as("r") :+
+        col("cell.bucket").as("bucket"): _*)
+      .join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy(keyCols: _*)
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Bloom filter membership (Bloom 1970): k seeded bit positions in
+  // [0, m). The filter is the DISTINCT set of set-bit positions — a
+  // bounded model artifact (≤ m rows) built from the member set with one
+  // aggregate, then broadcast to the corpus join. Deterministic false
+  // positives (same in any engine that replays the hashes); zero false
+  // negatives — the invariant the spec asserts.
+  // ---------------------------------------------------------------------
+
+  /** Set-bit positions of the Bloom filter over `members(c)`. */
+  def bloomBits(members: DataFrame, c: String, k: Int, m: Int): DataFrame =
+    members.select(explode(transform(sequence(lit(0), lit(k - 1)),
+        r => seededBucket(col(c), r, m))).as("bit"))
+      .distinct()
+
+  /** Per-row Bloom membership of `probes(c)` against a set-bit table:
+    * keeps probe columns, adds `bloom_hit` (all k bits set). The bit
+    * table is broadcast; each probe explodes to k rows, joins, and a
+    * count==k aggregate folds back — join output ≤ k × probes, linear. */
+  def bloomMightContain(bits: DataFrame, probes: DataFrame, c: String,
+      k: Int, m: Int): DataFrame = {
+    val keyCols = probes.columns.map(col).toSeq
+    probes.select(keyCols :+ explode(transform(sequence(lit(0), lit(k - 1)),
+        r => seededBucket(col(c), r, m))).as("bit"): _*)
+      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .groupBy(keyCols: _*)
+      .agg((count(col("__set")) === k).as("bloom_hit"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Positional inverted index — the serving-side artifact a corpus
+  // pipeline materializes for retrieval/inspection: term -> (doc,
+  // occurrence count, sorted positions). Phrase queries resolve on the
+  // index alone (positions of t2 at position+1 of t1), never rescanning
+  // the corpus text.
+  // ---------------------------------------------------------------------
+
+  /** (term, id, pos) occurrence table — one row per token occurrence. */
+  def occurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(col("toks").isNotNull)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0L), size(col("toks")).cast("long") - 1),
+        i => struct(i.as("pos"),
+          element_at(col("toks"), (i + 1).cast("int")).as("term")))).as("o"))
+      .select(col("o.term").as("term"), col(idCol), col("o.pos").as("pos"))
+
+  /** Positional postings: (term, id, n_occ, positions sorted). Built by
+    * ONE aggregate over the occurrence explode; at rest this is the
+    * artifact you'd range-partition by term. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    occurrences(docs, idCol, textCol)
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("n_occ"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Phrase hits per document from the occurrence table: positions where
+    * `t1` is immediately followed by `t2`. Both sides are the SAME
+    * occurrence relation filtered to one term each — two bounded slices
+    * of the index joined on (id, adjacent position), never a corpus
+    * self-join. */
+  def phraseMatches(occ: DataFrame, idCol: String, t1: Column,
+      t2: Column): DataFrame = {
+    val a = occ.where(col("term") === t1)
+      .select(col(idCol), col("pos"))
+    val b = occ.where(col("term") === t2)
+      .select(col(idCol), (col("pos") - 1).as("pos"))
+    a.join(b, Seq(idCol, "pos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.{Indexing, TextAnalysis}
+
+/** Unit-level invariants for the indexing/membership family:
+  * duplicate-span removal, count-min sketch, Bloom membership, and the
+  * positional inverted index. */
+class IndexOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("removeDupSpans removes exactly the corpus-duplicated n-gram spans") {
+    // Docs 1 and 2 share the 3-gram "a b c" (a cross-doc duplicate);
+    // doc 3 repeats "x y z" twice WITHIN itself (count >= 2 still);
+    // doc 4 has no duplicated span; doc 5 is NULL text.
+    val docs = Seq(
+      (1L, "a b c p q"),
+      (2L, "u v a b c"),
+      (3L, "x y z w x y z"),
+      (4L, "one two three four"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Indexing.removeDupSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Double], Option[String])]
+      .collect()
+
+    // doc 1: span at pos 0 covers tokens 0-2 -> "p q" remains
+    assert(out(0) == ((1L, Some(5L), Some(3L), Some(0.4), Some("p q"))))
+    // doc 2: span at pos 2 covers tokens 2-4 -> "u v" remains
+    assert(out(1) == ((2L, Some(5L), Some(3L), Some(0.4), Some("u v"))))
+    // doc 3: "x y z" occurs at pos 0 and 4; covered 0-2 and 4-6 -> "w"
+    assert(out(2) == ((3L, Some(7L), Some(6L), out(2)._4, Some("w"))))
+    // doc 4: nothing duplicated, text unchanged
+    assert(out(3) == ((4L, Some(4L), Some(0L), Some(1.0), Some("one two three four"))))
+    // doc 5: NULL propagates
+    assert(out(4) == ((5L, None, None, None, None)))
+  }
+
+  test("CMS estimate is never below the exact count (one-sided error)") {
+    val toks = Tables.documentsHot(spark, TestSpark.sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val cms = Indexing.cmsTable(toks, "tok", 4, 16)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    val est = Indexing.cmsEstimate(cms, exact, "tok", 4, 16)
+    val bad = est.where(col("est_cnt") < col("exact_cnt")).count()
+    assert(bad == 0)
+    // and the sketch total mass per row equals the token count
+    val n = toks.count()
+    val mass = cms.groupBy(col("r")).agg(sum(col("cnt")).as("mass"))
+      .select(col("mass")).as[Long].collect()
+    assert(mass.forall(_ == n))
+  }
+
+  test("Bloom membership has zero false negatives vs the exact set") {
+    val sh = Tables.documentsHot(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.shingles(
+        TextAnalysis.tokens(col("text")), 3))).as("sh"))
+    val members = sh.where(col("doc_id") < 10).select(col("sh")).distinct()
+    val bits = Indexing.bloomBits(members, "sh", 3, 4096)
+    val probes = sh.where(col("doc_id") >= 10)
+    val withHit = Indexing.bloomMightContain(bits, probes, "sh", 3, 4096)
+    // every probe shingle that IS a member must be flagged
+    val falseNeg = withHit
+      .join(members.withColumn("__m", lit(1)), Seq("sh"), "left")
+      .where(col("__m").isNotNull && !col("bloom_hit"))
+      .count()
+    assert(falseNeg == 0)
+  }
+
+  test("postings reconstruct the token stream (positions and counts)") {
+    val docs = Seq((1L, "b a b c b"), (2L, "c c")).toDF("doc_id", "text")
+    val p = Indexing.postings(docs, "doc_id", "text")
+      .orderBy("term", "doc_id")
+      .as[(String, Long, Long, Seq[Long])].collect()
+    assert(p.toSeq == Seq(
+      ("a", 1L, 1L, Seq(1L)),
+      ("b", 1L, 3L, Seq(0L, 2L, 4L)),
+      ("c", 1L, 1L, Seq(3L)),
+      ("c", 2L, 2L, Seq(0L, 1L))))
+    // n_occ matches the positions list everywhere on real data
+    val real = Indexing.postings(
+      Tables.documentsHot(spark, TestSpark.sf), "doc_id", "text")
+    assert(real.where(size(col("positions")) =!= col("n_occ")).count() == 0)
+  }
+
+  test("phraseMatches counts adjacent pairs from the index only") {
+    val docs = Seq(
+      (1L, "to be or not to be"),
+      (2L, "be to be to"),
+      (3L, "to to be")
+    ).toDF("doc_id", "text")
+    val occ = Indexing.occurrences(docs, "doc_id", "text")
+    val m = Indexing.phraseMatches(occ, "doc_id", lit("to"), lit("be"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(m.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+}

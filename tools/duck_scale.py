@@ -25,7 +25,9 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_dedup_incremental", "data_sim_sq8_topk", "data_sim_pq_topk",
           "data_sim_ivfpq", "data_quality_gopher", "data_quality_classifier",
           "data_ngram_coverage", "data_winnow_fingerprint", "data_chunk_cdc",
-          "data_curation_gate"]
+          "data_curation_gate", "data_dedup_spans", "data_sketch_cms",
+          "data_decontaminate_bloom", "data_search_postings",
+          "data_search_phrase"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
