@@ -53,8 +53,13 @@ object IndexQueries {
     * at raw-corpus scale the candidate set itself would come from the
     * sketch + a threshold, same serving join). */
   private def sketchCms(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documentsHot(spark, dir)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    // Three consumers (sketch build, exact counts, estimate probes) share
+    // one memo-persisted token explode instead of re-splitting the corpus
+    // three times (measured 3× at sf1).
+    val toks = Tables.memoBy(spark, s"cmstoks:$dir") {
+      Tables.documentsHot(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    }
     val cms = Indexing.cmsTable(toks, "tok", CmsD, CmsW)
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
       .withColumn("rn",
@@ -75,14 +80,26 @@ object IndexQueries {
     * shingle set itself is too big to broadcast. False positives are
     * deterministic md5 arithmetic, so the oracle reproduces them. */
   private def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the token array BEFORE the shingle HOF: inlining
+    // `tokens(text)` into shingles() re-evaluates the split per HOF
+    // reference (the round-6 winnow pathology — measured 3.3 s → 0.5 s
+    // for this explode at sf1).
     val sh = Tables.documentsHot(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(TextAnalysis.shingles(
-        TextAnalysis.tokens(col("text")), 3))).as("sh"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        TextAnalysis.shingles(col("toks"), 3))).as("sh"))
     val bits = Indexing.bloomBits(
       sh.where(col("doc_id") < 10).select(col("sh")).distinct(),
       "sh", BloomK, BloomM)
-    Indexing.bloomMightContain(bits, sh.where(col("doc_id") >= 10),
-        "sh", BloomK, BloomM)
+    // Map-only probe path: the filter collapses to one m-char literal
+    // (bounded model pull), so the corpus side is a single scan + ONE
+    // per-doc aggregate — no probe-side join or (doc, shingle) shuffle.
+    // IndexOpsSpec asserts equivalence with the join-form
+    // bloomMightContain.
+    val bitmap = Indexing.bloomBitmapString(bits, BloomM)
+    sh.where(col("doc_id") >= 10)
+      .withColumn("bloom_hit",
+        Indexing.bloomHitColumn(bitmap, col("sh"), BloomK))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("bloom_hit"), lit(1))).as("n_flagged"))
@@ -101,7 +118,11 @@ object IndexQueries {
     Indexing.postings(Tables.documentsHot(spark, dir), "doc_id", "text")
       .select(col("term"), col("doc_id"), col("n_occ"),
         array_join(col("positions"), ",").as("positions_csv"))
-      .dumpOrderedTail("term", "doc_id")
+      // The index is term-count-sized (1.5M rows at sf1) — the one dump
+      // in the suite big enough that the single-task dump sort dominates
+      // (2 s of 3.6 at sf1); use the parallel range sort, the documented
+      // large-result path in Out.scala.
+      .orderBy(col("term"), col("doc_id"))
 
   /** Phrase serving from the positional index: the corpus's most
     * frequent bigram (deterministic self-derived query), resolved by
@@ -109,9 +130,14 @@ object IndexQueries {
     * (doc, adjacent position) — the text is never rescanned. */
   private def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsHot(spark, dir)
-    val occ = Indexing.occurrences(docs, "doc_id", "text")
-    val top1 = docs.select(explode(TextAnalysis.shingles(
-        TextAnalysis.tokens(col("text")), 2)).as("bg"))
+    // Both phrase sides (t1 slice, t2 adjacency probe) read the same
+    // occurrence relation — memo-persist it like the index it stands for.
+    val occ = Tables.memoBy(spark, s"phraseocc:$dir") {
+      Indexing.occurrences(docs, "doc_id", "text")
+    }
+    val top1 = docs
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(TextAnalysis.shingles(col("toks"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(Window.orderBy(desc("cnt"), col("bg"))))
       .where(col("rn") === 1)

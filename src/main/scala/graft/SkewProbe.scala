@@ -37,7 +37,8 @@ object SkewProbe {
   /** (doc_id, band, bucket, sig) for the skewed corpus. */
   private def buckets(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("sh", TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", TextAnalysis.shingles(col("toks"), 3))
       .withColumn("sig", Dedup.minhashSig(col("sh"), K))
       .select(col("doc_id"), col("sig"),
         explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))

@@ -53,13 +53,22 @@ object Indexing {
     val toks = docs.select(col(idCol),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("nt", size(col("toks")).cast("long"))
-    val occ = toks.where(col("nt") >= n)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0L), col("nt") - n),
-        p => struct(p.as("pos"),
-          md5(concat_ws(" ", slice(col("toks"), (p + 1).cast("int"), lit(n))))
-            .as("h")))).as("o"))
-      .select(col(idCol), col("o.pos").as("pos"), col("o.h").as("h"))
+    // The occurrence relation feeds BOTH the dup-hash aggregate and the
+    // join-back; memo-persist it so the explode+md5 runs once (measured
+    // 2× at sf1 — DuckDB materializes the twice-referenced CTE the same
+    // way). At cluster scale swap the persist for a checkpoint or let
+    // the two branches recompute the map-only explode — never shuffle
+    // the raw occurrences by hash just to share them.
+    val occ = graft.Tables.memoBy(docs.sparkSession,
+        s"dupspans:${docs.semanticHash()}:$n:$idCol:$textCol") {
+      toks.where(col("nt") >= n)
+        .select(col(idCol), explode(transform(
+          sequence(lit(0L), col("nt") - n),
+          p => struct(p.as("pos"),
+            md5(concat_ws(" ", slice(col("toks"), (p + 1).cast("int"), lit(n))))
+              .as("h")))).as("o"))
+        .select(col(idCol), col("o.pos").as("pos"), col("o.h").as("h"))
+    }
     val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .where(col("c") >= 2).select(col("h"))
     val starts = occ.join(dup, Seq("h"))
@@ -142,6 +151,34 @@ object Indexing {
       .groupBy(keyCols: _*)
       .agg((count(col("__set")) === k).as("bloom_hit"))
   }
+
+  /** The Bloom filter as a '0'/'1' bitmap string pulled once to the
+    * driver — a bounded model artifact (m chars, like the k-means
+    * centroid pulls in [[Similarity]]), for the map-only membership
+    * path. */
+  def bloomBitmapString(bits: DataFrame, m: Int): String = {
+    val set = bits.select(col("bit")).collect()
+      .map(_.getLong(0).toInt).toSet
+    val sb = new StringBuilder(m)
+    (0 until m).foreach(i => sb.append(if (set(i)) '1' else '0'))
+    sb.toString
+  }
+
+  /** Map-only Bloom membership against a literal bitmap: the 100 TB
+    * probe path — no join, no shuffle; each probe tests its k seeded
+    * positions with a substr into the literal. The k tests are UNROLLED
+    * into plain AND'd scalar expressions (k is a small compile-time
+    * constant) — a `forall(transform(...))` form measured 3× slower at
+    * sf1 because array-HOF lambdas evaluate interpreted, per element,
+    * outside codegen. Equivalent to [[bloomMightContain]]
+    * (spec-asserted); use the join form only when the filter itself is
+    * too large to ship as one literal. */
+  def bloomHitColumn(bitmap: String, x: Column, k: Int): Column =
+    (0 until k).map { r =>
+      lit(bitmap).substr(
+        (seededBucket(x, lit(r), bitmap.length) + 1).cast("int"),
+        lit(1)) === "1"
+    }.reduce(_ && _)
 
   // ---------------------------------------------------------------------
   // Positional inverted index — the serving-side artifact a corpus

@@ -71,6 +71,24 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(falseNeg == 0)
   }
 
+  test("bitmap-literal Bloom probe matches the join-form probe exactly") {
+    val sh = Tables.documentsHot(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.shingles(
+        TextAnalysis.tokens(col("text")), 3))).as("sh"))
+    val bits = Indexing.bloomBits(
+      sh.where(col("doc_id") < 10).select(col("sh")).distinct(), "sh", 3, 4096)
+    val probes = sh.where(col("doc_id") >= 10)
+    val joinForm = Indexing.bloomMightContain(bits, probes, "sh", 3, 4096)
+    val bitmap = Indexing.bloomBitmapString(bits, 4096)
+    assert(bitmap.length == 4096)
+    val mapForm = probes.withColumn("bloom_hit",
+      Indexing.bloomHitColumn(bitmap, col("sh"), 3))
+    val diff = joinForm.withColumnRenamed("bloom_hit", "hit_join")
+      .join(mapForm, Seq("doc_id", "sh"))
+      .where(col("hit_join") =!= col("bloom_hit")).count()
+    assert(diff == 0)
+  }
+
   test("postings reconstruct the token stream (positions and counts)") {
     val docs = Seq((1L, "b a b c b"), (2L, "c c")).toDF("doc_id", "text")
     val p = Indexing.postings(docs, "doc_id", "text")
