@@ -17,7 +17,9 @@ object Plans {
     "data_event_rolling", "data_tfidf_topk",
     "data_dedup_semantic", "data_sim_sq8_topk", "data_dedup_incremental",
     "data_sim_ivfpq", "data_chunk_cdc", "data_curation_gate",
-    "data_sim_ivf_pruned", "data_mm_decode")
+    "data_sim_ivf_pruned", "data_mm_decode",
+    "data_dedup_spans", "data_sketch_cms", "data_decontaminate_bloom",
+    "data_search_phrase")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -165,6 +167,30 @@ object Plans {
       |  scan: no shuffle, no UDF, no per-row JVM boxing beyond the byte
       |  arrays themselves; at 100 TB multimodal featurization stays a
       |  map-only pass.
+      |- **data_dedup_spans** — the exact-substring dedup never
+      |  self-joins: the dup-hash set is ONE map-side-combinable
+      |  HashAggregate over the occurrence explode; occurrences join that
+      |  set on the hash (equi-join — broadcast at testdata statistics,
+      |  SMJ at sf1+, observed), the per-doc start list is one
+      |  collect_list aggregate, and the mask folds back in a single HOF
+      |  projection. A corpus-hot n-gram contributes k occurrence rows
+      |  joining ONE hash row — linear, never pairwise.
+      |- **data_sketch_cms** — the d×w sketch is one HashAggregate
+      |  (partial below the exchange: shuffle O(d·w), not O(tokens)); the
+      |  sketch broadcasts to the estimate join; the top-k candidate
+      |  window collapses to `TakeOrderedAndProject(limit=20)` (Spark's
+      |  WindowGroupLimit rewrite) — no single-partition Window over the
+      |  token stream, only over the vocab-sized aggregate.
+      |- **data_decontaminate_bloom** — ZERO joins in the plan: the
+      |  filter is an m-char literal bitmap (bounded model pull), the
+      |  probe is three AND'd codegen'd substr tests inside the shingle
+      |  scan, and the only shuffle is the per-doc count aggregate.
+      |- **data_search_phrase** — both phrase sides are single-term
+      |  slices of the same memo-persisted occurrence relation
+      |  (InMemoryTableScan twice, built once); the t1 slice joins the
+      |  broadcast top-bigram row, then the adjacency join runs on
+      |  (doc, pos) — never a corpus×corpus join, and the corpus text is
+      |  never rescanned.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —

@@ -71,6 +71,16 @@ object ScaleBench {
           println(s"""{"q":"$name","error":"${e.toString.take(160)
             .replaceAll("[\"\\\\\\x00-\\x1f]", " ")}"}""")
       }
+      // Optional per-query isolation: at the larger probe SFs the
+      // accumulated hot-table/memo caches of 30 queries evict each other
+      // and GC-thrash (data_sketch_cms measured 6.7 s isolated vs 25 s
+      // in-session at sf10). Clearing between queries makes each "first"
+      // refill its own caches and the warm reps measure the query, not
+      // the session history.
+      if (sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("1")) {
+        spark.catalog.clearCache()
+        System.gc()
+      }
     }
     spark.stop()
   }

@@ -120,6 +120,13 @@ object SkewProbe {
     println(f"[skew] capped pipeline: pairs>=0.5=$cappedPairs t=$tCapped%.1f s " +
       f"(join bounded at O(buckets x cap^2); mega-cluster buckets dropped)")
 
+    if (args.length > 2 && args(2) == "full") {
+      // The counterfactual: score + distinct + threshold over the
+      // uncapped candidate set (the quadratic mega-bucket included).
+      val (uncappedPairs, tFull) = timed { pairsPipeline(bk).count() }
+      println(f"[skew] UNCAPPED pipeline: pairs>=0.5=$uncappedPairs t=$tFull%.1f s")
+    }
+
     bk.unpersist(); corpus.unpersist()
     spark.stop()
   }

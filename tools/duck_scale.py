@@ -34,6 +34,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 sf = sys.argv[1]
 reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 warmups = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+if len(sys.argv) > 4:  # optional comma-separated query subset
+    names = [q.strip() for q in sys.argv[4].split(",") if q.strip()]
+    HEADLINES, EXTRAS = names, []
 sqls = json.load(open("target/vdump/oracle_sql.json"))
 
 con = duckdb.connect()
