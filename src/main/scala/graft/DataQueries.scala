@@ -243,6 +243,65 @@ object DataQueries {
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     similarPairs(spark, dir).dumpOrdered("id_a", "id_b")
 
+  /** LSH quality vs EXACT Jaccard ground truth on a deterministic
+    * evaluation sample (doc_id < 500): candidate recall (does any band
+    * surface the true pair), decision recall and precision (est ≥
+    * threshold) — the curve a user reads before trusting (K, bands,
+    * cap) at scale, the MinHash twin of `data_sim_recall`. The
+    * all-pairs exact scoring is O(sample²) BY DESIGN: this is an
+    * evaluation harness over a bounded sample, never a production
+    * path — production candidates stay LSH-bucketed. Empty-shingle
+    * docs are excluded from truth (Jaccard undefined on ∅ vs ∅, and
+    * the engines disagree on 0/0). */
+  private def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.documentsHot(spark, dir)
+      .where(col("doc_id") < 500)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextAnalysis.shingles(col("toks"), 3).as("sh"))
+    val sets = sample.select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val truth = sets.select(col("doc_id").as("id_a"), col("shd").as("sh_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")),
+        col("id_a") < col("id_b"))
+      .where(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .where(Dedup.jaccard(col("sh_a"), col("sh_b")) >= DupThreshold)
+      .select(col("id_a"), col("id_b"))
+    val buckets = Dedup.capHotBuckets(sample
+      .withColumn("sig", Dedup.minhashSig(col("sh"), K))
+      .select(col("doc_id"), col("sig"),
+        explode(Dedup.bandBuckets(col("sig"), Bands, R)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket")),
+      Seq("band", "bucket"), HotBucketCap)
+    val cands = buckets
+      .select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(Dedup.estJaccard(col("sig_a"), col("sig_b"), K)).as("est"))
+    val decided = cands.where(col("est") >= DupThreshold)
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(decided.agg(count(lit(1)).as("n_decided")))
+      .crossJoin(truth.join(cands, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_cand_hit")))
+      .crossJoin(truth.join(decided, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_dec_hit")))
+      .select(col("n_true"), col("n_cand"), col("n_decided"),
+        col("n_cand_hit"), col("n_dec_hit"),
+        when(col("n_true") > 0,
+          col("n_cand_hit").cast("double") / col("n_true"))
+          .as("candidate_recall"),
+        when(col("n_true") > 0,
+          col("n_dec_hit").cast("double") / col("n_true"))
+          .as("decision_recall"),
+        when(col("n_decided") > 0,
+          col("n_dec_hit").cast("double") / col("n_decided"))
+          .as("decision_precision"))
+      .dumpOrdered("n_true")
+  }
+
   /** Near-dup GROUPS from the LSH candidate pairs:
     * [[Dedup.connectedComponents]] turns pairwise matches into transitive
     * clusters (component id = min doc_id — the canonical keeper), the step
@@ -1493,6 +1552,53 @@ object DataQueries {
          |JOIN sets x ON c.id_a = x.doc_id
          |JOIN sets y ON c.id_b = y.doc_id
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
+    "data_dedup_lsh_recall" -> Q(lshRecall, Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents
+         |  WHERE doc_id < 500),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |truth AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE len(a.shd) > 0 AND len(b.shd) > 0
+         |    AND CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+         |        CAST(len(list_distinct(a.shd || b.shd)) AS DOUBLE)
+         |          >= $DupThreshold),
+         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |bb AS (
+         |  SELECT doc_id, sig, band,
+         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|')) AS bucket
+         |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS band FROM sig)),
+         |cand AS (
+         |  SELECT id_a, id_b, max(est) AS est FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      len(list_filter(range(1, ${K + 1}), p -> a.sig[p] = b.sig[p]))
+         |        / ${K}.0 AS est
+         |    FROM bb a JOIN bb b
+         |      ON a.band = b.band AND a.bucket = b.bucket
+         |     AND a.doc_id < b.doc_id)
+         |  GROUP BY id_a, id_b),
+         |dec AS (SELECT id_a, id_b FROM cand WHERE est >= $DupThreshold),
+         |agg AS (SELECT
+         |  (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM dec) AS n_decided,
+         |  (SELECT count(*) FROM truth t JOIN cand c USING (id_a, id_b))
+         |    AS n_cand_hit,
+         |  (SELECT count(*) FROM truth t JOIN dec d USING (id_a, id_b))
+         |    AS n_dec_hit)
+         |SELECT n_true, n_cand, n_decided, n_cand_hit, n_dec_hit,
+         |  CASE WHEN n_true > 0
+         |       THEN CAST(n_cand_hit AS DOUBLE) / n_true END
+         |    AS candidate_recall,
+         |  CASE WHEN n_true > 0
+         |       THEN CAST(n_dec_hit AS DOUBLE) / n_true END
+         |    AS decision_recall,
+         |  CASE WHEN n_decided > 0
+         |       THEN CAST(n_dec_hit AS DOUBLE) / n_decided END
+         |    AS decision_precision
+         |FROM agg ORDER BY n_true""".stripMargin)),
 
     "data_dedup_simhash" -> Q(simhash, Some(
       s"""WITH s AS (

@@ -588,4 +588,21 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1L, 1L, 16129L), (0L, 2L, 3L, 11430L),
       (0L, 3L, 2L, 0L)))
   }
+
+  test("data_dedup_lsh_recall invariants hold on sf0.001") {
+    val r = Registry.byName("data_dedup_lsh_recall")
+      .build(spark, TestSpark.sf).collect()(0)
+    val (nTrue, nCand, nDec) = (r.getAs[Long]("n_true"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("n_decided"))
+    val (candHit, decHit) = (r.getAs[Long]("n_cand_hit"),
+      r.getAs[Long]("n_dec_hit"))
+    assert(nDec <= nCand)          // deciding filters candidates
+    assert(candHit <= nTrue && candHit <= nCand)
+    assert(decHit <= candHit)      // decided hits are a subset
+    if (nTrue > 0) {
+      val cr = r.getAs[Double]("candidate_recall")
+      assert(cr >= 0.0 && cr <= 1.0)
+      assert(cr == candHit.toDouble / nTrue)
+    }
+  }
 }
