@@ -493,6 +493,10 @@ object DataQueries {
       ("ivfpq", 3,
         Similarity.ivfPqTopK(q, hot, kCells = 8, coarseRounds = 2,
           m = PqM, k = PqK, rounds = PqRounds, topK = 3, nprobe = 2)),
+      ("ivfpq_refine", 3,
+        Similarity.ivfPqRefineTopK(q, hot, kCells = 8, coarseRounds = 2,
+          m = PqM, k = PqK, rounds = PqRounds, shortK = RefineShort,
+          topK = 3, nprobe = 2)),
       ("pq", 5,
         Similarity.pqTopK(q, hot, m = PqM, k = PqK, rounds = PqRounds, topK = 5)),
       ("sq8", 5, Similarity.sq8TopK(q, hot, k = 5)))
@@ -712,6 +716,137 @@ object DataQueries {
         kCells = 8, coarseRounds = 2, m = PqM, k = PqK, rounds = PqRounds,
         topK = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
+
+  /** ADC shortlist depth for the refine stage (faiss `k_factor` ≈
+    * shortK / topK). */
+  private val RefineShort = 10
+
+  private def simIvfPqRefine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqRefineTopK(queriesOf(spark, dir),
+        Tables.embeddingsHot(spark, dir), kCells = 8, coarseRounds = 2,
+        m = PqM, k = PqK, rounds = PqRounds, shortK = RefineShort, topK = 3,
+        nprobe = 2)
+      .dumpOrdered("q_id", "rnk")
+
+  /** Oracle SQL for the full IVF-PQ search (coarse k-means replay, per-
+    * subspace codebook k-means replay, ADC scoring over probed cells) at
+    * the module's fixed index parameters, with the final cut at `topK` —
+    * shared by `data_sim_ivfpq` (topK=3) and, at [[RefineShort]], nested
+    * as the shortlist inside the `data_sim_ivfpq_refine` oracle. */
+  private def ivfPqOracleSql(topK: Int): String = {
+    val sub = 16 // dim 64 / PqM
+    def sCtes(s: Int): String = {
+      val a = s * sub + 1
+      val b = (s + 1) * sub
+      val sv = s"embedding[$a:$b]"
+      s"""pc0_$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |           AS cell,
+         |    list_transform($sv, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT $PqK) z),
+         |pa_$s AS (
+         |  SELECT vec_id, sv, cell FROM (
+         |    SELECT e.vec_id, e.$sv AS sv, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckSqDist(s"e.$sv", "c.cvec")}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN pc0_$s c) x WHERE rn = 1),
+         |pu_$s AS (
+         |  SELECT cell, list(v ORDER BY pos) AS cvec_new FROM (
+         |    SELECT cell, pos,
+         |      CAST(sum(CAST(round(CAST(sv[pos] AS DOUBLE) * 1000)
+         |                    AS BIGINT)) AS DOUBLE)
+         |        / CAST(count(*) * 1000 AS DOUBLE) AS v
+         |    FROM (SELECT cell, sv, unnest(range(1, ${sub + 1})) AS pos
+         |          FROM pa_$s) y
+         |    GROUP BY cell, pos) g GROUP BY cell),
+         |pc1_$s AS (
+         |  SELECT c0.cell, COALESCE(u.cvec_new, c0.cvec) AS cvec
+         |  FROM pc0_$s c0 LEFT JOIN pu_$s u USING (cell)),
+         |penc_$s AS (
+         |  SELECT vec_id, $s AS s, cell AS code FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${duckSqDist(s"e.$sv", "c.cvec")}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN pc1_$s c) x WHERE rn = 1),
+         |pqt_$s AS (
+         |  SELECT q.q_id, $s AS s, c.cell,
+         |    CAST(round(${duckDot(s"q.q_vec[$a:$b]", "c.cvec")} * 1000000)
+         |      AS BIGINT) AS qdot
+         |  FROM q CROSS JOIN pc1_$s c)""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       |  WHERE vec_id < 10),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 8) s),
+       |${duckKmeansRound("c0", "c1")},
+       |${duckKmeansRound("c1", "c2")},
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckSqDist("e.embedding", "c.cvec")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) x WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${duckSqDist("q.q_vec", "c.cvec")}, c.cell) AS rn
+       |    FROM q CROSS JOIN c2 c) x WHERE rn <= 2),
+       |${(0 until PqM).map(sCtes).mkString(",\n")},
+       |penc AS (${(0 until PqM).map(s => s"SELECT * FROM penc_$s")
+                    .mkString(" UNION ALL ")}),
+       |pqt AS (${(0 until PqM).map(s => s"SELECT * FROM pqt_$s")
+                   .mkString(" UNION ALL ")}),
+       |sc AS (
+       |  SELECT p.q_id, a.vec_id, a.cell,
+       |    CAST(sum(t.qdot) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell
+       |  JOIN penc e ON e.vec_id = a.vec_id
+       |  JOIN pqt t ON t.q_id = p.q_id AND t.s = e.s AND t.cell = e.code
+       |  WHERE p.q_id <> a.vec_id
+       |  GROUP BY p.q_id, a.vec_id, a.cell),
+       |r AS (
+       |  SELECT q_id, cell, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT q_id, cell, rnk, vec_id AS neighbor_id, score FROM r
+       |WHERE rnk <= $topK ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Oracle for the refine stage: the [[RefineShort]]-deep IVF-PQ
+    * shortlist re-scored with the exact left-fold cosine and re-cut —
+    * the shortlist CTE IS the `data_sim_ivfpq` oracle at a deeper topK
+    * (one source of truth for the ADC arithmetic). */
+  private def ivfPqRefineOracleSql: String =
+    s"""WITH short AS (
+       |  SELECT q_id, neighbor_id FROM (${ivfPqOracleSql(RefineShort)}) x),
+       |qn AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS q_norm
+       |  FROM embeddings WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |    ${duckDot("q.q_vec", "e.embedding")}
+       |      / (q.q_norm * sqrt(${duckDot("e.embedding", "e.embedding")}))
+       |      AS cos_sim
+       |  FROM short s
+       |  JOIN qn q USING (q_id)
+       |  JOIN embeddings e ON e.vec_id = s.neighbor_id),
+       |r AS (
+       |  SELECT q_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT q_id, rnk, neighbor_id, cos_sim FROM r
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
   /** Expected CDC chunk length in tokens (the boundary-hash divisor). */
   private val CdcDivisor = 8
@@ -2602,93 +2737,9 @@ object DataQueries {
          |JOIN clf USING (doc_id)
          |ORDER BY doc_id""".stripMargin)),
 
-    "data_sim_ivfpq" -> Q(simIvfPqTopK, Some {
-      val sub = 16 // dim 64 / PqM
-      def sCtes(s: Int): String = {
-        val a = s * sub + 1
-        val b = (s + 1) * sub
-        val sv = s"embedding[$a:$b]"
-        s"""pc0_$s AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-           |           AS cell,
-           |    list_transform($sv, x -> CAST(x AS DOUBLE)) AS cvec
-           |  FROM (SELECT vec_id, embedding FROM embeddings
-           |        ORDER BY vec_id LIMIT $PqK) z),
-           |pa_$s AS (
-           |  SELECT vec_id, sv, cell FROM (
-           |    SELECT e.vec_id, e.$sv AS sv, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        ${duckSqDist(s"e.$sv", "c.cvec")}, c.cell) AS rn
-           |    FROM embeddings e CROSS JOIN pc0_$s c) x WHERE rn = 1),
-           |pu_$s AS (
-           |  SELECT cell, list(v ORDER BY pos) AS cvec_new FROM (
-           |    SELECT cell, pos,
-           |      CAST(sum(CAST(round(CAST(sv[pos] AS DOUBLE) * 1000)
-           |                    AS BIGINT)) AS DOUBLE)
-           |        / CAST(count(*) * 1000 AS DOUBLE) AS v
-           |    FROM (SELECT cell, sv, unnest(range(1, ${sub + 1})) AS pos
-           |          FROM pa_$s) y
-           |    GROUP BY cell, pos) g GROUP BY cell),
-           |pc1_$s AS (
-           |  SELECT c0.cell, COALESCE(u.cvec_new, c0.cvec) AS cvec
-           |  FROM pc0_$s c0 LEFT JOIN pu_$s u USING (cell)),
-           |penc_$s AS (
-           |  SELECT vec_id, $s AS s, cell AS code FROM (
-           |    SELECT e.vec_id, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        ${duckSqDist(s"e.$sv", "c.cvec")}, c.cell) AS rn
-           |    FROM embeddings e CROSS JOIN pc1_$s c) x WHERE rn = 1),
-           |pqt_$s AS (
-           |  SELECT q.q_id, $s AS s, c.cell,
-           |    CAST(round(${duckDot(s"q.q_vec[$a:$b]", "c.cvec")} * 1000000)
-           |      AS BIGINT) AS qdot
-           |  FROM q CROSS JOIN pc1_$s c)""".stripMargin
-      }
-      s"""WITH q AS (
-         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-         |  WHERE vec_id < 10),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-         |           AS cell,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        ORDER BY vec_id LIMIT 8) s),
-         |${duckKmeansRound("c0", "c1")},
-         |${duckKmeansRound("c1", "c2")},
-         |assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${duckSqDist("e.embedding", "c.cvec")}, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN c2 c) x WHERE rn = 1),
-         |probes AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT q.q_id, c.cell,
-         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |        ${duckSqDist("q.q_vec", "c.cvec")}, c.cell) AS rn
-         |    FROM q CROSS JOIN c2 c) x WHERE rn <= 2),
-         |${(0 until PqM).map(sCtes).mkString(",\n")},
-         |penc AS (${(0 until PqM).map(s => s"SELECT * FROM penc_$s")
-                      .mkString(" UNION ALL ")}),
-         |pqt AS (${(0 until PqM).map(s => s"SELECT * FROM pqt_$s")
-                     .mkString(" UNION ALL ")}),
-         |sc AS (
-         |  SELECT p.q_id, a.vec_id, a.cell,
-         |    CAST(sum(t.qdot) AS BIGINT) AS score
-         |  FROM probes p
-         |  JOIN assign a ON a.cell = p.cell
-         |  JOIN penc e ON e.vec_id = a.vec_id
-         |  JOIN pqt t ON t.q_id = p.q_id AND t.s = e.s AND t.cell = e.code
-         |  WHERE p.q_id <> a.vec_id
-         |  GROUP BY p.q_id, a.vec_id, a.cell),
-         |r AS (
-         |  SELECT q_id, cell, vec_id, score,
-         |    CAST(row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
-         |  FROM sc)
-         |SELECT q_id, cell, rnk, vec_id AS neighbor_id, score FROM r
-         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-    }),
+    "data_sim_ivfpq" -> Q(simIvfPqTopK, Some(ivfPqOracleSql(3))),
+
+    "data_sim_ivfpq_refine" -> Q(simIvfPqRefine, Some(ivfPqRefineOracleSql)),
 
     "data_sim_sq8_topk" -> Q(simSq8TopK, Some(
       s"""WITH e AS (
@@ -2725,12 +2776,15 @@ object DataQueries {
     s"""WITH bf AS (SELECT * FROM (${body("data_sim_cosine_topk")}) x),
        |ivff AS (SELECT * FROM (${body("data_sim_ivf_fitted")}) x),
        |ivfpq AS (SELECT * FROM (${body("data_sim_ivfpq")}) x),
+       |ivfpqr AS (SELECT * FROM (${body("data_sim_ivfpq_refine")}) x),
        |pq AS (SELECT * FROM (${body("data_sim_pq_topk")}) x),
        |sq8 AS (SELECT * FROM (${body("data_sim_sq8_topk")}) x),
        |tagged AS (
        |  SELECT 'ivf_fitted' AS method, 3 AS k_at, q_id, neighbor_id FROM ivff
        |  UNION ALL
        |  SELECT 'ivfpq', 3, q_id, neighbor_id FROM ivfpq
+       |  UNION ALL
+       |  SELECT 'ivfpq_refine', 3, q_id, neighbor_id FROM ivfpqr
        |  UNION ALL
        |  SELECT 'pq', 5, q_id, neighbor_id FROM pq
        |  UNION ALL

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.Multimodal
+import graft.functions.MediaFunctions
+import graft.Out.OrderedOps
+
+/** Feature-level multimodal queries over REAL container bytes (the
+  * [[graft.functions.MediaCodecImpl]] WAV/BMP codecs): perceptual-hash
+  * image dedup and frame-level audio features. Like `data_mm_decode`, the
+  * oracles never touch the container bytes — they derive every value from
+  * the SOURCE text (the encoders' input), so agreement proves the decode
+  * and the integer feature arithmetic on top of it.
+  */
+object MediaQueries {
+
+  /** PCM frame length for the audio feature extractor. */
+  val FrameLen = 16
+
+  /** Frame-energy threshold below which a frame counts as silence (sum of
+    * squared PCM16 samples over a [[FrameLen]]-sample frame). */
+  val SilenceTau = 1500000000L
+
+  private val W = Multimodal.BmpWidth
+
+  /** Per-image 56-bit perceptual difference-hash + exact-hash dup groups —
+    * the image-corpus analog of the text exact-dedup family: a near-dup
+    * fingerprint that survives uniform brightness shifts (gradient signs,
+    * not absolute luminance), computed by the FUSED `media_dhash`
+    * expression (one header parse + one pixel pass per row, inside the
+    * scan's codegen — never a per-bit re-decode).
+    *
+    * Scale: hashing is map-only; the dup grouping is one map-side-
+    * combinable hash aggregate over the 8-byte hash (count + min-id
+    * keeper election, the same skew-immune shape as the text chunk-dedup
+    * keeper — NO window over hash groups, so a mega-cluster of identical
+    * images collapses on the map side), then a hash join back. At rest
+    * the hash column is the Hamming-band join key for threshold near-dup
+    * (the SimHash band pattern). */
+  private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    MediaFunctions.register(spark)
+    import MediaFunctions.media_dhash
+    val hashed = Multimodal.packRealMedia(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), media_dhash(col("payload")).as("phash"))
+      .where(col("phash").isNotNull)
+    val groups = hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_same_hash"), min(col("doc_id")).as("keeper"))
+    hashed.join(groups, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_same_hash"),
+        (col("doc_id") > col("keeper")).as("is_dup"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Frame-level audio features over decoded WAV payloads: per
+    * [[FrameLen]]-sample frame, the energy (sum of squared samples —
+    * integer domain, oracle-replayable), zero-crossing count (sign flips
+    * between adjacent samples within the frame), and a silence flag — the
+    * speech/music screening features an audio curation pipeline gates on.
+    *
+    * Scale: `media_values` decodes once per row into a materialized array
+    * attribute; the frame fan-out is a Generate over the frame index that
+    * FORWARDS that attribute (the decode does not re-run per frame), and
+    * every per-frame feature is arithmetic on a 16-element slice. Map-only
+    * end to end — featurization is a projection, never a shuffle. */
+  private def mmAudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    MediaFunctions.register(spark)
+    import MediaFunctions.media_values
+    val s = Multimodal.packRealMedia(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), media_values(col("payload")).as("samples"))
+      .withColumn("k", floor(size(col("samples")) / FrameLen).cast("int"))
+      .where(col("k") >= 1)
+    val frames = s
+      .select(col("doc_id"), col("samples"),
+        explode(sequence(lit(0), col("k") - 1)).as("frame_id"))
+      .withColumn("frame",
+        slice(col("samples"), col("frame_id") * FrameLen + 1, lit(FrameLen)))
+    frames
+      .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+        aggregate(col("frame"), lit(0L),
+          (acc, v) => acc + v.cast("long") * v.cast("long")).as("energy"),
+        size(filter(
+          zip_with(slice(col("frame"), 1, FrameLen - 1),
+            slice(col("frame"), 2, FrameLen - 1),
+            (a, b) => a.cast("long") * b.cast("long")),
+          p => p < 0)).cast("long").as("n_zero_cross"))
+      .withColumn("is_silent", col("energy") < SilenceTau)
+      .dumpOrdered("doc_id", "frame_id")
+  }
+
+  /** Text-code CTE shared by the oracles (same derivation as the
+    * `data_mm_decode` oracle). */
+  private def codesCte(where: String): String =
+    s"""c AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, least(length(text), 64) + 1),
+       |      i -> ascii(substr(text, i, 1))) AS codes
+       |  FROM documents $where)""".stripMargin
+
+  def defs: Seq[(String, Q)] = Seq(
+
+    "data_mm_phash" -> Q(mmPhash, Some(
+      s"""WITH ${codesCte("WHERE doc_id % 2 = 1 AND doc_id % 10 <> 3")},
+         |p AS (
+         |  SELECT doc_id,
+         |    list_transform(codes[1:(len(codes) // $W) * $W], c -> c % 256)
+         |      AS pix
+         |  FROM c),
+         |img AS (
+         |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
+         |  WHERE len(pix) >= $W),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 56), i ->
+         |      CASE WHEN pix[((i // 7) * h // 8) * $W + ((i % 7) * $W // 8) + 1]
+         |              < pix[((i // 7) * h // 8) * $W
+         |                    + (((i % 7) + 1) * $W // 8) + 1]
+         |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+         |      AS BIGINT) AS phash
+         |  FROM img),
+         |g AS (
+         |  SELECT phash, count(*) AS n_same_hash, min(doc_id) AS keeper
+         |  FROM ph GROUP BY phash)
+         |SELECT ph.doc_id, ph.phash, g.n_same_hash,
+         |  ph.doc_id > g.keeper AS is_dup
+         |FROM ph JOIN g USING (phash) ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_audio_frames" -> Q(mmAudioFrames, Some(
+      s"""WITH ${codesCte("WHERE doc_id % 2 = 0")},
+         |s AS (
+         |  SELECT doc_id,
+         |    list_transform(codes, c -> ((c % 128) - 64) * 256) AS samples
+         |  FROM c),
+         |k AS (
+         |  SELECT doc_id, samples, len(samples) // $FrameLen AS k FROM s
+         |  WHERE len(samples) >= $FrameLen),
+         |f AS (
+         |  SELECT doc_id, samples, unnest(range(0, k)) AS frame_id FROM k),
+         |fr AS (
+         |  SELECT doc_id, frame_id,
+         |    samples[frame_id * $FrameLen + 1 : frame_id * $FrameLen + $FrameLen]
+         |      AS frame
+         |  FROM f),
+         |feat AS (
+         |  SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+         |    CAST(list_sum(list_transform(frame,
+         |      v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS energy,
+         |    CAST(len(list_filter(range(1, $FrameLen), i ->
+         |      CAST(frame[i] AS BIGINT) * frame[i + 1] < 0)) AS BIGINT)
+         |      AS n_zero_cross
+         |  FROM fr)
+         |SELECT doc_id, frame_id, energy, n_zero_cross,
+         |  energy < $SilenceTau AS is_silent
+         |FROM feat ORDER BY doc_id, frame_id""".stripMargin)))
+}

@@ -437,6 +437,50 @@ object Similarity {
     out
   }
 
+  /** Exact cosine re-rank of an ANN shortlist — the faiss `IndexRefine`
+    * stage: the compressed index proposes `shortK` candidates per query
+    * (cheap, lossy), then ONLY those candidates are re-scored against
+    * their full-precision vectors and cut to `topK`. Recall approaches
+    * the shortlist's candidate recall while the exact-scoring cost stays
+    * O(queries × shortK), never O(corpus).
+    *
+    * Scale: the shortlist (queries × shortK rows + query vectors) is a
+    * bounded broadcast; the full-precision fetch is one broadcast-hash
+    * join against the corpus on id — the corpus is never shuffled and
+    * only shortlisted rows' vectors are touched. Same left-fold cosine
+    * as [[bruteForceTopK]], so ties and bits match any engine. */
+  def refineTopK(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 topK: Int,
+                 qId: String = "q_id", qVec: String = "q_vec",
+                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val d = fastDot(corpus) _
+    val qn = queries.withColumn("q_norm", sqrt(d(col(qVec), col(qVec))))
+    val cand = shortlist.select(col(qId), col("neighbor_id"))
+      .join(qn, Seq(qId))
+    val scored = corpus.join(broadcast(cand), col(cId) === col("neighbor_id"))
+      .withColumn("cos_sim",
+        d(col(qVec), col(cVec)) / (col("q_norm") * sqrt(d(col(cVec), col(cVec)))))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col(qId), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Two-stage IVF-PQ search with exact refine: [[ivfPqTopK]] proposes a
+    * `shortK`-deep ADC shortlist, [[refineTopK]] re-scores it exactly and
+    * cuts to `topK` — the standard production ladder (coarse cells bound
+    * the candidates, PQ codes bound memory, refine recovers exact-metric
+    * ordering among survivors). */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, kCells: Int,
+                      coarseRounds: Int, m: Int, k: Int, rounds: Int,
+                      shortK: Int, topK: Int, nprobe: Int = 1,
+                      qId: String = "q_id", qVec: String = "q_vec",
+                      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val shortlist = ivfPqTopK(queries, corpus, kCells, coarseRounds, m, k,
+      rounds, shortK, nprobe, qId, qVec, cId, cVec)
+    refineTopK(shortlist, queries, corpus, topK, qId, qVec, cId, cVec)
+  }
+
   /** Element-wise difference (a - b) in doubles — centering helper. */
   def vecSub(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x.cast("double") - y)

@@ -162,31 +162,9 @@ object MediaCodecImpl {
   }
 
   private def decodeWav(b: Array[Byte]): InternalRow = {
-    // walk the chunk list: id(4) + size(LE u32) + payload, padded to even
-    var off = 12
-    var fmtOk = false
-    var rate = 0
-    var dataOff = -1
-    var dataLen = -1L
-    while (off + 8 <= b.length) {
-      val size = u32(b, off + 4)
-      val payload = off + 8
-      if (tagAt(b, off, "fmt ")) {
-        fmtOk = size >= 16 && payload + 16 <= b.length &&
-          u16(b, payload) == 1 &&      // PCM
-          u16(b, payload + 2) == 1 &&  // mono
-          u16(b, payload + 14) == 16   // 16-bit
-        if (fmtOk) rate = u32(b, payload + 4).toInt
-      } else if (tagAt(b, off, "data") && dataOff < 0) {
-        dataOff = payload
-        dataLen = size
-      }
-      off = payload + size.toInt + (size.toInt & 1)
-    }
-    if (!fmtOk || dataOff < 0 || dataLen < 0 ||
-        dataOff + dataLen > b.length || (dataLen & 1) != 0)
-      return invalid(FmtWav)
-    val n = (dataLen / 2).toInt
+    val g = wavGeometry(b)
+    if (g == null) return invalid(FmtWav)
+    val rate = g(0); val dataOff = g(1); val n = g(2)
     var sum = 0L
     var min = Long.MaxValue
     var max = Long.MinValue
@@ -204,22 +182,32 @@ object MediaCodecImpl {
       if (n > 0) max else null))
   }
 
-  private def decodeBmp(b: Array[Byte]): InternalRow = {
-    if (b.length < 54) return invalid(FmtBmp)
+  /** Validated BMP geometry: (dataOffset, width, height, stride, topDown),
+    * or null if the header fails 8-bit-uncompressed validation. Shared by
+    * the stats decode, [[bmpValues]] and [[dhash56]] so every consumer
+    * applies identical validation. */
+  private def bmpGeometry(b: Array[Byte]): Array[Int] = {
+    if (b.length < 54) return null
     val dataOffset = u32(b, 10)
     val biSize = u32(b, 14)
     val width = i32(b, 18)
     val rawHeight = i32(b, 22)
     val bpp = u16(b, 28)
     val compression = u32(b, 30)
-    // top-down files store height negative; row order never affects the
-    // order-independent stats, so both orders share one scan
     val height = Math.abs(rawHeight)
-    if (biSize < 40 || width <= 0 || bpp != 8 || compression != 0)
-      return invalid(FmtBmp)
+    if (biSize < 40 || width <= 0 || bpp != 8 || compression != 0) return null
     val stride = (width + 3) & ~3
     val need = dataOffset + stride.toLong * height
-    if (dataOffset < 54 || need > b.length) return invalid(FmtBmp)
+    if (dataOffset < 54 || need > b.length) return null
+    Array(dataOffset.toInt, width, height, stride, if (rawHeight < 0) 1 else 0)
+  }
+
+  private def decodeBmp(b: Array[Byte]): InternalRow = {
+    // top-down files store height negative; row order never affects the
+    // order-independent stats, so both orders share one scan
+    val g = bmpGeometry(b)
+    if (g == null) return invalid(FmtBmp)
+    val dataOffset = g(0); val width = g(1); val height = g(2); val stride = g(3)
     val n = width.toLong * height
     var sum = 0L
     var min = Long.MaxValue
@@ -241,6 +229,105 @@ object MediaCodecImpl {
       FmtBmp, true, width, height, null, n,
       if (n > 0) sum else null, if (n > 0) min else null,
       if (n > 0) max else null))
+  }
+
+  /** Validated WAV data location: (rate, dataOff, nSamples) or null —
+    * the RIFF chunk-list walk (id(4) + LE-u32 size + payload, padded to
+    * even) with `fmt ` validation (PCM, mono, 16-bit). Shared by the
+    * stats decode, [[values]] and any frame-level consumer. */
+  private def wavGeometry(b: Array[Byte]): Array[Int] = {
+    var off = 12
+    var fmtOk = false
+    var rate = 0
+    var dataOff = -1
+    var dataLen = -1L
+    while (off + 8 <= b.length) {
+      val size = u32(b, off + 4)
+      val payload = off + 8
+      if (tagAt(b, off, "fmt ")) {
+        fmtOk = size >= 16 && payload + 16 <= b.length &&
+          u16(b, payload) == 1 && u16(b, payload + 2) == 1 &&
+          u16(b, payload + 14) == 16
+        if (fmtOk) rate = u32(b, payload + 4).toInt
+      } else if (tagAt(b, off, "data") && dataOff < 0) {
+        dataOff = payload
+        dataLen = size
+      }
+      off = payload + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 0 ||
+        dataOff + dataLen > b.length || (dataLen & 1) != 0) null
+    else Array(rate, dataOff, (dataLen / 2).toInt)
+  }
+
+  /** Decoded value stream of a payload: WAV → PCM16 samples in file order,
+    * BMP → pixel luminance row-major TOP-DOWN (the encoders' input order,
+    * so values ∘ encode == identity on the array); invalid or unknown
+    * payloads → null. Integer domain throughout — oracle-replayable. */
+  def values(b: Array[Byte]): ArrayData = {
+    if (b == null) return null
+    if (tagAt(b, 0, "RIFF") && tagAt(b, 8, "WAVE")) {
+      val g = wavGeometry(b)
+      if (g == null) return null
+      val dataOff = g(1); val n = g(2)
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = i16(b, dataOff + i * 2).toInt; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+      val g = bmpGeometry(b)
+      if (g == null) return null
+      val dataOffset = g(0); val width = g(1); val height = g(2)
+      val stride = g(3); val topDown = g(4) == 1
+      val out = new Array[Int](width * height)
+      var r = 0
+      while (r < height) {
+        val fileRow = if (topDown) r else height - 1 - r
+        val rowOff = dataOffset + fileRow * stride
+        var x = 0
+        while (x < width) { out(r * width + x) = b(rowOff + x) & 0xFF; x += 1 }
+        r += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else null
+  }
+
+  /** 56-bit perceptual difference-hash (dHash) of a BMP payload, fused
+    * with the decode (ONE header parse + pixel pass per row — never a
+    * per-bit re-decode): the image is nearest-neighbor sampled onto an
+    * 8-row × 8-column grid `g(r,c) = pix[(r·H)/8][ (c·W)/8 ]` and bit
+    * `r·7+c` (r in 0..7, c in 0..6) is set iff `g(r,c) < g(r,c+1)` — the
+    * horizontal-gradient sign, robust to uniform brightness shifts. 56
+    * bits (not the textbook 64) keeps the value exactly representable as
+    * a non-negative BIGINT on every engine, so a SQL oracle can replay
+    * it with integer shifts. Non-BMP / invalid / zero-height payloads →
+    * null. */
+  def dhash56(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 2 ||
+        b(0) != 'B'.toByte || b(1) != 'M'.toByte) return null
+    val g = bmpGeometry(b)
+    if (g == null) return null
+    val dataOffset = g(0); val width = g(1); val height = g(2)
+    val stride = g(3); val topDown = g(4) == 1
+    if (height == 0) return null
+    def pix(r: Int, x: Int): Int = {
+      val fileRow = if (topDown) r else height - 1 - r
+      b(dataOffset + fileRow * stride + x) & 0xFF
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      val row = r * height / 8
+      var c = 0
+      while (c < 7) {
+        val left = pix(row, c * width / 8)
+        val right = pix(row, (c + 1) * width / 8)
+        if (left < right) bits |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
   }
 }
 
@@ -295,6 +382,46 @@ case class MediaDecode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `media_values(payload binary)` → `array<int>`: WAV samples / BMP
+  * top-down row-major pixels; null for invalid or unknown payloads. The
+  * frame/grid consumers downstream reference the RESULT attribute, so the
+  * container parses once per row however many features read it. */
+case class MediaValues(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "media_values"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.values(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MediaCodecImpl.values($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MediaValues =
+    copy(child = newChild)
+}
+
+/** `media_dhash(payload binary)` → 56-bit perceptual difference-hash
+  * (see [[MediaCodecImpl.dhash56]]); null for non-BMP payloads. Fused
+  * decode+hash: one header parse and one pixel pass per row. */
+case class MediaDHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "media_dhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.dhash56(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Long ${ev.value}_box = graft.functions.MediaCodecImpl.dhash56($c);
+         |${ev.isNull} = ${ev.value}_box == null;
+         |${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_box.longValue();""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDHash =
+    copy(child = newChild)
+}
+
 object MediaFunctions {
 
   /** Idempotent session registration (same pattern as [[VectorFunctions]]). */
@@ -322,6 +449,14 @@ object MediaFunctions {
         "bmp_encode",
         exprs => BmpEncode(exprs.head, intLit(exprs(1), "bmp_encode(pixels, width)")),
         "scala_udf")
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("media_values")))
+      registry.createOrReplaceTempFunction(
+        "media_values", exprs => MediaValues(exprs.head), "scala_udf")
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("media_dhash")))
+      registry.createOrReplaceTempFunction(
+        "media_dhash", exprs => MediaDHash(exprs.head), "scala_udf")
   }
 
   /** Column-API handles; require [[register]] on the session first. */
@@ -333,4 +468,8 @@ object MediaFunctions {
   def bmp_encode(pixels: Column, width: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "bmp_encode", pixels, org.apache.spark.sql.functions.lit(width))
+  def media_values(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("media_values", payload)
+  def media_dhash(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("media_dhash", payload)
 }

@@ -574,6 +574,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(top.map(_._4) == Seq(2L), s"got $top") // only the twin, id 2
   }
 
+  test("refineTopK with a full-corpus shortlist reproduces brute force") {
+    // Refine is exact re-scoring: when the shortlist is the whole corpus,
+    // the result must be bit-identical to bruteForceTopK (same fold, same
+    // id tie-break). On testdata embeddings, a full-depth IVF-PQ shortlist
+    // refines to the brute-force ranking.
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.where($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(q, emb, k = 3)
+      .select($"q_id", $"rnk", $"neighbor_id", $"cos_sim")
+      .orderBy("q_id", "rnk").collect().toSeq
+    val refined = Similarity.ivfPqRefineTopK(q, emb, kCells = 2,
+        coarseRounds = 1, m = 2, k = 2, rounds = 1, shortK = n, topK = 3,
+        nprobe = 2)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(refined == brute)
+  }
+
   test("sq8TopK ranks by integer quantized dot with id tie-break") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),  // same direction as q

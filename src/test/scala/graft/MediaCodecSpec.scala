@@ -108,6 +108,62 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(6) == 0L)) // n_values 0, not null
   }
 
+  test("media_values: values ∘ encode == identity for WAV and both BMP orders") {
+    MediaFunctions.register(spark)
+    import MediaFunctions.media_values
+    val samples = Seq(0, 1, -1, 32767, -32768, 1000, -999)
+    val wav = graft.functions.MediaCodecImpl.wavEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(samples.toArray), 8000)
+    val pixels = (0 until 21).map(i => (i * 11) % 256)
+    val bu = graft.functions.MediaCodecImpl.bmpEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pixels.toArray), 7)
+    // top-down twin: negate height AND reverse file row order so the
+    // logical (top-down) pixel stream is unchanged
+    val td = bu.clone()
+    val h = -3
+    td(22) = (h & 0xFF).toByte; td(23) = ((h >> 8) & 0xFF).toByte
+    td(24) = ((h >> 16) & 0xFF).toByte; td(25) = ((h >> 24) & 0xFF).toByte
+    val dataOffset = 14 + 40 + 256 * 4
+    val stride = 8 // width 7 padded to 4-byte multiple
+    for (r <- 0 until 3; x <- 0 until stride)
+      td(dataOffset + r * stride + x) = bu(dataOffset + (2 - r) * stride + x)
+    val got = Seq((0L, wav), (1L, bu), (2L, td), (3L, "garbage".getBytes))
+      .toDF("id", "payload")
+      .select($"id", media_values($"payload").as("v")).orderBy("id")
+      .collect()
+    assert(got(0).getSeq[Int](1) == samples)
+    assert(got(1).getSeq[Int](1) == pixels)
+    assert(got(2).getSeq[Int](1) == pixels) // order-normalized
+    assert(got(3).isNullAt(1))
+  }
+
+  /** Independent dHash reference: straight from the definition. */
+  private def dhashRef(pix: Seq[Int], w: Int): Long = {
+    val h = pix.length / w
+    def g(r: Int, c: Int): Int = pix((r * h / 8) * w + (c * w / 8))
+    (for (r <- 0 until 8; c <- 0 until 7 if g(r, c) < g(r, c + 1))
+      yield 1L << (r * 7 + c)).foldLeft(0L)(_ | _)
+  }
+
+  test("media_dhash matches the definition and is brightness-shift invariant") {
+    MediaFunctions.register(spark)
+    import MediaFunctions.media_dhash
+    def bmp(pix: Seq[Int], w: Int) = graft.functions.MediaCodecImpl.bmpEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pix.toArray), w)
+    val img = (0 until 63).map(i => (i * 37 + 11) % 200) // 9 rows of 7, <200
+    val shifted = img.map(_ + 55)                        // +55 keeps <=255
+    val wav = graft.functions.MediaCodecImpl.wavEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1, 2)), 8000)
+    val got = Seq((0L, bmp(img, 7)), (1L, bmp(shifted, 7)),
+        (2L, bmp(img.take(14), 7)), (3L, wav))
+      .toDF("id", "payload")
+      .select($"id", media_dhash($"payload").as("h")).orderBy("id").collect()
+    assert(got(0).getLong(1) == dhashRef(img, 7))
+    assert(got(1).getLong(1) == got(0).getLong(1)) // gradient signs unchanged
+    assert(got(2).getLong(1) == dhashRef(img.take(14), 7))
+    assert(got(3).isNullAt(1)) // WAV payloads never image-hash
+  }
+
   test("packRealMedia + decodeFeatures on testdata matches text-derived truth") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val got = Multimodal.decodeFeatures(
