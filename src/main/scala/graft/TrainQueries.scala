@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.data.{Indexing, TextAnalysis}
+import graft.Out.OrderedOps
+
+/** Training-run planning operators: deterministic train/val/test split,
+  * per-epoch shuffle ordering, classifier threshold tuning (PR curve
+  * against a weak-supervision label), and CUBE cross-margin corpus stats.
+  * All hashing is the repo's portable-md5 arithmetic; every ratio is an
+  * integer-count division — both engines replay the numbers exactly.
+  */
+object TrainQueries {
+
+  private val duckWords = "string_split_regex(text, '\\s+')"
+
+  /** DuckDB twin of [[Indexing.seededBucket]]: first-4-hex-digit md5
+    * bucket of `'<seed>|' || arg`, mod m. */
+  private def duckBucket(arg: String, m: Int): String =
+    s"(CAST(list_sum(list_transform(range(1, 5), i -> " +
+      s"(strpos('0123456789abcdef', substr(md5($arg), i, 1)) - 1) " +
+      s"* 16 ** (4 - i))) AS BIGINT) % $m)"
+
+  // -- hash split -------------------------------------------------------
+
+  private val SplitBuckets = 100
+  private val TrainCut = 90 // buckets [0,90) -> train
+  private val ValCut = 95   // [90,95) -> val, [95,100) -> test
+
+  /** Deterministic train/val/test assignment by hash bucket of the
+    * document id — the split a training pipeline must reproduce years
+    * later from ids alone (no stored random state, no order dependence:
+    * re-running over re-partitioned or re-ingested data yields the same
+    * split, which is exactly what `rand()`-based splits cannot promise).
+    *
+    * Scale: one map-only projection on the scan; the split is a pure
+    * function of the row. */
+  private def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Indexing.seededBucket(col("doc_id"), lit("split"), SplitBuckets)
+          .as("split_bucket"))
+      .withColumn("split",
+        when(col("split_bucket") < TrainCut, "train")
+          .when(col("split_bucket") < ValCut, "val")
+          .otherwise("test"))
+      .dumpOrdered("doc_id")
+
+  // -- epoch shuffle ----------------------------------------------------
+
+  private val NShards = 8
+  private val NEpochs = 2
+
+  /** Deterministic per-epoch shuffle order: each document's position
+    * within its shard for each training epoch is the rank of
+    * `md5(epoch|doc_id)` — a different (but fully reproducible)
+    * permutation per epoch, with no `rand()` and no global sort. The
+    * data-loader contract: any worker can reconstruct any epoch's order
+    * for any shard independently.
+    *
+    * Scale: the rank window partitions by (epoch, shard) — each shard
+    * sorts only its own slice (corpus/NShards rows), in parallel across
+    * shards and epochs; nothing ever orders the whole corpus. */
+  private def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array((0 until NEpochs).map(e => lit(e.toLong)): _*)).as("epoch"))
+      .withColumn("shard", pmod(col("doc_id"), lit(NShards.toLong)))
+      .withColumn("h", md5(concat_ws("|", col("epoch"), col("doc_id"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+      .dumpOrdered("epoch", "doc_id")
+  }
+
+  // -- classifier PR curve ----------------------------------------------
+
+  private val Taus = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+
+  /** Precision/recall of the hashed linear quality classifier
+    * ([[TextAnalysis.linearScoreColumns]]) against the Gopher rule set as
+    * the weak-supervision label, at a sweep of decision thresholds — the
+    * measured curve a user picks an operating point from (the same
+    * measured-quality surface as `data_dedup_lsh_recall` and
+    * `data_sim_recall`, for the quality-filter family).
+    *
+    * Scale: per-document score and label are one map-only pass; the
+    * threshold sweep is a ×|Taus| literal expand feeding ONE map-side-
+    * combinable hash aggregate — never a per-threshold rescan. */
+  private def classifierPr(spark: SparkSession, dir: String): DataFrame = {
+    val clf = TextAnalysis.linearScoreColumns(col("text")).toMap
+    val gop = TextAnalysis.gopherColumns(col("text")).toMap
+    val perDoc = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), clf("score").as("score"),
+        gop("passes_gopher").as("label"))
+    val tp = count(when(col("score") > col("tau") && col("label"), 1))
+    val fp = count(when(col("score") > col("tau") && !col("label"), 1))
+    val fn = count(when(col("score") <= col("tau") && col("label"), 1))
+    perDoc
+      .withColumn("tau", explode(array(Taus.map(lit): _*)))
+      .groupBy(col("tau"))
+      .agg(tp.as("tp"), fp.as("fp"), fn.as("fn"))
+      .select(col("tau"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("prec"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("rec"))
+      .dumpOrderedTail("tau")
+  }
+
+  // -- CUBE stats -------------------------------------------------------
+
+  /** Corpus stats by CUBE(lang, source): all four grouping sets in ONE
+    * aggregate (Expand + partial+final HashAggregate — one shuffle for
+    * every margin, including the (·, source) cross-margin ROLLUP cannot
+    * produce). Same `grouping_id()` disambiguation contract as
+    * `data_rollup_stats`. */
+  private def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        grouping_id().cast("long").as("gid"))
+      .dumpOrderedTail("gid", "lang", "source")
+
+  def defs: Seq[(String, Q)] = Seq(
+
+    "data_split_assign" -> Q(splitAssign, Some(
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${duckBucket("'split|' || CAST(doc_id AS VARCHAR)", SplitBuckets)}
+         |      AS split_bucket
+         |  FROM documents)
+         |SELECT doc_id, source, split_bucket,
+         |  CASE WHEN split_bucket < $TrainCut THEN 'train'
+         |       WHEN split_bucket < $ValCut THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin)),
+
+    "data_epoch_shuffle" -> Q(epochShuffle, Some(
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(0, $NEpochs)) AS BIGINT) AS epoch
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, epoch, doc_id % $NShards AS shard,
+         |    md5(CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))
+         |      AS h
+         |  FROM e)
+         |SELECT doc_id, epoch, shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard
+         |    ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM h ORDER BY epoch, doc_id""".stripMargin)),
+
+    "data_classifier_pr" -> Q(classifierPr, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckWords AS w FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '(?i)[a-z]')))
+         |         AS DOUBLE) / CAST(len(w) AS DOUBLE) AS alpha_frac,
+         |    CAST(len(list_filter(w, x ->
+         |      list_contains(['the','a','of','and','to'], lower(x)))) AS BIGINT)
+         |      AS n_stopwords
+         |  FROM t),
+         |gp AS (
+         |  SELECT doc_id,
+         |    n_words >= 50 AND n_words <= 100000
+         |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |      AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |      AND n_stopwords >= 2 AS label
+         |  FROM f),
+         |clf AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(list_sum(list_transform(w, tok ->
+         |      (CAST(list_sum(list_transform(range(1, 5), i ->
+         |         (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+         |           * 16 ** (4 - i))) AS BIGINT) % 64) % 7 - 3))
+         |      AS BIGINT) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS score
+         |  FROM t),
+         |x AS (
+         |  SELECT c.score, g.label,
+         |    unnest(CAST([${Taus.mkString(", ")}] AS DOUBLE[])) AS tau
+         |  FROM clf c JOIN gp g USING (doc_id)),
+         |a AS (
+         |  SELECT tau,
+         |    count(CASE WHEN score > tau AND label THEN 1 END) AS tp,
+         |    count(CASE WHEN score > tau AND NOT label THEN 1 END) AS fp,
+         |    count(CASE WHEN score <= tau AND label THEN 1 END) AS fn
+         |  FROM x GROUP BY tau)
+         |SELECT tau, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0
+         |       THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+         |  CASE WHEN tp + fn > 0
+         |       THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec
+         |FROM a ORDER BY tau""".stripMargin)),
+
+    "data_cube_stats" -> Q(cubeStats, Some(
+      s"""WITH d AS (
+         |  SELECT lang, source,
+         |    CAST(len($duckWords) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+         |FROM d GROUP BY CUBE(lang, source)
+         |ORDER BY gid, lang, source""".stripMargin)))
+}

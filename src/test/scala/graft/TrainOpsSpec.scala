@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the training-run planning family: split determinism,
+  * epoch-shuffle permutation structure, PR-curve accounting identities,
+  * CUBE margin coverage. */
+class TrainOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("data_split_assign: buckets in range, names consistent, deterministic") {
+    val build = () => Registry.byName("data_split_assign")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"split_bucket", $"split")
+      .as[(Long, Long, String)].collect().toSeq
+    val a = build()
+    assert(a.nonEmpty)
+    assert(a.forall { case (_, b, _) => b >= 0 && b < 100 })
+    assert(a.forall { case (_, b, s) =>
+      s == (if (b < 90) "train" else if (b < 95) "val" else "test")
+    })
+    assert(a.map(_._3).distinct.toSet == Set("train", "val", "test"))
+    assert(build() == a) // pure function of ids: bit-stable across runs
+  }
+
+  test("data_epoch_shuffle: contiguous ranks per (epoch, shard), epochs differ") {
+    val rows = Registry.byName("data_epoch_shuffle")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"epoch", $"shard", $"pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted == (1L to g.length.toLong)) // a permutation
+    }
+    val pos0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._4).toMap
+    val pos1 = rows.filter(_._2 == 1L).map(r => r._1 -> r._4).toMap
+    assert(pos0.keySet == pos1.keySet) // same docs every epoch
+    assert(pos0.exists { case (id, p) => pos1(id) != p }) // new permutation
+  }
+
+  test("data_classifier_pr: positives conserved, tp monotone in tau") {
+    val rows = Registry.byName("data_classifier_pr")
+      .build(spark, TestSpark.sf)
+      .select($"tau", $"tp", $"fp", $"fn")
+      .as[(Double, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
+    // tp + fn = total labeled positives, identical at every threshold
+    assert(rows.map(r => r._2 + r._4).distinct.size == 1)
+    // raising the threshold can only shrink the predicted-positive set
+    assert(rows.map(_._2).sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(rows.map(r => r._2 + r._3).sliding(2)
+      .forall { case Seq(a, b) => b <= a })
+  }
+
+  test("data_cube_stats: all four margins present, totals consistent") {
+    val rows = Registry.byName("data_cube_stats")
+      .build(spark, TestSpark.sf)
+      .select($"gid", $"n_docs")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.map(_._1).distinct.sorted == Seq(0L, 1L, 2L, 3L))
+    val total = rows.filter(_._1 == 3L).map(_._2).sum // grand total row
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(rows.filter(_._1 == gid).map(_._2).sum == total)
+    }
+  }
+}
