@@ -39,13 +39,27 @@ object MediaQueries {
     * images collapses on the map side), then a hash join back. At rest
     * the hash column is the Hamming-band join key for threshold near-dup
     * (the SimHash band pattern). */
-  private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Memo-persisted (doc_id, phash) relation: the dup-group aggregate,
+    * the join-back, the pushed-down isNotNull filter AND the Hamming
+    * band fan-out all read `phash` — without the barrier, CollapseProject
+    * + predicate pushdown inline the fused encode+decode+hash expression
+    * into every consumer (4 container decodes per row, observed in the
+    * plan audit). One decode per row, cached; same pattern as
+    * `cmstoks`/`phraseocc`. (The isNotNull filter stays OUTSIDE the
+    * memo: inside, predicate pushdown would clone the fused expression
+    * into a pre-cache Filter and the build would hash every row twice.) */
+  private def hashedImages(spark: SparkSession, dir: String): DataFrame = {
     MediaFunctions.register(spark)
     import MediaFunctions.media_dhash
-    val hashed = Multimodal.packRealMedia(
-        Tables.documents(spark, dir), "doc_id", "text")
-      .select(col("doc_id"), media_dhash(col("payload")).as("phash"))
-      .where(col("phash").isNotNull)
+    Tables.memoBy(spark, s"mmphash:$dir") {
+      Multimodal.packRealMedia(
+          Tables.documents(spark, dir), "doc_id", "text")
+        .select(col("doc_id"), media_dhash(col("payload")).as("phash"))
+    }.where(col("phash").isNotNull)
+  }
+
+  private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = hashedImages(spark, dir)
     val groups = hashed.groupBy(col("phash"))
       .agg(count(lit(1)).as("n_same_hash"), min(col("doc_id")).as("keeper"))
     hashed.join(groups, Seq("phash"))
@@ -92,6 +106,64 @@ object MediaQueries {
       .dumpOrdered("doc_id", "frame_id")
   }
 
+  val ResizeDim = 4   // thumbnail grid (ResizeDim × ResizeDim)
+
+  /** Nearest-neighbor thumbnail of every image: the fused `media_resize`
+    * expression (one header parse + one OUTPUT-pixel pass per row — the
+    * full-resolution pixel array is never materialized), dumped as the
+    * pixel CSV plus its integer sum — the downsample step feeding any
+    * image-embedding or near-dup pipeline. Map-only to the dump sort. */
+  private def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    MediaFunctions.register(spark)
+    import MediaFunctions.media_resize
+    Multimodal.packRealMedia(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        media_resize(col("payload"), ResizeDim, ResizeDim).as("px"))
+      .where(col("px").isNotNull)
+      .select(col("doc_id"), array_join(col("px"), ",").as("px_csv"),
+        aggregate(col("px"), lit(0L), (a, v) => a + v).as("sum_px"))
+      .dumpOrdered("doc_id")
+  }
+
+  val HamBands = 4    // 56-bit hash -> 4 bands of 14 bits
+  val BandBits = 14
+  val HamThresh = 3   // ≤ 3 differing bits can dirty at most 3 of the 4
+                      // bands -> a clean shared band is GUARANTEED
+                      // (pigeonhole), so banding is exact at this radius
+
+  /** Image near-dup pairs at Hamming distance ≤ [[HamThresh]] over the
+    * perceptual hash — the SimHash band pattern applied to images:
+    * candidates come ONLY from an equi-join on (band, 14-bit band value)
+    * (never an all-pairs comparison), the exact Hamming distance is one
+    * XOR + popcount per candidate, and the band guarantee makes the
+    * radius exact — every true pair within the threshold shares a clean
+    * band. Scale: the banded relation is 4 rows per image keyed by band
+    * value; a skewed flat-gradient corpus would hot a band bucket, which
+    * the same `capHotBuckets` guard used by the text LSH absorbs. */
+  private def mmNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = hashedImages(spark, dir)
+    val banded = hashed.select(col("doc_id"), col("phash"),
+        explode(array((0 until HamBands).map(b =>
+          struct(lit(b.toLong).as("band"),
+            shiftright(col("phash"), b * BandBits)
+              .bitwiseAND(lit((1L << BandBits) - 1)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("phash"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    val lhs = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("phash").as("pa"))
+    val rhs = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("phash").as("pb"))
+    lhs.join(rhs, Seq("band", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .where(col("hamming") <= HamThresh)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dumpOrderedTail("doc_a", "doc_b")
+  }
+
   /** Text-code CTE shared by the oracles (same derivation as the
     * `data_mm_decode` oracle). */
   private def codesCte(where: String): String =
@@ -128,6 +200,61 @@ object MediaQueries {
          |SELECT ph.doc_id, ph.phash, g.n_same_hash,
          |  ph.doc_id > g.keeper AS is_dup
          |FROM ph JOIN g USING (phash) ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_resize" -> Q(mmResize, Some {
+      val D = ResizeDim
+      s"""WITH ${codesCte("WHERE doc_id % 2 = 1 AND doc_id % 10 <> 3")},
+         |p AS (
+         |  SELECT doc_id,
+         |    list_transform(codes[1:(len(codes) // $W) * $W], c -> c % 256)
+         |      AS pix
+         |  FROM c),
+         |img AS (
+         |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
+         |  WHERE len(pix) >= $W),
+         |r AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, ${D * D}), i ->
+         |      pix[((i // $D) * h // $D) * $W + ((i % $D) * $W // $D) + 1])
+         |      AS px
+         |  FROM img)
+         |SELECT doc_id, array_to_string(px, ',') AS px_csv,
+         |  CAST(list_sum(px) AS BIGINT) AS sum_px
+         |FROM r ORDER BY doc_id""".stripMargin
+    }),
+
+    "data_mm_neardup" -> Q(mmNearDup, Some(
+      s"""WITH ${codesCte("WHERE doc_id % 2 = 1 AND doc_id % 10 <> 3")},
+         |p AS (
+         |  SELECT doc_id,
+         |    list_transform(codes[1:(len(codes) // $W) * $W], c -> c % 256)
+         |      AS pix
+         |  FROM c),
+         |img AS (
+         |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
+         |  WHERE len(pix) >= $W),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 56), i ->
+         |      CASE WHEN pix[((i // 7) * h // 8) * $W + ((i % 7) * $W // 8) + 1]
+         |              < pix[((i // 7) * h // 8) * $W
+         |                    + (((i % 7) + 1) * $W // 8) + 1]
+         |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+         |      AS BIGINT) AS phash
+         |  FROM img),
+         |b AS (
+         |  SELECT doc_id, phash, r AS band,
+         |    (phash >> (r * $BandBits)) & ${(1L << BandBits) - 1} AS bv
+         |  FROM ph, (SELECT unnest(range(0, $HamBands)) AS r) s),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    a.phash AS pa, b2.phash AS pb
+         |  FROM b a JOIN b b2
+         |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= $HamThresh
+         |ORDER BY doc_a, doc_b""".stripMargin)),
 
     "data_mm_audio_frames" -> Q(mmAudioFrames, Some(
       s"""WITH ${codesCte("WHERE doc_id % 2 = 0")},

@@ -19,7 +19,9 @@ object Plans {
     "data_sim_ivfpq", "data_chunk_cdc", "data_curation_gate",
     "data_sim_ivf_pruned", "data_mm_decode",
     "data_dedup_spans", "data_sketch_cms", "data_decontaminate_bloom",
-    "data_search_phrase")
+    "data_search_phrase",
+    "data_mm_phash", "data_mm_audio_frames", "data_sim_ivfpq_refine",
+    "data_classifier_pr", "data_epoch_shuffle", "data_mm_neardup")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -191,6 +193,42 @@ object Plans {
       |  broadcast top-bigram row, then the adjacency join runs on
       |  (doc, pos) — never a corpus×corpus join, and the corpus text is
       |  never rescanned.
+      |- **data_mm_phash** — the hashed projection (encode → fused
+      |  `media_dhash`) is memo-persisted BEFORE fan-out: the dup-group
+      |  aggregate, the join-back and the pushed-down isNotNull filter
+      |  all read the cached `phash` attribute (InMemoryTableScan), so
+      |  each payload decodes exactly once (without the barrier the plan
+      |  audit showed the fused expression inlined into 4 consumers).
+      |  Keeper election is the map-side-combinable count/min
+      |  HashAggregate + equi-join — no window over hash groups.
+      |- **data_mm_audio_frames** — `media_values` evaluates in its own
+      |  Project below the frame `Generate`, which FORWARDS the samples
+      |  attribute (one container parse per row, however many frames);
+      |  the 16-sample frame slice materializes once per frame and the
+      |  energy/zero-cross folds reference the attribute. Map-only to
+      |  the dump sort — featurization is a projection.
+      |- **data_sim_ivfpq_refine** — the refine stage joins the bounded
+      |  broadcast shortlist INTO the cached corpus (BroadcastHashJoin,
+      |  BuildRight = candidates) — the corpus is never shuffled and only
+      |  shortlisted rows reach the exact `vec_dot` re-score; per-query
+      |  re-cut goes through `WindowGroupLimit` (Partial below the
+      |  exchange). The ADC subtree below is `data_sim_ivfpq`'s plan
+      |  verbatim at shortK.
+      |- **data_classifier_pr** — per-document score + label are ONE
+      |  scan-side projection (compiled `hashed_weight_sum`, Gopher rule
+      |  columns); the threshold sweep is a 5-literal `Generate` feeding
+      |  one partial+final HashAggregate on tau — never a per-threshold
+      |  rescan of the corpus.
+      |- **data_epoch_shuffle** — `ReadSchema` prunes the document scan
+      |  to the single `doc_id` column; the only exchange hash-partitions
+      |  by (epoch, shard), so each shard ranks only its own slice — no
+      |  global sort anywhere in the body.
+      |- **data_mm_neardup** — both band-join sides are slices of the
+      |  SAME memo-persisted (doc_id, phash) relation (InMemoryTableScan
+      |  twice, hashed once); candidates come from the (band, band-value)
+      |  EQUI-join — never an image×image comparison — and the exact
+      |  Hamming check is one XOR+popcount per surviving candidate. The
+      |  ≤3-bit radius makes banding exact (pigeonhole over 4 bands).
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —

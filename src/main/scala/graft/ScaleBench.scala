@@ -29,7 +29,12 @@ object ScaleBench {
     "data_chunk_cdc", "data_curation_gate",
     // round-7 additions: the indexing/membership family
     "data_dedup_spans", "data_sketch_cms", "data_decontaminate_bloom",
-    "data_search_postings", "data_search_phrase")
+    "data_search_postings", "data_search_phrase",
+    // round-7 additions: media features, refine, training-run planning
+    "data_mm_phash", "data_mm_audio_frames", "data_sim_ivfpq_refine",
+    "data_classifier_pr", "data_epoch_shuffle", "data_split_assign",
+    "data_cube_stats", "data_mm_resize", "data_mm_neardup",
+    "data_pack_sequences", "data_mixture_temperature")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -114,6 +114,75 @@ object TrainQueries {
       .dumpOrderedTail("tau")
   }
 
+  // -- sequence materialization ----------------------------------------
+
+  private val PackBin = 512   // tokens per packed sequence (= packPlan)
+  private val PackBuckets = 8
+
+  /** MATERIALIZED packed training sequences — the step after
+    * `data_pack_plan`'s offsets: documents concatenate into their
+    * (bucket, bin) sequence in doc_id order, with per-sequence doc/token
+    * accounting. This is the tensor-adjacent artifact a trainer maps
+    * straight into a tokenizer batch.
+    *
+    * Scale: the running-offset window partitions by bucket (buckets pack
+    * independently, in parallel); assembly is ONE hash aggregate on
+    * (bucket, bin) whose `collect_list` payload is bounded by the bin's
+    * token budget — never a whole-corpus collect. Deterministic order
+    * inside the sequence via array_sort on (doc_id, text) structs. */
+  private def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        (col("doc_id") % PackBuckets).as("bucket"))
+      .withColumn("bin",
+        expr(s"coalesce(sum(n_tok) over (partition by bucket order by doc_id" +
+          s" rows between unbounded preceding and 1 preceding), 0L)" +
+          s" div $PackBin"))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        array_sort(collect_list(struct(col("doc_id"), col("text")))).as("ps"))
+      .select(col("bucket"), col("bin"), col("n_docs"), col("sum_tokens"),
+        concat_ws(" ", transform(col("ps"), _.getField("text"))).as("seq_text"))
+      .dumpOrderedTail("bucket", "bin")
+  }
+
+  // -- temperature mixing ----------------------------------------------
+
+  private val MixTempBudget = 300L // document budget across sources
+
+  /** Temperature-weighted source mixing (the multilingual/LLM data
+    * recipe: sampling weight ∝ n^α with α = 0.5, upweighting small
+    * sources relative to proportional sampling): per-source weights are
+    * `floor(sqrt(n)·10⁶)` LONGS (sqrt is IEEE-correctly-rounded on both
+    * engines, the quantized weight and its SUM are exact integers —
+    * no float summation order anywhere), allocation is integer
+    * cross-multiplication of the budget, and the final rate is one
+    * long/long division.
+    *
+    * Scale: one map-side-combinable count per source, a 1-row weight-sum
+    * broadcast back (crossJoin-of-aggregates, the W1 pattern) — the
+    * corpus is scanned once. */
+  private def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_temp",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .persist()
+    val tot = t.agg(sum(col("w_temp")).as("sum_w"))
+    t.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_temp"),
+        (col("w_temp").cast("double") / col("sum_w").cast("double")).as("p"),
+        expr(s"($MixTempBudget * w_temp) div sum_w").as("alloc_docs"))
+      .withColumn("sample_rate",
+        least(lit(1.0),
+          col("alloc_docs").cast("double") / col("n_docs").cast("double")))
+      .dumpOrdered("source")
+  }
+
   // -- CUBE stats -------------------------------------------------------
 
   /** Corpus stats by CUBE(lang, source): all four grouping sets in ONE
@@ -206,6 +275,36 @@ object TrainQueries {
          |  CASE WHEN tp + fn > 0
          |       THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec
          |FROM a ORDER BY tau""".stripMargin)),
+
+    "data_pack_sequences" -> Q(packSequences, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(len($duckWords) AS BIGINT) AS n_tok,
+         |         doc_id % $PackBuckets AS bucket
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, text, n_tok, bucket,
+         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d)
+         |SELECT bucket, bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  COALESCE(string_agg(text, ' ' ORDER BY doc_id), '') AS seq_text
+         |FROM o GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin)),
+
+    "data_mixture_temperature" -> Q(mixtureTemperature, Some(
+      s"""WITH t AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS w_temp
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT CAST(sum(w_temp) AS BIGINT) AS sum_w FROM t)
+         |SELECT source, n_docs, w_temp,
+         |  CAST(w_temp AS DOUBLE) / CAST(sum_w AS DOUBLE) AS p,
+         |  ($MixTempBudget * w_temp) // sum_w AS alloc_docs,
+         |  least(1.0, CAST(($MixTempBudget * w_temp) // sum_w AS DOUBLE)
+         |    / CAST(n_docs AS DOUBLE)) AS sample_rate
+         |FROM t, s ORDER BY source""".stripMargin)),
 
     "data_cube_stats" -> Q(cubeStats, Some(
       s"""WITH d AS (

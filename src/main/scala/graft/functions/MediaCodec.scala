@@ -292,6 +292,36 @@ object MediaCodecImpl {
     } else null
   }
 
+  /** Nearest-neighbor resize of a BMP payload onto an `outW` × `outH`
+    * grid, fused with the decode (one header parse, one output-pixel
+    * pass): out(r,c) = pix[(r·H)/outH][(c·W)/outW] — the integer-exact
+    * downsample a thumbnail/feature pipeline runs before embedding, and
+    * the same grid arithmetic [[dhash56]] samples internally. Non-BMP /
+    * invalid / zero-height payloads → null. */
+  def resize(b: Array[Byte], outW: Int, outH: Int): ArrayData = {
+    if (b == null || b.length < 2 ||
+        b(0) != 'B'.toByte || b(1) != 'M'.toByte) return null
+    val g = bmpGeometry(b)
+    if (g == null) return null
+    val dataOffset = g(0); val width = g(1); val height = g(2)
+    val stride = g(3); val topDown = g(4) == 1
+    if (height == 0) return null
+    val out = new Array[Int](outW * outH)
+    var r = 0
+    while (r < outH) {
+      val srcRow = r * height / outH
+      val fileRow = if (topDown) srcRow else height - 1 - srcRow
+      val rowOff = dataOffset + fileRow * stride
+      var c = 0
+      while (c < outW) {
+        out(r * outW + c) = b(rowOff + c * width / outW) & 0xFF
+        c += 1
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 56-bit perceptual difference-hash (dHash) of a BMP payload, fused
     * with the decode (ONE header parse + pixel pass per row — never a
     * per-bit re-decode): the image is nearest-neighbor sampled onto an
@@ -402,6 +432,28 @@ case class MediaValues(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `media_resize(payload binary)` → `array<int>` of outW×outH nearest-
+  * neighbor-resized pixels (see [[MediaCodecImpl.resize]]); null for
+  * non-BMP payloads. Fused decode+resize — one header parse, one
+  * output-pixel pass, no intermediate full-pixel array. */
+case class MediaResize(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression {
+  require(outW > 0 && outH > 0, s"resize dims must be positive: $outW x $outH")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "media_resize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.resize(input.asInstanceOf[Array[Byte]], outW, outH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MediaCodecImpl.resize($c, $outW, $outH);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MediaResize =
+    copy(child = newChild)
+}
+
 /** `media_dhash(payload binary)` → 56-bit perceptual difference-hash
   * (see [[MediaCodecImpl.dhash56]]); null for non-BMP payloads. Fused
   * decode+hash: one header parse and one pixel pass per row. */
@@ -457,6 +509,14 @@ object MediaFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("media_dhash")))
       registry.createOrReplaceTempFunction(
         "media_dhash", exprs => MediaDHash(exprs.head), "scala_udf")
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("media_resize")))
+      registry.createOrReplaceTempFunction(
+        "media_resize",
+        exprs => MediaResize(exprs.head,
+          intLit(exprs(1), "media_resize(payload, outW, outH)"),
+          intLit(exprs(2), "media_resize(payload, outW, outH)")),
+        "scala_udf")
   }
 
   /** Column-API handles; require [[register]] on the session first. */
@@ -472,4 +532,8 @@ object MediaFunctions {
     org.apache.spark.sql.functions.call_function("media_values", payload)
   def media_dhash(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("media_dhash", payload)
+  def media_resize(payload: Column, outW: Int, outH: Int): Column =
+    org.apache.spark.sql.functions.call_function("media_resize", payload,
+      org.apache.spark.sql.functions.lit(outW),
+      org.apache.spark.sql.functions.lit(outH))
 }

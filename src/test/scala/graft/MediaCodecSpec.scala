@@ -164,6 +164,45 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(got(3).isNullAt(1)) // WAV payloads never image-hash
   }
 
+  test("media_resize matches the nearest-neighbor definition") {
+    MediaFunctions.register(spark)
+    import MediaFunctions.media_resize
+    val pix = (0 until 63).map(i => (i * 29 + 5) % 256) // 9 rows of 7
+    val bmp = graft.functions.MediaCodecImpl.bmpEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pix.toArray), 7)
+    val got = Seq(Tuple1(bmp)).toDF("payload")
+      .select(media_resize($"payload", 4, 4).as("px"))
+      .head().getSeq[Int](0)
+    val want = for (r <- 0 until 4; c <- 0 until 4)
+      yield pix((r * 9 / 4) * 7 + (c * 7 / 4))
+    assert(got == want)
+    // WAV payloads never resize
+    val wav = graft.functions.MediaCodecImpl.wavEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1)), 8000)
+    assert(Seq(Tuple1(wav)).toDF("payload")
+      .select(media_resize($"payload", 4, 4)).head().isNullAt(0))
+  }
+
+  test("data_mm_neardup: banding finds EVERY pair within the Hamming radius") {
+    // Brute-force ground truth: all image pairs with popcount(xor) <= 3.
+    // The band guarantee (<= 3 dirty bits over 4 bands) means the banded
+    // candidate join must surface exactly this set — no misses.
+    MediaFunctions.register(spark)
+    import MediaFunctions.media_dhash
+    val hashes = Multimodal.packRealMedia(
+        Tables.documents(spark, TestSpark.sf), "doc_id", "text")
+      .select($"doc_id", media_dhash($"payload").as("h"))
+      .where($"h".isNotNull)
+      .as[(Long, Long)].collect().toSeq
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= MediaQueries.HamThresh
+    } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
+    val got = Registry.byName("data_mm_neardup").build(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("packRealMedia + decodeFeatures on testdata matches text-derived truth") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val got = Multimodal.decodeFeatures(

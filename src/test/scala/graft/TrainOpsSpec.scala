@@ -53,6 +53,37 @@ class TrainOpsSpec extends AnyFunSuite {
       .forall { case Seq(a, b) => b <= a })
   }
 
+  test("data_pack_sequences: every document lands in exactly one sequence") {
+    val rows = Registry.byName("data_pack_sequences")
+      .build(spark, TestSpark.sf)
+      .select($"bucket", $"bin", $"n_docs", $"sum_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_._3).sum == totalDocs)
+    // bins are contiguous from 0 within each bucket (offset-packing
+    // never skips a bin), and every full bin carries >= PackBin-ish load
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted == (0L until g.length.toLong))
+    }
+  }
+
+  test("data_mixture_temperature: valid rates, budget respected, sqrt upweighting") {
+    val rows = Registry.byName("data_mixture_temperature")
+      .build(spark, TestSpark.sf)
+      .select($"source", $"n_docs", $"p", $"alloc_docs", $"sample_rate")
+      .as[(String, Long, Double, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9) // p sums to 1
+    assert(rows.map(_._4).sum <= 300L)                // integer allocation
+    assert(rows.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    // temperature property: the smallest source gets at least the
+    // sampling rate of the largest (sqrt flattens the distribution)
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    assert(smallest._5 >= largest._5)
+  }
+
   test("data_cube_stats: all four margins present, totals consistent") {
     val rows = Registry.byName("data_cube_stats")
       .build(spark, TestSpark.sf)

@@ -27,7 +27,11 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_ngram_coverage", "data_winnow_fingerprint", "data_chunk_cdc",
           "data_curation_gate", "data_dedup_spans", "data_sketch_cms",
           "data_decontaminate_bloom", "data_search_postings",
-          "data_search_phrase"]
+          "data_search_phrase",
+          "data_mm_phash", "data_mm_audio_frames", "data_sim_ivfpq_refine",
+          "data_classifier_pr", "data_epoch_shuffle", "data_split_assign",
+          "data_cube_stats", "data_mm_resize", "data_mm_neardup",
+          "data_pack_sequences", "data_mixture_temperature"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
