@@ -19,7 +19,11 @@ object OpProbe {
       "data_jsonl_ingest", "data_orc_roundtrip",
       "data_quality_gopher", "data_ngram_coverage", "data_winnow_fingerprint",
       "data_dedup_semantic", "data_sim_sq8_topk", "data_sim_pq_topk", "data_sim_ivfpq", "data_dedup_incremental",
-      "data_quality_classifier", "data_chunk_cdc", "data_curation_gate")
+      "data_quality_classifier", "data_chunk_cdc", "data_curation_gate",
+      "data_mm_phash", "data_mm_resize", "data_mm_neardup",
+      "data_mm_audio_frames", "data_sim_ivfpq_refine", "data_classifier_pr",
+      "data_epoch_shuffle", "data_split_assign", "data_cube_stats",
+      "data_pack_sequences", "data_mixture_temperature")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

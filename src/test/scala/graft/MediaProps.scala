@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.functions.MediaCodecImpl
+
+/** Property-based parity for the media codec: for ANY pixel/sample
+  * content at any geometry, encode→decode round-trips the values,
+  * and the fused dhash/resize expressions agree with straight-from-the-
+  * definition references computed on the raw pixels. Pure-JVM (no Spark
+  * session): the expressions delegate to these same impl methods, whose
+  * Spark-side wiring MediaCodecSpec covers. */
+object MediaProps extends Properties("MediaCodec") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  private val pixel = Gen.choose(0, 255)
+  private val img = for {
+    w <- Gen.choose(1, 9)
+    h <- Gen.choose(1, 9)
+    px <- Gen.listOfN(w * h, pixel)
+  } yield (w, h, px)
+
+  private val pcm = Gen.choose(0, 40)
+    .flatMap(n => Gen.listOfN(n, Gen.choose(-32768, 32767)))
+
+  property("WAV values ∘ encode == identity for any PCM content") =
+    forAll(pcm) { samples =>
+      val bytes = MediaCodecImpl.wavEncode(
+        ArrayData.toArrayData(samples.toArray), 8000)
+      val got = MediaCodecImpl.values(bytes)
+      got != null && got.toIntArray().toSeq == samples
+    }
+
+  property("BMP values ∘ encode == identity for any geometry (incl. stride pad)") =
+    forAll(img) { case (w, h, px) =>
+      val bytes = MediaCodecImpl.bmpEncode(ArrayData.toArrayData(px.toArray), w)
+      val got = MediaCodecImpl.values(bytes)
+      got != null && got.toIntArray().toSeq == px
+    }
+
+  property("dhash56 equals the definition on raw pixels") =
+    forAll(img) { case (w, h, px) =>
+      val bytes = MediaCodecImpl.bmpEncode(ArrayData.toArrayData(px.toArray), w)
+      def g(r: Int, c: Int): Int = px((r * h / 8) * w + (c * w / 8))
+      val want = (for (r <- 0 until 8; c <- 0 until 7 if g(r, c) < g(r, c + 1))
+        yield 1L << (r * 7 + c)).foldLeft(0L)(_ | _)
+      MediaCodecImpl.dhash56(bytes) == want
+    }
+
+  property("resize equals the nearest-neighbor definition at any target dims") =
+    forAll(img, Gen.choose(1, 6), Gen.choose(1, 6)) {
+      case ((w, h, px), ow, oh) =>
+        val bytes = MediaCodecImpl.bmpEncode(ArrayData.toArrayData(px.toArray), w)
+        val want = for (r <- 0 until oh; c <- 0 until ow)
+          yield px((r * h / oh) * w + (c * w / ow))
+        val got = MediaCodecImpl.resize(bytes, ow, oh)
+        got != null && got.toIntArray().toSeq == want
+    }
+
+  property("dhash is invariant under any brightness shift that avoids clipping") =
+    forAll(img, Gen.choose(1, 60)) { case ((w, h, px), shift) =>
+      val lo = px.map(p => p * 195 / 255) // compress into [0, 195]
+      val hi = lo.map(_ + shift)
+      val a = MediaCodecImpl.dhash56(
+        MediaCodecImpl.bmpEncode(ArrayData.toArrayData(lo.toArray), w))
+      val b = MediaCodecImpl.dhash56(
+        MediaCodecImpl.bmpEncode(ArrayData.toArrayData(hi.toArray), w))
+      a == b
+    }
+}
