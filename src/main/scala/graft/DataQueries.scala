@@ -450,6 +450,11 @@ object DataQueries {
         Tables.embeddings(spark, dir), k = 5)
       .dumpOrdered("q_id", "rnk")
 
+  private def simL2TopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceL2TopK(queriesOf(spark, dir),
+        Tables.embeddings(spark, dir), k = 5)
+      .dumpOrdered("q_id", "rnk")
+
   private def simIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queriesOf(spark, dir),
         Tables.embeddings(spark, dir), cellCol = "label", k = 3, nprobe = 2)
@@ -482,30 +487,46 @@ object DataQueries {
     *
     * Scale: the joins are per-(query, neighbor) — output-bounded, nothing
     * corpus-sized; recall audits always run on a sampled query set. */
+  /** Recall@k of every ANN variant against its OWN metric's exact
+    * ground truth: the cosine/IP family scores against the brute-force
+    * cosine ranking, the L2 family ([[Similarity.ivfAdcTopK]]) against
+    * the brute-force L2 ranking ([[Similarity.bruteForceL2TopK]]) —
+    * scoring an L2 index against a cosine truth would conflate metric
+    * mismatch with quantization error. At the test parameters (k=4
+    * codebooks, nprobe=2/8) ivfadc measures 0.13 against its L2 truth:
+    * with 4 centroids per 16-dim residual subspace the quantization
+    * itself is the bottleneck — the honest reading of the curve, and
+    * exactly what the refine stage exists to repair. */
   private def simRecall(spark: SparkSession, dir: String): DataFrame = {
     val q = queriesOf(spark, dir)
     val hot = Tables.embeddingsHot(spark, dir)
-    val bf = Similarity.bruteForceTopK(q, Tables.embeddings(spark, dir), k = 5)
-      .select(col("q_id"), col("neighbor_id"), col("rnk"))
+    val emb = Tables.embeddings(spark, dir)
+    val truths = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select(lit("cos").as("truth"), col("q_id"), col("neighbor_id"), col("rnk"))
+      .unionByName(Similarity.bruteForceL2TopK(q, emb, k = 5)
+        .select(lit("l2").as("truth"), col("q_id"), col("neighbor_id"), col("rnk")))
     val variants = Seq(
-      ("ivf_fitted", 3,
+      ("ivf_fitted", "cos", 3,
         Similarity.ivfTopKFitted(q, hot, kCells = 8, rounds = 2, k = 3, nprobe = 2)),
-      ("ivfpq", 3,
+      ("ivfpq", "cos", 3,
         Similarity.ivfPqTopK(q, hot, kCells = 8, coarseRounds = 2,
           m = PqM, k = PqK, rounds = PqRounds, topK = 3, nprobe = 2)),
-      ("ivfpq_refine", 3,
+      ("ivfpq_refine", "cos", 3,
         Similarity.ivfPqRefineTopK(q, hot, kCells = 8, coarseRounds = 2,
           m = PqM, k = PqK, rounds = PqRounds, shortK = RefineShort,
           topK = 3, nprobe = 2)),
-      ("pq", 5,
+      ("ivfadc", "l2", 3,
+        Similarity.ivfAdcTopK(q, hot, kCells = 8, coarseRounds = 2,
+          m = PqM, k = PqK, rounds = PqRounds, topK = 3, nprobe = 2)),
+      ("pq", "cos", 5,
         Similarity.pqTopK(q, hot, m = PqM, k = PqK, rounds = PqRounds, topK = 5)),
-      ("sq8", 5, Similarity.sq8TopK(q, hot, k = 5)))
-    val tagged = variants.map { case (m, kAt, df) =>
-      df.select(lit(m).as("method"), lit(kAt).cast("long").as("k_at"),
-        col("q_id"), col("neighbor_id"))
+      ("sq8", "cos", 5, Similarity.sq8TopK(q, hot, k = 5)))
+    val tagged = variants.map { case (m, truth, kAt, df) =>
+      df.select(lit(m).as("method"), lit(truth).as("truth"),
+        lit(kAt).cast("long").as("k_at"), col("q_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
     tagged
-      .join(bf, Seq("q_id", "neighbor_id"), "left")
+      .join(truths, Seq("truth", "q_id", "neighbor_id"), "left")
       .withColumn("hit", when(col("rnk") <= col("k_at"), 1L).otherwise(0L))
       .groupBy(col("method"), col("k_at"))
       .agg(countDistinct(col("q_id")).as("n_queries"),
@@ -721,6 +742,12 @@ object DataQueries {
     * shortK / topK). */
   private val RefineShort = 10
 
+  private def simIvfAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAdcTopK(queriesOf(spark, dir), Tables.embeddingsHot(spark, dir),
+        kCells = 8, coarseRounds = 2, m = PqM, k = PqK, rounds = PqRounds,
+        topK = 3, nprobe = 2)
+      .dumpOrdered("q_id", "rnk")
+
   private def simIvfPqRefine(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqRefineTopK(queriesOf(spark, dir),
         Tables.embeddingsHot(spark, dir), kCells = 8, coarseRounds = 2,
@@ -819,6 +846,112 @@ object DataQueries {
        |  FROM sc)
        |SELECT q_id, cell, rnk, vec_id AS neighbor_id, score FROM r
        |WHERE rnk <= $topK ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Oracle for the residual-encoded IVFADC: the same coarse k-means /
+    * assignment / probe replay as [[ivfPqOracleSql]], then per-subspace
+    * codebook k-means fitted on RESIDUALS and L2 ADC over per-(query,
+    * probed-cell) query-residual distance tables — ascending integer
+    * distance, ties by id. */
+  private def ivfAdcOracleSql: String = {
+    val sub = 16 // dim 64 / PqM
+    def sCtes(s: Int): String = {
+      val a = s * sub + 1
+      val b = (s + 1) * sub
+      s"""rc0_$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |           AS cell,
+         |    res[$a:$b] AS cvec
+         |  FROM (SELECT vec_id, res FROM resc ORDER BY vec_id LIMIT $PqK) z),
+         |ra_$s AS (
+         |  SELECT vec_id, sv, cell FROM (
+         |    SELECT r.vec_id, r.res[$a:$b] AS sv, c.cell,
+         |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+         |        ${duckSqDist(s"r.res[$a:$b]", "c.cvec")}, c.cell) AS rn
+         |    FROM resc r CROSS JOIN rc0_$s c) x WHERE rn = 1),
+         |ru_$s AS (
+         |  SELECT cell, list(v ORDER BY pos) AS cvec_new FROM (
+         |    SELECT cell, pos,
+         |      CAST(sum(CAST(round(CAST(sv[pos] AS DOUBLE) * 1000)
+         |                    AS BIGINT)) AS DOUBLE)
+         |        / CAST(count(*) * 1000 AS DOUBLE) AS v
+         |    FROM (SELECT cell, sv, unnest(range(1, ${sub + 1})) AS pos
+         |          FROM ra_$s) y
+         |    GROUP BY cell, pos) g GROUP BY cell),
+         |rc1_$s AS (
+         |  SELECT c0.cell, COALESCE(u.cvec_new, c0.cvec) AS cvec
+         |  FROM rc0_$s c0 LEFT JOIN ru_$s u USING (cell)),
+         |renc_$s AS (
+         |  SELECT vec_id, $s AS s, cell AS code FROM (
+         |    SELECT r.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+         |        ${duckSqDist(s"r.res[$a:$b]", "c.cvec")}, c.cell) AS rn
+         |    FROM resc r CROSS JOIN rc1_$s c) x WHERE rn = 1),
+         |rqt_$s AS (
+         |  SELECT qr.q_id, qr.cell, $s AS s, c.cell AS ccell,
+         |    CAST(round(${duckSqDist(s"qr.qr[$a:$b]", "c.cvec")} * 1000000)
+         |      AS BIGINT) AS qdist
+         |  FROM qres qr CROSS JOIN rc1_$s c)""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       |  WHERE vec_id < 10),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT 8) s),
+       |${duckKmeansRound("c0", "c1")},
+       |${duckKmeansRound("c1", "c2")},
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckSqDist("e.embedding", "c.cvec")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) x WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.q_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${duckSqDist("q.q_vec", "c.cvec")}, c.cell) AS rn
+       |    FROM q CROSS JOIN c2 c) x WHERE rn <= 2),
+       |resc AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(list_zip(e.embedding, c.cvec),
+       |      x -> CAST(x[1] AS DOUBLE) - x[2]) AS res
+       |  FROM assign a
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN c2 c ON c.cell = a.cell),
+       |qres AS (
+       |  SELECT p.q_id, p.cell,
+       |    list_transform(list_zip(q.q_vec, c.cvec),
+       |      x -> CAST(x[1] AS DOUBLE) - x[2]) AS qr
+       |  FROM probes p
+       |  JOIN q USING (q_id)
+       |  JOIN c2 c ON c.cell = p.cell),
+       |${(0 until PqM).map(sCtes).mkString(",\n")},
+       |renc AS (${(0 until PqM).map(s => s"SELECT * FROM renc_$s")
+                    .mkString(" UNION ALL ")}),
+       |rqt AS (${(0 until PqM).map(s => s"SELECT * FROM rqt_$s")
+                   .mkString(" UNION ALL ")}),
+       |sc AS (
+       |  SELECT p.q_id, r.vec_id, r.cell,
+       |    CAST(sum(t.qdist) AS BIGINT) AS dist
+       |  FROM probes p
+       |  JOIN resc r ON r.cell = p.cell
+       |  JOIN renc e ON e.vec_id = r.vec_id
+       |  JOIN rqt t ON t.q_id = p.q_id AND t.cell = p.cell
+       |             AND t.s = e.s AND t.ccell = e.code
+       |  WHERE p.q_id <> r.vec_id
+       |  GROUP BY p.q_id, r.vec_id, r.cell),
+       |rk AS (
+       |  SELECT q_id, cell, vec_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY dist, vec_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT q_id, cell, rnk, vec_id AS neighbor_id, dist FROM rk
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Oracle for the refine stage: the [[RefineShort]]-deep IVF-PQ
@@ -1804,6 +1937,22 @@ object DataQueries {
          |SELECT q_id, rnk, vec_id AS neighbor_id, cos_sim FROM r
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin), headline = true),
 
+    "data_sim_l2_topk" -> Q(simL2TopK, Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${duckSqDist("q.q_vec", "e.embedding")} AS d2
+         |  FROM q CROSS JOIN embeddings e WHERE q.q_id <> e.vec_id),
+         |r AS (
+         |  SELECT q_id, vec_id, d2,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY d2, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, rnk, vec_id AS neighbor_id, d2 FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
     "data_sim_ivf" -> Q(simIvf, Some(
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
@@ -2741,6 +2890,8 @@ object DataQueries {
 
     "data_sim_ivfpq_refine" -> Q(simIvfPqRefine, Some(ivfPqRefineOracleSql)),
 
+    "data_sim_ivfadc" -> Q(simIvfAdcTopK, Some(ivfAdcOracleSql)),
+
     "data_sim_sq8_topk" -> Q(simSq8TopK, Some(
       s"""WITH e AS (
          |  SELECT vec_id, embedding,
@@ -2774,27 +2925,37 @@ object DataQueries {
     def body(n: String): String = o(n).oracle.getOrElse(
       sys.error(s"recall oracle needs the $n oracle"))
     s"""WITH bf AS (SELECT * FROM (${body("data_sim_cosine_topk")}) x),
+       |bfl2 AS (SELECT * FROM (${body("data_sim_l2_topk")}) x),
+       |tr AS (
+       |  SELECT 'cos' AS truth, q_id, neighbor_id, rnk FROM bf
+       |  UNION ALL
+       |  SELECT 'l2', q_id, neighbor_id, rnk FROM bfl2),
        |ivff AS (SELECT * FROM (${body("data_sim_ivf_fitted")}) x),
        |ivfpq AS (SELECT * FROM (${body("data_sim_ivfpq")}) x),
        |ivfpqr AS (SELECT * FROM (${body("data_sim_ivfpq_refine")}) x),
+       |ivfadc AS (SELECT * FROM (${body("data_sim_ivfadc")}) x),
        |pq AS (SELECT * FROM (${body("data_sim_pq_topk")}) x),
        |sq8 AS (SELECT * FROM (${body("data_sim_sq8_topk")}) x),
        |tagged AS (
-       |  SELECT 'ivf_fitted' AS method, 3 AS k_at, q_id, neighbor_id FROM ivff
+       |  SELECT 'ivf_fitted' AS method, 'cos' AS truth, 3 AS k_at,
+       |         q_id, neighbor_id FROM ivff
        |  UNION ALL
-       |  SELECT 'ivfpq', 3, q_id, neighbor_id FROM ivfpq
+       |  SELECT 'ivfpq', 'cos', 3, q_id, neighbor_id FROM ivfpq
        |  UNION ALL
-       |  SELECT 'ivfpq_refine', 3, q_id, neighbor_id FROM ivfpqr
+       |  SELECT 'ivfpq_refine', 'cos', 3, q_id, neighbor_id FROM ivfpqr
        |  UNION ALL
-       |  SELECT 'pq', 5, q_id, neighbor_id FROM pq
+       |  SELECT 'ivfadc', 'l2', 3, q_id, neighbor_id FROM ivfadc
        |  UNION ALL
-       |  SELECT 'sq8', 5, q_id, neighbor_id FROM sq8),
+       |  SELECT 'pq', 'cos', 5, q_id, neighbor_id FROM pq
+       |  UNION ALL
+       |  SELECT 'sq8', 'cos', 5, q_id, neighbor_id FROM sq8),
        |j AS (
        |  SELECT t.method, t.k_at, t.q_id,
-       |    CASE WHEN bf.rnk IS NOT NULL AND bf.rnk <= t.k_at
+       |    CASE WHEN tr.rnk IS NOT NULL AND tr.rnk <= t.k_at
        |         THEN 1 ELSE 0 END AS hit
-       |  FROM tagged t LEFT JOIN bf
-       |    ON bf.q_id = t.q_id AND bf.neighbor_id = t.neighbor_id)
+       |  FROM tagged t LEFT JOIN tr
+       |    ON tr.truth = t.truth AND tr.q_id = t.q_id
+       |   AND tr.neighbor_id = t.neighbor_id)
        |SELECT method, CAST(k_at AS BIGINT) AS k_at,
        |  CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
        |  CAST(sum(hit) AS BIGINT) AS n_hits,

@@ -26,5 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+    // the media codec surface (decode/values/dhash/resize + encoders)
+    graft.functions.MediaFunctions.builders.foreach { case (name, build) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.functions.MediaDecode].getName, name),
+        build))
+    }
   }
 }

@@ -21,7 +21,8 @@ object Plans {
     "data_dedup_spans", "data_sketch_cms", "data_decontaminate_bloom",
     "data_search_phrase",
     "data_mm_phash", "data_mm_audio_frames", "data_sim_ivfpq_refine",
-    "data_classifier_pr", "data_epoch_shuffle", "data_mm_neardup")
+    "data_classifier_pr", "data_epoch_shuffle", "data_mm_neardup",
+    "data_sim_ivfadc")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -229,6 +230,13 @@ object Plans {
       |  EQUI-join — never an image×image comparison — and the exact
       |  Hamming check is one XOR+popcount per surviving candidate. The
       |  ≤3-bit radius makes banding exact (pigeonhole over 4 bands).
+      |- **data_sim_ivfadc** — the residual-encoded IVFADC keeps the
+      |  ivfpq query shape: residual computation is a MAP-ONLY literal
+      |  centroid lookup (element_at of the collected coarse table — no
+      |  join to meet the centroids), codebooks fit on residual slices
+      |  with the same bounded O(k × dim) aggregate rounds, and the
+      |  per-(query, probed-cell) L2 tables ride the broadcast probe
+      |  set; corpus-side scoring touches only the m code columns.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —

@@ -34,7 +34,8 @@ object ScaleBench {
     "data_mm_phash", "data_mm_audio_frames", "data_sim_ivfpq_refine",
     "data_classifier_pr", "data_epoch_shuffle", "data_split_assign",
     "data_cube_stats", "data_mm_resize", "data_mm_neardup",
-    "data_pack_sequences", "data_mixture_temperature")
+    "data_pack_sequences", "data_mixture_temperature",
+    "data_sim_ivfadc", "data_sim_l2_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

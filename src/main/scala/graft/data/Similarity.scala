@@ -65,6 +65,23 @@ object Similarity {
       .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("cos_sim"))
   }
 
+  /** Exact squared-L2 top-k — the metric-matched ground truth for the
+    * L2-family ANN indexes ([[ivfAdcTopK]]): for each query, the k
+    * nearest corpus rows by ascending ‖q − x‖² (ties by id). Same
+    * broadcast-queries × corpus shape as [[bruteForceTopK]]; `d2` is the
+    * index-ordered left fold, bit-identical on any engine. */
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       qId: String = "q_id", qVec: String = "q_vec",
+                       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col(qId) =!= col(cId))
+      .withColumn("d2", sqDist(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("d2"), col(cId))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(qId), col("rnk"), col(cId).as("neighbor_id"), col("d2"))
+  }
+
   /** Squared-L2 distance as an index-ordered left fold in doubles — same
     * engine-portable determinism contract as [[dot]]. */
   def sqDist(a: Column, b: Column): Column =
@@ -434,6 +451,98 @@ object Similarity {
     // cb fully consumed by driver-side collects during this build — release
     // (same rationale as pqTopK).
     cb.unpersist()
+    out
+  }
+
+  /** Residual-encoded IVFADC — the textbook faiss `IndexIVFPQ` (Jégou et
+    * al. 2011 §IV): PQ codebooks are fitted on RESIDUALS `x − c(x)`
+    * (each vector minus its coarse centroid), and search approximates
+    * the **L2 distance** `‖q − x‖² ≈ Σ_s ‖qr_sub − codebook_s[code_s]‖²`
+    * where `qr = q − c(cell)` is the query's residual against each
+    * probed cell — so the distance tables are PER (query, probed cell),
+    * not per query. Residuals concentrate near zero, so the same m×k
+    * codebook budget quantizes them with far less error than raw
+    * vectors — the measured recall gap vs [[ivfPqTopK]] (raw-vector IP
+    * ADC) is the point of the `data_sim_recall` comparison.
+    *
+    * Determinism/oracle contract: coarse + codebook k-means are the
+    * bit-identical [[fitCentroids]]; residuals are per-coordinate
+    * double subtractions (exact); distance-table entries are
+    * `round(‖·‖²·10⁶)` longs; ranking is ascending integer distance,
+    * ties by id.
+    *
+    * Scale: identical shape to [[ivfPqTopK]] — centroid/codebook
+    * collects are bounded model pulls, residual computation is a
+    * map-only literal-lookup projection (the corpus never shuffles),
+    * tables ride the broadcast probe set (nq × nprobe rows), scoring is
+    * m array lookups per code row, per-query top-k via
+    * WindowGroupLimit. */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, kCells: Int,
+                 coarseRounds: Int, m: Int, k: Int, rounds: Int, topK: Int,
+                 nprobe: Int = 1,
+                 qId: String = "q_id", qVec: String = "q_vec",
+                 cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val d = corpus.select(size(col(cVec))).head.getInt(0)
+    require(m > 0 && d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val sub = d / m
+    val coarse = fitCentroids(corpus, kCells, coarseRounds, cId, cVec)
+    // bounded model pull; cells are 0..kCells-1 by construction, so an
+    // array literal indexed by cell+1 is the residual lookup table
+    val coarseArr = coarse.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(coarseArr.map(_._1).toSeq == (0L until coarseArr.length),
+      "coarse cells must be contiguous 0..k-1")
+    val cvecLit = array(coarseArr.map { case (_, v) =>
+      array(v.map(lit): _*)
+    }: _*)
+    def residualOf(vec: Column, cell: Column): Column =
+      zip_with(vec, element_at(cvecLit, (cell + 1).cast("int")),
+        (x, y) => x.cast("double") - y)
+    val assigned = assignCellsBroadcast(corpus, coarse, cVec)
+      .where(col("cell") >= 0)
+      .withColumn("_res", residualOf(col(cVec), col("cell")))
+    val cb = pqCodebooks(assigned.select(col(cId), col("_res")),
+      m, k, rounds, cId, "_res").persist()
+    // pqEncode's per-subspace assignment writes its own "cell" column —
+    // stash the coarse cell under a reserved name around it (same
+    // contract as ivfPqTopK)
+    val encoded = pqEncode(
+      assigned.withColumnRenamed("cell", "_coarse"), cb, m, cId, "_res")
+      .select(col(cId) +: col("_coarse").as("cell") +:
+        (0 until m).map(s => col(s"code_$s")): _*)
+    // route queries to nprobe nearest coarse cells (same as ivfPqTopK)
+    val routed = queries.crossJoin(broadcast(coarse))
+      .withColumn("_d2", sqDist(col(qVec), col("cvec")))
+    val wr = Window.partitionBy(col(qId)).orderBy(col("_d2"), col("cell"))
+    val probes = routed.withColumn("_rn", row_number().over(wr))
+      .where(col("_rn") <= nprobe)
+      .select(col(qId), col(qVec), col("cell"))
+    val cents: Map[(Int, Long), Seq[Double]] = cb.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    // per-(query, probed cell) L2 distance tables over the QUERY RESIDUAL
+    val qrCol = residualOf(col(qVec), col("cell"))
+    def sqDistD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val qTabs = (0 until m).map { s =>
+      array((0L until k.toLong).map { c =>
+        round(sqDistD(slice(qrCol, s * sub + 1, sub),
+          array(cents((s, c)).map(lit): _*)) * 1e6).cast("long")
+      }: _*).as(s"_qt_$s")
+    }
+    val qt = probes.select(col(qId) +: col("cell") +: qTabs: _*)
+    val dist = (0 until m).map(s =>
+      element_at(col(s"_qt_$s"), (col(s"code_$s") + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = encoded.join(broadcast(qt), Seq("cell"))
+      .where(col(qId) =!= col(cId))
+      .withColumn("dist", dist)
+    val w = Window.partitionBy(col(qId)).orderBy(col("dist"), col(cId))
+    val out = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col(qId), col("cell"), col("rnk"), col(cId).as("neighbor_id"),
+        col("dist"))
+    cb.unpersist() // consumed by driver-side collects during the build
     out
   }
 

@@ -476,47 +476,37 @@ case class MediaDHash(child: Expression) extends UnaryExpression {
 
 object MediaFunctions {
 
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions
+        .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $other")
+  }
+
+  /** Name → expression builder for every media function — the single
+    * source shared by session [[register]] and the
+    * [[graft.GraftExtensions]] config-injection path. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "media_decode" -> (exprs => MediaDecode(exprs.head)),
+    "media_values" -> (exprs => MediaValues(exprs.head)),
+    "media_dhash" -> (exprs => MediaDHash(exprs.head)),
+    "wav_encode" -> (exprs =>
+      WavEncode(exprs.head, intLit(exprs(1), "wav_encode(samples, rate)"))),
+    "bmp_encode" -> (exprs =>
+      BmpEncode(exprs.head, intLit(exprs(1), "bmp_encode(pixels, width)"))),
+    "media_resize" -> (exprs =>
+      MediaResize(exprs.head,
+        intLit(exprs(1), "media_resize(payload, outW, outH)"),
+        intLit(exprs(2), "media_resize(payload, outW, outH)"))))
+
   /** Idempotent session registration (same pattern as [[VectorFunctions]]). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    def intLit(e: Expression, fn: String): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions
-          .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"$fn: expected an integer literal, got $other")
+    builders.foreach { case (name, build) =>
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, build, "scala_udf")
     }
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("media_decode")))
-      registry.createOrReplaceTempFunction(
-        "media_decode", exprs => MediaDecode(exprs.head), "scala_udf")
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("wav_encode")))
-      registry.createOrReplaceTempFunction(
-        "wav_encode",
-        exprs => WavEncode(exprs.head, intLit(exprs(1), "wav_encode(samples, rate)")),
-        "scala_udf")
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("bmp_encode")))
-      registry.createOrReplaceTempFunction(
-        "bmp_encode",
-        exprs => BmpEncode(exprs.head, intLit(exprs(1), "bmp_encode(pixels, width)")),
-        "scala_udf")
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("media_values")))
-      registry.createOrReplaceTempFunction(
-        "media_values", exprs => MediaValues(exprs.head), "scala_udf")
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("media_dhash")))
-      registry.createOrReplaceTempFunction(
-        "media_dhash", exprs => MediaDHash(exprs.head), "scala_udf")
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("media_resize")))
-      registry.createOrReplaceTempFunction(
-        "media_resize",
-        exprs => MediaResize(exprs.head,
-          intLit(exprs(1), "media_resize(payload, outW, outH)"),
-          intLit(exprs(2), "media_resize(payload, outW, outH)")),
-        "scala_udf")
   }
 
   /** Column-API handles; require [[register]] on the session first. */

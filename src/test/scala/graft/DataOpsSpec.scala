@@ -574,6 +574,40 @@ class DataOpsSpec extends AnyFunSuite {
     assert(top.map(_._4) == Seq(2L), s"got $top") // only the twin, id 2
   }
 
+  test("bruteForceL2TopK ranks by distance, not direction") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // query
+      (1L, Seq(3.0f, 0.0f)),  // same direction, far away
+      (2L, Seq(0.5f, 0.5f))   // off-direction, close
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val l2 = Similarity.bruteForceL2TopK(queries, corpus, k = 2)
+      .orderBy("rnk").select($"neighbor_id").as[Long].collect().toSeq
+    val cos = Similarity.bruteForceTopK(queries, corpus, k = 2)
+      .orderBy("rnk").select($"neighbor_id").as[Long].collect().toSeq
+    assert(l2 == Seq(2L, 1L))  // nearest by ‖q−x‖²
+    assert(cos == Seq(1L, 2L)) // nearest by angle — the metrics disagree
+  }
+
+  test("ivfAdcTopK probes the coarse cell and finds the residual-coded twin") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (3L, Seq(0.0f, 1.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    // nprobe=1: only the query's own coarse cell is scored; the twin
+    // (identical vector -> identical residual -> identical codes -> zero
+    // table distance) is the only candidate and must surface
+    val top = Similarity.ivfAdcTopK(queries, corpus, kCells = 2,
+        coarseRounds = 1, m = 2, k = 2, rounds = 1, topK = 3, nprobe = 1)
+      .orderBy("rnk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(top.map(_._4) == Seq(2L), s"got $top")
+    assert(top.head._5 == 0L) // exact-twin residual distance is zero
+  }
+
   test("refineTopK with a full-corpus shortlist reproduces brute force") {
     // Refine is exact re-scoring: when the shortlist is the whole corpus,
     // the result must be bit-identical to bruteForceTopK (same fold, same

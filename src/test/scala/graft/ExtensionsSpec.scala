@@ -18,6 +18,16 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("media functions resolve from SQL text after runtime registration") {
+    graft.functions.MediaFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT media_decode(wav_encode(array(100, -200, 300), 8000)).sum_val " +
+        "AS s, media_dhash(bmp_encode(array(1,2,3,4,5,6,7), 7)) AS h")
+      .collect().head
+    assert(got.getLong(0) == 200L)
+    assert(!got.isNullAt(1))
+  }
+
   test("vec_dot resolves from SQL text after runtime registration") {
     VectorFunctions.register(spark)
     val got = spark.sql(
