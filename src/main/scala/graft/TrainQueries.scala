@@ -130,13 +130,20 @@ object TrainQueries {
     * (bucket, bin) whose `collect_list` payload is bounded by the bin's
     * token budget — never a whole-corpus collect. Deterministic order
     * inside the sequence via array_sort on (doc_id, text) structs. */
-  private def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+  private def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesWith(spark, dir, PackBuckets)
+
+  /** [[packSequences]] at an explicit bucket count — the parallelism
+    * knob: buckets pack independently (the running-offset window and the
+    * per-sequence assembly both partition by bucket), so a production
+    * run sizes buckets to the cluster, not to the oracle's fixed 8.
+    * `PackProbe` measures the knob at the scale SFs. */
+  def packSequencesWith(spark: SparkSession, dir: String,
+                        buckets: Int): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
-        (col("doc_id") % PackBuckets).as("bucket"))
+        (col("doc_id") % buckets).as("bucket"))
       .withColumn("bin",
         expr(s"coalesce(sum(n_tok) over (partition by bucket order by doc_id" +
           s" rows between unbounded preceding and 1 preceding), 0L)" +
@@ -181,6 +188,56 @@ object TrainQueries {
         least(lit(1.0),
           col("alloc_docs").cast("double") / col("n_docs").cast("double")))
       .dumpOrdered("source")
+  }
+
+  // -- tokenizer application -------------------------------------------
+
+  private val BpeVocabK = 64 // learned-vocab size (plus implicit chars)
+
+  /** APPLY a subword tokenizer at corpus scale — the encode step between
+    * `data_bpe_pairs` (merge learning) and `data_pack_sequences`
+    * (sequence building): every word greedily segments into the longest
+    * matching units of a corpus-derived top-[[BpeVocabK]] SUBWORD
+    * vocabulary (the most frequent 2–4-character fragments, so words
+    * genuinely split — "table" → "tabl|e", not a whole-word lookup),
+    * single-character fallback, via the compiled
+    * [[graft.functions.BpeApply]] expression.
+    *
+    * Scale: the vocabulary is a bounded model pull (top-K by count)
+    * inlined as literals — model application is ONE map-only pass over
+    * the words, no join, no UDF; the per-doc reassembly is a single
+    * hash aggregate. The oracle replays the greedy rule with a
+    * recursive CTE — longest-prefix matching is deterministic, so the
+    * encodings hash-match exactly. */
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExprFunctions.registerBpe(spark)
+    val words = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wpos", "word")))
+    val frags = (2 to 4).map { n =>
+      words.select(explode(
+        when(length(col("word")) >= n,
+          transform(sequence(lit(1), length(col("word")) - n + 1),
+            p => col("word").substr(p, lit(n))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    }.reduce(_.union(_))
+    val vocab: Seq[String] = frags
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("g")).limit(BpeVocabK)
+      .collect().map(_.getString(0)).toSeq
+    words
+      .withColumn("subs",
+        graft.functions.TextExprFunctions.bpe_apply(col("word"), vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("subs"))).as("n_subtokens"),
+        array_sort(collect_list(struct(col("wpos"),
+          array_join(col("subs"), "|").as("w")))).as("ps"))
+      .select(col("doc_id"), col("n_words"), col("n_subtokens"),
+        (col("n_subtokens").cast("double") / col("n_words").cast("double"))
+          .as("subtok_per_word"),
+        concat_ws(" ", transform(col("ps"), _.getField("w"))).as("encoded"))
+      .dumpOrderedTail("doc_id")
   }
 
   // -- CUBE stats -------------------------------------------------------
@@ -275,6 +332,42 @@ object TrainQueries {
          |  CASE WHEN tp + fn > 0
          |       THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec
          |FROM a ORDER BY tau""".stripMargin)),
+
+    "data_bpe_encode" -> Q(bpeEncode, Some(
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $duckWords AS w FROM documents),
+         |v AS (
+         |  SELECT g AS token FROM (
+         |    SELECT g, count(*) AS cnt FROM (
+         |      SELECT substr(word, CAST(p AS INTEGER), CAST(n AS INTEGER)) AS g
+         |      FROM (SELECT unnest($duckWords) AS word FROM documents) x,
+         |           (SELECT unnest(range(2, 5)) AS n) nn,
+         |           LATERAL (SELECT unnest(range(1, length(word) - n + 2))
+         |                    AS p) pp) z
+         |    GROUP BY g ORDER BY cnt DESC, g LIMIT $BpeVocabK) y),
+         |w2 AS (
+         |  SELECT doc_id, wpos, w[wpos + 1] AS word FROM (
+         |    SELECT doc_id, unnest(range(0, len(w))) AS wpos, w FROM t) z),
+         |step(doc_id, wpos, rest, toks) AS (
+         |  SELECT doc_id, wpos, word, CAST([] AS VARCHAR[]) FROM w2
+         |  UNION ALL
+         |  SELECT doc_id, wpos, substr(rest, length(tok) + 1),
+         |         list_append(toks, tok)
+         |  FROM (
+         |    SELECT s.doc_id, s.wpos, s.rest, s.toks,
+         |      COALESCE(
+         |        (SELECT token FROM v WHERE starts_with(s.rest, token)
+         |         ORDER BY length(token) DESC, token LIMIT 1),
+         |        substr(s.rest, 1, 1)) AS tok
+         |    FROM step s WHERE s.rest <> '') z),
+         |done AS (SELECT doc_id, wpos, toks FROM step WHERE rest = '')
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(toks)) AS BIGINT) AS n_subtokens,
+         |  CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS subtok_per_word,
+         |  string_agg(array_to_string(toks, '|'), ' ' ORDER BY wpos)
+         |    AS encoded
+         |FROM done GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "data_pack_sequences" -> Q(packSequences, Some(
       s"""WITH d AS (

@@ -89,8 +89,33 @@ object TextExprFunctions {
         "scala_udf")
   }
 
+  def registerBpe(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_apply")))
+      registry.createOrReplaceTempFunction(
+        "bpe_apply",
+        exprs => exprs(1) match {
+          case v if v.foldable && v.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType] =>
+            val arr = v.eval().asInstanceOf[ArrayData]
+            BpeApply(exprs.head,
+              (0 until arr.numElements()).map(i =>
+                arr.getUTF8String(i).toString))
+          case other => throw new IllegalArgumentException(
+            s"bpe_apply(word, vocab): vocab must be a literal string array, got $other")
+        },
+        "scala_udf")
+  }
+
   /** Requires [[register]] on the session first. */
   def hashed_weight_sum(words: Column, buckets: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "hashed_weight_sum", words, org.apache.spark.sql.functions.lit(buckets))
+
+  /** Requires [[registerBpe]] on the session first. */
+  def bpe_apply(word: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.functions.call_function("bpe_apply", word,
+      org.apache.spark.sql.functions.array(
+        vocab.map(org.apache.spark.sql.functions.lit): _*))
 }
