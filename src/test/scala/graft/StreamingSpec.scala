@@ -277,6 +277,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming image dedup converges to the batch data_mm_phash verdicts") {
+    val d = java.nio.file.Files.createTempDirectory("graft_mm_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val streamed = EventStreams.runToMemory(
+      graft.streaming.MediaStreams.imageDedupStream(
+        graft.streaming.MediaStreams.readDocs(spark, d.toString)).toDF(),
+      "mm_dedup", OutputMode.Append())
+      .select(col("doc_id"), col("phash"), col("is_dup"))
+    val batch = Registry.byName("data_mm_phash").build(spark, TestSpark.sf)
+      .select(col("doc_id"), col("phash"), col("is_dup"))
+    // single input file -> one micro-batch -> keeper = global min doc_id,
+    // identical to the batch keeper election
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming image dedup flags a cross-batch duplicate against first-seen state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.MediaStreams.imageDedupStream(docs).toDF()
+    val q = out.writeStream.format("memory").queryName("mm_dedup_x")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((101L, "identical image text")) // batch 1: first sight
+      q.processAllAvailable()
+      input.addData((7L, "identical image text"))   // batch 2: same pixels
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("mm_dedup_x")
+      .select($"doc_id", $"keeper_id", $"is_dup")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // first-seen keeper wins across batches: doc 7 is the DUP even though
+    // its id is lower — the streaming (arrival-order) contract
+    assert(rows == Seq((7L, 101L, true), (101L, 101L, false)))
+  }
+
   test("transformWithState TTL: expired state is evicted, counters restart") {
     // In ProcessingTime time-mode the query free-runs micro-batches to
     // advance the TTL clock, so neither processAllAvailable nor
