@@ -417,6 +417,8 @@ case class MediaDecode(child: Expression) extends UnaryExpression {
   * frame/grid consumers downstream reference the RESULT attribute, so the
   * container parses once per row however many features read it. */
 case class MediaValues(child: Expression) extends UnaryExpression {
+  // invalid/unknown payloads yield null even for a non-null child
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "media_values"
 
@@ -439,6 +441,8 @@ case class MediaValues(child: Expression) extends UnaryExpression {
 case class MediaResize(child: Expression, outW: Int, outH: Int)
     extends UnaryExpression {
   require(outW > 0 && outH > 0, s"resize dims must be positive: $outW x $outH")
+  // non-BMP payloads yield null even for a non-null child
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "media_resize"
 
@@ -458,6 +462,8 @@ case class MediaResize(child: Expression, outW: Int, outH: Int)
   * (see [[MediaCodecImpl.dhash56]]); null for non-BMP payloads. Fused
   * decode+hash: one header parse and one pixel pass per row. */
 case class MediaDHash(child: Expression) extends UnaryExpression {
+  // invalid/unknown payloads yield null even for a non-null child
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "media_dhash"
 
