@@ -190,6 +190,36 @@ object TrainQueries {
       .dumpOrdered("source")
   }
 
+  // -- shard content manifest ------------------------------------------
+
+  /** Reproducibility manifest per training shard (same md5 shard rule as
+    * `data_shard_plan`): doc/token counts plus an ORDER-INDEPENDENT
+    * content checksum — `bit_xor` of each document's 52-bit md5 prefix —
+    * and the min/max doc hashes for spot checks. Re-running ingestion on
+    * any partitioning/ordering must reproduce these rows bit-for-bit;
+    * a single changed, added or dropped document flips its shard's xor.
+    *
+    * Scale: one map-side-combinable hash aggregate (xor and min/max all
+    * combine associatively+commutatively); shuffle is NShards rows. */
+  private def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("shard|"), col("doc_id").cast("string")))
+    val contentHash = md5(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % ManifestShards)
+          .as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        contentHash.as("ch"),
+        conv(substring(contentHash, 1, 13), 16, 10).cast("long").as("h52"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        expr("bit_xor(h52)").as("xor_checksum"),
+        min(col("ch")).as("min_hash"), max(col("ch")).as("max_hash"))
+      .dumpOrderedTail("shard")
+  }
+
+  private val ManifestShards = 8
+
   // -- tokenizer application -------------------------------------------
 
   private val BpeVocabK = 64 // learned-vocab size (plus implicit chars)
@@ -332,6 +362,25 @@ object TrainQueries {
          |  CASE WHEN tp + fn > 0
          |       THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec
          |FROM a ORDER BY tau""".stripMargin)),
+
+    "data_shard_manifest" -> Q(shardManifest, Some(
+      s"""WITH d AS (
+         |  SELECT
+         |    (CAST(list_sum(list_transform(range(1, 5), i ->
+         |       (strpos('0123456789abcdef',
+         |          substr(md5('shard|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+         |       * 16 ** (4 - i))) AS BIGINT) % $ManifestShards) AS shard,
+         |    CAST(len($duckWords) AS BIGINT) AS n_tok,
+         |    md5(text) AS ch,
+         |    CAST(list_sum(list_transform(range(1, 14), i ->
+         |      (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+         |      * 16 ** (13 - i))) AS BIGINT) AS h52
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+         |  CAST(bit_xor(h52) AS BIGINT) AS xor_checksum,
+         |  min(ch) AS min_hash, max(ch) AS max_hash
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin)),
 
     "data_bpe_encode" -> Q(bpeEncode, Some(
       s"""WITH RECURSIVE t AS (

@@ -84,6 +84,32 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(smallest._5 >= largest._5)
   }
 
+  test("data_shard_manifest: checksum matches an independent fold and is change-sensitive") {
+    val rows = Registry.byName("data_shard_manifest")
+      .build(spark, TestSpark.sf)
+      .select($"shard", $"n_docs", $"xor_checksum")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._2).sum ==
+      Tables.documents(spark, TestSpark.sf).count())
+    // independent driver-side fold (order-free xor of 52-bit md5 prefixes)
+    def hex4(s: String): Long = java.lang.Long.parseLong(s.take(4), 16)
+    def h52(s: String): Long = java.lang.Long.parseLong(s.take(13), 16)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val want = docs.filter(_._2 != null)
+      .groupBy { case (id, _) => hex4(md5hex(s"shard|$id")) % 8 }
+      .view.mapValues(_.map(d => h52(md5hex(d._2))).foldLeft(0L)(_ ^ _)).toMap
+    rows.foreach { case (shard, _, xor) => assert(want(shard) == xor) }
+    // change-sensitivity: perturbing ONE document flips its shard's xor
+    val (id0, t0) = docs.find(_._2 != null).get
+    val shard0 = hex4(md5hex(s"shard|$id0")) % 8
+    val perturbed = want(shard0) ^ h52(md5hex(t0)) ^ h52(md5hex(t0 + "!"))
+    assert(perturbed != want(shard0))
+  }
+
   test("data_cube_stats: all four margins present, totals consistent") {
     val rows = Registry.byName("data_cube_stats")
       .build(spark, TestSpark.sf)
