@@ -1324,13 +1324,16 @@ object DataQueries {
     * stratum) + a broadcast of the 1-row global, then pure expression
     * math. */
   private def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
-    // persist: `t` fans out to the crossJoin left side AND the 1-row
-    // global count — without it the documents scan + BPE tokenization
-    // runs twice (the crossJoin-of-aggregates recompute trap).
-    val t = Tables.documents(spark, dir)
-      .groupBy(col("lang"))
-      .agg(sum(TextAnalysis.bpeTokenCount(col("text"))).as("n_tokens"))
-      .persist()
+    // memoBy: `t` fans out to the crossJoin left side AND the 1-row
+    // global count — without a cache the documents scan + BPE
+    // tokenization runs twice (the crossJoin-of-aggregates recompute
+    // trap), and a bare persist() per build would leak one cached copy
+    // per bench rep (memoBy re-arms a single shared entry instead).
+    val t = Tables.memoBy(spark, s"mixplan:$dir") {
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"))
+        .agg(sum(TextAnalysis.bpeTokenCount(col("text"))).as("n_tokens"))
+    }
     val n = t.agg(count(lit(1)).as("n_langs"))
     val rate = least(lit(1.0),
       (lit(MixBudget).cast("double") / col("n_langs")) / col("n_tokens").cast("double"))

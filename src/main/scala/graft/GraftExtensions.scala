@@ -27,10 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
     // the media codec surface (decode/values/dhash/resize + encoders)
-    graft.functions.MediaFunctions.builders.foreach { case (name, build) =>
+    graft.functions.MediaFunctions.builders.foreach { case (name, cls, build) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[graft.functions.MediaDecode].getName, name),
+        new ExpressionInfo(cls.getName, name),
         build))
     }
   }

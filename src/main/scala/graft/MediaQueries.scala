@@ -173,27 +173,37 @@ object MediaQueries {
        |      i -> ascii(substr(text, i, 1))) AS codes
        |  FROM documents $where)""".stripMargin
 
+  /** Pixel-derivation CTEs (codes → full-row pixel list → valid images
+    * with height) — one source of truth for every image oracle. */
+  private val pixCtes: String =
+    s"""p AS (
+       |  SELECT doc_id,
+       |    list_transform(codes[1:(len(codes) // $W) * $W], c -> c % 256)
+       |      AS pix
+       |  FROM c),
+       |img AS (
+       |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
+       |  WHERE len(pix) >= $W)""".stripMargin
+
+  /** 56-bit dHash replay over `img` — shared by the phash and near-dup
+    * oracles (a grid/truncation rule change edits exactly one string). */
+  private val phashCte: String =
+    s"""ph AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 56), i ->
+       |      CASE WHEN pix[((i // 7) * h // 8) * $W + ((i % 7) * $W // 8) + 1]
+       |              < pix[((i // 7) * h // 8) * $W
+       |                    + (((i % 7) + 1) * $W // 8) + 1]
+       |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS phash
+       |  FROM img)""".stripMargin
+
   def defs: Seq[(String, Q)] = Seq(
 
     "data_mm_phash" -> Q(mmPhash, Some(
       s"""WITH ${codesCte("WHERE doc_id % 2 = 1 AND doc_id % 10 <> 3")},
-         |p AS (
-         |  SELECT doc_id,
-         |    list_transform(codes[1:(len(codes) // $W) * $W], c -> c % 256)
-         |      AS pix
-         |  FROM c),
-         |img AS (
-         |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
-         |  WHERE len(pix) >= $W),
-         |ph AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 56), i ->
-         |      CASE WHEN pix[((i // 7) * h // 8) * $W + ((i % 7) * $W // 8) + 1]
-         |              < pix[((i // 7) * h // 8) * $W
-         |                    + (((i % 7) + 1) * $W // 8) + 1]
-         |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
-         |      AS BIGINT) AS phash
-         |  FROM img),
+         |$pixCtes,
+         |$phashCte,
          |g AS (
          |  SELECT phash, count(*) AS n_same_hash, min(doc_id) AS keeper
          |  FROM ph GROUP BY phash)
@@ -204,14 +214,7 @@ object MediaQueries {
     "data_mm_resize" -> Q(mmResize, Some {
       val D = ResizeDim
       s"""WITH ${codesCte("WHERE doc_id % 2 = 1 AND doc_id % 10 <> 3")},
-         |p AS (
-         |  SELECT doc_id,
-         |    list_transform(codes[1:(len(codes) // $W) * $W], c -> c % 256)
-         |      AS pix
-         |  FROM c),
-         |img AS (
-         |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
-         |  WHERE len(pix) >= $W),
+         |$pixCtes,
          |r AS (
          |  SELECT doc_id,
          |    list_transform(range(0, ${D * D}), i ->
@@ -225,23 +228,8 @@ object MediaQueries {
 
     "data_mm_neardup" -> Q(mmNearDup, Some(
       s"""WITH ${codesCte("WHERE doc_id % 2 = 1 AND doc_id % 10 <> 3")},
-         |p AS (
-         |  SELECT doc_id,
-         |    list_transform(codes[1:(len(codes) // $W) * $W], c -> c % 256)
-         |      AS pix
-         |  FROM c),
-         |img AS (
-         |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
-         |  WHERE len(pix) >= $W),
-         |ph AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 56), i ->
-         |      CASE WHEN pix[((i // 7) * h // 8) * $W + ((i % 7) * $W // 8) + 1]
-         |              < pix[((i // 7) * h // 8) * $W
-         |                    + (((i % 7) + 1) * $W // 8) + 1]
-         |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
-         |      AS BIGINT) AS phash
-         |  FROM img),
+         |$pixCtes,
+         |$phashCte,
          |b AS (
          |  SELECT doc_id, phash, r AS band,
          |    (phash >> (r * $BandBits)) & ${(1L << BandBits) - 1} AS bv

@@ -173,12 +173,17 @@ object TrainQueries {
     * broadcast back (crossJoin-of-aggregates, the W1 pattern) — the
     * corpus is scanned once. */
   private def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("w_temp",
-        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
-      .persist()
+    // memoBy, not a bare persist(): both the crossJoin left side and the
+    // 1-row weight sum read `t`, and repeated builds (bench reps) must
+    // not leak a fresh cached copy per invocation — memoBy re-arms one
+    // shared entry across builds (cleared by Verify/CLEARCACHE).
+    val t = Tables.memoBy(spark, s"mixtemp:$dir") {
+      Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_temp",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    }
     val tot = t.agg(sum(col("w_temp")).as("sum_w"))
     t.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("w_temp"),

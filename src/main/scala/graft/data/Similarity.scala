@@ -520,13 +520,11 @@ object Similarity {
     val cents: Map[(Int, Long), Seq[Double]] = cb.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
     // per-(query, probed cell) L2 distance tables over the QUERY RESIDUAL
+    // (sqDist's cast("double") is a no-op on the already-double residuals)
     val qrCol = residualOf(col(qVec), col("cell"))
-    def sqDistD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
     val qTabs = (0 until m).map { s =>
       array((0L until k.toLong).map { c =>
-        round(sqDistD(slice(qrCol, s * sub + 1, sub),
+        round(sqDist(slice(qrCol, s * sub + 1, sub),
           array(cents((s, c)).map(lit): _*)) * 1e6).cast("long")
       }: _*).as(s"_qt_$s")
     }

@@ -58,8 +58,14 @@ case class BpeApply(child: Expression, vocab: Seq[String])
         out += UTF8String.fromString(matched)
         i += matched.length
       } else {
-        out += UTF8String.fromString(s.substring(i, i + 1))
-        i += 1
+        // fallback consumes one CODE POINT (SQL substr is code-point
+        // based; splitting a surrogate pair would emit invalid strings
+        // and diverge from the oracle). Vocab matches keep i on
+        // code-point boundaries, since vocab fragments come from SQL
+        // substrings and are themselves well-formed.
+        val step = Character.charCount(s.codePointAt(i))
+        out += UTF8String.fromString(s.substring(i, i + step))
+        i += step
       }
     }
     new GenericArrayData(out.toArray[Any])

@@ -194,12 +194,18 @@ object MediaCodecImpl {
     val rawHeight = i32(b, 22)
     val bpp = u16(b, 28)
     val compression = u32(b, 30)
-    val height = Math.abs(rawHeight)
+    val height = Math.abs(rawHeight.toLong) // abs(Int.MinValue) would stay negative
     if (biSize < 40 || width <= 0 || bpp != 8 || compression != 0) return null
-    val stride = (width + 3) & ~3
-    val need = dataOffset + stride.toLong * height
+    // LONG stride/need: a crafted width near Int.MaxValue overflows the
+    // int stride to negative, which would pass the bounds check and then
+    // index the array at negative offsets — corrupt payloads must come
+    // back invalid, never crash the scan
+    val stride = (width.toLong + 3) & ~3L
+    val need = dataOffset + stride * height
     if (dataOffset < 54 || need > b.length) return null
-    Array(dataOffset.toInt, width, height, stride, if (rawHeight < 0) 1 else 0)
+    // post-validation, everything fits in the array (and thus in Int)
+    Array(dataOffset.toInt, width, height.toInt, stride.toInt,
+      if (rawHeight < 0) 1 else 0)
   }
 
   private def decodeBmp(b: Array[Byte]): InternalRow = {
@@ -236,28 +242,31 @@ object MediaCodecImpl {
     * even) with `fmt ` validation (PCM, mono, 16-bit). Shared by the
     * stats decode, [[values]] and any frame-level consumer. */
   private def wavGeometry(b: Array[Byte]): Array[Int] = {
-    var off = 12
+    // LONG cursor: a crafted u32 chunk size like 0xFFFFFFF8 would, as a
+    // truncated int, step the cursor backwards (or not at all) and hang
+    // the scan — corrupt payloads must come back invalid, never loop
+    var off = 12L
     var fmtOk = false
     var rate = 0
-    var dataOff = -1
+    var dataOff = -1L
     var dataLen = -1L
     while (off + 8 <= b.length) {
-      val size = u32(b, off + 4)
+      val size = u32(b, off.toInt + 4)
       val payload = off + 8
-      if (tagAt(b, off, "fmt ")) {
+      if (tagAt(b, off.toInt, "fmt ")) {
         fmtOk = size >= 16 && payload + 16 <= b.length &&
-          u16(b, payload) == 1 && u16(b, payload + 2) == 1 &&
-          u16(b, payload + 14) == 16
-        if (fmtOk) rate = u32(b, payload + 4).toInt
-      } else if (tagAt(b, off, "data") && dataOff < 0) {
+          u16(b, payload.toInt) == 1 && u16(b, payload.toInt + 2) == 1 &&
+          u16(b, payload.toInt + 14) == 16
+        if (fmtOk) rate = u32(b, payload.toInt + 4).toInt
+      } else if (tagAt(b, off.toInt, "data") && dataOff < 0) {
         dataOff = payload
         dataLen = size
       }
-      off = payload + size.toInt + (size.toInt & 1)
+      off = payload + size + (size & 1) // strictly advances: size >= 0
     }
     if (!fmtOk || dataOff < 0 || dataLen < 0 ||
         dataOff + dataLen > b.length || (dataLen & 1) != 0) null
-    else Array(rate, dataOff, (dataLen / 2).toInt)
+    else Array(rate, dataOff.toInt, (dataLen / 2).toInt)
   }
 
   /** Decoded value stream of a payload: WAV → PCM16 samples in file order,
@@ -489,18 +498,22 @@ object MediaFunctions {
       s"$fn: expected an integer literal, got $other")
   }
 
-  /** Name → expression builder for every media function — the single
-    * source shared by session [[register]] and the
-    * [[graft.GraftExtensions]] config-injection path. */
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "media_decode" -> (exprs => MediaDecode(exprs.head)),
-    "media_values" -> (exprs => MediaValues(exprs.head)),
-    "media_dhash" -> (exprs => MediaDHash(exprs.head)),
-    "wav_encode" -> (exprs =>
+  /** (name, implementing class, builder) for every media function — the
+    * single source shared by session [[register]] and the
+    * [[graft.GraftExtensions]] config-injection path (the class feeds
+    * `DESCRIBE FUNCTION`'s ExpressionInfo). */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("media_decode", classOf[MediaDecode],
+      (exprs: Seq[Expression]) => MediaDecode(exprs.head)),
+    ("media_values", classOf[MediaValues],
+      (exprs: Seq[Expression]) => MediaValues(exprs.head)),
+    ("media_dhash", classOf[MediaDHash],
+      (exprs: Seq[Expression]) => MediaDHash(exprs.head)),
+    ("wav_encode", classOf[WavEncode], (exprs: Seq[Expression]) =>
       WavEncode(exprs.head, intLit(exprs(1), "wav_encode(samples, rate)"))),
-    "bmp_encode" -> (exprs =>
+    ("bmp_encode", classOf[BmpEncode], (exprs: Seq[Expression]) =>
       BmpEncode(exprs.head, intLit(exprs(1), "bmp_encode(pixels, width)"))),
-    "media_resize" -> (exprs =>
+    ("media_resize", classOf[MediaResize], (exprs: Seq[Expression]) =>
       MediaResize(exprs.head,
         intLit(exprs(1), "media_resize(payload, outW, outH)"),
         intLit(exprs(2), "media_resize(payload, outW, outH)"))))
@@ -508,7 +521,7 @@ object MediaFunctions {
   /** Idempotent session registration (same pattern as [[VectorFunctions]]). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, build) =>
+    builders.foreach { case (name, _, build) =>
       if (!registry.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         registry.createOrReplaceTempFunction(name, build, "scala_udf")

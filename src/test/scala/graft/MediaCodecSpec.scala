@@ -108,6 +108,32 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(6) == 0L)) // n_values 0, not null
   }
 
+  test("crafted payloads terminate as invalid: backward chunk step, overflowing width") {
+    // RIFF chunk with u32 size 0xFFFFFFF8: as a truncated int the cursor
+    // would step backwards and the chunk walk would never terminate
+    val loopWav = new java.io.ByteArrayOutputStream()
+    loopWav.write("RIFF".getBytes); loopWav.write(Array[Byte](64, 0, 0, 0))
+    loopWav.write("WAVE".getBytes)
+    loopWav.write("JUNK".getBytes)
+    loopWav.write(Array[Byte](-8, -1, -1, -1)) // 0xFFFFFFF8 LE
+    loopWav.write(Array.fill[Byte](16)(0))
+    // BMP width 0x7FFFFFFE: int stride would overflow negative and pass
+    // the bounds check, then index the array at negative offsets
+    val hugeBmp = graft.functions.MediaCodecImpl.bmpEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1, 2, 3, 4, 5, 6, 7)), 7)
+    val w = 0x7FFFFFFE
+    hugeBmp(18) = (w & 0xFF).toByte; hugeBmp(19) = ((w >> 8) & 0xFF).toByte
+    hugeBmp(20) = ((w >> 16) & 0xFF).toByte; hugeBmp(21) = ((w >> 24) & 0xFF).toByte
+    val got = decodeBytes(Seq(loopWav.toByteArray, hugeBmp))
+    assert(got(0).getString(1) == "wav" && !got(0).getBoolean(2))
+    assert(got(1).getString(1) == "bmp" && !got(1).getBoolean(2))
+    assert(graft.functions.MediaCodecImpl.values(loopWav.toByteArray) == null)
+    assert(graft.functions.MediaCodecImpl.values(hugeBmp) == null)
+    assert(graft.functions.MediaCodecImpl.dhash56(hugeBmp) == null)
+    assert(graft.functions.MediaCodecImpl.resize(hugeBmp, 4, 4) == null)
+  }
+
   test("media_values: values ∘ encode == identity for WAV and both BMP orders") {
     MediaFunctions.register(spark)
     import MediaFunctions.media_values

@@ -61,10 +61,12 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val totalDocs = Tables.documents(spark, TestSpark.sf).count()
     assert(rows.map(_._3).sum == totalDocs)
-    // bins are contiguous from 0 within each bucket (offset-packing
-    // never skips a bin), and every full bin carries >= PackBin-ish load
+    // bins are distinct non-negative ids per bucket, starting at 0 (a
+    // single document longer than 2×PackBin legitimately SKIPS a bin,
+    // so contiguity is not an invariant)
     rows.groupBy(_._1).foreach { case (_, g) =>
-      assert(g.map(_._2).sorted == (0L until g.length.toLong))
+      val bins = g.map(_._2)
+      assert(bins.distinct.size == bins.size && bins.min == 0L)
     }
   }
 
