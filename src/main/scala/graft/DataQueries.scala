@@ -1496,8 +1496,9 @@ object DataQueries {
     * idf is fixed-point integer: `(SCALE * (N+1)) div (df+1)` — integer
     * floor division is bit-identical on both engines, so scores are exact
     * longs, with no float-log idf that libm would round differently. */
-  private def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** The TF-IDF retrieval model: (doc, term, tf) postings + fixed-point
+    * idf — shared by the top-k retrieval query and the MRR evaluation. */
+  private def tfidfModel(docs: DataFrame): (DataFrame, DataFrame) = {
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1506,6 +1507,12 @@ object DataQueries {
     val idf = dfreq.crossJoin(broadcast(nDocs))
       .select(col("term"),
         expr(s"($TfIdfScale * (n_docs + 1)) div (df + 1)").as("idf_scaled"))
+    (tf, idf)
+  }
+
+  private def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (tf, idf) = tfidfModel(docs)
     val queries = docs.where(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
@@ -1520,6 +1527,54 @@ object DataQueries {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= TfIdfK)
       .dumpOrdered("query_id", "rnk")
+  }
+
+  private val MrrLcm = 2520L // lcm(1..10): 1/rank at K=10 is integer-exact
+
+  /** Self-retrieval MRR@K for the TF-IDF retriever — the measured
+    * quality metric for the retrieval family (the IR twin of
+    * `data_sim_recall` / `data_dedup_lsh_recall` / `data_classifier_pr`):
+    * each probe document queries the index with its own top-3 SIGNATURE
+    * terms (highest tf·idf — the standard self-retrieval setup; leading-
+    * token queries measured a near-zero 0.014 MRR because word-soup
+    * openers are non-discriminative), and the metric is the mean
+    * reciprocal rank at which the document retrieves ITSELF. Reciprocal
+    * ranks accumulate as `MrrLcm div rank` LONGS — exact for every rank
+    * ≤ K, no float summation order — with one final integer/integer
+    * division into the double.
+    *
+    * Scale: same bounded shapes as the retrieval query (broadcast query
+    * terms + idf model; candidates bounded by docs sharing a query
+    * term); signature extraction is a WindowGroupLimit top-3 over the
+    * probe docs' postings only. */
+  private def tfidfSelfMrr(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, idf) = tfidfModel(Tables.documents(spark, dir))
+    val wSig = Window.partitionBy(col("query_id"))
+      .orderBy((col("tf") * col("idf_scaled")).desc, col("term"))
+    val queries = tf.where(col("doc_id") < 10)
+      .join(broadcast(idf), Seq("term"))
+      .withColumn("query_id", col("doc_id"))
+      .withColumn("trnk", row_number().over(wSig))
+      .where(col("trnk") <= 3)
+      .select(col("query_id"), col("term"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val ranked = tf.join(broadcast(queries), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("idf_scaled")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    ranked
+      .groupBy(col("query_id"))
+      .agg(min(when(col("doc_id") === col("query_id") &&
+        col("rnk") <= TfIdfK, col("rnk"))).as("self_rank"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("self_rank")).as("n_hits_at_k"),
+        sum(coalesce(expr(s"$MrrLcm div self_rank"), lit(0L))).as("rr_sum"))
+      .select(col("n_queries"), col("n_hits_at_k"),
+        (col("rr_sum").cast("double") /
+          (col("n_queries") * MrrLcm).cast("double")).as("mrr"))
+      .dumpOrderedTail("n_queries")
   }
 
   /** BPE merge-candidate counts — the first iteration of byte-pair-
@@ -2451,6 +2506,44 @@ object DataQueries {
          |  FROM scored)
          |SELECT query_id, doc_id, score, n_terms, rnk FROM r
          |WHERE rnk <= $TfIdfK ORDER BY query_id, rnk""".stripMargin)),
+
+    "data_tfidf_selfmrr" -> Q(tfidfSelfMrr, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckWords) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT term, ($TfIdfScale * (n_docs + 1)) // (df + 1) AS idf_scaled
+         |  FROM dfreq CROSS JOIN n),
+         |q AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT tf.doc_id AS query_id, tf.term,
+         |      row_number() OVER (PARTITION BY tf.doc_id
+         |        ORDER BY tf.tf * idf.idf_scaled DESC, tf.term) AS trnk
+         |    FROM tf JOIN idf USING (term)
+         |    WHERE tf.doc_id < 10) x WHERE trnk <= 3),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(sum(tf.tf * idf.idf_scaled) AS BIGINT) AS score
+         |  FROM tf JOIN q USING (term) JOIN idf USING (term)
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS rnk
+         |  FROM scored),
+         |per AS (
+         |  SELECT query_id,
+         |    min(CASE WHEN doc_id = query_id AND rnk <= $TfIdfK
+         |             THEN rnk END) AS self_rank
+         |  FROM r GROUP BY query_id)
+         |SELECT count(*) AS n_queries,
+         |  count(self_rank) AS n_hits_at_k,
+         |  CAST(sum(COALESCE($MrrLcm // self_rank, 0)) AS DOUBLE)
+         |    / CAST(count(*) * $MrrLcm AS DOUBLE) AS mrr
+         |FROM per""".stripMargin)),
 
     "data_bpe_pairs" -> Q(bpePairs, Some(
       s"""WITH t AS (SELECT $duckWords AS t FROM documents),

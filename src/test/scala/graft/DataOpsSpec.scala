@@ -642,6 +642,22 @@ class DataOpsSpec extends AnyFunSuite {
       (0L, 3L, 2L, 0L)))
   }
 
+  test("data_tfidf_selfmrr accounting identities hold on sf0.001") {
+    val r = Registry.byName("data_tfidf_selfmrr")
+      .build(spark, TestSpark.sf).collect()(0)
+    val (nQ, nHits, mrr) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nQ > 0 && nHits <= nQ)
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    // every hit contributes at most 1/1 and at least 1/K: mrr brackets
+    if (nHits > 0) {
+      assert(mrr <= nHits.toDouble / nQ)
+      assert(mrr >= nHits.toDouble / (nQ * 10))
+    } else assert(mrr == 0.0)
+    // the lcm scaling is exact: mrr * n * 2520 must be an integer
+    val scaled = mrr * nQ * 2520
+    assert(math.abs(scaled - math.rint(scaled)) < 1e-6)
+  }
+
   test("data_dedup_lsh_recall invariants hold on sf0.001") {
     val r = Registry.byName("data_dedup_lsh_recall")
       .build(spark, TestSpark.sf).collect()(0)
