@@ -1482,22 +1482,12 @@ object DataQueries {
   private val TfIdfScale = 1000000L // fixed-point idf scale (integer-exact)
   private val TfIdfK = 10           // retrieved docs per query
 
-  /** TF-IDF retrieval top-k — the inverted-index search surface of a data
-    * pipeline. Postings (doc, term, tf) are one map-side-combinable
-    * aggregate over exploded tokens; document frequency is a second
-    * aggregate over the postings; queries (the first three documents'
-    * leading distinct terms) and the idf model (bounded by vocabulary,
-    * like [[unigramScore]]'s) are broadcast, so the postings table — the
-    * only thing that scales with the corpus — shuffles exactly once for
-    * the per-(query, doc) score aggregation. Per-query top-k goes through
-    * row_number + filter, which Spark plans as `WindowGroupLimit`
-    * (bounded-heap partial below the shuffle).
-    *
-    * idf is fixed-point integer: `(SCALE * (N+1)) div (df+1)` — integer
-    * floor division is bit-identical on both engines, so scores are exact
-    * longs, with no float-log idf that libm would round differently. */
-  /** The TF-IDF retrieval model: (doc, term, tf) postings + fixed-point
-    * idf — shared by the top-k retrieval query and the MRR evaluation. */
+  /** The TF-IDF retrieval model: (doc, term, tf) postings (one map-side-
+    * combinable aggregate over exploded tokens) + fixed-point idf
+    * (`(SCALE * (N+1)) div (df+1)` — integer floor division is
+    * bit-identical on both engines, so scores are exact longs, with no
+    * float-log idf that libm would round differently). Shared by the
+    * top-k retrieval query and the MRR evaluation. */
   private def tfidfModel(docs: DataFrame): (DataFrame, DataFrame) = {
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -1510,6 +1500,14 @@ object DataQueries {
     (tf, idf)
   }
 
+  /** TF-IDF retrieval top-k — the inverted-index search surface of a data
+    * pipeline. Queries (the first three documents' leading distinct
+    * terms) and the idf model (bounded by vocabulary, like
+    * [[unigramScore]]'s) are broadcast, so the postings table — the only
+    * thing that scales with the corpus — shuffles exactly once for the
+    * per-(query, doc) score aggregation. Per-query top-k goes through
+    * row_number + filter, which Spark plans as `WindowGroupLimit`
+    * (bounded-heap partial below the shuffle). */
   private def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (tf, idf) = tfidfModel(docs)
@@ -1529,7 +1527,12 @@ object DataQueries {
       .dumpOrdered("query_id", "rnk")
   }
 
-  private val MrrLcm = 2520L // lcm(1..10): 1/rank at K=10 is integer-exact
+  /** lcm(1..TfIdfK), DERIVED so the exactness guarantee (`MrrLcm div
+    * rank` exact for every rank ≤ K) survives a TfIdfK change. */
+  private val MrrLcm: Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to TfIdfK.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
 
   /** Self-retrieval MRR@K for the TF-IDF retriever — the measured
     * quality metric for the retrieval family (the IR twin of
@@ -1551,16 +1554,17 @@ object DataQueries {
     val (tf, idf) = tfidfModel(Tables.documents(spark, dir))
     val wSig = Window.partitionBy(col("query_id"))
       .orderBy((col("tf") * col("idf_scaled")).desc, col("term"))
+    // queries carry idf_scaled forward (term is unique in idf), so the
+    // scoring stage needs no second idf join
     val queries = tf.where(col("doc_id") < 10)
       .join(broadcast(idf), Seq("term"))
       .withColumn("query_id", col("doc_id"))
       .withColumn("trnk", row_number().over(wSig))
       .where(col("trnk") <= 3)
-      .select(col("query_id"), col("term"))
+      .select(col("query_id"), col("term"), col("idf_scaled"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     val ranked = tf.join(broadcast(queries), Seq("term"))
-      .join(broadcast(idf), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("tf") * col("idf_scaled")).as("score"))
       .withColumn("rnk", row_number().over(w).cast("long"))
