@@ -3074,5 +3074,6 @@ object DataQueries {
   /** Pair queries may legitimately be empty on tiny scale factors. */
   val mayBeEmpty: Set[String] =
     Set("data_dedup_minhash_pairs", "data_dedup_ngram_jaccard",
-      "data_dedup_embedding", "data_dedup_components", "data_mm_neardup")
+      "data_dedup_embedding", "data_dedup_components", "data_mm_neardup",
+      "data_mm_components")
 }

@@ -140,7 +140,9 @@ object MediaQueries {
     * band. Scale: the banded relation is 4 rows per image keyed by band
     * value; a skewed flat-gradient corpus would hot a band bucket, which
     * the same `capHotBuckets` guard used by the text LSH absorbs. */
-  private def mmNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** The banded candidate join + exact Hamming cut — the pair set shared
+    * by the pair dump and the cluster query. */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val hashed = hashedImages(spark, dir)
     val banded = hashed.select(col("doc_id"), col("phash"),
         explode(array((0 until HamBands).map(b =>
@@ -161,7 +163,26 @@ object MediaQueries {
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
       .where(col("hamming") <= HamThresh)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .dumpOrderedTail("doc_a", "doc_b")
+  }
+
+  private def mmNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir).dumpOrderedTail("doc_a", "doc_b")
+
+  /** Image near-dup CLUSTERS: the pairwise Hamming matches close under
+    * transitivity via the same min-label connected components the text
+    * dedup uses ([[graft.data.Dedup.connectedComponents]]) — component
+    * id = min doc_id, the canonical keeper per visual-duplicate group.
+    * Same pairs→groups→filter production chain as
+    * `data_dedup_components`, applied to the image modality. */
+  private def mmComponents(spark: SparkSession, dir: String): DataFrame = {
+    val labels = graft.data.Dedup.connectedComponents(
+      nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"), col("component_size"))
+      .dumpOrdered("doc_id")
   }
 
   /** Text-code CTE shared by the oracles (same derivation as the
@@ -184,6 +205,23 @@ object MediaQueries {
        |img AS (
        |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
        |  WHERE len(pix) >= $W)""".stripMargin
+
+  /** Band fan-out + Hamming-cut pair CTEs over `ph` — shared by the
+    * near-dup pair and cluster oracles. */
+  private val pairCtes: String =
+    s"""b AS (
+       |  SELECT doc_id, phash, r AS band,
+       |    (phash >> (r * $BandBits)) & ${(1L << BandBits) - 1} AS bv
+       |  FROM ph, (SELECT unnest(range(0, $HamBands)) AS r) s),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |    a.phash AS pa, b2.phash AS pb
+       |  FROM b a JOIN b b2
+       |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(pa, pb)) <= $HamThresh)""".stripMargin
 
   /** 56-bit dHash replay over `img` — shared by the phash and near-dup
     * oracles (a grid/truncation rule change edits exactly one string). */
@@ -230,19 +268,28 @@ object MediaQueries {
       s"""WITH ${codesCte("WHERE doc_id % 2 = 1 AND doc_id % 10 <> 3")},
          |$pixCtes,
          |$phashCte,
-         |b AS (
-         |  SELECT doc_id, phash, r AS band,
-         |    (phash >> (r * $BandBits)) & ${(1L << BandBits) - 1} AS bv
-         |  FROM ph, (SELECT unnest(range(0, $HamBands)) AS r) s),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |    a.phash AS pa, b2.phash AS pb
-         |  FROM b a JOIN b b2
-         |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(pa, pb)) <= $HamThresh
+         |$pairCtes
+         |SELECT doc_a, doc_b, hamming FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    "data_mm_components" -> Q(mmComponents, Some(
+      s"""WITH RECURSIVE ${codesCte("WHERE doc_id % 2 = 1 AND doc_id % 10 <> 3")},
+         |$pixCtes,
+         |$phashCte,
+         |$pairCtes,
+         |bi AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM bi
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN bi e ON reach.id = e.s),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach
+         |         GROUP BY id),
+         |sz AS (SELECT component, count(*) AS component_size FROM comp
+         |       GROUP BY component)
+         |SELECT c.doc_id, c.component, s2.component_size
+         |FROM comp c JOIN sz s2 ON c.component = s2.component
+         |ORDER BY doc_id""".stripMargin)),
 
     "data_mm_audio_frames" -> Q(mmAudioFrames, Some(
       s"""WITH ${codesCte("WHERE doc_id % 2 = 0")},

@@ -25,7 +25,7 @@ object OpProbe {
       "data_epoch_shuffle", "data_split_assign", "data_cube_stats",
       "data_pack_sequences", "data_mixture_temperature",
       "data_sim_ivfadc", "data_sim_l2_topk", "data_bpe_encode",
-      "data_shard_manifest", "data_tfidf_selfmrr")
+      "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -36,7 +36,7 @@ object ScaleBench {
     "data_cube_stats", "data_mm_resize", "data_mm_neardup",
     "data_pack_sequences", "data_mixture_temperature",
     "data_sim_ivfadc", "data_sim_l2_topk", "data_bpe_encode",
-    "data_shard_manifest", "data_tfidf_selfmrr")
+    "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -33,7 +33,7 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_cube_stats", "data_mm_resize", "data_mm_neardup",
           "data_pack_sequences", "data_mixture_temperature",
           "data_sim_ivfadc", "data_sim_l2_topk", "data_bpe_encode",
-          "data_shard_manifest", "data_tfidf_selfmrr"]
+          "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
