@@ -479,15 +479,15 @@ object DataQueries {
     Similarity.pc1Scores(Tables.embeddingsHot(spark, dir), rounds = 3)
       .dumpOrdered("vec_id")
 
-  /** Recall@k of every fitted ANN variant against the exact brute-force
-    * ranking — the quality curve a user tunes nprobe/m against. Both
-    * engines re-run the ANN queries and count integer hit overlaps, so the
-    * metric itself is oracle-checked. Per method: |ANN top-k ∩ BF top-k|
-    * summed over queries, recall = hits / (n_queries × k).
+  /** Recall@k of every fitted ANN variant — the quality curve a user
+    * tunes nprobe/m against. Both engines re-run the ANN queries and
+    * count integer hit overlaps, so the metric itself is oracle-checked.
+    * Per method: |ANN top-k ∩ exact top-k| summed over queries, recall =
+    * hits / (n_queries × k). Scale: the joins are per-(query, neighbor)
+    * — output-bounded, nothing corpus-sized; recall audits always run on
+    * a sampled query set.
     *
-    * Scale: the joins are per-(query, neighbor) — output-bounded, nothing
-    * corpus-sized; recall audits always run on a sampled query set. */
-  /** Recall@k of every ANN variant against its OWN metric's exact
+    * Each variant scores against its OWN metric's exact
     * ground truth: the cosine/IP family scores against the brute-force
     * cosine ranking, the L2 family ([[Similarity.ivfAdcTopK]]) against
     * the brute-force L2 ranking ([[Similarity.bruteForceL2TopK]]) —

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.data.{Indexing, TextAnalysis}
@@ -49,9 +48,12 @@ object IndexQueries {
   // -- count-min sketch heavy hitters ----------------------------------
 
   /** CMS estimates vs exact counts for the top-`CmsTopK` tokens. The
-    * candidate window runs over the VOCAB-sized exact aggregate (bounded;
-    * at raw-corpus scale the candidate set itself would come from the
-    * sketch + a threshold, same serving join). */
+    * candidate selection is `orderBy().limit(k)` over the vocab-sized
+    * exact aggregate — TakeOrderedAndProject (per-partition bounded
+    * heaps, k-row driver merge), never a single-partition window over
+    * the full vocab (billions of distinct tokens at raw-corpus scale;
+    * at that scale the candidate set would come from the sketch + a
+    * threshold, same serving join). */
   private def sketchCms(spark: SparkSession, dir: String): DataFrame = {
     // Three consumers (sketch build, exact counts, estimate probes) share
     // one memo-persisted token explode instead of re-splitting the corpus
@@ -62,9 +64,8 @@ object IndexQueries {
     }
     val cms = Indexing.cmsTable(toks, "tok", CmsD, CmsW)
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(desc("exact_cnt"), col("tok"))))
-      .where(col("rn") <= CmsTopK).drop("rn")
+      .orderBy(desc("exact_cnt"), col("tok"))
+      .limit(CmsTopK)
     Indexing.cmsEstimate(cms, top, "tok", CmsD, CmsW)
       .select(col("tok").as("token"), col("exact_cnt"), col("est_cnt"),
         (col("est_cnt") - col("exact_cnt")).as("overcount"))
@@ -127,7 +128,10 @@ object IndexQueries {
   /** Phrase serving from the positional index: the corpus's most
     * frequent bigram (deterministic self-derived query), resolved by
     * joining two single-term slices of the occurrence table on
-    * (doc, adjacent position) — the text is never rescanned. */
+    * (doc, adjacent position) — the text is never rescanned. The top-1
+    * pick is `orderBy().limit(1)` (TakeOrderedAndProject), never a
+    * single-partition window over the bigram-count table (larger than
+    * the vocab at corpus scale). */
   private def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsHot(spark, dir)
     // Both phrase sides (t1 slice, t2 adjacency probe) read the same
@@ -139,8 +143,8 @@ object IndexQueries {
       .select(TextAnalysis.tokens(col("text")).as("toks"))
       .select(explode(TextAnalysis.shingles(col("toks"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(Window.orderBy(desc("cnt"), col("bg"))))
-      .where(col("rn") === 1)
+      .orderBy(desc("cnt"), col("bg"))
+      .limit(1)
       .select(col("bg").as("phrase"),
         split(col("bg"), " ").getItem(0).as("t1"),
         split(col("bg"), " ").getItem(1).as("t2"))

@@ -25,29 +25,24 @@ object MediaQueries {
 
   private val W = Multimodal.BmpWidth
 
-  /** Per-image 56-bit perceptual difference-hash + exact-hash dup groups —
-    * the image-corpus analog of the text exact-dedup family: a near-dup
-    * fingerprint that survives uniform brightness shifts (gradient signs,
-    * not absolute luminance), computed by the FUSED `media_dhash`
-    * expression (one header parse + one pixel pass per row, inside the
-    * scan's codegen — never a per-bit re-decode).
+  /** Memo-persisted per-image 56-bit perceptual difference-hash
+    * (doc_id, phash) relation — the image-corpus analog of the text
+    * exact-dedup content key: a near-dup fingerprint that survives
+    * uniform brightness shifts (gradient signs, not absolute luminance),
+    * computed by the FUSED `media_dhash` expression (one header parse +
+    * one pixel pass per row, inside the scan's codegen — never a per-bit
+    * re-decode). At rest the hash column is the Hamming-band join key
+    * for threshold near-dup (the SimHash band pattern).
     *
-    * Scale: hashing is map-only; the dup grouping is one map-side-
-    * combinable hash aggregate over the 8-byte hash (count + min-id
-    * keeper election, the same skew-immune shape as the text chunk-dedup
-    * keeper — NO window over hash groups, so a mega-cluster of identical
-    * images collapses on the map side), then a hash join back. At rest
-    * the hash column is the Hamming-band join key for threshold near-dup
-    * (the SimHash band pattern). */
-  /** Memo-persisted (doc_id, phash) relation: the dup-group aggregate,
-    * the join-back, the pushed-down isNotNull filter AND the Hamming
-    * band fan-out all read `phash` — without the barrier, CollapseProject
-    * + predicate pushdown inline the fused encode+decode+hash expression
-    * into every consumer (4 container decodes per row, observed in the
-    * plan audit). One decode per row, cached; same pattern as
-    * `cmstoks`/`phraseocc`. (The isNotNull filter stays OUTSIDE the
-    * memo: inside, predicate pushdown would clone the fused expression
-    * into a pre-cache Filter and the build would hash every row twice.) */
+    * Why the memo barrier: the dup-group aggregate, the join-back, the
+    * pushed-down isNotNull filter AND the Hamming band fan-out all read
+    * `phash` — without it, CollapseProject + predicate pushdown inline
+    * the fused encode+decode+hash expression into every consumer (4
+    * container decodes per row, observed in the plan audit). One decode
+    * per row, cached; same pattern as `cmstoks`/`phraseocc`. (The
+    * isNotNull filter stays OUTSIDE the memo: inside, predicate pushdown
+    * would clone the fused expression into a pre-cache Filter and the
+    * build would hash every row twice.) */
   private def hashedImages(spark: SparkSession, dir: String): DataFrame = {
     MediaFunctions.register(spark)
     import MediaFunctions.media_dhash
@@ -131,38 +126,71 @@ object MediaQueries {
                       // bands -> a clean shared band is GUARANTEED
                       // (pigeonhole), so banding is exact at this radius
 
-  /** Image near-dup pairs at Hamming distance ≤ [[HamThresh]] over the
-    * perceptual hash — the SimHash band pattern applied to images:
-    * candidates come ONLY from an equi-join on (band, 14-bit band value)
-    * (never an all-pairs comparison), the exact Hamming distance is one
-    * XOR + popcount per candidate, and the band guarantee makes the
-    * radius exact — every true pair within the threshold shares a clean
-    * band. Scale: the banded relation is 4 rows per image keyed by band
-    * value; a skewed flat-gradient corpus would hot a band bucket, which
-    * the same `capHotBuckets` guard used by the text LSH absorbs. */
-  /** The banded candidate join + exact Hamming cut — the pair set shared
-    * by the pair dump and the cluster query. */
-  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = hashedImages(spark, dir)
-    val banded = hashed.select(col("doc_id"), col("phash"),
+  /** Hot-(band, bv) bucket cap for the image Hamming band join — same
+    * rationale and guard as the text LSH
+    * ([[graft.data.Dedup.capHotBuckets]]): a
+    * 14-bit band value shared by more than this many DISTINCT hashes is
+    * non-discriminative (e.g. an all-zero gradient band across a
+    * flat-image corpus), and uncapped it makes the candidate join
+    * quadratic in the bucket. Capping trades the pigeonhole exactness
+    * guarantee ONLY for pairs whose every clean shared band is hot —
+    * pairs that collide with a constant fraction of the corpus in all
+    * four bands, i.e. the non-informative ones. */
+  val HotBandCap = 64
+
+  /** Distinct-hash near-dup pairs (pa < pb, Hamming ≤ [[HamThresh]]) —
+    * the SimHash band pattern applied to images, at PHASH granularity:
+    * the corpus first collapses to one row per distinct hash, so a
+    * mega-cluster of identical images (the common case in a real crawl —
+    * they share all four band values) enters the candidate join exactly
+    * ONCE instead of quadratically. Candidates come ONLY from an
+    * equi-join on (band, 14-bit band value) routed through the
+    * [[HotBandCap]] guard (never an all-pairs comparison); the exact
+    * Hamming distance is one XOR + popcount per candidate. The
+    * `ImageSkewProbe` measures the collapse + cap under a 10k-identical-
+    * image corpus. Shared by the pair dump and the cluster query. */
+  private[graft] def repPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ph = hashedImages(spark, dir).select(col("phash")).distinct()
+    val banded = ph.select(col("phash"),
         explode(array((0 until HamBands).map(b =>
           struct(lit(b.toLong).as("band"),
             shiftright(col("phash"), b * BandBits)
               .bitwiseAND(lit((1L << BandBits) - 1)).as("bv"))): _*)).as("bb"))
-      .select(col("doc_id"), col("phash"), col("bb.band").as("band"),
-        col("bb.bv").as("bv"))
-    val lhs = banded.select(col("band"), col("bv"),
-      col("doc_id").as("doc_a"), col("phash").as("pa"))
-    val rhs = banded.select(col("band"), col("bv"),
-      col("doc_id").as("doc_b"), col("phash").as("pb"))
+      .select(col("phash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val capped = graft.data.Dedup.capHotBuckets(banded, Seq("band", "bv"),
+      HotBandCap)
+    val lhs = capped.select(col("band"), col("bv"), col("phash").as("pa"))
+    val rhs = capped.select(col("band"), col("bv"), col("phash").as("pb"))
     lhs.join(rhs, Seq("band", "bv"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+      .where(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
       .where(col("hamming") <= HamThresh)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Doc-level near-dup pairs: the distinct-hash [[repPairs]] expanded
+    * back to documents — cross-group pairs by joining each side's hash
+    * group members (each doc has ONE hash, so no pair arises twice), plus
+    * the within-group hamming-0 pairs of identical-hash clusters. The
+    * expansion is output-sized by the query's emit-all-pairs contract;
+    * the candidate GENERATION above stays linear + capped. */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = hashedImages(spark, dir)
+    val cross = repPairs(spark, dir)
+      .join(hashed.select(col("phash").as("pa"), col("doc_id").as("ida")),
+        Seq("pa"))
+      .join(hashed.select(col("phash").as("pb"), col("doc_id").as("idb")),
+        Seq("pb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val within = hashed.select(col("phash"), col("doc_id").as("doc_a"))
+      .join(hashed.select(col("phash"), col("doc_id").as("doc_b")),
+        Seq("phash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    cross.unionAll(within)
   }
 
   private def mmNearDup(spark: SparkSession, dir: String): DataFrame =
@@ -172,12 +200,26 @@ object MediaQueries {
     * transitivity via the same min-label connected components the text
     * dedup uses ([[graft.data.Dedup.connectedComponents]]) — component
     * id = min doc_id, the canonical keeper per visual-duplicate group.
-    * Same pairs→groups→filter production chain as
-    * `data_dedup_components`, applied to the image modality. */
+    *
+    * Scale: the component graph never materializes the quadratic
+    * within-cluster pair set — identical-hash groups enter as a STAR
+    * (member → group keeper, linear in docs) which spans the same
+    * connectivity as the clique, and cross-hash edges are the
+    * [[repPairs]] at keeper granularity. Same pairs→groups→filter
+    * production chain as `data_dedup_components`, applied to the image
+    * modality. */
   private def mmComponents(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = hashedImages(spark, dir)
+    val reps = hashed.groupBy(col("phash")).agg(min(col("doc_id")).as("rep"))
+    val crossEdges = repPairs(spark, dir)
+      .join(reps.select(col("phash").as("pa"), col("rep").as("ra")), Seq("pa"))
+      .join(reps.select(col("phash").as("pb"), col("rep").as("rb")), Seq("pb"))
+      .select(col("ra").as("src"), col("rb").as("dst"))
+    val starEdges = hashed.join(reps, Seq("phash"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("src"), col("rep").as("dst"))
     val labels = graft.data.Dedup.connectedComponents(
-      nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b")),
-      "doc_a", "doc_b")
+      crossEdges.unionAll(starEdges), "src", "dst")
     val sizes = labels.groupBy(col("component"))
       .agg(count(lit(1)).as("component_size"))
     labels.join(sizes, Seq("component"))
@@ -206,22 +248,37 @@ object MediaQueries {
        |  SELECT doc_id, pix, len(pix) // $W AS h FROM p
        |  WHERE len(pix) >= $W)""".stripMargin
 
-  /** Band fan-out + Hamming-cut pair CTEs over `ph` — shared by the
-    * near-dup pair and cluster oracles. */
+  /** Band fan-out + Hamming-cut pair CTEs over `ph` — the exact twin of
+    * the Spark plan: distinct-hash banding, the [[HotBandCap]] hot-bucket
+    * drop, rep-level candidates, then expansion back to doc pairs (cross
+    * groups + within-group hamming-0). Shared by the near-dup pair and
+    * cluster oracles. */
   private val pairCtes: String =
-    s"""b AS (
-       |  SELECT doc_id, phash, r AS band,
+    s"""g AS (SELECT DISTINCT phash FROM ph),
+       |b AS (
+       |  SELECT phash, r AS band,
        |    (phash >> (r * $BandBits)) & ${(1L << BandBits) - 1} AS bv
-       |  FROM ph, (SELECT unnest(range(0, $HamBands)) AS r) s),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-       |    a.phash AS pa, b2.phash AS pb
-       |  FROM b a JOIN b b2
-       |    ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id),
+       |  FROM g, (SELECT unnest(range(0, $HamBands)) AS r) s),
+       |keep AS (
+       |  SELECT band, bv FROM b GROUP BY band, bv
+       |  HAVING count(*) <= $HotBandCap),
+       |bk AS (SELECT b.* FROM b JOIN keep USING (band, bv)),
+       |rp AS (
+       |  SELECT pa, pb, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |  FROM (
+       |    SELECT DISTINCT a.phash AS pa, b2.phash AS pb
+       |    FROM bk a JOIN bk b2
+       |      ON a.band = b2.band AND a.bv = b2.bv AND a.phash < b2.phash) z
+       |  WHERE bit_count(xor(pa, pb)) <= $HamThresh),
        |pairs AS (
-       |  SELECT doc_a, doc_b,
-       |    CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-       |  FROM cand WHERE bit_count(xor(pa, pb)) <= $HamThresh)""".stripMargin
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b, hamming
+       |  FROM rp JOIN ph ma ON ma.phash = rp.pa
+       |          JOIN ph mb ON mb.phash = rp.pb
+       |  UNION ALL
+       |  SELECT x.doc_id, y.doc_id, CAST(0 AS BIGINT)
+       |  FROM ph x JOIN ph y
+       |    ON x.phash = y.phash AND x.doc_id < y.doc_id)""".stripMargin
 
   /** 56-bit dHash replay over `img` — shared by the phash and near-dup
     * oracles (a grid/truncation rule change edits exactly one string). */

@@ -85,7 +85,9 @@ object Tables {
     * build (also used by operators that materialize a derived working set,
     * e.g. `Dedup.semanticDedup`'s assigned corpus): one persist() per
     * (session, key), dead sessions evicted, clearCache survivors
-    * re-armed. `build` must end in `.persist()`. */
+    * re-armed. `build` need not call `.persist()` itself — the
+    * storageLevel==NONE re-arm below persists the memoized frame on
+    * first use and again after any clearCache. */
   def memoBy(spark: SparkSession, key: String)
             (build: => DataFrame): DataFrame = {
     hotMemo.keySet.removeIf(_._1.sparkContext.isStopped)

@@ -30,13 +30,17 @@ case class BpeApply(child: Expression, vocab: Seq[String])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_apply"
 
-  // vocabulary indexed by first char, longest-first (ties impossible:
-  // two distinct equal-length tokens cannot both prefix one position)
+  // vocabulary indexed by first char, longest-first in CODEPOINTS —
+  // the oracle's `ORDER BY length(token) DESC` counts codepoints, and a
+  // 2-codepoint/4-UTF-16-char supplementary-plane token must not outrank
+  // a 3-codepoint/3-char one (ties at equal codepoint length are broken
+  // lexicographically; two distinct tokens that both prefix one position
+  // differ in length, so the tie-break never decides a match)
   @transient private lazy val byFirst: Map[Char, Array[String]] =
     vocab.filter(_.nonEmpty).distinct
       .groupBy(_.charAt(0))
       .map { case (c, ts) =>
-        c -> ts.sortBy(t => (-t.length, t)).toArray
+        c -> ts.sortBy(t => (-t.codePointCount(0, t.length), t)).toArray
       }
 
   /** Greedy encode; called from both eval and generated code. */

@@ -81,10 +81,16 @@ object TextExprFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("hashed_weight_sum")))
       registry.createOrReplaceTempFunction(
         "hashed_weight_sum",
-        exprs => exprs(1) match {
-          case Literal(v: Int, IntegerType) => HashedWeightSum(exprs.head, v)
-          case other => throw new IllegalArgumentException(
-            s"hashed_weight_sum(words, buckets): buckets must be an integer literal, got $other")
+        exprs => {
+          // arity first: exprs(1) on a 1-arg SQL call must raise the
+          // usage message, not IndexOutOfBoundsException
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"hashed_weight_sum(words, buckets): expected 2 arguments, got ${exprs.length}")
+          exprs(1) match {
+            case Literal(v: Int, IntegerType) => HashedWeightSum(exprs.head, v)
+            case other => throw new IllegalArgumentException(
+              s"hashed_weight_sum(words, buckets): buckets must be an integer literal, got $other")
+          }
         },
         "scala_udf")
   }
@@ -95,15 +101,19 @@ object TextExprFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_apply")))
       registry.createOrReplaceTempFunction(
         "bpe_apply",
-        exprs => exprs(1) match {
-          case v if v.foldable && v.dataType.isInstanceOf[
-              org.apache.spark.sql.types.ArrayType] =>
-            val arr = v.eval().asInstanceOf[ArrayData]
-            BpeApply(exprs.head,
-              (0 until arr.numElements()).map(i =>
-                arr.getUTF8String(i).toString))
-          case other => throw new IllegalArgumentException(
-            s"bpe_apply(word, vocab): vocab must be a literal string array, got $other")
+        exprs => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"bpe_apply(word, vocab): expected 2 arguments, got ${exprs.length}")
+          exprs(1) match {
+            case v if v.foldable && v.dataType.isInstanceOf[
+                org.apache.spark.sql.types.ArrayType] =>
+              val arr = v.eval().asInstanceOf[ArrayData]
+              BpeApply(exprs.head,
+                (0 until arr.numElements()).map(i =>
+                  arr.getUTF8String(i).toString))
+            case other => throw new IllegalArgumentException(
+              s"bpe_apply(word, vocab): vocab must be a literal string array, got $other")
+          }
         },
         "scala_udf")
   }

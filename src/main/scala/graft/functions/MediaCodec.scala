@@ -498,25 +498,38 @@ object MediaFunctions {
       s"$fn: expected an integer literal, got $other")
   }
 
+  /** Arity guard: a wrong-arg-count SQL call must raise the usage
+    * message, never IndexOutOfBoundsException from `exprs(i)`. */
+  private def arity(n: Int, fn: String)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$fn: expected $n arguments, got ${exprs.length}")
+      build(exprs)
+    }
+
   /** (name, implementing class, builder) for every media function — the
     * single source shared by session [[register]] and the
     * [[graft.GraftExtensions]] config-injection path (the class feeds
     * `DESCRIBE FUNCTION`'s ExpressionInfo). */
   val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("media_decode", classOf[MediaDecode],
-      (exprs: Seq[Expression]) => MediaDecode(exprs.head)),
+      arity(1, "media_decode(payload)")(exprs => MediaDecode(exprs.head))),
     ("media_values", classOf[MediaValues],
-      (exprs: Seq[Expression]) => MediaValues(exprs.head)),
+      arity(1, "media_values(payload)")(exprs => MediaValues(exprs.head))),
     ("media_dhash", classOf[MediaDHash],
-      (exprs: Seq[Expression]) => MediaDHash(exprs.head)),
-    ("wav_encode", classOf[WavEncode], (exprs: Seq[Expression]) =>
-      WavEncode(exprs.head, intLit(exprs(1), "wav_encode(samples, rate)"))),
-    ("bmp_encode", classOf[BmpEncode], (exprs: Seq[Expression]) =>
-      BmpEncode(exprs.head, intLit(exprs(1), "bmp_encode(pixels, width)"))),
-    ("media_resize", classOf[MediaResize], (exprs: Seq[Expression]) =>
-      MediaResize(exprs.head,
-        intLit(exprs(1), "media_resize(payload, outW, outH)"),
-        intLit(exprs(2), "media_resize(payload, outW, outH)"))))
+      arity(1, "media_dhash(payload)")(exprs => MediaDHash(exprs.head))),
+    ("wav_encode", classOf[WavEncode],
+      arity(2, "wav_encode(samples, rate)")(exprs =>
+        WavEncode(exprs.head, intLit(exprs(1), "wav_encode(samples, rate)")))),
+    ("bmp_encode", classOf[BmpEncode],
+      arity(2, "bmp_encode(pixels, width)")(exprs =>
+        BmpEncode(exprs.head, intLit(exprs(1), "bmp_encode(pixels, width)")))),
+    ("media_resize", classOf[MediaResize],
+      arity(3, "media_resize(payload, outW, outH)")(exprs =>
+        MediaResize(exprs.head,
+          intLit(exprs(1), "media_resize(payload, outW, outH)"),
+          intLit(exprs(2), "media_resize(payload, outW, outH)")))))
 
   /** Idempotent session registration (same pattern as [[VectorFunctions]]). */
   def register(spark: SparkSession): Unit = {
