@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -275,6 +275,182 @@ object TrainQueries {
       .dumpOrderedTail("doc_id")
   }
 
+  // -- tokenizer TRAINING -----------------------------------------------
+
+  private val BpeTrainRounds = 8
+
+  /** One learned merge: round number, the adjacent symbol pair chosen
+    * (max summed frequency, ties broken lexicographically), its count. */
+  final case class BpeMerge(step: Int, lhs: String, rhs: String, cnt: Long)
+
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[BpeMerge]]()
+
+  /** Adjacent-symbol pair counts weighted by word frequency — the
+    * merge-candidate table of one BPE training round. Map-side-combinable
+    * hash aggregate over the vocab-sized word table. */
+  private def adjacentPairs(wf: DataFrame): DataFrame =
+    wf.select(col("freq"), explode(expr(
+      // guard: sequence(1, 0) would generate DESCENDING [1, 0], not empty
+      """CASE WHEN size(syms) >= 2
+        |  THEN transform(sequence(1, size(syms) - 1),
+        |                 i -> struct(syms[i-1] AS a, syms[i] AS b))
+        |  ELSE cast(null AS array<struct<a:string,b:string>>) END"""
+        .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Apply ONE merge (a, b) → ab to a symbol array, left-to-right
+    * non-overlapping (classic BPE: "a a a" merges the FIRST pair only) —
+    * a fold that compares the accumulator top against `a`; a just-merged
+    * top (= a||b) can never re-match as the left element, which is
+    * exactly the non-overlap rule. */
+  private[graft] def mergeApply(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** The iterative BPE TRAINER (the count→merge→re-pair loop the encode
+    * step consumes): aggregate the corpus ONCE to its word-frequency
+    * table, split words into character symbols, then for each of
+    * [[BpeTrainRounds]] rounds pick the max-count adjacent pair (a 1-row
+    * bounded `orderBy().limit(1)` pull — the model artifact) and merge it
+    * throughout the vocab. Returns the trained word table (word, freq,
+    * final syms); the merge list lands in the session memo for
+    * `data_bpe_train`.
+    *
+    * Scale: training never re-scans the corpus — each round is one hash
+    * aggregate + one map-only merge over the VOCAB-sized table (the
+    * standard word-frequency formulation of BPE training); rounds are
+    * persisted so round k reads round k-1's cache, not the whole chain.
+    * The driver-side state is [[BpeTrainRounds]] merge rows. */
+  private[graft] def bpeTrainedWords(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the corpus memo OUTSIDE the bpetrain memo closure — a
+    // nested first-touch computeIfAbsent on the shared memo map throws
+    // "Recursive update"
+    val docs = Tables.documentsHot(spark, dir)
+    Tables.memoBy(spark, s"bpetrain:$dir") {
+      trainMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+      val base = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("syms", expr(
+          """CASE WHEN length(word) >= 1
+            |  THEN transform(sequence(1, length(word)),
+            |                 i -> substring(word, i, 1))
+            |  ELSE cast(array() AS array<string>) END""".stripMargin))
+      var wf = base.persist()
+      val merges = Seq.newBuilder[BpeMerge]
+      for (k <- 1 to BpeTrainRounds) {
+        val top = adjacentPairs(wf)
+          .orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
+        if (top.nonEmpty) {
+          val r = top(0)
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += BpeMerge(k, a, b, r.getLong(2))
+          val next = wf.withColumn("syms", mergeApply(col("syms"), a, b))
+            .persist()
+          next.count() // materialize before dropping the parent round
+          wf.unpersist()
+          wf = next
+        }
+      }
+      trainMemo.put((spark, dir), merges.result())
+      wf
+    }
+  }
+
+  private def bpeMerges(spark: SparkSession, dir: String): Seq[BpeMerge] = {
+    bpeTrainedWords(spark, dir)
+    trainMemo.get((spark, dir))
+  }
+
+  /** The learned merge list — the tokenizer TRAINING output
+    * (`data_bpe_pairs` iterated to a fixpoint of [[BpeTrainRounds]]
+    * rounds). The oracle replays every round: pair counts, the
+    * (count desc, pair asc) argmax, and the left-to-right non-overlapping
+    * merge, as [[BpeTrainRounds]] unrolled CTE blocks. */
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val m = bpeMerges(spark, dir)
+    import spark.implicits._
+    m.map(x => (x.step.toLong, x.lhs, x.rhs, x.lhs + x.rhs, x.cnt))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .dumpOrdered("step")
+  }
+
+  /** Corpus encode with the TRAINED merges — replaces `data_bpe_encode`'s
+    * ad-hoc fragment vocabulary with the real BPE contract: a word's
+    * encoding is its final symbol sequence after replaying the learned
+    * merge list in order, which is exactly the trained word table's
+    * `syms` column. Encoding the corpus is ONE hash join from the
+    * (doc, word) explode to the vocab-sized trained table — no per-word
+    * re-derivation, no driver loop at serving time. */
+  private def bpeTrainEncode(spark: SparkSession, dir: String): DataFrame = {
+    val wf = bpeTrainedWords(spark, dir).select(col("word"), col("syms"))
+    Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wpos", "word")))
+      .join(wf, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_subtokens"),
+        array_sort(collect_list(struct(col("wpos"),
+          array_join(col("syms"), "|").as("w")))).as("ps"))
+      .select(col("doc_id"), col("n_words"), col("n_subtokens"),
+        (col("n_subtokens").cast("double") / col("n_words").cast("double"))
+          .as("subtok_per_word"),
+        concat_ws(" ", transform(col("ps"), _.getField("w"))).as("encoded"))
+      .dumpOrderedTail("doc_id")
+  }
+
+  /** Round-k oracle CTE block: pair counts over w{k-1}, the argmax
+    * t{k}, and w{k} = the merge applied POSITIONALLY — matches at i where
+    * (syms[i], syms[i+1]) = (a, b), keeping alternate positions within
+    * equal-symbol runs (the only place consecutive matches can occur),
+    * which is provably the same result as the Spark side's left-to-right
+    * fold. */
+  private def bpeRoundCtes(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b,
+       |         CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+       |        FROM $prev) z
+       |  GROUP BY 1, 2),
+       |t$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+       |w$k AS (
+       |  SELECT word, freq,
+       |    list_transform(
+       |      list_filter(range(1, len(syms) + 1),
+       |                  i -> NOT list_contains(mp, i - 1)),
+       |      i -> CASE WHEN list_contains(mp, i) THEN syms[i] || syms[i + 1]
+       |                ELSE syms[i] END) AS syms
+       |  FROM (
+       |    SELECT word, freq, syms,
+       |      list_filter(range(1, len(syms)), i ->
+       |        syms[i] = a AND syms[i + 1] = b AND
+       |        (i - list_max(list_filter(range(1, i + 1), j ->
+       |           j = 1 OR NOT (syms[j - 1] = a AND syms[j] = b)))) % 2 = 0)
+       |        AS mp
+       |    FROM $prev, t$k) z)""".stripMargin
+  }
+
+  /** Shared oracle prefix: word-frequency table, char symbols, and all
+    * [[BpeTrainRounds]] unrolled training rounds. */
+  private def bpeTrainCtes: String =
+    (s"""wd AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest($duckWords) AS word FROM documents) z
+        |  GROUP BY word),
+        |w0 AS (
+        |  SELECT word, freq,
+        |    list_transform(range(1, length(word) + 1),
+        |                   i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+        |  FROM wd)""".stripMargin +:
+      (1 to BpeTrainRounds).map(bpeRoundCtes)).mkString(",\n")
+
   // -- CUBE stats -------------------------------------------------------
 
   /** Corpus stats by CUBE(lang, source): all four grouping sets in ONE
@@ -422,6 +598,32 @@ object TrainQueries {
          |  string_agg(array_to_string(toks, '|'), ' ' ORDER BY wpos)
          |    AS encoded
          |FROM done GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "data_bpe_train" -> Q(bpeTrain, Some(
+      s"""WITH $bpeTrainCtes
+         |SELECT * FROM (
+         |${(1 to BpeTrainRounds).map(k =>
+             s"  SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs, " +
+               s"a || b AS merged, cnt AS pair_count FROM t$k")
+             .mkString("\n  UNION ALL\n")}
+         |) u ORDER BY step""".stripMargin)),
+
+    "data_bpe_train_encode" -> Q(bpeTrainEncode, Some(
+      s"""WITH $bpeTrainCtes,
+         |wp AS (
+         |  SELECT doc_id, unnest(range(0, len(w))) AS wpos, w
+         |  FROM (SELECT doc_id, $duckWords AS w FROM documents) q),
+         |ww AS (SELECT doc_id, wpos, w[wpos + 1] AS word FROM wp),
+         |j AS (
+         |  SELECT ww.doc_id, ww.wpos, f.syms
+         |  FROM ww JOIN w$BpeTrainRounds f USING (word))
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_subtokens,
+         |  CAST(sum(len(syms)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS subtok_per_word,
+         |  string_agg(array_to_string(syms, '|'), ' ' ORDER BY wpos)
+         |    AS encoded
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "data_pack_sequences" -> Q(packSequences, Some(
       s"""WITH d AS (

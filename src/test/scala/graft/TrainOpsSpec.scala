@@ -123,4 +123,61 @@ class TrainOpsSpec extends AnyFunSuite {
       assert(rows.filter(_._1 == gid).map(_._2).sum == total)
     }
   }
+
+  test("mergeApply: left-to-right non-overlapping BPE merge semantics") {
+    def apply1(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("syms")
+        .select(TrainQueries.mergeApply($"syms", a, b).as("m"))
+        .head().getSeq[String](0)
+    // run of equal symbols: only alternate pairs merge, starting left
+    assert(apply1(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(apply1(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    // a just-merged top never re-matches as the left element
+    assert(apply1(Seq("a", "b", "b"), "a", "b") == Seq("ab", "b"))
+    // disjoint matches all merge
+    assert(apply1(Seq("x", "a", "b", "y", "a", "b"), "a", "b") ==
+      Seq("x", "ab", "y", "ab"))
+    // no match: unchanged; empty: unchanged
+    assert(apply1(Seq("q", "r"), "a", "b") == Seq("q", "r"))
+    assert(apply1(Seq.empty[String], "a", "b") == Seq.empty[String])
+    // multi-char symbols from earlier rounds merge like any other
+    assert(apply1(Seq("ab", "c", "ab"), "ab", "c") == Seq("abc", "ab"))
+  }
+
+  test("data_bpe_train: merge list is well-formed and feeds the encode") {
+    val merges = Registry.byName("data_bpe_train")
+      .build(spark, TestSpark.sf)
+      .select($"step", $"lhs", $"rhs", $"merged", $"pair_count")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(merges.map(_._1) == (1L to 8L))
+    assert(merges.forall { case (_, l, r, m, c) => m == l + r && c >= 1 })
+    // no merge is learned twice
+    assert(merges.map(m => (m._2, m._3)).distinct.size == merges.size)
+    // encode consistency: replaying the merge list over a word's chars
+    // reproduces the trained table's encoding for that word
+    val enc = Registry.byName("data_bpe_train_encode")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"n_words", $"n_subtokens", $"encoded")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(enc.nonEmpty)
+    def replay(word: String): Seq[String] =
+      merges.foldLeft(word.map(_.toString): Seq[String]) {
+        case (syms, (_, a, b, m, _)) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = m
+            else out += s
+          }
+          out.toSeq
+      }
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    enc.take(20).foreach { case (id, nw, nst, encoded) =>
+      val words = docs(id).split("\\s+", -1).toSeq
+      val expect = words.map(w => replay(w).mkString("|")).mkString(" ")
+      assert(encoded == expect, s"doc $id encode mismatch")
+      assert(nw == words.size && nst == words.map(replay(_).size).sum)
+    }
+  }
 }
