@@ -227,6 +227,37 @@ object MediaQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Decode + perceptual-hash over the THIRD container format — Netpbm
+    * P5 PGM, the real-world uncompressed interchange graymap: every
+    * document with at least one full pixel row packs into a real P5 file
+    * (ASCII header + raw raster, [[graft.functions.MediaCodecImpl
+    * .pgmEncode]]), and the fused `media_decode` + `media_dhash`
+    * expressions parse it back. The oracle derives every value from the
+    * SOURCE text, so agreement proves the header tokenizer, the unpadded
+    * top-down raster walk, and that the dHash grid arithmetic is
+    * container-independent (same phashCte as the BMP queries).
+    *
+    * Scale: map-only — encode, decode and hash are codegen'd expressions
+    * in one projection (codegen subexpression elimination shares the
+    * encode between the two consumers); featurization never shuffles. */
+  private def mmPgmDecode(spark: SparkSession, dir: String): DataFrame = {
+    MediaFunctions.register(spark)
+    import MediaFunctions.{media_decode, media_dhash, pgm_encode}
+    val pixels = transform(
+      Multimodal.textCodes(col("text"), 64), c => pmod(c, lit(256)))
+    Tables.documents(spark, dir)
+      .where(col("text").isNotNull && length(col("text")) >= W)
+      .select(col("doc_id"), pgm_encode(pixels, W).as("payload"))
+      .select(col("doc_id"), media_decode(col("payload")).as("m"),
+        media_dhash(col("payload")).as("phash"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.valid").as("valid"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.n_values").as("n_values"),
+        col("m.sum_val").as("sum_val"), col("m.min_val").as("min_val"),
+        col("m.max_val").as("max_val"), col("phash"))
+      .dumpOrdered("doc_id")
+  }
+
   /** Text-code CTE shared by the oracles (same derivation as the
     * `data_mm_decode` oracle). */
   private def codesCte(where: String): String =
@@ -347,6 +378,19 @@ object MediaQueries {
          |SELECT c.doc_id, c.component, s2.component_size
          |FROM comp c JOIN sz s2 ON c.component = s2.component
          |ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_pgm_decode" -> Q(mmPgmDecode, Some(
+      s"""WITH ${codesCte("")},
+         |$pixCtes,
+         |$phashCte
+         |SELECT i.doc_id, 'pgm' AS format, true AS valid,
+         |  CAST($W AS INTEGER) AS width, CAST(i.h AS INTEGER) AS height,
+         |  CAST(len(i.pix) AS BIGINT) AS n_values,
+         |  CAST(list_sum(i.pix) AS BIGINT) AS sum_val,
+         |  CAST(list_min(i.pix) AS BIGINT) AS min_val,
+         |  CAST(list_max(i.pix) AS BIGINT) AS max_val,
+         |  ph.phash
+         |FROM img i JOIN ph USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     "data_mm_audio_frames" -> Q(mmAudioFrames, Some(
       s"""WITH ${codesCte("WHERE doc_id % 2 = 0")},

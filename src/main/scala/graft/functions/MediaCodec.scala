@@ -20,6 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP (BITMAPINFOHEADER, 8-bit uncompressed): magic + header
   *    validation, explicit pixel-array offset, 4-byte row-stride padding,
   *    and bottom-up OR top-down (negative height) row order.
+  *  - PGM (Netpbm P5 binary graymap — a REAL-WORLD interchange format):
+  *    tokenized ASCII header (whitespace-separated width/height/maxval
+  *    with `#`-to-end-of-line comments permitted in any gap, exactly one
+  *    whitespace byte before the raster per the spec), maxval ≤ 255
+  *    (one byte per sample), unpadded top-down raster. A payload is
+  *    classified "pgm" only when the WHOLE container validates — the
+  *    2-byte magic alone is weak enough to occur in free text, and
+  *    format sniffing must never reclassify a text payload.
   *
   * Decoded features are kept in INTEGER domain (count / sum / min / max of
   * samples or pixel luminance) so a SQL oracle can replay them exactly —
@@ -52,6 +60,7 @@ object MediaCodecImpl {
 
   private val FmtWav = UTF8String.fromString("wav")
   private val FmtBmp = UTF8String.fromString("bmp")
+  private val FmtPgm = UTF8String.fromString("pgm")
   private val FmtUnknown = UTF8String.fromString("unknown")
 
   private def u16(b: Array[Byte], o: Int): Int =
@@ -151,14 +160,115 @@ object MediaCodecImpl {
     new GenericInternalRow(Array[Any](
       format, false, null, null, null, 0L, null, null, null))
 
+  /** P5 binary PGM encoder: ASCII header `P5\n<w> <h>\n255\n` + one raw
+    * byte per pixel, row-major top-down, unpadded; `height = n / width`
+    * (tail pixels past the last full row ignored — same convention as
+    * [[bmpEncode]]). */
+  def pgmEncode(pixels: ArrayData, width: Int): Array[Byte] = {
+    if (pixels == null) return null
+    val height = pixels.numElements() / width
+    val header =
+      s"P5\n$width $height\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val n = width * height
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) {
+      out(header.length + i) = (pixels.getInt(i) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Validated P5 geometry: (rasterOffset, width, height) or null.
+    * Netpbm header tokenizer: after the magic, three whitespace-separated
+    * decimal tokens (width, height, maxval) with `#`-to-end-of-line
+    * comments allowed in any whitespace gap, then EXACTLY ONE whitespace
+    * byte before the raster. Hardened like [[bmpGeometry]]: digit
+    * accumulation caps at Int.MaxValue (a crafted 20-digit width must
+    * not wrap), the raster bound is computed in LONG (w·h overflows
+    * int), maxval outside 1..255 (multi-byte samples) rejects, and a
+    * truncated raster rejects — corrupt payloads come back null, never
+    * crash the scan. */
+  private def pgmGeometry(b: Array[Byte]): Array[Int] = {
+    if (b.length < 3 || b(0) != 'P'.toByte || b(1) != '5'.toByte) return null
+    var off = 2
+    def isWs(c: Byte): Boolean =
+      c == ' '.toByte || c == '\t'.toByte || c == '\n'.toByte ||
+        c == '\r'.toByte || c == 0x0b.toByte || c == 0x0c.toByte
+    def nextInt(): Long = {
+      var sawGap = false
+      while (off < b.length &&
+          (isWs(b(off)) || b(off) == '#'.toByte)) {
+        if (b(off) == '#'.toByte) {
+          while (off < b.length && b(off) != '\n'.toByte) off += 1
+        } else off += 1
+        sawGap = true
+      }
+      if (!sawGap || off >= b.length ||
+          b(off) < '0'.toByte || b(off) > '9'.toByte) return -1L
+      var v = 0L
+      while (off < b.length && b(off) >= '0'.toByte && b(off) <= '9'.toByte) {
+        v = v * 10 + (b(off) - '0'.toByte)
+        if (v > Int.MaxValue) return -1L
+        off += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h < 0 || maxv <= 0 || maxv > 255) return null
+    if (off >= b.length || !isWs(b(off))) return null
+    off += 1 // the single post-header whitespace byte
+    if (off.toLong + w * h > b.length) return null
+    Array(off, w.toInt, h.toInt)
+  }
+
+  /** Unified gray-raster geometry — (dataOffset, width, height, stride,
+    * topDown) for BMP (padded stride, row order per header sign) or P5
+    * PGM (unpadded, always top-down); null when neither validates. The
+    * single sniff+validate path shared by [[values]], [[resize]] and
+    * [[dhash56]], so every raster consumer applies identical rules. */
+  private def grayGeometry(b: Array[Byte]): Array[Int] = {
+    if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+      return bmpGeometry(b)
+    val g = pgmGeometry(b)
+    if (g == null) null else Array(g(0), g(1), g(2), g(1), 1)
+  }
+
   /** Sniff + parse: RIFF/WAVE → PCM16 stats, BM → 8-bit BMP pixel stats,
-    * anything else → ("unknown", valid=false). */
+    * fully-valid P5 → PGM pixel stats, anything else → ("unknown",
+    * valid=false). PGM classification requires the whole container to
+    * validate (see [[pgmGeometry]]) — free text starting with "P5" must
+    * stay "unknown". */
   def decode(bytes: Array[Byte]): InternalRow = {
     if (bytes == null) return null
     if (tagAt(bytes, 0, "RIFF") && tagAt(bytes, 8, "WAVE")) decodeWav(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
       decodeBmp(bytes)
-    else invalid(FmtUnknown)
+    else {
+      val g = pgmGeometry(bytes)
+      if (g != null) decodePgm(bytes, g) else invalid(FmtUnknown)
+    }
+  }
+
+  private def decodePgm(b: Array[Byte], g: Array[Int]): InternalRow = {
+    val dataOff = g(0); val width = g(1); val height = g(2)
+    val n = width.toLong * height
+    var sum = 0L
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val v = (b(dataOff + i) & 0xFF).toLong
+      sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      FmtPgm, true, width, height, null, n,
+      if (n > 0) sum else null, if (n > 0) min else null,
+      if (n > 0) max else null))
   }
 
   private def decodeWav(b: Array[Byte]): InternalRow = {
@@ -270,9 +380,10 @@ object MediaCodecImpl {
   }
 
   /** Decoded value stream of a payload: WAV → PCM16 samples in file order,
-    * BMP → pixel luminance row-major TOP-DOWN (the encoders' input order,
-    * so values ∘ encode == identity on the array); invalid or unknown
-    * payloads → null. Integer domain throughout — oracle-replayable. */
+    * BMP/PGM → pixel luminance row-major TOP-DOWN (the encoders' input
+    * order, so values ∘ encode == identity on the array); invalid or
+    * unknown payloads → null. Integer domain throughout —
+    * oracle-replayable. */
   def values(b: Array[Byte]): ArrayData = {
     if (b == null) return null
     if (tagAt(b, 0, "RIFF") && tagAt(b, 8, "WAVE")) {
@@ -283,8 +394,8 @@ object MediaCodecImpl {
       var i = 0
       while (i < n) { out(i) = i16(b, dataOff + i * 2).toInt; i += 1 }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    } else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
-      val g = bmpGeometry(b)
+    } else {
+      val g = grayGeometry(b)
       if (g == null) return null
       val dataOffset = g(0); val width = g(1); val height = g(2)
       val stride = g(3); val topDown = g(4) == 1
@@ -298,19 +409,18 @@ object MediaCodecImpl {
         r += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    } else null
+    }
   }
 
-  /** Nearest-neighbor resize of a BMP payload onto an `outW` × `outH`
-    * grid, fused with the decode (one header parse, one output-pixel
-    * pass): out(r,c) = pix[(r·H)/outH][(c·W)/outW] — the integer-exact
-    * downsample a thumbnail/feature pipeline runs before embedding, and
-    * the same grid arithmetic [[dhash56]] samples internally. Non-BMP /
-    * invalid / zero-height payloads → null. */
+  /** Nearest-neighbor resize of a gray-raster (BMP or PGM) payload onto
+    * an `outW` × `outH` grid, fused with the decode (one header parse,
+    * one output-pixel pass): out(r,c) = pix[(r·H)/outH][(c·W)/outW] —
+    * the integer-exact downsample a thumbnail/feature pipeline runs
+    * before embedding, and the same grid arithmetic [[dhash56]] samples
+    * internally. Non-raster / invalid / zero-height payloads → null. */
   def resize(b: Array[Byte], outW: Int, outH: Int): ArrayData = {
-    if (b == null || b.length < 2 ||
-        b(0) != 'B'.toByte || b(1) != 'M'.toByte) return null
-    val g = bmpGeometry(b)
+    if (b == null) return null
+    val g = grayGeometry(b)
     if (g == null) return null
     val dataOffset = g(0); val width = g(1); val height = g(2)
     val stride = g(3); val topDown = g(4) == 1
@@ -331,7 +441,8 @@ object MediaCodecImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** 56-bit perceptual difference-hash (dHash) of a BMP payload, fused
+  /** 56-bit perceptual difference-hash (dHash) of a gray-raster (BMP or
+    * PGM) payload, fused
     * with the decode (ONE header parse + pixel pass per row — never a
     * per-bit re-decode): the image is nearest-neighbor sampled onto an
     * 8-row × 8-column grid `g(r,c) = pix[(r·H)/8][ (c·W)/8 ]` and bit
@@ -339,12 +450,11 @@ object MediaCodecImpl {
     * horizontal-gradient sign, robust to uniform brightness shifts. 56
     * bits (not the textbook 64) keeps the value exactly representable as
     * a non-negative BIGINT on every engine, so a SQL oracle can replay
-    * it with integer shifts. Non-BMP / invalid / zero-height payloads →
-    * null. */
+    * it with integer shifts. Non-raster / invalid / zero-height payloads
+    * → null. */
   def dhash56(b: Array[Byte]): java.lang.Long = {
-    if (b == null || b.length < 2 ||
-        b(0) != 'B'.toByte || b(1) != 'M'.toByte) return null
-    val g = bmpGeometry(b)
+    if (b == null) return null
+    val g = grayGeometry(b)
     if (g == null) return null
     val dataOffset = g(0); val width = g(1); val height = g(2)
     val stride = g(3); val topDown = g(4) == 1
@@ -401,6 +511,23 @@ case class BmpEncode(child: Expression, width: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.MediaCodecImpl.bmpEncode($c, $width);")
 
   override protected def withNewChildInternal(newChild: Expression): BmpEncode =
+    copy(child = newChild)
+}
+
+/** `pgm_encode(pixels array<int>)` → binary Netpbm P5 graymap. */
+case class PgmEncode(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, s"width must be positive, got $width")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pgm_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.pgmEncode(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaCodecImpl.pgmEncode($c, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): PgmEncode =
     copy(child = newChild)
 }
 
@@ -525,6 +652,9 @@ object MediaFunctions {
     ("bmp_encode", classOf[BmpEncode],
       arity(2, "bmp_encode(pixels, width)")(exprs =>
         BmpEncode(exprs.head, intLit(exprs(1), "bmp_encode(pixels, width)")))),
+    ("pgm_encode", classOf[PgmEncode],
+      arity(2, "pgm_encode(pixels, width)")(exprs =>
+        PgmEncode(exprs.head, intLit(exprs(1), "pgm_encode(pixels, width)")))),
     ("media_resize", classOf[MediaResize],
       arity(3, "media_resize(payload, outW, outH)")(exprs =>
         MediaResize(exprs.head,
@@ -550,6 +680,9 @@ object MediaFunctions {
   def bmp_encode(pixels: Column, width: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "bmp_encode", pixels, org.apache.spark.sql.functions.lit(width))
+  def pgm_encode(pixels: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "pgm_encode", pixels, org.apache.spark.sql.functions.lit(width))
   def media_values(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("media_values", payload)
   def media_dhash(payload: Column): Column =

@@ -209,6 +209,54 @@ class MediaCodecSpec extends AnyFunSuite {
       .select(media_resize($"payload", 4, 4)).head().isNullAt(0))
   }
 
+  test("PGM round-trip: header, dims, stats, values order; dhash matches BMP") {
+    MediaFunctions.register(spark)
+    import MediaFunctions.{bmp_encode, media_dhash, media_values, pgm_encode}
+    val pix = (0 until 65).map(i => (i * 37 + 11) % 256) // 9 full rows of 7 + tail 2
+    val row = Seq(Tuple1(pix)).toDF("p")
+      .select(media_values(pgm_encode($"p", 7)).as("v"),
+        media_dhash(pgm_encode($"p", 7)).as("hp"),
+        media_dhash(bmp_encode(slice($"p", 1, 63), 7)).as("hb"))
+      .head()
+    assert(row.getSeq[Int](0) == pix.take(63)) // tail past last full row dropped
+    assert(!row.isNullAt(1) && row.getLong(1) == row.getLong(2)) // container-independent hash
+    val st = decodeBytes(Seq(graft.functions.MediaCodecImpl.pgmEncode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pix.toArray), 7))).head
+    assert(st.getString(1) == "pgm" && st.getBoolean(2))
+    assert(st.getInt(3) == 7 && st.getInt(4) == 9 && st.isNullAt(5))
+    assert(st.getLong(6) == 63L && st.getLong(7) == pix.take(63).map(_.toLong).sum)
+    assert(st.getLong(8) == pix.take(63).min.toLong &&
+      st.getLong(9) == pix.take(63).max.toLong)
+  }
+
+  test("PGM header tokenizer: comments, arbitrary whitespace, crafted rejects") {
+    def pgm(header: String, raster: Seq[Int]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ raster.map(_.toByte).toArray
+    val ras = (0 until 6).map(i => i * 10)
+    // comments in every gap + mixed whitespace still parse
+    val good = pgm("P5 # c1\n\t3 # c2\n 2\r# c3\n255\n", ras)
+    val g = decodeBytes(Seq(good)).head
+    assert(g.getString(1) == "pgm" && g.getBoolean(2))
+    assert(g.getInt(3) == 3 && g.getInt(4) == 2)
+    assert(g.getLong(6) == 6L && g.getLong(7) == ras.map(_.toLong).sum)
+    // crafted payloads must come back invalid/unknown, never crash:
+    val rejects = Seq(
+      pgm("P5\n3 2\n255\n", ras.take(5)),          // truncated raster
+      pgm("P5\n3 2\n65535\n", ras ++ ras),          // multi-byte samples
+      pgm("P5\n99999999999999999999 2\n255\n", ras), // overflowing width
+      pgm("P5\n-3 2\n255\n", ras),                  // negative width
+      pgm("P5\n3 2\n255", Seq.empty),               // missing raster separator
+      pgm("P53 2 255\n", ras),                      // no gap after magic
+      "P5 this is just text that starts with the magic".getBytes("US-ASCII"))
+    decodeBytes(rejects).foreach { r =>
+      assert(r.getString(1) == "unknown" && !r.getBoolean(2), r.toString)
+    }
+    // zero-height is a VALID (empty) raster, like BMP
+    val empty = decodeBytes(Seq(pgm("P5\n3 0\n255\n", Seq.empty))).head
+    assert(empty.getString(1) == "pgm" && empty.getBoolean(2) &&
+      empty.getLong(6) == 0L && empty.isNullAt(7))
+  }
+
   test("data_mm_neardup: banding finds EVERY pair within the Hamming radius") {
     // Brute-force ground truth: all image pairs with popcount(xor) <= 3.
     // The band guarantee (<= 3 dirty bits over 4 bands) means the banded
