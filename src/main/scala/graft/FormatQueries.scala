@@ -95,12 +95,40 @@ object FormatQueries {
       .dumpOrdered("l_orderkey", "l_linenumber")
   }
 
+  /** Avro write→read round-trip on a lineitem slice — the fourth row
+    * format ([[graft.sources.AvroBridge]]: distributed Hadoop-committer
+    * sink + split-parallel source over the bundled avro-mapred, since
+    * the external spark-avro module isn't shipped). Same lossless
+    * contract as the ORC roundtrip: read-back must hash-equal a plain
+    * parquet projection; the timestamp travels as a formatted string
+    * (Avro's logical-type zoo is exactly where engines disagree on
+    * physical representation, not values). */
+  private def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.lineitem(spark, dir).where(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+          .as("l_shipdate_str"))
+    val path = tmp("avro_roundtrip")
+    graft.sources.AvroBridge.write(src, path)
+    graft.sources.AvroBridge.read(spark, path, src.schema)
+      .dumpOrdered("l_orderkey", "l_linenumber")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_jsonl_ingest" -> Q(jsonlIngest, Some(
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
     "data_orc_roundtrip" -> Q(orcRoundtrip, Some(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_extendedprice, l_returnflag,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_str
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    "data_avro_roundtrip" -> Q(avroRoundtrip, Some(
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |  l_quantity, l_extendedprice, l_returnflag,
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_str

@@ -62,4 +62,40 @@ class FormatSpec extends AnyFunSuite {
     assert(back.orderBy("a").collect().toSeq ==
       src.orderBy("a").collect().toSeq)
   }
+
+  test("Avro bridge round-trips every supported type incl. nulls and binary") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_spec/avro"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("b", BooleanType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("bin", BinaryType, nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 7, 2.5, 1.5f, true, "hej", Array[Byte](1, 2, 3)),
+      org.apache.spark.sql.Row(2L, null, null, null, null, null, null),
+      org.apache.spark.sql.Row(3L, -1, -0.125, 0f, false, "", Array.empty[Byte]))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    graft.sources.AvroBridge.write(src, path)
+    val back = graft.sources.AvroBridge.read(spark, path, schema)
+      .orderBy("id").collect()
+    assert(back.length == 3)
+    val want = rows.sortBy(_.getLong(0))
+    back.zip(want).foreach { case (g, w) =>
+      (0 until schema.length).foreach { i =>
+        (g.get(i), w.get(i)) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b))
+          case (a, b) => assert(a == b, s"col $i: $a != $b")
+        }
+      }
+    }
+    // unsupported column types must fail loudly at schema derivation
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroBridge.avroSchemaJson(
+        StructType(Seq(StructField("t", TimestampType))), "r")
+    }
+  }
 }
