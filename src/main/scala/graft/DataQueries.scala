@@ -1487,16 +1487,27 @@ object DataQueries {
     * (`(SCALE * (N+1)) div (df+1)` — integer floor division is
     * bit-identical on both engines, so scores are exact longs, with no
     * float-log idf that libm would round differently). Shared by the
-    * top-k retrieval query and the MRR evaluation. */
-  private def tfidfModel(docs: DataFrame): (DataFrame, DataFrame) = {
-    val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = dfreq.crossJoin(broadcast(nDocs))
-      .select(col("term"),
-        expr(s"($TfIdfScale * (n_docs + 1)) div (df + 1)").as("idf_scaled"))
+    * top-k retrieval query and the MRR evaluation — and MEMO-PERSISTED
+    * (`Tables.memoBy`, order-independent consumers only): the postings
+    * build (explode + corpus-sized aggregate) is the dominant cost of
+    * the family, and without the memo it ran once for the topk query,
+    * once more for selfmrr, and TWICE inside selfmrr (signature
+    * extraction + scoring both read `tf`). One build per session, like
+    * `cmstoks`/`phraseocc`. */
+  private def tfidfModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val tf = Tables.memoBy(spark, s"tfidf_tf:$dir") {
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
+    val idf = Tables.memoBy(spark, s"tfidf_idf:$dir") {
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      dfreq.crossJoin(broadcast(nDocs))
+        .select(col("term"),
+          expr(s"($TfIdfScale * (n_docs + 1)) div (df + 1)").as("idf_scaled"))
+    }
     (tf, idf)
   }
 
@@ -1510,7 +1521,7 @@ object DataQueries {
     * (bounded-heap partial below the shuffle). */
   private def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (tf, idf) = tfidfModel(docs)
+    val (tf, idf) = tfidfModel(spark, dir)
     val queries = docs.where(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
@@ -1551,7 +1562,7 @@ object DataQueries {
     * term); signature extraction is a WindowGroupLimit top-3 over the
     * probe docs' postings only. */
   private def tfidfSelfMrr(spark: SparkSession, dir: String): DataFrame = {
-    val (tf, idf) = tfidfModel(Tables.documents(spark, dir))
+    val (tf, idf) = tfidfModel(spark, dir)
     val wSig = Window.partitionBy(col("query_id"))
       .orderBy((col("tf") * col("idf_scaled")).desc, col("term"))
     // queries carry idf_scaled forward (term is unique in idf), so the

@@ -133,6 +133,15 @@ object TrainQueries {
   private def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesWith(spark, dir, PackBuckets)
 
+  /** The PRODUCTION packing entry point: buckets sized to the cluster
+    * (`defaultParallelism`), not to the oracle's fixed 8 — on a
+    * 1000-executor cluster the verify query's 8 buckets would leave 992
+    * slots idle through the running-offset window. Same semantics per
+    * bucket; only the degree of independent packing scales. `PackProbe`
+    * measures the knob (8 → 64 buckets) at the scale SFs. */
+  def packSequencesScaled(spark: SparkSession, dir: String): DataFrame =
+    packSequencesWith(spark, dir, spark.sparkContext.defaultParallelism)
+
   /** [[packSequences]] at an explicit bucket count — the parallelism
     * knob: buckets pack independently (the running-offset window and the
     * per-sequence assembly both partition by bucket), so a production
