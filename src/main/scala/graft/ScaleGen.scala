@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   * window, group cardinalities per key, and value distributions are the
   * quantities the queries aggregate over.
   *
-  * Usage: `runMain graft.ScaleGen <srcSfDir> <outDir> [copies]`.
+  * Usage: `runMain graft.ScaleGen <srcSfDir> <outDir> [copies] [tables]`
+  * — `tables` is an optional comma-separated subset (e.g. `events`) for
+  * single-family probes (an sf30 events-only step is ~1/10 the bytes of
+  * the full generation).
   */
 object ScaleGen {
   private val Stride = 10000000L // % 400 == 0
@@ -48,9 +51,15 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def write(name: String, df: DataFrame, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+    val wanted: String => Boolean =
+      if (args.length > 3)
+        args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else _ => true
+
+    def write(name: String, df: => DataFrame, parts: Int): Unit =
+      if (wanted(name))
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
 
     // Dimensions: verbatim copies (they stay bounded at any scale — that
     // is what makes them broadcastable).
@@ -100,10 +109,11 @@ object ScaleGen {
     }, 8)
 
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      println(s"[scalegen] $t rows=" +
-        spark.read.parquet(s"$outDir/$t.parquet").count())
-    }
+      "lineitem", "events", "documents", "embeddings")
+      .filter(wanted).foreach { t =>
+        println(s"[scalegen] $t rows=" +
+          spark.read.parquet(s"$outDir/$t.parquet").count())
+      }
     spark.stop()
   }
 }

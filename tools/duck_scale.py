@@ -33,7 +33,9 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_cube_stats", "data_mm_resize", "data_mm_neardup",
           "data_pack_sequences", "data_mixture_temperature",
           "data_sim_ivfadc", "data_sim_l2_topk", "data_bpe_encode",
-          "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components"]
+          "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components",
+          # round-8 additions: tokenizer training, PGM container
+          "data_bpe_train", "data_bpe_train_encode", "data_mm_pgm_decode"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -50,10 +52,13 @@ con.execute("SET threads TO 32")
 for t in TABLES:
     path = f"{sf}/{t}.parquet"
     # ScaleGen writes Spark-style directories of part files; the driver
-    # testdata is a single file per table. Glob both.
+    # testdata is a single file per table. Glob both. Partial ScaleGen
+    # dirs (single-family probes, e.g. an events-only sf30) just skip
+    # the missing views — queries touching them will error visibly.
     src = f"{path}/*.parquet" if os.path.isdir(path) else path
     if not glob.glob(src.replace("*.parquet", "**")) and not os.path.exists(path):
-        raise SystemExit(f"missing table {path}")
+        print(f"[duck_scale] missing table {path} - skipping view", file=sys.stderr)
+        continue
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 out = {}
