@@ -22,7 +22,8 @@ object Plans {
     "data_search_phrase",
     "data_mm_phash", "data_mm_audio_frames", "data_sim_ivfpq_refine",
     "data_classifier_pr", "data_epoch_shuffle", "data_mm_neardup",
-    "data_sim_ivfadc")
+    "data_sim_ivfadc",
+    "data_bpe_train_encode", "data_mm_pgm_decode")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -180,20 +181,25 @@ object Plans {
       |  joining ONE hash row — linear, never pairwise.
       |- **data_sketch_cms** — the d×w sketch is one HashAggregate
       |  (partial below the exchange: shuffle O(d·w), not O(tokens)); the
-      |  sketch broadcasts to the estimate join; the top-k candidate
-      |  window collapses to `TakeOrderedAndProject(limit=20)` (Spark's
-      |  WindowGroupLimit rewrite) — no single-partition Window over the
-      |  token stream, only over the vocab-sized aggregate.
+      |  sketch broadcasts to the estimate join; the top-k candidate pick
+      |  is `orderBy().limit(k)` → `TakeOrderedAndProject(limit=20)` by
+      |  construction (per-partition bounded heaps, k-row driver merge) —
+      |  NO Window operator over the vocab-sized aggregate at all (the r7
+      |  row_number form planned a single-partition Window over the full
+      |  vocab: billions of rows at corpus scale; VERDICT r7 #2).
       |- **data_decontaminate_bloom** — ZERO joins in the plan: the
       |  filter is an m-char literal bitmap (bounded model pull), the
       |  probe is three AND'd codegen'd substr tests inside the shingle
       |  scan, and the only shuffle is the per-doc count aggregate.
       |- **data_search_phrase** — both phrase sides are single-term
       |  slices of the same memo-persisted occurrence relation
-      |  (InMemoryTableScan twice, built once); the t1 slice joins the
-      |  broadcast top-bigram row, then the adjacency join runs on
-      |  (doc, pos) — never a corpus×corpus join, and the corpus text is
-      |  never rescanned.
+      |  (InMemoryTableScan twice, built once); the top-1 bigram pick is
+      |  `orderBy().limit(1)` → `TakeOrderedAndProject` (no
+      |  single-partition Window over the bigram-count table — larger
+      |  than the vocab at corpus scale; VERDICT r7 #3); the t1 slice
+      |  joins the broadcast top-bigram row, then the adjacency join runs
+      |  on (doc, pos) — never a corpus×corpus join, and the corpus text
+      |  is never rescanned.
       |- **data_mm_phash** — the hashed projection (encode → fused
       |  `media_dhash`) is memo-persisted BEFORE fan-out: the dup-group
       |  aggregate, the join-back and the pushed-down isNotNull filter
@@ -224,12 +230,33 @@ object Plans {
       |  to the single `doc_id` column; the only exchange hash-partitions
       |  by (epoch, shard), so each shard ranks only its own slice — no
       |  global sort anywhere in the body.
-      |- **data_mm_neardup** — both band-join sides are slices of the
-      |  SAME memo-persisted (doc_id, phash) relation (InMemoryTableScan
-      |  twice, hashed once); candidates come from the (band, band-value)
-      |  EQUI-join — never an image×image comparison — and the exact
-      |  Hamming check is one XOR+popcount per surviving candidate. The
-      |  ≤3-bit radius makes banding exact (pigeonhole over 4 bands).
+      |- **data_mm_neardup** — the band join runs at DISTINCT-phash
+      |  granularity: the memo-persisted (doc_id, phash) relation
+      |  (InMemoryTableScan, hashed once) collapses through a distinct
+      |  BEFORE banding, so an identical-image mega-cluster — which
+      |  shares all four band values — enters the candidate join ONCE
+      |  (`ImageSkewProbe`: 203M naive candidates → 2), and
+      |  `capHotBuckets` on (band, bv) drops non-discriminative hot
+      |  bands. Candidates come from the (band, band-value) EQUI-join —
+      |  never an image×image comparison — the exact Hamming check is one
+      |  XOR+popcount per surviving candidate, and the doc-level
+      |  expansion joins are output-sized by the emit-all-pairs contract.
+      |  The ≤3-bit radius keeps banding exact below the cap (pigeonhole
+      |  over 4 bands).
+      |- **data_bpe_train_encode** — serving a TRAINED tokenizer is one
+      |  hash join from the (doc, word) explode to the vocab-sized
+      |  trained word table (InMemoryTableScan of the memo-persisted
+      |  training result) + one per-doc aggregate; the 8 training rounds
+      |  (driver loop, vocab-sized per round) happen at model-build time
+      |  and never appear in the serving plan — no per-word recursion,
+      |  no corpus rescan at encode time.
+      |- **data_mm_pgm_decode** — the `pgm_encode` payload evaluates ONCE
+      |  in its own Project (CollapseProject declines to duplicate a
+      |  non-cheap expression with two consumers), and `media_decode` +
+      |  `media_dhash` reference the attribute above it — one container
+      |  build per row, no memo barrier needed; the length filter sits
+      |  below it on the raw text column (`PushedFilters: IsNotNull`).
+      |  Map-only to the dump sort.
       |- **data_sim_ivfadc** — the residual-encoded IVFADC keeps the
       |  ivfpq query shape: residual computation is a MAP-ONLY literal
       |  centroid lookup (element_at of the collected coarse table — no
