@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, FloatVecSqDist}
 
 /** SparkSessionExtensions entry point: makes the engine's custom functions
   * available to ANY session via config, no code changes —
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[FloatVecSqDist].getName, "vec_sqdist"),
+      (children: Seq[Expression]) => FloatVecSqDist(children.head, children(1))))
     // the media codec surface (decode/values/dhash/resize + encoders)
     graft.functions.MediaFunctions.builders.foreach { case (name, cls, build) =>
       ext.injectFunction((

@@ -306,6 +306,28 @@ object Dedup {
         coalesce(col("max_prior_sim") >= tau, lit(false)).as("is_semantic_dup"))
   }
 
+  /** [[semanticDedup]] with the cell count sized to the CORPUS — the
+    * production entry point. SemDeDup's within-cell pairwise cosine is
+    * quadratic in cell size, so a CONSTANT kCells turns linear corpus
+    * growth into quadratic work (measured: the oracle query's fixed 8
+    * cells cost 109 s at sf10 where 40 right-sized cells cost a few
+    * seconds); the published SemDeDup setup scales cluster count with
+    * the corpus for exactly this reason. `kCells = ceil(n /
+    * targetCellSize)` bounds per-cell work at targetCellSize²/2
+    * comparisons regardless of corpus size; the count is one cheap
+    * aggregate at build time (production would read it from table
+    * stats). The verify query keeps the oracle-fixed kCells=8 — same
+    * plan, deterministic k. */
+  def semanticDedupScaled(corpus: DataFrame, rounds: Int, tau: Double,
+                          targetCellSize: Int = 2000,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(targetCellSize > 1, s"targetCellSize must exceed 1, got $targetCellSize")
+    val n = corpus.count()
+    val k = math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+    semanticDedup(corpus, k, rounds, tau, idCol, vecCol)
+  }
+
   /** Estimated Jaccard from two equal-length signatures: matching fraction. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / k

@@ -45,6 +45,14 @@ object Similarity {
     graft.functions.VectorFunctions.vec_dot(a, b)
   }
 
+  /** Compiled [[sqDist]] (`FloatVecSqDist` — tight primitive loop inside
+    * whole-stage codegen, bit-identical to the HOF fold); `df` supplies
+    * the session for idempotent registration, like [[fastDot]]. */
+  private def fastSqDist(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    graft.functions.VectorFunctions.vec_sqdist(a, b)
+  }
+
   /** Brute-force top-k: for each query row, the k nearest corpus rows by
     * cosine (ties broken by corpus id). Query set must be small — it is
     * broadcast. Norms are precomputed once per side (N + Q sqrt-folds)
@@ -75,7 +83,7 @@ object Similarity {
                        cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .where(col(qId) =!= col(cId))
-      .withColumn("d2", sqDist(col(qVec), col(cVec)))
+      .withColumn("d2", fastSqDist(corpus)(col(qVec), col(cVec)))
     val w = Window.partitionBy(col(qId)).orderBy(col("d2"), col(cId))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -146,7 +154,7 @@ object Similarity {
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("d2", sqDist(col(vecCol), col("cvec")))
+      .withColumn("d2", fastSqDist(corpus)(col(vecCol), col("cvec")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cell"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .drop("rn", "d2", "cvec")
@@ -175,7 +183,7 @@ object Similarity {
     // strict-< fold; all-NULL distances (null vector) map to cell -1,
     // same as the fold's init.
     val d2s = array(cents.map { case (_, vec) =>
-      sqDist(col(vecCol), array(vec.map(lit): _*))
+      fastSqDist(corpus)(col(vecCol), array(vec.map(lit): _*))
     }: _*)
     val ids = array(cents.map { case (cellId, _) => lit(cellId) }: _*)
     val pos = array_position(d2s, array_min(d2s))
@@ -197,7 +205,7 @@ object Similarity {
     val cents = fitCentroids(corpus, kCells, rounds, cId, cVec)
     val assigned = assignCellsBroadcast(corpus, cents, cVec)
     val routed = queries.crossJoin(broadcast(cents))
-      .withColumn("d2", sqDist(col(qVec), col("cvec")))
+      .withColumn("d2", fastSqDist(queries)(col(qVec), col("cvec")))
     val wA = Window.partitionBy(col(qId)).orderBy(col("d2"), col("cell"))
     val probes = routed.withColumn("rn", row_number().over(wA))
       .where(col("rn") <= nprobe)
@@ -234,7 +242,7 @@ object Similarity {
     assignCellsBroadcast(corpus, cents, cVec)
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
     val routed = queries.crossJoin(broadcast(cents))
-      .withColumn("d2", sqDist(col(qVec), col("cvec")))
+      .withColumn("d2", fastSqDist(queries)(col(qVec), col("cvec")))
     val wA = Window.partitionBy(col(qId)).orderBy(col("d2"), col("cell"))
     val probes = routed.withColumn("rn", row_number().over(wA))
       .where(col("rn") <= nprobe)
@@ -423,7 +431,7 @@ object Similarity {
         (0 until m).map(s => col(s"code_$s")): _*)
     // route each query to its nprobe nearest coarse cells
     val routed = queries.crossJoin(broadcast(coarse))
-      .withColumn("_d2", sqDist(col(qVec), col("cvec")))
+      .withColumn("_d2", fastSqDist(queries)(col(qVec), col("cvec")))
     val wr = Window.partitionBy(col(qId)).orderBy(col("_d2"), col("cell"))
     val probes = routed.withColumn("_rn", row_number().over(wr))
       .where(col("_rn") <= nprobe)
@@ -512,7 +520,7 @@ object Similarity {
         (0 until m).map(s => col(s"code_$s")): _*)
     // route queries to nprobe nearest coarse cells (same as ivfPqTopK)
     val routed = queries.crossJoin(broadcast(coarse))
-      .withColumn("_d2", sqDist(col(qVec), col("cvec")))
+      .withColumn("_d2", fastSqDist(queries)(col(qVec), col("cvec")))
     val wr = Window.partitionBy(col(qId)).orderBy(col("_d2"), col("cell"))
     val probes = routed.withColumn("_rn", row_number().over(wr))
       .where(col("_rn") <= nprobe)
@@ -524,7 +532,7 @@ object Similarity {
     val qrCol = residualOf(col(qVec), col("cell"))
     val qTabs = (0 until m).map { s =>
       array((0L until k.toLong).map { c =>
-        round(sqDist(slice(qrCol, s * sub + 1, sub),
+        round(fastSqDist(queries)(slice(qrCol, s * sub + 1, sub),
           array(cents((s, c)).map(lit): _*)) * 1e6).cast("long")
       }: _*).as(s"_qt_$s")
     }

@@ -61,6 +61,91 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for squared-L2 distance — the hot inner
+  * loop of the L2 ANN family ([[graft.data.Similarity.bruteForceL2TopK]],
+  * IVF cell assignment/routing, residual distance tables). Same
+  * motivation and determinism contract as [[FloatVecDot]]: the generated
+  * loop computes `d = (double) a[i] - (double) b[i]; s += d * d` in index
+  * order — bit-identical to the HOF form
+  * `aggregate(zip_with(a, b, (x, y) => (x - y)²), 0.0, _+_)` (verified
+  * by VectorExprSpec's exact-equality parity case).
+  *
+  * Element accessors resolve from each side's array element type at plan
+  * time: call sites mix FLOAT embedding columns with DOUBLE centroid
+  * literals (`array(lit(...))`) and double residual slices, so each side
+  * reads its own primitive width. Unequal lengths take the min (the HOF
+  * would yield NULL via zip_with padding; vectors here are fixed-dim so
+  * the case never arises — documented, not depended on). */
+case class FloatVecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqdist"
+
+  private def elemOf(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"vec_sqdist: expected array argument, got $other")
+  }
+
+  private def readElem(x: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => x.getFloat(i).toDouble
+    case DoubleType => x.getDouble(i)
+    case IntegerType => x.getInt(i).toDouble
+    case LongType => x.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"vec_sqdist: unsupported element type $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemOf(left), elemOf(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = readElem(x, lt, i) - readElem(y, rt, i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  private def genAccessor(arr: String, et: DataType, i: String): String =
+    et match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case other => throw new IllegalArgumentException(
+        s"vec_sqdist: unsupported element type $other")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${genAccessor(a, elemOf(left), i)}
+         |    - ${genAccessor(b, elemOf(right), i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Register `vec_dot` in the session's function registry so it is usable
@@ -75,9 +160,17 @@ object VectorFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
       registry.createOrReplaceTempFunction(
         "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_sqdist")))
+      registry.createOrReplaceTempFunction(
+        "vec_sqdist", exprs => FloatVecSqDist(exprs.head, exprs(1)), "scala_udf")
   }
 
   /** Column-API handle; requires [[register]] on the session first. */
   def vec_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+
+  /** Column-API handle; requires [[register]] on the session first. */
+  def vec_sqdist(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_sqdist", a, b)
 }

@@ -380,6 +380,23 @@ class DataOpsSpec extends AnyFunSuite {
       (4L, 1L, 1L, Some(1.0), true)))
   }
 
+  test("semanticDedupScaled == semanticDedup at the derived cell count") {
+    val vecs = Tables.embeddings(spark, TestSpark.sf)
+    val n = vecs.count()
+    val target = 16
+    val k = ((n + target - 1) / target).toInt
+    val scaled = Dedup.semanticDedupScaled(vecs, rounds = 1, tau = 0.3,
+      targetCellSize = target).orderBy("vec_id").collect().toSeq
+    val explicit = Dedup.semanticDedup(vecs, kCells = k, rounds = 1,
+      tau = 0.3).orderBy("vec_id").collect().toSeq
+    assert(scaled == explicit && scaled.nonEmpty)
+    // cells really are bounded-ish: max cell population ≪ corpus
+    val maxCell = Dedup.semanticDedupScaled(vecs, rounds = 1, tau = 0.3,
+        targetCellSize = target)
+      .groupBy("cell").count().agg(max("count")).as[Long].head()
+    assert(maxCell < n, s"degenerate single cell: $maxCell of $n")
+  }
+
   test("WinnowSelect expression is bit-identical to the HOF definition") {
     graft.functions.WinnowFunctions.register(spark)
     import graft.functions.WinnowFunctions.winnow_select

@@ -38,4 +38,38 @@ class VectorExprSpec extends AnyFunSuite {
       .as[Option[Double]].collect().toSeq
     assert(got == Seq(Some(11.0), None, Some(0.0)))
   }
+
+  test("vec_sqdist equals HOF fold bit-for-bit, incl. float-vs-double sides") {
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int) = List.fill(n)(rnd.nextFloat() * 4f - 2f)
+    val pairs = (1 to 100).map { i => (vec(1 + i % 64), vec(1 + i % 64)) }
+    val got = pairs.toDF("a", "b").select(
+      VectorFunctions.vec_sqdist(col("a"), col("b")).as("fast"),
+      Similarity.sqDist(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (fast, hof) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(hof), s"$fast != $hof")
+    }
+    // mixed element widths: float column vs double centroid literal —
+    // the assignCellsBroadcast shape
+    val cent = Seq(0.5, -1.25, 2.0)
+    val mixed = pairs.map(_._1).filter(_.size >= 3).take(20).map(_.take(3))
+      .toDF("a").select(
+      VectorFunctions.vec_sqdist(col("a"),
+        array(cent.map(lit): _*)).as("fast"),
+      Similarity.sqDist(col("a"), array(cent.map(lit): _*)).as("hof"))
+      .as[(Double, Double)].collect()
+    mixed.foreach { case (fast, hof) =>
+      assert(java.lang.Double.doubleToLongBits(fast) ==
+        java.lang.Double.doubleToLongBits(hof), s"$fast != $hof")
+    }
+    // null propagation matches BinaryExpression null intolerance
+    val nulls = Seq((Option.empty[List[Float]], Some(List(1.0f))))
+      .toDF("a", "b")
+      .select(VectorFunctions.vec_sqdist(col("a"), col("b")))
+      .as[Option[Double]].collect().toSeq
+    assert(nulls == Seq(None))
+  }
 }
