@@ -25,11 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+      graft.functions.VectorFunctions.binaryBuilder("vec_dot", FloatVecDot.apply)))
     ext.injectFunction((
       FunctionIdentifier("vec_sqdist"),
       new ExpressionInfo(classOf[FloatVecSqDist].getName, "vec_sqdist"),
-      (children: Seq[Expression]) => FloatVecSqDist(children.head, children(1))))
+      graft.functions.VectorFunctions.binaryBuilder("vec_sqdist",
+        FloatVecSqDist.apply)))
     // the media codec surface (decode/values/dhash/resize + encoders)
     graft.functions.MediaFunctions.builders.foreach { case (name, cls, build) =>
       ext.injectFunction((

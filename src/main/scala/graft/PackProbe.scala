@@ -44,10 +44,11 @@ object PackProbe {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
-          (col("doc_id") % 8).as("bucket"))
+          (col("doc_id") % TrainQueries.PackBuckets).as("bucket"))
         .withColumn("bin",
-          expr("coalesce(sum(n_tok) over (partition by bucket order by doc_id" +
-            " rows between unbounded preceding and 1 preceding), 0L) div 512"))
+          expr(s"coalesce(sum(n_tok) over (partition by bucket order by doc_id" +
+            s" rows between unbounded preceding and 1 preceding), 0L)" +
+            s" div ${TrainQueries.PackBin}"))
         .groupBy(col("bucket"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
         .orderBy(col("bucket"), col("bin"))

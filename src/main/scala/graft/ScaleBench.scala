@@ -60,18 +60,20 @@ object ScaleBench {
     }
     val byName = Registry.byName
     names.foreach { name =>
-      // build time is reported separately: queries that fit a model at
-      // build (ANN codebook collects, the BPE training loop) do that
-      // driver-bounded work HERE, not in the timed serving runs
-      val tb0 = System.nanoTime()
-      val df = byName(name).build(spark, sfDir)
-      val tBuild = (System.nanoTime() - tb0) / 1e9
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
       try {
+        // build time is reported separately: queries that fit a model at
+        // build (ANN codebook collects, the BPE training loop) do that
+        // driver-bounded work HERE, not in the timed serving runs — and
+        // inside the try: a build-time failure must emit this query's
+        // error row, not kill the remaining sweep
+        val tb0 = System.nanoTime()
+        val df = byName(name).build(spark, sfDir)
+        val tBuild = (System.nanoTime() - tb0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         val warm = once() // cold-ish first run: fills hot-table caches
         val best = (1 to reps).map(_ => once()).min
         val joins = df.queryExecution.executedPlan

@@ -116,8 +116,8 @@ object TrainQueries {
 
   // -- sequence materialization ----------------------------------------
 
-  private val PackBin = 512   // tokens per packed sequence (= packPlan)
-  private val PackBuckets = 8
+  private[graft] val PackBin = 512 // tokens per packed sequence (= packPlan)
+  private[graft] val PackBuckets = 8
 
   /** MATERIALIZED packed training sequences — the step after
     * `data_pack_plan`'s offsets: documents concatenate into their
@@ -443,7 +443,12 @@ object TrainQueries {
        |        (i - list_max(list_filter(range(1, i + 1), j ->
        |           j = 1 OR NOT (syms[j - 1] = a AND syms[j] = b)))) % 2 = 0)
        |        AS mp
-       |    FROM $prev, t$k) z)""".stripMargin
+       |    FROM $prev LEFT JOIN t$k ON TRUE) z)""".stripMargin
+    // LEFT JOIN ON TRUE, not a comma cross join: an EXHAUSTED round
+    // (t_k empty — no adjacent pairs left) must keep the word table
+    // unchanged (NULL a/b fails every match predicate → mp empty), the
+    // same no-op the Spark loop's top.isEmpty guard takes; a cross join
+    // would wipe w_k and every later round.
   }
 
   /** Shared oracle prefix: word-frequency table, char symbols, and all

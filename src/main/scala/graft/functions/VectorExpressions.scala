@@ -73,20 +73,32 @@ case class FloatVecDot(left: Expression, right: Expression)
   * Element accessors resolve from each side's array element type at plan
   * time: call sites mix FLOAT embedding columns with DOUBLE centroid
   * literals (`array(lit(...))`) and double residual slices, so each side
-  * reads its own primitive width. Unequal lengths take the min (the HOF
-  * would yield NULL via zip_with padding; vectors here are fixed-dim so
-  * the case never arises — documented, not depended on). */
+  * reads its own primitive width. NULL ELEMENTS propagate to a NULL
+  * result like the HOF (zip_with arithmetic over a null element nulls
+  * the fold) — the per-element null branch is emitted ONLY when a
+  * side's array type says `containsNull` (embeddings read from parquet
+  * carry element-nullable schemas even when dense), so the dense-typed
+  * path keeps the branch-free loop. Unequal lengths take the min (the
+  * HOF would yield NULL via zip_with padding; vectors here are
+  * fixed-dim so the case never arises — documented, not depended on). */
 case class FloatVecSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_sqdist"
 
   private def elemOf(e: Expression): DataType = e.dataType match {
     case ArrayType(et, _) => et
     case other => throw new IllegalArgumentException(
       s"vec_sqdist: expected array argument, got $other")
+  }
+
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
   }
 
   private def readElem(x: ArrayData, et: DataType, i: Int): Double = et match {
@@ -102,10 +114,12 @@ case class FloatVecSqDist(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lt, rt) = (elemOf(left), elemOf(right))
+    val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val d = readElem(x, lt, i) - readElem(y, rt, i)
       s += d * d
       i += 1
@@ -129,10 +143,17 @@ case class FloatVecSqDist(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val nullCheck =
+        if (mayHaveNullElems(left) || mayHaveNullElems(right))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |  ${ev.isNull} = true; break;
+             |}""".stripMargin
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $d = ${genAccessor(a, elemOf(left), i)}
          |    - ${genAccessor(b, elemOf(right), i)};
          |  $s += $d * $d;
@@ -154,16 +175,27 @@ object VectorFunctions {
     * spammed "replaced a previously registered function" warnings and
     * re-created the builder closure per call (visible in BENCH_r02's log
     * tail). */
+  /** Arity guard shared with [[graft.GraftExtensions]]: a wrong-arg-count
+    * SQL call raises the usage message, never IndexOutOfBoundsException
+    * (same contract as the media/text builders). */
+  private[graft] def binaryBuilder(fn: String, make: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"$fn(a, b): expected 2 arguments, got ${exprs.length}")
+      make(exprs.head, exprs(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
       registry.createOrReplaceTempFunction(
-        "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
+        "vec_dot", binaryBuilder("vec_dot", FloatVecDot.apply), "scala_udf")
     if (!registry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("vec_sqdist")))
       registry.createOrReplaceTempFunction(
-        "vec_sqdist", exprs => FloatVecSqDist(exprs.head, exprs(1)), "scala_udf")
+        "vec_sqdist", binaryBuilder("vec_sqdist", FloatVecSqDist.apply), "scala_udf")
   }
 
   /** Column-API handle; requires [[register]] on the session first. */

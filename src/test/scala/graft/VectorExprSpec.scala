@@ -71,5 +71,15 @@ class VectorExprSpec extends AnyFunSuite {
       .select(VectorFunctions.vec_sqdist(col("a"), col("b")))
       .as[Option[Double]].collect().toSeq
     assert(nulls == Seq(None))
+    // a NULL ELEMENT nulls the distance, like the HOF's zip_with
+    // arithmetic (element-nullable schema - the parquet read shape)
+    val elemNull = Seq(
+      (List(Some(1.0f), None), List(Some(1.0f), Some(2.0f))),
+      (List(Some(1.0f), Some(3.0f)), List(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(VectorFunctions.vec_sqdist(col("a"), col("b")).as("fast"),
+        Similarity.sqDist(col("a"), col("b")).as("hof"))
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    assert(elemNull == Seq((None, None), (Some(1.0), Some(1.0))))
   }
 }
