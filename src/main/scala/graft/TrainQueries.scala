@@ -335,6 +335,39 @@ object TrainQueries {
     * standard word-frequency formulation of BPE training); rounds are
     * persisted so round k reads round k-1's cache, not the whole chain.
     * The driver-side state is [[BpeTrainRounds]] merge rows. */
+  /** The training loop proper, over any (word, freq) table — split from
+    * the corpus plumbing so property suites can train on synthetic word
+    * tables. Returns the trained table (word, freq, final syms) and the
+    * merge list. The caller owns the returned frame's persistence (the
+    * last round's persist is left armed). */
+  private[graft] def trainMergeRounds(words: DataFrame,
+                                      rounds: Int = BpeTrainRounds)
+      : (DataFrame, Seq[BpeMerge]) = {
+    var wf = words
+      .withColumn("syms", expr(
+        """CASE WHEN length(word) >= 1
+          |  THEN transform(sequence(1, length(word)),
+          |                 i -> substring(word, i, 1))
+          |  ELSE cast(array() AS array<string>) END""".stripMargin))
+      .persist()
+    val merges = Seq.newBuilder[BpeMerge]
+    for (k <- 1 to rounds) {
+      val top = adjacentPairs(wf)
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
+      if (top.nonEmpty) {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += BpeMerge(k, a, b, r.getLong(2))
+        val next = wf.withColumn("syms", mergeApply(col("syms"), a, b))
+          .persist()
+        next.count() // materialize before dropping the parent round
+        wf.unpersist()
+        wf = next
+      }
+    }
+    (wf, merges.result())
+  }
+
   private[graft] def bpeTrainedWords(spark: SparkSession, dir: String): DataFrame = {
     // resolve the corpus memo OUTSIDE the bpetrain memo closure — a
     // nested first-touch computeIfAbsent on the shared memo map throws
@@ -345,28 +378,8 @@ object TrainQueries {
       val base = docs
         .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .withColumn("syms", expr(
-          """CASE WHEN length(word) >= 1
-            |  THEN transform(sequence(1, length(word)),
-            |                 i -> substring(word, i, 1))
-            |  ELSE cast(array() AS array<string>) END""".stripMargin))
-      var wf = base.persist()
-      val merges = Seq.newBuilder[BpeMerge]
-      for (k <- 1 to BpeTrainRounds) {
-        val top = adjacentPairs(wf)
-          .orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
-        if (top.nonEmpty) {
-          val r = top(0)
-          val (a, b) = (r.getString(0), r.getString(1))
-          merges += BpeMerge(k, a, b, r.getLong(2))
-          val next = wf.withColumn("syms", mergeApply(col("syms"), a, b))
-            .persist()
-          next.count() // materialize before dropping the parent round
-          wf.unpersist()
-          wf = next
-        }
-      }
-      trainMemo.put((spark, dir), merges.result())
+      val (wf, merges) = trainMergeRounds(base)
+      trainMemo.put((spark, dir), merges)
       wf
     }
   }

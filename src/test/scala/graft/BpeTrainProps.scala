@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Differential properties of the iterative BPE trainer: for ANY small
+  * word-frequency table, [[TrainQueries.trainMergeRounds]] (DataFrame
+  * pair counts + argmax + the mergeApply fold) must agree merge-for-merge
+  * and symbol-for-symbol with an independent in-memory reference trainer
+  * (mutable maps, explicit left-to-right merge loop) — the two share no
+  * code, so agreement pins the tie-break total order, the non-overlap
+  * rule, and the round accounting at once.
+  */
+object BpeTrainProps extends Properties("BpeTrain") {
+  lazy val spark = TestSpark.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val Rounds = 4
+
+  // tight alphabet + short words → dense pair collisions, live tie-breaks
+  private val ch = Gen.oneOf('a', 'b')
+  private val word = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, ch))
+    .map(_.mkString)
+  private val corpus: Gen[Map[String, Long]] = Gen.choose(1, 8)
+    .flatMap(k => Gen.listOfN(k, Gen.zip(word, Gen.choose(1L, 5L))))
+    .map(_.groupBy(_._1).map { case (w, fs) => w -> fs.map(_._2).sum })
+
+  /** Reference trainer: same contract, no Spark, no shared code. */
+  private def refTrain(words: Map[String, Long], rounds: Int)
+      : (Map[String, Vector[String]], Seq[(String, String, Long)]) = {
+    var tbl: Map[String, (Long, Vector[String])] =
+      words.map { case (w, f) => w -> (f, w.map(_.toString).toVector) }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+        else out += s
+      }
+      out.toVector
+    }
+    for (_ <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      tbl.values.foreach { case (f, syms) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, x, y) }
+        merges += ((a, b, c))
+        tbl = tbl.map { case (w, (f, syms)) => w -> (f, applyMerge(syms, a, b)) }
+      }
+    }
+    (tbl.map { case (w, (_, syms)) => w -> syms }, merges.result())
+  }
+
+  property("DataFrame trainer == in-memory reference (merges AND encodings)") =
+    forAll(corpus) { words =>
+      import spark.implicits._
+      val wordsDf = words.toSeq.toDF("word", "freq")
+      val (wf, merges) = TrainQueries.trainMergeRounds(wordsDf, Rounds)
+      val gotSyms = wf.select($"word", $"syms")
+        .as[(String, Seq[String])].collect().toMap
+      wf.unpersist()
+      val (wantSyms, wantMerges) = refTrain(words, Rounds)
+      val mergesMatch =
+        merges.map(m => (m.lhs, m.rhs, m.cnt)) == wantMerges
+      val symsMatch = gotSyms.view.mapValues(_.toVector).toMap == wantSyms
+      if (!mergesMatch || !symsMatch)
+        println(s"corpus=$words\n got=$merges vs $wantMerges\n " +
+          s"gotSyms=$gotSyms vs $wantSyms")
+      mergesMatch && symsMatch
+    }
+}
