@@ -71,4 +71,31 @@ object MediaProps extends Properties("MediaCodec") {
         MediaCodecImpl.bmpEncode(ArrayData.toArrayData(hi.toArray), w))
       a == b
     }
+
+  property("PGM values ∘ encode == identity; dhash container-independent") =
+    forAll(img) { case (w, h, px) =>
+      val bytes = MediaCodecImpl.pgmEncode(ArrayData.toArrayData(px.toArray), w)
+      val got = MediaCodecImpl.values(bytes)
+      val viaBmp = MediaCodecImpl.dhash56(
+        MediaCodecImpl.bmpEncode(ArrayData.toArrayData(px.toArray), w))
+      got != null && got.toIntArray().toSeq == px &&
+        MediaCodecImpl.dhash56(bytes) == viaBmp
+    }
+
+  property("PGM header fuzz: arbitrary bytes after the magic never crash") =
+    forAll(Gen.choose(0, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 255),
+          Gen.oneOf(' ', '\n', '#', '0', '5', '9').map(_.toInt))))) { tail =>
+      val bytes = "P5".getBytes("US-ASCII") ++ tail.map(_.toByte).toArray
+      // must return a row (valid pgm or unknown), never throw / hang
+      val row = MediaCodecImpl.decode(bytes)
+      val vals = MediaCodecImpl.values(bytes)
+      val rs = MediaCodecImpl.resize(bytes, 2, 2)
+      val dh = MediaCodecImpl.dhash56(bytes)
+      row != null &&
+        (row.getUTF8String(0).toString == "pgm") == row.getBoolean(1) &&
+        // consumers agree on validity
+        (vals != null) == row.getBoolean(1) &&
+        ((rs == null) || row.getBoolean(1)) && ((dh == null) || row.getBoolean(1))
+    }
 }
