@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.data.Multimodal
@@ -258,6 +259,68 @@ object MediaQueries {
       .dumpOrdered("doc_id")
   }
 
+  val ReelFrames = 9  // frames per reel
+  val ReelGroup = 3   // consecutive same-content frames per scene
+  val ReelShift = 7   // pixel rotation per scene change (= one row at W=7)
+
+  /** VIDEO-shaped scene-cut detection over a REAL frame container: every
+    * document packs into a reel of [[ReelFrames]] stacked complete BMP
+    * frames (each scene of [[ReelGroup]] frames shares one pixel
+    * rotation; the next scene rotates by [[ReelShift]] more — synthetic
+    * footage with known cut structure), the fused `media_reel_dhash`
+    * expression walks the container ONCE (frame lengths self-described
+    * by the BMP size field) emitting one perceptual hash per frame, and
+    * a per-document lag window flags frames whose Hamming distance to
+    * the previous frame exceeds [[HamThresh]] — the frame-sampling +
+    * temporal-dedup step of a video curation pipeline. The oracle
+    * derives every frame's hash from the SOURCE text (rotation replayed
+    * on the pixel list), so agreement proves the stacked-container walk
+    * and the per-frame decode.
+    *
+    * Scale: packing + hashing are codegen'd expressions in a map-only
+    * projection (the rotated pixel list materializes once per row —
+    * CollapseProject keeps the multi-consumer non-cheap projection in
+    * its own Project); the only shuffle is the per-DOCUMENT lag window
+    * (frames of one doc are one partition's worth of rows, never a
+    * global window). */
+  private def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    MediaFunctions.register(spark)
+    import MediaFunctions.{bmp_encode, media_reel_dhash}
+    val codes = Multimodal.textCodes(col("text"), 64)
+    val pixAll = transform(codes, c => pmod(c, lit(256)))
+    val pixFull = slice(pixAll, lit(1), (size(pixAll) / W).cast("int") * W)
+    def frame(pix: Column, f: Int): Column = {
+      val n = size(pix)
+      val r = (lit(((f / ReelGroup) * ReelShift).toLong) % n).cast("int")
+      bmp_encode(concat(slice(pix, r + lit(1), n - r), slice(pix, lit(1), r)), W)
+    }
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+    // Memo barrier before the frame Generate: posexplode's implicit
+    // size(hs) > 0 filter would otherwise push below the projection and
+    // CLONE the whole 9-frame encode+hash expression into a
+    // pre-projection Filter (every row packed and hashed twice — caught
+    // in the plan audit; the same fan-out trap as hashedImages). The
+    // cheap text-length filter stays INSIDE (it references only the raw
+    // column, so its pushdown reaches the scan).
+    val hashed = Tables.memoBy(spark, s"mmreel:$dir") {
+      Tables.documents(spark, dir)
+        .where(col("text").isNotNull && length(col("text")) >= W)
+        .select(col("doc_id"), pixFull.as("pix"))
+        .select(col("doc_id"), media_reel_dhash(concat(
+          (0 until ReelFrames).map(f => frame(col("pix"), f)): _*)).as("hs"))
+    }
+    hashed
+      .select(col("doc_id"),
+        posexplode(col("hs")).as(Seq("frame_id", "phash")))
+      .withColumn("hamming_prev",
+        bit_count(col("phash").bitwiseXOR(lag(col("phash"), 1).over(w)))
+          .cast("long"))
+      .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+        col("phash"), col("hamming_prev"),
+        coalesce(col("hamming_prev") > HamThresh, lit(false)).as("is_cut"))
+      .dumpOrdered("doc_id", "frame_id")
+  }
+
   /** Text-code CTE shared by the oracles (same derivation as the
     * `data_mm_decode` oracle). */
   private def codesCte(where: String): String =
@@ -311,17 +374,20 @@ object MediaQueries {
        |  FROM ph x JOIN ph y
        |    ON x.phash = y.phash AND x.doc_id < y.doc_id)""".stripMargin
 
-  /** 56-bit dHash replay over `img` — shared by the phash and near-dup
+  /** 56-bit dHash replay formula over any (pixel-list, height) column
+    * pair — ONE source of truth for the single-image and per-frame
     * oracles (a grid/truncation rule change edits exactly one string). */
-  private val phashCte: String =
-    s"""ph AS (
-       |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(range(0, 56), i ->
-       |      CASE WHEN pix[((i // 7) * h // 8) * $W + ((i % 7) * $W // 8) + 1]
-       |              < pix[((i // 7) * h // 8) * $W
+  private def duckPhash(pix: String, h: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 56), i ->
+       |      CASE WHEN $pix[((i // 7) * $h // 8) * $W + ((i % 7) * $W // 8) + 1]
+       |              < $pix[((i // 7) * $h // 8) * $W
        |                    + (((i % 7) + 1) * $W // 8) + 1]
        |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
-       |      AS BIGINT) AS phash
+       |      AS BIGINT)""".stripMargin
+
+  private val phashCte: String =
+    s"""ph AS (
+       |  SELECT doc_id, ${duckPhash("pix", "h")} AS phash
        |  FROM img)""".stripMargin
 
   def defs: Seq[(String, Q)] = Seq(
@@ -391,6 +457,27 @@ object MediaQueries {
          |  CAST(list_max(i.pix) AS BIGINT) AS max_val,
          |  ph.phash
          |FROM img i JOIN ph USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_scene_cuts" -> Q(mmSceneCuts, Some(
+      s"""WITH ${codesCte("")},
+         |$pixCtes,
+         |fr AS (
+         |  SELECT doc_id, f,
+         |    pix[r + 1:] || pix[1:r] AS rpix, h
+         |  FROM (
+         |    SELECT doc_id, pix, h, f,
+         |      (CAST((f // $ReelGroup) * $ReelShift AS BIGINT) % len(pix)) AS r
+         |    FROM img, (SELECT unnest(range(0, $ReelFrames)) AS f) s) z),
+         |ph2 AS (
+         |  SELECT doc_id, f, ${duckPhash("rpix", "h")} AS phash FROM fr),
+         |lg AS (
+         |  SELECT doc_id, f, phash,
+         |    lag(phash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+         |  FROM ph2)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_id, phash,
+         |  CAST(bit_count(xor(phash, prev)) AS BIGINT) AS hamming_prev,
+         |  COALESCE(bit_count(xor(phash, prev)) > $HamThresh, false) AS is_cut
+         |FROM lg ORDER BY doc_id, frame_id""".stripMargin)),
 
     "data_mm_audio_frames" -> Q(mmAudioFrames, Some(
       s"""WITH ${codesCte("WHERE doc_id % 2 = 0")},

@@ -23,7 +23,7 @@ object Plans {
     "data_mm_phash", "data_mm_audio_frames", "data_sim_ivfpq_refine",
     "data_classifier_pr", "data_epoch_shuffle", "data_mm_neardup",
     "data_sim_ivfadc",
-    "data_bpe_train_encode", "data_mm_pgm_decode")
+    "data_bpe_train_encode", "data_mm_pgm_decode", "data_mm_scene_cuts")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -257,6 +257,13 @@ object Plans {
       |  build per row, no memo barrier needed; the length filter sits
       |  below it on the raw text column (`PushedFilters: IsNotNull`).
       |  Map-only to the dump sort.
+      |- **data_mm_scene_cuts** — reel packing (9 BMP encodes over the
+      |  shared rotated-pixel attribute) + the fused container walk are
+      |  ONE map-only projection chain (the multi-consumer pixel list
+      |  stays in its own Project — CollapseProject refuses to duplicate
+      |  it); the only exchange is the per-DOCUMENT lag window
+      |  (partitioned by doc_id — never a global window), and the frame
+      |  explode is a Generate forwarding the hash array attribute.
       |- **data_sim_ivfadc** — the residual-encoded IVFADC keeps the
       |  ivfpq query shape: residual computation is a MAP-ONLY literal
       |  centroid lookup (element_at of the collected coarse table — no

@@ -38,7 +38,8 @@ object ScaleBench {
     "data_sim_ivfadc", "data_sim_l2_topk", "data_bpe_encode",
     "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components",
     // round-8 additions: tokenizer training, PGM container
-    "data_bpe_train", "data_bpe_train_encode", "data_mm_pgm_decode")
+    "data_bpe_train", "data_bpe_train_encode", "data_mm_pgm_decode",
+    "data_mm_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -160,6 +160,38 @@ object MediaCodecImpl {
     new GenericInternalRow(Array[Any](
       format, false, null, null, null, 0L, null, null, null))
 
+  /** Per-frame 56-bit dHashes of a REEL — the video-shaped container: N
+    * complete BMP files stacked back-to-back (each frame self-describes
+    * its length via the BMP header's file-size field at offset +2, so
+    * the walk needs no index table). Fused walk + hash: one pass over
+    * the payload, one [[dhash56]] per frame, no frame array<binary>
+    * materialized upstream of the hashes. STRICT: a reel is valid only
+    * if every byte is consumed by a valid frame and every frame hashes
+    * (≥ 1 frame); anything else — non-BM bytes mid-stream, a frame size
+    * overrunning the payload, a size smaller than a header, trailing
+    * garbage — returns null, never crashes the scan. The size field is
+    * read as LONG (a crafted 0xFFFFFFFF size must not wrap to a
+    * negative cursor step). */
+  def reelDHashes(b: Array[Byte]): ArrayData = {
+    if (b == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var off = 0L
+    while (off < b.length) {
+      if (off + 54 > b.length ||
+          b(off.toInt) != 'B'.toByte || b(off.toInt + 1) != 'M'.toByte)
+        return null
+      val size = u32(b, off.toInt + 2)
+      if (size < 54 || off + size > b.length) return null
+      val frame = java.util.Arrays.copyOfRange(b, off.toInt, (off + size).toInt)
+      val h = dhash56(frame)
+      if (h == null) return null
+      out += h.longValue()
+      off += size
+    }
+    if (out.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** P5 binary PGM encoder: ASCII header `P5\n<w> <h>\n255\n` + one raw
     * byte per pixel, row-major top-down, unpadded; `height = n / width`
     * (tail pixels past the last full row ignored — same convention as
@@ -616,6 +648,29 @@ case class MediaDHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `media_reel_dhash(payload binary)` → `array<long>` of per-frame
+  * 56-bit dHashes of a stacked-BMP reel (see
+  * [[MediaCodecImpl.reelDHashes]]); null for invalid/non-reel payloads.
+  * Fused container walk + hash — one payload pass, frames never
+  * materialize as an intermediate array. */
+case class MediaReelDHash(child: Expression) extends UnaryExpression {
+  // invalid/unknown payloads yield null even for a non-null child
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "media_reel_dhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.reelDHashes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MediaCodecImpl.reelDHashes($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MediaReelDHash =
+    copy(child = newChild)
+}
+
 object MediaFunctions {
 
   private def intLit(e: Expression, fn: String): Int = e match {
@@ -646,6 +701,9 @@ object MediaFunctions {
       arity(1, "media_values(payload)")(exprs => MediaValues(exprs.head))),
     ("media_dhash", classOf[MediaDHash],
       arity(1, "media_dhash(payload)")(exprs => MediaDHash(exprs.head))),
+    ("media_reel_dhash", classOf[MediaReelDHash],
+      arity(1, "media_reel_dhash(payload)")(exprs =>
+        MediaReelDHash(exprs.head))),
     ("wav_encode", classOf[WavEncode],
       arity(2, "wav_encode(samples, rate)")(exprs =>
         WavEncode(exprs.head, intLit(exprs(1), "wav_encode(samples, rate)")))),
@@ -687,6 +745,8 @@ object MediaFunctions {
     org.apache.spark.sql.functions.call_function("media_values", payload)
   def media_dhash(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("media_dhash", payload)
+  def media_reel_dhash(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("media_reel_dhash", payload)
   def media_resize(payload: Column, outW: Int, outH: Int): Column =
     org.apache.spark.sql.functions.call_function("media_resize", payload,
       org.apache.spark.sql.functions.lit(outW),

@@ -257,6 +257,46 @@ class MediaCodecSpec extends AnyFunSuite {
       empty.getLong(6) == 0L && empty.isNullAt(7))
   }
 
+  test("reel walk: per-frame hashes == dhash56 of each frame; corrupt reels null") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val impl = graft.functions.MediaCodecImpl
+    def bmp(px: Seq[Int], w: Int) = impl.bmpEncode(ArrayData.toArrayData(px.toArray), w)
+    val f1 = bmp((0 until 21).map(i => i * 11 % 256), 7)
+    val f2 = bmp((0 until 35).map(i => (i * 7 + 3) % 256), 7) // different geometry
+    val f3 = bmp((0 until 21).map(i => 255 - i), 7)
+    val reel = f1 ++ f2 ++ f3
+    val got = impl.reelDHashes(reel)
+    assert(got != null && got.numElements() == 3)
+    assert((0 until 3).map(got.getLong) ==
+      Seq(f1, f2, f3).map(impl.dhash56(_).longValue()))
+    // strictness: trailing garbage, truncated last frame, non-BM mid-stream,
+    // a crafted size overrunning the payload, empty payload
+    assert(impl.reelDHashes(reel ++ Array[Byte](1, 2)) == null)
+    assert(impl.reelDHashes(reel.dropRight(1)) == null)
+    assert(impl.reelDHashes(f1 ++ Array.fill[Byte](60)(0) ++ f2) == null)
+    val overrun = f1.clone
+    overrun(2) = -1; overrun(3) = -1; overrun(4) = -1; overrun(5) = -1
+    assert(impl.reelDHashes(overrun) == null)
+    assert(impl.reelDHashes(Array.emptyByteArray) == null)
+  }
+
+  test("data_mm_scene_cuts: cuts exactly at scene boundaries when content shifts") {
+    val rows = Registry.byName("data_mm_scene_cuts").build(spark, TestSpark.sf)
+      .select($"doc_id", $"frame_id", $"hamming_prev", $"is_cut")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(rows.nonEmpty && rows.size % MediaQueries.ReelFrames == 0)
+    // frame 0 never a cut; hamming_prev null exactly there
+    rows.foreach { case (_, f, hp, cut) =>
+      if (f == 0L) assert(hp.isEmpty && !cut) else assert(hp.nonEmpty)
+    }
+    // within a scene (same rotation) consecutive frames are identical
+    rows.filter(r => r._2 % MediaQueries.ReelGroup != 0).foreach { r =>
+      assert(r._3.contains(0L) && !r._4, r.toString)
+    }
+    // the corpus produces a non-degenerate cut structure
+    assert(rows.exists(_._4), "no scene cut detected anywhere")
+  }
+
   test("data_mm_neardup: banding finds EVERY pair within the Hamming radius") {
     // Brute-force ground truth: all image pairs with popcount(xor) <= 3.
     // The band guarantee (<= 3 dirty bits over 4 bands) means the banded

@@ -35,7 +35,8 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_sim_ivfadc", "data_sim_l2_topk", "data_bpe_encode",
           "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components",
           # round-8 additions: tokenizer training, PGM container
-          "data_bpe_train", "data_bpe_train_encode", "data_mm_pgm_decode"]
+          "data_bpe_train", "data_bpe_train_encode", "data_mm_pgm_decode",
+          "data_mm_scene_cuts"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
