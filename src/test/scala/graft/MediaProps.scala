@@ -82,6 +82,19 @@ object MediaProps extends Properties("MediaCodec") {
         MediaCodecImpl.dhash56(bytes) == viaBmp
     }
 
+  property("reel: per-frame dhash identity for any frame stack; cuts never crash") =
+    forAll(Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, img))) { frames =>
+      val blobs = frames.map { case (w, _, px) =>
+        MediaCodecImpl.bmpEncode(ArrayData.toArrayData(px.toArray), w)
+      }
+      val reel = blobs.reduce(_ ++ _)
+      val got = MediaCodecImpl.reelDHashes(reel)
+      val want = blobs.map(MediaCodecImpl.dhash56(_).longValue())
+      got != null && got.toLongArray().toSeq == want &&
+        // any strict prefix truncation invalidates the whole reel
+        MediaCodecImpl.reelDHashes(reel.dropRight(1 + reel.length % 7)) == null
+    }
+
   property("PGM header fuzz: arbitrary bytes after the magic never crash") =
     forAll(Gen.choose(0, 64).flatMap(n =>
         Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 255),
