@@ -244,8 +244,7 @@ object MediaQueries {
   private def mmPgmDecode(spark: SparkSession, dir: String): DataFrame = {
     MediaFunctions.register(spark)
     import MediaFunctions.{media_decode, media_dhash, pgm_encode}
-    val pixels = transform(
-      Multimodal.textCodes(col("text"), 64), c => pmod(c, lit(256)))
+    val pixels = Multimodal.grayPixels(col("text"))
     Tables.documents(spark, dir)
       .where(col("text").isNotNull && length(col("text")) >= W)
       .select(col("doc_id"), pgm_encode(pixels, W).as("payload"))
@@ -286,9 +285,7 @@ object MediaQueries {
   private def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
     MediaFunctions.register(spark)
     import MediaFunctions.{bmp_encode, media_reel_dhash}
-    val codes = Multimodal.textCodes(col("text"), 64)
-    val pixAll = transform(codes, c => pmod(c, lit(256)))
-    val pixFull = slice(pixAll, lit(1), (size(pixAll) / W).cast("int") * W)
+    val pixFull = Multimodal.fullRowPixels(col("text"))
     def frame(pix: Column, f: Int): Column = {
       val n = size(pix)
       val r = (lit(((f / ReelGroup) * ReelShift).toLong) % n).cast("int")

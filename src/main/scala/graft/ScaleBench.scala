@@ -37,7 +37,7 @@ object ScaleBench {
     "data_pack_sequences", "data_mixture_temperature",
     "data_sim_ivfadc", "data_sim_l2_topk", "data_bpe_encode",
     "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components",
-    // round-8 additions: tokenizer training, PGM container
+    // round-8 additions: tokenizer training, PGM container, reel scene cuts
     "data_bpe_train", "data_bpe_train_encode", "data_mm_pgm_decode",
     "data_mm_scene_cuts")
 

@@ -321,25 +321,20 @@ object TrainQueries {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
-  /** The iterative BPE TRAINER (the count→merge→re-pair loop the encode
-    * step consumes): aggregate the corpus ONCE to its word-frequency
-    * table, split words into character symbols, then for each of
-    * [[BpeTrainRounds]] rounds pick the max-count adjacent pair (a 1-row
-    * bounded `orderBy().limit(1)` pull — the model artifact) and merge it
-    * throughout the vocab. Returns the trained word table (word, freq,
-    * final syms); the merge list lands in the session memo for
-    * `data_bpe_train`.
+  /** The iterative BPE training loop, over ANY (word, freq) table —
+    * split from the corpus plumbing ([[bpeTrainedWords]]) so property
+    * suites can train on synthetic word tables: split words into
+    * character symbols, then per round pick the max-count adjacent pair
+    * (a 1-row bounded `orderBy().limit(1)` pull — the model artifact)
+    * and merge it throughout the vocab. Returns the trained table
+    * (word, freq, final syms) and the merge list; the caller owns the
+    * returned frame's persistence (the last round's persist is left
+    * armed).
     *
-    * Scale: training never re-scans the corpus — each round is one hash
-    * aggregate + one map-only merge over the VOCAB-sized table (the
-    * standard word-frequency formulation of BPE training); rounds are
-    * persisted so round k reads round k-1's cache, not the whole chain.
-    * The driver-side state is [[BpeTrainRounds]] merge rows. */
-  /** The training loop proper, over any (word, freq) table — split from
-    * the corpus plumbing so property suites can train on synthetic word
-    * tables. Returns the trained table (word, freq, final syms) and the
-    * merge list. The caller owns the returned frame's persistence (the
-    * last round's persist is left armed). */
+    * Scale: each round is one hash aggregate + one map-only merge over
+    * the VOCAB-sized input table; rounds are persisted so round k reads
+    * round k-1's cache, not the whole chain. The driver-side state is
+    * `rounds` merge rows. */
   private[graft] def trainMergeRounds(words: DataFrame,
                                       rounds: Int = BpeTrainRounds)
       : (DataFrame, Seq[BpeMerge]) = {
@@ -368,6 +363,12 @@ object TrainQueries {
     (wf, merges.result())
   }
 
+  /** The CORPUS-trained BPE model (the count→merge→re-pair loop the
+    * encode step consumes): aggregate the corpus ONCE to its
+    * word-frequency table — training never re-scans the corpus — then
+    * run [[trainMergeRounds]] for [[BpeTrainRounds]] rounds. Returns the
+    * memo-persisted trained word table; the merge list lands in the
+    * session memo for `data_bpe_train`. */
   private[graft] def bpeTrainedWords(spark: SparkSession, dir: String): DataFrame = {
     // resolve the corpus memo OUTSIDE the bpetrain memo closure — a
     // nested first-touch computeIfAbsent on the shared memo map throws

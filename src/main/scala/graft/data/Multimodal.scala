@@ -70,6 +70,21 @@ object Multimodal {
   val WavRate = 8000
   val BmpWidth = 7 // deliberately not a multiple of 4: exercises row padding
 
+  /** Gray pixel stream of a text row — character codes mod 256. The ONE
+    * Scala-side source of the image-pixel convention (the oracles'
+    * shared `pixCtes` is its SQL twin); every image packer
+    * ([[packRealMedia]], the PGM and reel queries) derives from here so
+    * a code-mapping change cannot desynchronize them. */
+  def grayPixels(text: Column, maxN: Int = 64): Column =
+    transform(textCodes(text, maxN), c => pmod(c, lit(256)))
+
+  /** [[grayPixels]] truncated to full [[BmpWidth]] rows — the encoders'
+    * `height = n / width` tail-drop rule, applied up front. */
+  def fullRowPixels(text: Column, maxN: Int = 64): Column = {
+    val p = grayPixels(text, maxN)
+    slice(p, lit(1), floor(size(p) / BmpWidth).cast("int") * BmpWidth)
+  }
+
   /** Build REAL container payloads from the text column: even ids → a
     * RIFF/WAVE PCM16 file of `(code % 128 - 64) * 256` samples, odd ids →
     * an 8-bit BMP of `code % 256` pixels at [[BmpWidth]] (tail chars past
@@ -83,9 +98,7 @@ object Multimodal {
     import graft.functions.MediaFunctions.{bmp_encode, wav_encode}
     val codes = textCodes(col(textCol), maxN)
     val samples = transform(codes, c => (pmod(c, lit(128)) - 64) * 256)
-    val pixels = transform(codes, c => pmod(c, lit(256)))
-    val fullRows = slice(pixels, lit(1),
-      floor(size(pixels) / BmpWidth).cast("int") * BmpWidth)
+    val fullRows = fullRowPixels(col(textCol), maxN)
     df.select(col(idCol),
       when(col(idCol) % 10 === 3, col(textCol).cast("binary"))
         .when(col(idCol) % 2 === 0, wav_encode(samples, WavRate))

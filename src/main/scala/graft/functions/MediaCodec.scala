@@ -174,7 +174,10 @@ object MediaCodecImpl {
     * negative cursor step). */
   def reelDHashes(b: Array[Byte]): ArrayData = {
     if (b == null) return null
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // primitive accumulator: this runs once per row inside codegen —
+    // no boxed Long per frame
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var n = 0
     var off = 0L
     while (off < b.length) {
       if (off + 54 > b.length ||
@@ -186,10 +189,11 @@ object MediaCodecImpl {
       val h = dhash56(frame)
       if (h == null) return null
       out += h.longValue()
+      n += 1
       off += size
     }
-    if (out.isEmpty) null
-    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    if (n == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
   }
 
   /** P5 binary PGM encoder: ASCII header `P5\n<w> <h>\n255\n` + one raw
