@@ -117,13 +117,32 @@ object Tables {
     * WIDE STRING columns slower than the parquet reader — and caching
     * unconsumed columns wastes build time and memory — so the cache holds
     * exactly the NARROW numeric/flag projection its consumers read. */
-  def lineitemHot(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "lineitemHot") {
-      lineitem(spark, dir)
-        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-          col("l_returnflag"), col("l_linestatus"))
-        .repartition(spark.sparkContext.defaultParallelism).persist()
+  /** True when the table's parquet is already a multi-file directory:
+    * the scan parallelizes by file, so the parallelism-restoring Hot
+    * cache would only add an in-memory columnar decode on top of it —
+    * measured SLOWER than the vectorized parquet reader (`Q1Probe` at
+    * sf10: q1 1.70 s cached vs 1.25 s direct). Single-file driver
+    * testdata keeps the cached path. Applies only to the Hots whose
+    * rationale IS scan parallelism (lineitem/orders/documents);
+    * [[eventsHot]] (pre-hash-partitioned — its cache also removes the
+    * per-user aggregates' exchange) and [[embeddingsHot]] (multi-pass
+    * k-means working set) cache at every layout. */
+  private def multiFile(dir: String, name: String): Boolean = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val parts = f.listFiles
+    f.isDirectory && parts != null &&
+      parts.count(_.getName.endsWith(".parquet")) > 1
+  }
+
+  def lineitemHot(spark: SparkSession, dir: String): DataFrame = {
+    val narrow = lineitem(spark, dir)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_returnflag"), col("l_linestatus"))
+    if (multiFile(dir, "lineitem")) narrow
+    else memo(spark, dir, "lineitemHot") {
+      narrow.repartition(spark.sparkContext.defaultParallelism).persist()
     }
+  }
 
   /** The J1 join columns of orders, repartitioned + persisted — same
     * rationale, constraints, and narrow-projection rule as
@@ -131,12 +150,14 @@ object Tables {
     * testdata for order-independent consumers (J1's broadcast joins; the
     * result is dump-sorted). Measured at sf0.1: halves `ref_j1_dim_join`
     * (0.67 s → 0.38 s). */
-  def ordersHot(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "ordersHot") {
-      orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .repartition(spark.sparkContext.defaultParallelism).persist()
+  def ordersHot(spark: SparkSession, dir: String): DataFrame = {
+    val narrow = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    if (multiFile(dir, "orders")) narrow
+    else memo(spark, dir, "ordersHot") {
+      narrow.repartition(spark.sparkContext.defaultParallelism).persist()
     }
+  }
 
   /** Full events table (all 6 columns + the µs derivations), repartitioned
     * 32-way + persisted. Unlike [[lineitemHot]] this keeps the WIDE `props`
@@ -182,6 +203,14 @@ object Tables {
     * on unique keys, so repartitioning cannot change results. At
     * production scale inputs arrive multi-file and this cache becomes
     * optional, exactly like [[eventsHot]]. */
+  // NOTE: documentsHot deliberately stays cached at EVERY layout — unlike
+  // the single-scan lineitem/orders consumers, the text family reads it
+  // through multiple consumers per query (dup-span occurrence + join-back
+  // + mask; the bloom build + probe sides), and without the cache each
+  // consumer re-scans and re-splits: measured at sf10 multi-file,
+  // data_dedup_spans 6.3 → 23.8 s and data_decontaminate_bloom 13.8 →
+  // 29.7 s direct. The multiFile() switch is only for caches whose sole
+  // job is parallelism.
   def documentsHot(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "documentsHot") {
       documents(spark, dir)
