@@ -4,13 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source-format probe for the q1-class single-aggregate scan (the one
-  * honest DuckDB win in BENCH_SCALE): times the same cents-exact
-  * aggregate body over (a) the in-memory columnar cache
-  * (`Tables.lineitemHot`, the shipped path) and (b) the parquet scan
-  * directly — at multi-file probe SFs the vectorized parquet reader may
-  * beat the cache's columnar decode, and the cache exists only to
-  * restore parallelism over the single-row-group driver testdata. Not
-  * part of the driver contract.
+  * honest DuckDB win in BENCH_SCALE): times the SHIPPED aggregate body
+  * ([[RefQueries.q1AggBody]] — shared, not copied, so the probe cannot
+  * drift from the query) over (a) a FORCED repartition+persist cache
+  * (built explicitly here — `Tables.lineitemHot` itself is layout-aware
+  * and returns the direct scan at multi-file dirs, so calling it would
+  * time the same plan twice) and (b) the parquet scan directly. At
+  * multi-file probe SFs the vectorized parquet reader beats the cache's
+  * columnar decode — the measurement behind lineitemHot's multiFile
+  * switch. Not part of the driver contract.
   *
   * Usage: `runMain graft.Q1Probe <sfDir>`.
   */
@@ -26,15 +28,9 @@ object Q1Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def body(src: DataFrame): DataFrame = {
-      val qtyC = round(col("l_quantity") * 100).cast("long")
-      val priceC = round(col("l_extendedprice") * 100).cast("long")
-      val discC = round(col("l_discount") * 100).cast("long")
-      src.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(qtyC).as("qty_c"), sum(priceC).as("price_c"),
-          sum(priceC * (lit(100L) - discC)).as("disc_c4"),
-          count(lit(1)).as("count_order"))
-    }
+    def narrow(): DataFrame = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_returnflag"), col("l_linestatus"))
     def time(label: String)(df: => DataFrame): Unit = {
       val plan = df
       plan.write.format("noop").mode("overwrite").save() // warm / fill cache
@@ -45,14 +41,13 @@ object Q1Probe {
       }.min
       println(f"[q1probe] $label%-22s $best%.3f s")
     }
-    time("cached-hot (shipped)")(body(Tables.lineitemHot(spark, sfDir)))
-    time("parquet-direct")(body(Tables.lineitem(spark, sfDir)
-      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_returnflag"), col("l_linestatus"))))
+    val cached = narrow()
+      .repartition(spark.sparkContext.defaultParallelism).persist()
+    time("cached (forced)")(RefQueries.q1AggBody(cached))
+    cached.unpersist()
+    time("parquet-direct")(RefQueries.q1AggBody(narrow()))
     spark.catalog.clearCache()
-    time("parquet-direct-cold")(body(Tables.lineitem(spark, sfDir)
-      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_returnflag"), col("l_linestatus"))))
+    time("parquet-direct-cold")(RefQueries.q1AggBody(narrow()))
     spark.stop()
   }
 }

@@ -301,17 +301,22 @@ object RefQueries {
     * DECIMAL output would diverge in precision — Spark (18,2)/(28,4) vs
     * DuckDB's sum-widened (38,2)/(38,4) — and fail the driver's
     * representation-sensitive hash). */
-  private def q1Agg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The cents-scaled aggregate alone — shared with `Q1Probe` so the
+    * probe always times the SHIPPED computation. */
+  private[graft] def q1AggBody(src: DataFrame): DataFrame = {
     val qtyC = round(col("l_quantity") * 100).cast("long")
     val priceC = round(col("l_extendedprice") * 100).cast("long")
     val discC = round(col("l_discount") * 100).cast("long")
-    Tables.lineitemHot(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
+    src.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(qtyC).as("qty_c"),
         sum(priceC).as("price_c"),
         sum(priceC * (lit(100L) - discC)).as("disc_c4"),
         count(lit(1)).as("count_order"))
+  }
+
+  private def q1Agg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    q1AggBody(Tables.lineitemHot(spark, dir))
       .select(col("l_returnflag"), col("l_linestatus"),
         (col("qty_c").cast("double") / 100).as("sum_qty"),
         (col("price_c").cast("double") / 100).as("sum_base_price"),

@@ -103,42 +103,48 @@ object Tables {
                   (build: => DataFrame): DataFrame =
     memoBy(spark, s"$dir#$name")(build)
 
-  /** The q1 aggregate columns of lineitem, repartitioned to the session's
-    * parallelism and persisted — the shared working set for the numeric
-    * headline aggregates (the "cache shared projections once" pattern).
-    * Motivation: the driver testdata parquet is single-row-group, so a cold
-    * scan is one task no matter how many cores exist; the 32-way cached
-    * form restores scan parallelism. At production scale the scan
-    * parallelizes by file/row-group and this becomes optional.
-    *
-    * Two constraints, both measured: (1) repartitioning changes encounter
-    * order, so ONLY order-independent consumers may use this (sums/counts,
-    * argmax on tie-free keys); (2) the in-memory columnar cache decodes
-    * WIDE STRING columns slower than the parquet reader — and caching
-    * unconsumed columns wastes build time and memory — so the cache holds
-    * exactly the NARROW numeric/flag projection its consumers read. */
   /** True when the table's parquet is already a multi-file directory:
     * the scan parallelizes by file, so the parallelism-restoring Hot
     * cache would only add an in-memory columnar decode on top of it —
     * measured SLOWER than the vectorized parquet reader (`Q1Probe` at
     * sf10: q1 1.70 s cached vs 1.25 s direct). Single-file driver
-    * testdata keeps the cached path. Applies only to the Hots whose
-    * rationale IS scan parallelism (lineitem/orders/documents);
-    * [[eventsHot]] (pre-hash-partitioned — its cache also removes the
-    * per-user aggregates' exchange) and [[embeddingsHot]] (multi-pass
-    * k-means working set) cache at every layout. */
-  private def multiFile(dir: String, name: String): Boolean = {
-    val f = new java.io.File(s"$dir/$name.parquet")
-    val parts = f.listFiles
-    f.isDirectory && parts != null &&
-      parts.count(_.getName.endsWith(".parquet")) > 1
+    * testdata keeps the cached path. Applies ONLY to the two Hots whose
+    * sole rationale is scan parallelism (lineitem/orders);
+    * [[documentsHot]] stays cached at every layout (multi-consumer
+    * re-scan avoidance — see its NOTE), as do [[eventsHot]]
+    * (pre-hash-partitioned — its cache also removes the per-user
+    * aggregates' exchange) and [[embeddingsHot]] (multi-pass k-means
+    * working set). Listing goes through the Hadoop FileSystem of the
+    * path, so non-local URIs (hdfs://, s3a://) resolve like local
+    * dirs. */
+  private def multiFile(spark: SparkSession, dir: String,
+                        name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 1
+    catch { case _: java.io.FileNotFoundException => false }
   }
 
+  /** The q1 aggregate columns of lineitem — the shared working set for
+    * the numeric headline aggregates. On a SINGLE-FILE source (the
+    * driver testdata parquet is single-row-group: a cold scan is one
+    * task no matter how many cores exist) the projection is
+    * repartitioned to the session's parallelism and persisted; on an
+    * already-multi-file source the direct scan wins ([[multiFile]]).
+    *
+    * Two constraints on the cached path, both measured: (1)
+    * repartitioning changes encounter order, so ONLY order-independent
+    * consumers may use this (sums/counts, argmax on tie-free keys); (2)
+    * the in-memory columnar cache decodes WIDE STRING columns slower
+    * than the parquet reader — and caching unconsumed columns wastes
+    * build time and memory — so the cache holds exactly the NARROW
+    * numeric/flag projection its consumers read. */
   def lineitemHot(spark: SparkSession, dir: String): DataFrame = {
     val narrow = lineitem(spark, dir)
       .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_returnflag"), col("l_linestatus"))
-    if (multiFile(dir, "lineitem")) narrow
+    if (multiFile(spark, dir, "lineitem")) narrow
     else memo(spark, dir, "lineitemHot") {
       narrow.repartition(spark.sparkContext.defaultParallelism).persist()
     }
@@ -153,7 +159,7 @@ object Tables {
   def ordersHot(spark: SparkSession, dir: String): DataFrame = {
     val narrow = orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    if (multiFile(dir, "orders")) narrow
+    if (multiFile(spark, dir, "orders")) narrow
     else memo(spark, dir, "ordersHot") {
       narrow.repartition(spark.sparkContext.defaultParallelism).persist()
     }
