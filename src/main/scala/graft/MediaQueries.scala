@@ -458,15 +458,7 @@ object MediaQueries {
     "data_mm_scene_cuts" -> Q(mmSceneCuts, Some(
       s"""WITH ${codesCte("")},
          |$pixCtes,
-         |fr AS (
-         |  SELECT doc_id, f,
-         |    pix[r + 1:] || pix[1:r] AS rpix, h
-         |  FROM (
-         |    SELECT doc_id, pix, h, f,
-         |      (CAST((f // $ReelGroup) * $ReelShift AS BIGINT) % len(pix)) AS r
-         |    FROM img, (SELECT unnest(range(0, $ReelFrames)) AS f) s) z),
-         |ph2 AS (
-         |  SELECT doc_id, f, ${duckPhash("rpix", "h")} AS phash FROM fr),
+         |$reelCtes,
          |lg AS (
          |  SELECT doc_id, f, phash,
          |    lag(phash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
@@ -475,6 +467,34 @@ object MediaQueries {
          |  CAST(bit_count(xor(phash, prev)) AS BIGINT) AS hamming_prev,
          |  COALESCE(bit_count(xor(phash, prev)) > $HamThresh, false) AS is_cut
          |FROM lg ORDER BY doc_id, frame_id""".stripMargin)),
+
+    "data_mm_reel_overlap" -> Q(mmReelOverlap, Some(
+      s"""WITH ${codesCte("")},
+         |$pixCtes,
+         |$reelCtes,
+         |df AS (SELECT DISTINCT doc_id, phash FROM ph2),
+         |nf AS (SELECT doc_id, count(*) AS n_frames FROM df GROUP BY doc_id),
+         |keep AS (
+         |  SELECT phash FROM df GROUP BY phash
+         |  HAVING count(*) <= $ReelHashCap),
+         |dk AS (SELECT df.* FROM df JOIN keep USING (phash)),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_shared
+         |  FROM dk a JOIN dk b
+         |    ON a.phash = b.phash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= $ReelMinShared)
+         |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+         |  na.n_frames AS n_frames_a, nb.n_frames AS n_frames_b,
+         |  CAST(pr.n_shared AS DOUBLE)
+         |    / CAST(least(na.n_frames, nb.n_frames) AS DOUBLE) AS containment,
+         |  CAST(pr.n_shared AS DOUBLE)
+         |    / CAST(least(na.n_frames, nb.n_frames) AS DOUBLE) >= 0.5
+         |    AS is_dup
+         |FROM pr JOIN nf na ON pr.doc_a = na.doc_id
+         |        JOIN nf nb ON pr.doc_b = nb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin)),
 
     "data_mm_audio_frames" -> Q(mmAudioFrames, Some(
       s"""WITH ${codesCte("WHERE doc_id % 2 = 0")},
