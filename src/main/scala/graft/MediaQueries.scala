@@ -262,6 +262,18 @@ object MediaQueries {
   val ReelGroup = 3   // consecutive same-content frames per scene
   val ReelShift = 7   // pixel rotation per scene change (= one row at W=7)
 
+  /** Hot-frame-hash cap for the reel overlap join — a frame hash shared
+    * by more than this many DISTINCT reels (e.g. a flat-gradient title
+    * card every video opens with) is non-discriminative, and uncapped it
+    * makes the shared-frame candidate join quadratic in the hash's reel
+    * set. Same guard rationale as [[HotBandCap]] / the text LSH cap. */
+  val ReelHashCap = 64
+
+  /** Minimum shared distinct frame hashes for a reel pair to surface —
+    * one shared frame is noise; two shared scenes of synthetic footage
+    * is evidence of copied content. */
+  val ReelMinShared = 2
+
   /** VIDEO-shaped scene-cut detection over a REAL frame container: every
     * document packs into a reel of [[ReelFrames]] stacked complete BMP
     * frames (each scene of [[ReelGroup]] frames shares one pixel
@@ -282,7 +294,20 @@ object MediaQueries {
     * its own Project); the only shuffle is the per-DOCUMENT lag window
     * (frames of one doc are one partition's worth of rows, never a
     * global window). */
-  private def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+  /** Memo-persisted per-document reel frame hashes (doc_id, hs) — every
+    * document packed into its [[ReelFrames]]-frame stacked-BMP reel and
+    * walked ONCE by the fused `media_reel_dhash` expression. Shared by
+    * the scene-cut and reel-overlap queries (one pack + hash per
+    * document across the family, not per consumer).
+    *
+    * Why the memo barrier: posexplode's implicit size(hs) > 0 filter
+    * would otherwise push below the projection and CLONE the whole
+    * 9-frame encode+hash expression into a pre-projection Filter (every
+    * row packed and hashed twice — caught in the plan audit; the same
+    * fan-out trap as [[hashedImages]]). The cheap text-length filter
+    * stays INSIDE (it references only the raw column, so its pushdown
+    * reaches the scan). */
+  private def reelHashes(spark: SparkSession, dir: String): DataFrame = {
     MediaFunctions.register(spark)
     import MediaFunctions.{bmp_encode, media_reel_dhash}
     val pixFull = Multimodal.fullRowPixels(col("text"))
@@ -291,22 +316,18 @@ object MediaQueries {
       val r = (lit(((f / ReelGroup) * ReelShift).toLong) % n).cast("int")
       bmp_encode(concat(slice(pix, r + lit(1), n - r), slice(pix, lit(1), r)), W)
     }
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
-    // Memo barrier before the frame Generate: posexplode's implicit
-    // size(hs) > 0 filter would otherwise push below the projection and
-    // CLONE the whole 9-frame encode+hash expression into a
-    // pre-projection Filter (every row packed and hashed twice — caught
-    // in the plan audit; the same fan-out trap as hashedImages). The
-    // cheap text-length filter stays INSIDE (it references only the raw
-    // column, so its pushdown reaches the scan).
-    val hashed = Tables.memoBy(spark, s"mmreel:$dir") {
+    Tables.memoBy(spark, s"mmreel:$dir") {
       Tables.documents(spark, dir)
         .where(col("text").isNotNull && length(col("text")) >= W)
         .select(col("doc_id"), pixFull.as("pix"))
         .select(col("doc_id"), media_reel_dhash(concat(
           (0 until ReelFrames).map(f => frame(col("pix"), f)): _*)).as("hs"))
     }
-    hashed
+  }
+
+  private def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+    reelHashes(spark, dir)
       .select(col("doc_id"),
         posexplode(col("hs")).as(Seq("frame_id", "phash")))
       .withColumn("hamming_prev",
@@ -316,6 +337,48 @@ object MediaQueries {
         col("phash"), col("hamming_prev"),
         coalesce(col("hamming_prev") > HamThresh, lit(false)).as("is_cut"))
       .dumpOrdered("doc_id", "frame_id")
+  }
+
+  /** Reel-vs-reel CONTENT OVERLAP — the video analog of containment
+    * dedup: two reels sharing ≥ [[ReelMinShared]] distinct frame hashes
+    * are duplicate-content candidates, scored by frame containment
+    * (shared / min frame count, the video MinHash-containment measure a
+    * crawl dedup pipeline gates re-uploads on).
+    *
+    * Scale: the candidate join is an equi-join on frame HASH — never
+    * reel×reel — and routes through the [[ReelHashCap]] hot-hash guard,
+    * so a title card shared by a constant fraction of the corpus cannot
+    * make candidates quadratic. Frames first collapse to DISTINCT
+    * (doc, hash) so a static 9-frame reel contributes each hash once;
+    * n_shared then comes from a map-side-combinable count per pair. */
+  private def mmReelOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val frames = reelHashes(spark, dir)
+      .select(col("doc_id"), explode(col("hs")).as("phash"))
+      .distinct()
+    val nf = frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val keep = frames.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") <= ReelHashCap)
+      .select(col("phash"))
+    val dk = frames.join(keep, Seq("phash"))
+    val pairs = dk.select(col("phash"), col("doc_id").as("doc_a"))
+      .join(dk.select(col("phash"), col("doc_id").as("doc_b")), Seq("phash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= ReelMinShared)
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"),
+        col("n_frames").as("n_frames_a")), Seq("doc_a"))
+      .join(nf.select(col("doc_id").as("doc_b"),
+        col("n_frames").as("n_frames_b")), Seq("doc_b"))
+      .withColumn("containment", col("n_shared").cast("double")
+        / least(col("n_frames_a"), col("n_frames_b")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_frames_a"), col("n_frames_b"), col("containment"),
+        (col("containment") >= 0.5).as("is_dup"))
+      .dumpOrdered("doc_a", "doc_b")
   }
 
   /** Text-code CTE shared by the oracles (same derivation as the
@@ -386,6 +449,29 @@ object MediaQueries {
     s"""ph AS (
        |  SELECT doc_id, ${duckPhash("pix", "h")} AS phash
        |  FROM img)""".stripMargin
+
+  /** Per-frame reel hash replay CTEs over `img` — the exact twin of the
+    * Spark reel packing: frame f rotates the pixel list left by
+    * `((f // ReelGroup) * ReelShift) % len(pix)` (rotation preserves
+    * length, so the frame keeps the document's height) and each rotated
+    * frame hashes through the shared [[duckPhash]] formula. Produces
+    * `ph2(doc_id, f, phash)`; shared by the scene-cut and reel-overlap
+    * oracles, and NEVER touches the container bytes — agreement proves
+    * the stacked-BMP walk. */
+  private val reelCtes: String =
+    s"""fr2 AS (
+       |  SELECT doc_id, h, r AS f,
+       |    CAST(((r // $ReelGroup) * $ReelShift) % len(pix) AS INTEGER)
+       |      AS rot,
+       |    pix
+       |  FROM img, (SELECT unnest(range(0, $ReelFrames)) AS r) s),
+       |rx AS (
+       |  SELECT doc_id, h, f,
+       |    pix[rot + 1 : len(pix)] || pix[1 : rot] AS rpix
+       |  FROM fr2),
+       |ph2 AS (
+       |  SELECT doc_id, f, ${duckPhash("rpix", "h")} AS phash
+       |  FROM rx)""".stripMargin
 
   def defs: Seq[(String, Q)] = Seq(
 

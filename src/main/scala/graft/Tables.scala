@@ -116,15 +116,23 @@ object Tables {
     * aggregates' exchange) and [[embeddingsHot]] (multi-pass k-means
     * working set). Listing goes through the Hadoop FileSystem of the
     * path, so non-local URIs (hdfs://, s3a://) resolve like local
-    * dirs. */
+    * dirs. Memoized per (dir, name): the layout of a testdata dir does
+    * not change within a process, and the check runs on EVERY
+    * lineitemHot/ordersHot call (several per query build) — on a remote
+    * filesystem each un-memoized call would be two metadata round-trips
+    * of pure overhead. */
+  private val layoutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def multiFile(spark: SparkSession, dir: String,
-                        name: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    try fs.getFileStatus(p).isDirectory &&
-      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 1
-    catch { case _: java.io.FileNotFoundException => false }
-  }
+                        name: String): Boolean =
+    layoutMemo.computeIfAbsent(s"$dir/$name", { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      try fs.getFileStatus(p).isDirectory &&
+        fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 1
+      catch { case _: java.io.FileNotFoundException => false }
+    })
 
   /** The q1 aggregate columns of lineitem — the shared working set for
     * the numeric headline aggregates. On a SINGLE-FILE source (the

@@ -255,7 +255,11 @@ object MediaCodecImpl {
     if (w <= 0 || h < 0 || maxv <= 0 || maxv > 255) return null
     if (off >= b.length || !isWs(b(off))) return null
     off += 1 // the single post-header whitespace byte
-    if (off.toLong + w * h > b.length) return null
+    // Exact-length contract: header + raster IS the container (pgmEncode
+    // emits nothing after the raster). Rejecting trailing bytes keeps the
+    // "whole container validates" classification honest — free text that
+    // happens to start "P5 w h maxv " must stay "unknown".
+    if (off.toLong + w * h != b.length) return null
     Array(off, w.toInt, h.toInt)
   }
 

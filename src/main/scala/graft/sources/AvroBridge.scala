@@ -51,13 +51,23 @@ object AvroBridge {
       case other => throw new IllegalArgumentException(
         s"AvroBridge: unsupported column type $other")
     }
+    // Avro names are constrained to [A-Za-z_][A-Za-z0-9_]* — enforce it
+    // up front so a quote/backslash in a column name fails with a clear
+    // error instead of emitting schema JSON Avro's parser rejects.
+    def checkName(n: String): String = {
+      require(n.nonEmpty && (n.head.isLetter || n.head == '_') &&
+          n.forall(c => c.isLetterOrDigit || c == '_'),
+        s"AvroBridge: '$n' is not a valid Avro name " +
+          "([A-Za-z_][A-Za-z0-9_]*); alias the column before writing")
+      n
+    }
     val fields = schema.fields.map { f =>
       val t = if (f.nullable) s"""["null", ${fieldType(f.dataType)}]"""
               else fieldType(f.dataType)
-      s"""{"name": "${f.name}", "type": $t${
+      s"""{"name": "${checkName(f.name)}", "type": $t${
         if (f.nullable) ", \"default\": null" else ""}}"""
     }
-    s"""{"type": "record", "name": "$recordName",
+    s"""{"type": "record", "name": "${checkName(recordName)}",
        |"fields": [${fields.mkString(", ")}]}""".stripMargin
   }
 
@@ -69,10 +79,16 @@ object AvroBridge {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     conf.set("avro.schema.output.key", json)
     // mapreduce output dirs must not pre-exist; roundtrip scratch dirs are
-    // process-unique (FormatQueries.tmp), so a leftover is a prior run's
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // process-unique (FormatQueries.tmp), so a leftover is a prior run's.
+    // The recursive delete is destructive, so it only fires for paths
+    // under the JVM scratch root — anywhere else the caller must hand us
+    // a non-existent dir (Hadoop's committer then fails loudly instead of
+    // this sink silently wiping a real dataset).
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val scratchRoot = System.getProperty("java.io.tmpdir")
+    if (path.startsWith(scratchRoot) || path.startsWith(s"file:$scratchRoot"))
+      fs.delete(p, true)
     df.rdd.mapPartitions { rows =>
       // parse once per task, not per row
       val schema = new Schema.Parser().parse(json)
