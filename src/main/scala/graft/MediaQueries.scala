@@ -258,6 +258,37 @@ object MediaQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Decode + perceptual-hash over the FOURTH container format — PNG
+    * (8-bit grayscale, real zlib-deflate IDAT): the same
+    * encode-from-source-text differential as [[mmPgmDecode]], but the
+    * container is COMPRESSED and scanline-FILTERED — `png_encode` cycles
+    * all five PNG filters across rows, so oracle agreement proves the
+    * CRC-verified chunk walk, the real `Inflater` decompression, and
+    * every filter inverse (Sub/Up/Average/Paeth reconstruct from
+    * already-reconstructed neighbors — a wrong unfilter corrupts every
+    * later pixel of the row/image and the integer stats catch it).
+    *
+    * Scale: map-only, same shape as the PGM query — encode, decode and
+    * hash are expressions in one projection; featurization never
+    * shuffles. The deflate round-trip adds per-row CPU, not plan
+    * structure. */
+  private def mmPngDecode(spark: SparkSession, dir: String): DataFrame = {
+    MediaFunctions.register(spark)
+    import MediaFunctions.{media_decode, media_dhash, png_encode}
+    val pixels = Multimodal.grayPixels(col("text"))
+    Tables.documents(spark, dir)
+      .where(col("text").isNotNull && length(col("text")) >= W)
+      .select(col("doc_id"), png_encode(pixels, W).as("payload"))
+      .select(col("doc_id"), media_decode(col("payload")).as("m"),
+        media_dhash(col("payload")).as("phash"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.valid").as("valid"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.n_values").as("n_values"),
+        col("m.sum_val").as("sum_val"), col("m.min_val").as("min_val"),
+        col("m.max_val").as("max_val"), col("phash"))
+      .dumpOrdered("doc_id")
+  }
+
   val ReelFrames = 9  // frames per reel
   val ReelGroup = 3   // consecutive same-content frames per scene
   val ReelShift = 7   // pixel rotation per scene change (= one row at W=7)
@@ -533,6 +564,19 @@ object MediaQueries {
          |$pixCtes,
          |$phashCte
          |SELECT i.doc_id, 'pgm' AS format, true AS valid,
+         |  CAST($W AS INTEGER) AS width, CAST(i.h AS INTEGER) AS height,
+         |  CAST(len(i.pix) AS BIGINT) AS n_values,
+         |  CAST(list_sum(i.pix) AS BIGINT) AS sum_val,
+         |  CAST(list_min(i.pix) AS BIGINT) AS min_val,
+         |  CAST(list_max(i.pix) AS BIGINT) AS max_val,
+         |  ph.phash
+         |FROM img i JOIN ph USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_png_decode" -> Q(mmPngDecode, Some(
+      s"""WITH ${codesCte("")},
+         |$pixCtes,
+         |$phashCte
+         |SELECT i.doc_id, 'png' AS format, true AS valid,
          |  CAST($W AS INTEGER) AS width, CAST(i.h AS INTEGER) AS height,
          |  CAST(len(i.pix) AS BIGINT) AS n_values,
          |  CAST(list_sum(i.pix) AS BIGINT) AS sum_val,

@@ -20,6 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP (BITMAPINFOHEADER, 8-bit uncompressed): magic + header
   *    validation, explicit pixel-array offset, 4-byte row-stride padding,
   *    and bottom-up OR top-down (negative height) row order.
+  *  - PNG (8-bit grayscale, color type 0 — THE real-world compressed
+  *    image format): exact signature, CRC32-verified chunk walk,
+  *    IHDR validation, consecutive-IDAT concatenation inflated through
+  *    `java.util.zip.Inflater` (real zlib deflate, exact-output-size
+  *    enforcement against decompression bombs), and full scanline
+  *    unfiltering (None/Sub/Up/Average/Paeth on reconstructed
+  *    neighbors).
   *  - PGM (Netpbm P5 binary graymap — a REAL-WORLD interchange format):
   *    tokenized ASCII header (whitespace-separated width/height/maxval
   *    with `#`-to-end-of-line comments permitted in any gap, exactly one
@@ -61,6 +68,7 @@ object MediaCodecImpl {
   private val FmtWav = UTF8String.fromString("wav")
   private val FmtBmp = UTF8String.fromString("bmp")
   private val FmtPgm = UTF8String.fromString("pgm")
+  private val FmtPng = UTF8String.fromString("png")
   private val FmtUnknown = UTF8String.fromString("unknown")
 
   private def u16(b: Array[Byte], o: Int): Int =
@@ -216,6 +224,243 @@ object MediaCodecImpl {
     out
   }
 
+  private val PngSig: Array[Byte] = Array(
+    0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 13, 10, 26, 10)
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+  private def putU32be(b: Array[Byte], o: Int, v: Long): Unit = {
+    b(o) = ((v >> 24) & 0xFF).toByte; b(o + 1) = ((v >> 16) & 0xFF).toByte
+    b(o + 2) = ((v >> 8) & 0xFF).toByte; b(o + 3) = (v & 0xFF).toByte
+  }
+
+  private def isPng(b: Array[Byte]): Boolean = {
+    if (b.length < 8) return false
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return false; i += 1 }
+    true
+  }
+
+  /** PNG Paeth predictor (filter type 4): the spec's closest-of-three
+    * (left, up, upper-left) choice with its exact tie-break order. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = Math.abs(p - a); val pb = Math.abs(p - b); val pc = Math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+                       data: Array[Byte]): Unit = {
+    val hdr = new Array[Byte](8)
+    putU32be(hdr, 0, data.length.toLong)
+    putTag(hdr, 4, typ)
+    out.write(hdr, 0, 8)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(hdr, 4, 4)
+    crc.update(data, 0, data.length)
+    val tail = new Array[Byte](4)
+    putU32be(tail, 0, crc.getValue)
+    out.write(tail, 0, 4)
+  }
+
+  /** PNG encoder (8-bit grayscale, color type 0): REAL spec-compliant
+    * output — signature, CRC'd IHDR/IDAT/IEND chunks, and a zlib-DEFLATE
+    * IDAT (`java.util.zip.Deflater`) of filtered scanlines. This is the
+    * deflate-compressed container real corpora live in, not a synthetic
+    * stand-in. Scanline filters CYCLE `row % 5` (None, Sub, Up, Average,
+    * Paeth), so a decode∘encode roundtrip over a corpus exercises every
+    * inverse filter in the decoder, not just the trivial one. `height =
+    * n / width` full rows like [[bmpEncode]]/[[pgmEncode]]; PNG cannot
+    * represent a zero-dimension image, so fewer pixels than one row →
+    * null. */
+  def pngEncode(pixels: ArrayData, width: Int): Array[Byte] = {
+    if (pixels == null) return null
+    val height = pixels.numElements() / width
+    if (height == 0) return null
+    val raw = new Array[Byte](width * height)
+    var i = 0
+    while (i < raw.length) { raw(i) = (pixels.getInt(i) & 0xFF).toByte; i += 1 }
+    val filtered = new Array[Byte](height * (1 + width))
+    var r = 0
+    while (r < height) {
+      val f = r % 5
+      filtered(r * (1 + width)) = f.toByte
+      var x = 0
+      while (x < width) {
+        val cur = raw(r * width + x) & 0xFF
+        val left = if (x > 0) raw(r * width + x - 1) & 0xFF else 0
+        val up = if (r > 0) raw((r - 1) * width + x) & 0xFF else 0
+        val ul = if (x > 0 && r > 0) raw((r - 1) * width + x - 1) & 0xFF else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        filtered(r * (1 + width) + 1 + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val comp = new java.io.ByteArrayOutputStream(filtered.length / 2 + 64)
+    try {
+      deflater.setInput(filtered)
+      deflater.finish()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    } finally deflater.end()
+    val out = new java.io.ByteArrayOutputStream(comp.size() + 64)
+    out.write(PngSig, 0, 8)
+    val ihdr = new Array[Byte](13)
+    putU32be(ihdr, 0, width.toLong)
+    putU32be(ihdr, 4, height.toLong)
+    ihdr(8) = 8 // bit depth
+    // color type 0 (grayscale), compression 0, filter 0, interlace 0
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", comp.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Pixel-count ceiling for PNG decode: a crafted IHDR must not drive a
+    * multi-GB raster allocation before the (cheap) IDAT length check can
+    * refute it — 2^26 gray8 pixels (64 MiB raster) is far above any real
+    * thumbnail-pipeline input and bounds both allocations below. */
+  private val PngMaxPixels = 1L << 26
+
+  /** Strict PNG gray8 decode → (width, height, top-down unpadded raster),
+    * or null. The whole container must validate: exact 8-byte signature;
+    * chunk walk with EVERY chunk's CRC32 verified; IHDR first (13 bytes,
+    * bit depth 8, color type 0 grayscale, deflate compression, filter
+    * method 0, no interlace); IDAT chunks consecutive, their
+    * concatenation inflating (real `java.util.zip.Inflater` zlib) to
+    * EXACTLY height·(1+width) bytes — truncated or oversized streams
+    * (decompression bombs) reject; IEND last, empty, with NOTHING after
+    * it (same exact-length contract as [[pgmGeometry]]); every scanline
+    * filter byte 0..4, reconstructed per spec (Sub/Up/Average/Paeth on
+    * the RECONSTRUCTED neighbors). Ancillary chunks between IHDR and the
+    * IDAT run (e.g. tEXt, gAMA) are walked and CRC-checked but otherwise
+    * ignored, per spec. Corrupt payloads return null, never crash the
+    * scan. */
+  private def pngRaster(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (!isPng(b)) return null
+    var off = 8L
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    var idatStarted = false; var idatClosed = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off < b.length) {
+      if (seenIend) return null // trailing bytes after IEND
+      if (off + 12 > b.length) return null
+      val len = u32be(b, off.toInt)
+      if (off + 12 + len > b.length) return null
+      val to = off.toInt + 4
+      val dataOff = off.toInt + 8
+      val crc = new java.util.zip.CRC32
+      crc.update(b, to, 4 + len.toInt)
+      if (crc.getValue != u32be(b, dataOff + len.toInt)) return null
+      if (!seenIhdr) {
+        if (!tagAt(b, to, "IHDR") || len != 13L) return null
+        val lw = u32be(b, dataOff); val lh = u32be(b, dataOff + 4)
+        if (lw <= 0 || lh <= 0 || lw * lh > PngMaxPixels) return null
+        if (b(dataOff + 8) != 8 ||   // bit depth
+            b(dataOff + 9) != 0 ||   // color type: grayscale
+            b(dataOff + 10) != 0 ||  // compression: deflate
+            b(dataOff + 11) != 0 ||  // filter method 0
+            b(dataOff + 12) != 0)    // no Adam7 interlace
+          return null
+        w = lw.toInt; h = lh.toInt
+        seenIhdr = true
+      } else if (tagAt(b, to, "IHDR")) return null // duplicate IHDR
+      else if (tagAt(b, to, "IDAT")) {
+        if (idatClosed) return null // IDAT chunks must be consecutive
+        idatStarted = true
+        idat.write(b, dataOff, len.toInt)
+      } else if (tagAt(b, to, "IEND")) {
+        if (len != 0L || !idatStarted) return null
+        seenIend = true
+      } else {
+        // ancillary chunk: CRC already verified, content ignored
+        if (idatStarted) idatClosed = true
+      }
+      off += 12 + len
+    }
+    if (!seenIhdr || !seenIend) return null
+    val filtered = new Array[Byte](h * (1 + w)) // bounded by PngMaxPixels
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      val extra = new Array[Byte](1)
+      var done = false
+      while (!done) {
+        if (got < filtered.length) {
+          val n = inf.inflate(filtered, got, filtered.length - got)
+          got += n
+          if (inf.finished()) done = true
+          else if (n == 0) return null // truncated / needs-dictionary
+        } else {
+          if (inf.inflate(extra, 0, 1) > 0) return null // oversized stream
+          if (inf.finished()) done = true
+          else return null // truncated before the zlib trailer
+        }
+      }
+      if (got != filtered.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    val raster = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      val f = filtered(r * (1 + w)) & 0xFF
+      if (f > 4) return null
+      var x = 0
+      while (x < w) {
+        val v = filtered(r * (1 + w) + 1 + x) & 0xFF
+        val left = if (x > 0) raster(r * w + x - 1) & 0xFF else 0
+        val up = if (r > 0) raster((r - 1) * w + x) & 0xFF else 0
+        val ul = if (x > 0 && r > 0) raster((r - 1) * w + x - 1) & 0xFF else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case _ => v + paeth(left, up, ul)
+        }
+        raster(r * w + x) = (rec & 0xFF).toByte
+        x += 1
+      }
+      r += 1
+    }
+    (w, h, raster)
+  }
+
+  private def decodePng(b: Array[Byte]): InternalRow = {
+    val p = pngRaster(b)
+    if (p == null) return invalid(FmtPng)
+    val (width, height, raster) = p
+    val n = width.toLong * height
+    var sum = 0L
+    var min = Long.MaxValue
+    var max = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val v = (raster(i) & 0xFF).toLong
+      sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      FmtPng, true, width, height, null, n,
+      if (n > 0) sum else null, if (n > 0) min else null,
+      if (n > 0) max else null))
+  }
+
   /** Validated P5 geometry: (rasterOffset, width, height) or null.
     * Netpbm header tokenizer: after the magic, three whitespace-separated
     * decimal tokens (width, height, maxval) with `#`-to-end-of-line
@@ -276,15 +521,19 @@ object MediaCodecImpl {
   }
 
   /** Sniff + parse: RIFF/WAVE → PCM16 stats, BM → 8-bit BMP pixel stats,
-    * fully-valid P5 → PGM pixel stats, anything else → ("unknown",
-    * valid=false). PGM classification requires the whole container to
-    * validate (see [[pgmGeometry]]) — free text starting with "P5" must
-    * stay "unknown". */
+    * 8-byte PNG signature → gray8 PNG pixel stats, fully-valid P5 → PGM
+    * pixel stats, anything else → ("unknown", valid=false). PGM
+    * classification requires the whole container to validate (see
+    * [[pgmGeometry]]) — free text starting with "P5" must stay
+    * "unknown". The PNG signature contains 0x89 + control bytes, so it
+    * cannot occur in text; sniff-by-signature with invalid-on-parse-fail
+    * (the BMP convention) is safe there. */
   def decode(bytes: Array[Byte]): InternalRow = {
     if (bytes == null) return null
     if (tagAt(bytes, 0, "RIFF") && tagAt(bytes, 8, "WAVE")) decodeWav(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
       decodeBmp(bytes)
+    else if (isPng(bytes)) decodePng(bytes)
     else {
       val g = pgmGeometry(bytes)
       if (g != null) decodePgm(bytes, g) else invalid(FmtUnknown)
@@ -434,6 +683,14 @@ object MediaCodecImpl {
       var i = 0
       while (i < n) { out(i) = i16(b, dataOff + i * 2).toInt; i += 1 }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else if (isPng(b)) {
+      val p = pngRaster(b)
+      if (p == null) return null
+      val raster = p._3
+      val out = new Array[Int](raster.length)
+      var i = 0
+      while (i < raster.length) { out(i) = raster(i) & 0xFF; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     } else {
       val g = grayGeometry(b)
       if (g == null) return null
@@ -460,11 +717,21 @@ object MediaCodecImpl {
     * internally. Non-raster / invalid / zero-height payloads → null. */
   def resize(b: Array[Byte], outW: Int, outH: Int): ArrayData = {
     if (b == null) return null
+    if (isPng(b)) {
+      val p = pngRaster(b)
+      if (p == null) return null
+      return resizeRaster(p._3, 0, p._1, p._2, p._1, topDown = true,
+        outW, outH)
+    }
     val g = grayGeometry(b)
     if (g == null) return null
-    val dataOffset = g(0); val width = g(1); val height = g(2)
-    val stride = g(3); val topDown = g(4) == 1
-    if (height == 0) return null
+    if (g(2) == 0) return null
+    resizeRaster(b, g(0), g(1), g(2), g(3), g(4) == 1, outW, outH)
+  }
+
+  private def resizeRaster(buf: Array[Byte], dataOffset: Int, width: Int,
+                           height: Int, stride: Int, topDown: Boolean,
+                           outW: Int, outH: Int): ArrayData = {
     val out = new Array[Int](outW * outH)
     var r = 0
     while (r < outH) {
@@ -473,7 +740,7 @@ object MediaCodecImpl {
       val rowOff = dataOffset + fileRow * stride
       var c = 0
       while (c < outW) {
-        out(r * outW + c) = b(rowOff + c * width / outW) & 0xFF
+        out(r * outW + c) = buf(rowOff + c * width / outW) & 0xFF
         c += 1
       }
       r += 1
@@ -494,14 +761,23 @@ object MediaCodecImpl {
     * → null. */
   def dhash56(b: Array[Byte]): java.lang.Long = {
     if (b == null) return null
+    if (isPng(b)) {
+      val p = pngRaster(b)
+      if (p == null) return null
+      return dhashRaster(p._3, 0, p._1, p._2, p._1, topDown = true)
+    }
     val g = grayGeometry(b)
     if (g == null) return null
-    val dataOffset = g(0); val width = g(1); val height = g(2)
-    val stride = g(3); val topDown = g(4) == 1
-    if (height == 0) return null
+    if (g(2) == 0) return null
+    dhashRaster(b, g(0), g(1), g(2), g(3), g(4) == 1)
+  }
+
+  private def dhashRaster(buf: Array[Byte], dataOffset: Int, width: Int,
+                          height: Int, stride: Int,
+                          topDown: Boolean): java.lang.Long = {
     def pix(r: Int, x: Int): Int = {
       val fileRow = if (topDown) r else height - 1 - r
-      b(dataOffset + fileRow * stride + x) & 0xFF
+      buf(dataOffset + fileRow * stride + x) & 0xFF
     }
     var bits = 0L
     var r = 0
@@ -568,6 +844,28 @@ case class PgmEncode(child: Expression, width: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.MediaCodecImpl.pgmEncode($c, $width);")
 
   override protected def withNewChildInternal(newChild: Expression): PgmEncode =
+    copy(child = newChild)
+}
+
+/** `png_encode(pixels array<int>)` → binary 8-bit grayscale PNG (real
+  * zlib-deflate IDAT; scanline filters cycle per row — see
+  * [[MediaCodecImpl.pngEncode]]). Null for fewer pixels than one row. */
+case class PngEncode(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, s"width must be positive, got $width")
+  // fewer pixels than one full row yields null even for non-null input
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.pngEncode(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MediaCodecImpl.pngEncode($c, $width);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PngEncode =
     copy(child = newChild)
 }
 
@@ -721,6 +1019,9 @@ object MediaFunctions {
     ("pgm_encode", classOf[PgmEncode],
       arity(2, "pgm_encode(pixels, width)")(exprs =>
         PgmEncode(exprs.head, intLit(exprs(1), "pgm_encode(pixels, width)")))),
+    ("png_encode", classOf[PngEncode],
+      arity(2, "png_encode(pixels, width)")(exprs =>
+        PngEncode(exprs.head, intLit(exprs(1), "png_encode(pixels, width)")))),
     ("media_resize", classOf[MediaResize],
       arity(3, "media_resize(payload, outW, outH)")(exprs =>
         MediaResize(exprs.head,
@@ -749,6 +1050,9 @@ object MediaFunctions {
   def pgm_encode(pixels: Column, width: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "pgm_encode", pixels, org.apache.spark.sql.functions.lit(width))
+  def png_encode(pixels: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "png_encode", pixels, org.apache.spark.sql.functions.lit(width))
   def media_values(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("media_values", payload)
   def media_dhash(payload: Column): Column =
