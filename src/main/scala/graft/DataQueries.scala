@@ -124,7 +124,7 @@ object DataQueries {
     * pairs (est. Jaccard >= [[DupThreshold]]) → undirected edges →
     * min-reachable component per node; shared by `data_dedup_components`
     * and `data_curation_e2e` so their group semantics cannot drift. */
-  private val duckPairsCc =
+  private[graft] val duckPairsCc =
     s"""s AS (
        |  SELECT doc_id, $duckShingles AS sh FROM documents),
        |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
@@ -220,7 +220,7 @@ object DataQueries {
 
   /** LSH candidate pairs with estimated Jaccard >= 0.5 — shared by the
     * pairs dump and the connected-components grouping. */
-  private def similarPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def similarPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingleSig(spark, dir)
     val buckets = Dedup.capHotBuckets(docs
       .select(col("doc_id"), col("sig"),
@@ -313,6 +313,80 @@ object DataQueries {
       .agg(count(lit(1)).as("component_size"))
     labels.join(sizes, Seq("component"))
       .select(col("id").as("doc_id"), col("component"), col("component_size"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Quality floor shared with `data_curation_e2e`'s fate rule. */
+  private val QualityFloor = 1.0
+
+  /** Quality propagation over the near-dup GRAPH — contamination by
+    * association: a document whose component (transitive near-dup
+    * cluster) contains ANY member below the quality floor is flagged,
+    * even when its own copy scores fine. Real crawls re-host spam with
+    * cosmetic edits; per-doc filters keep the clean-looking copies, and
+    * this is the standard countermeasure (drop the whole cluster).
+    *
+    * Scale: the component labels come from the LSH chain (banded
+    * candidates, capped hot buckets — never all-pairs); the propagation
+    * itself is one hash aggregate over components + one join back, both
+    * keyed on the component id. Identical-cluster skew is bounded by the
+    * aggregate's map-side combine. */
+  private def qualityPropagate(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
+    val q = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), score.as("score"))
+    val comp = Dedup.connectedComponents(
+        similarPairs(spark, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+    val labeled = q.join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val agg = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"),
+        min(col("score")).as("component_min_score"),
+        sum(when(col("score") < QualityFloor, 1L).otherwise(0L)).as("n_low"))
+    labeled.join(agg, Seq("component"))
+      .select(col("doc_id"), col("component"), col("component_size"),
+        col("score"), col("component_min_score"), col("n_low"),
+        (col("n_low") > 0).as("is_contaminated"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Fluency gate on the per-bigram average (floor-log2 of corpus
+    * frequency) — see [[lmScore]]. */
+  private val FluentMin = 4.5
+
+  /** Corpus-LM fluency scoring — the CCNet-style perplexity filter in
+    * INTEGER domain: train a bigram frequency model on the corpus
+    * itself, then score every document by the average
+    * `floor(log2(1 + count(bigram)))` of its bigrams. Documents of
+    * common, well-attested word transitions score high; gibberish and
+    * boilerplate-with-rare-joins score low. `length(bin(n)) - 1` IS
+    * floor(log2) exactly on both engines, so the score needs no float
+    * log agreement — only the final average divides, and that's one
+    * exact integer/integer division per doc.
+    *
+    * Scale: the model is a map-side-combinable bigram count aggregate;
+    * scoring joins each occurrence to its model row ON the bigram key
+    * (linear in occurrences — a hot bigram like "of the" fans out to
+    * its occurrences, never to a pair blowup). The model, not the
+    * corpus×bigram occurrence relation, is what [[Tables.memoBy]]
+    * persists: recomputing the map-only explode twice is cheaper at
+    * 100 TB than materializing an occurrences-sized cache. */
+  private def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2))
+          .as("bg"))
+    val model = Tables.memoBy(spark, s"lmbigrams:$dir") {
+      bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    }
+    bigrams.join(model, Seq("bg"))
+      .withColumn("lg", (length(bin(col("c") + 1)) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lg")).as("lm_score"))
+      .withColumn("avg_logcount",
+        col("lm_score").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("is_fluent", col("avg_logcount") >= FluentMin)
       .dumpOrdered("doc_id")
   }
 
@@ -1872,6 +1946,48 @@ object DataQueries {
          |SELECT c.doc_id, c.component, s2.component_size
          |FROM comp c JOIN sz s2 ON c.component = s2.component
          |ORDER BY doc_id""".stripMargin)),
+
+    "data_quality_propagate" -> Q(qualityPropagate, Some(
+      s"""WITH RECURSIVE
+         |$duckPairsCc,
+         |w AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |q AS (SELECT doc_id, ${duckScore("w")} AS score FROM w),
+         |lab AS (
+         |  SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component,
+         |    q.score
+         |  FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+         |ag AS (
+         |  SELECT component, count(*) AS component_size,
+         |    min(score) AS component_min_score,
+         |    CAST(sum(CASE WHEN score < $QualityFloor THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_low
+         |  FROM lab GROUP BY component)
+         |SELECT l.doc_id, l.component, a.component_size, l.score,
+         |  a.component_min_score, a.n_low, a.n_low > 0 AS is_contaminated
+         |FROM lab l JOIN ag a USING (component)
+         |ORDER BY doc_id""".stripMargin)),
+
+    "data_lm_score" -> Q(lmScore, Some(
+      s"""WITH t AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS bg
+         |  FROM t),
+         |m AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+         |s AS (
+         |  SELECT bg.doc_id, CAST(length(bin(m.c + 1)) - 1 AS BIGINT) AS lg
+         |  FROM bg JOIN m USING (bg)),
+         |d AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(lg) AS BIGINT) AS lm_score
+         |  FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, lm_score,
+         |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |    AS avg_logcount,
+         |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= $FluentMin
+         |    AS is_fluent
+         |FROM d ORDER BY doc_id""".stripMargin)),
 
     "data_dedup_ngram_jaccard" -> Q(ngramJaccardTop, Some(
       s"""WITH s AS (

@@ -49,6 +49,40 @@ object TrainQueries {
           .otherwise("test"))
       .dumpOrdered("doc_id")
 
+  /** LEAKAGE-SAFE split: hash the near-dup COMPONENT id, not the doc id.
+    * A per-doc hash split puts near-duplicate documents on opposite
+    * sides of the train/test boundary — the classic eval-contamination
+    * bug (the model "generalizes" to a paraphrase of its own training
+    * row). Bucketing by the transitive near-dup component id
+    * ([[graft.DataQueries.similarPairs]] closed under
+    * [[graft.data.Dedup.connectedComponents]]) keeps every cluster on
+    * ONE side by construction; `is_regrouped` marks exactly the docs a
+    * naive split would have leaked (their naive and safe buckets
+    * differ) — the audit column a migration from naive splits reads.
+    *
+    * Scale: component labels from the banded LSH chain (never
+    * all-pairs); the split itself is a pure map over (doc, component).
+    * Singleton docs (no near-dup) hash their own id, so the safe split
+    * equals the naive one exactly where leakage is impossible. */
+  private def splitByComponent(spark: SparkSession, dir: String): DataFrame = {
+    val comp = graft.data.Dedup.connectedComponents(
+        DataQueries.similarPairs(spark, dir).select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+    def split(b: Column): Column =
+      when(b < TrainCut, "train").when(b < ValCut, "val").otherwise("test")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .select(col("doc_id"), col("component"),
+        split(Indexing.seededBucket(col("doc_id"), lit("split"), SplitBuckets))
+          .as("naive_split"),
+        split(Indexing.seededBucket(col("component"), lit("split"),
+          SplitBuckets)).as("safe_split"))
+      .withColumn("is_regrouped", col("naive_split") =!= col("safe_split"))
+      .dumpOrdered("doc_id")
+  }
+
   // -- epoch shuffle ----------------------------------------------------
 
   private val NShards = 8
@@ -508,6 +542,30 @@ object TrainQueries {
          |       WHEN split_bucket < $ValCut THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin)),
+
+    "data_split_by_component" -> Q(splitByComponent, Some(
+      s"""WITH RECURSIVE
+         |${DataQueries.duckPairsCc},
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |bkt AS (
+         |  SELECT doc_id, component,
+         |    ${duckBucket("'split|' || CAST(doc_id AS VARCHAR)", SplitBuckets)}
+         |      AS nb,
+         |    ${duckBucket("'split|' || CAST(component AS VARCHAR)",
+                           SplitBuckets)} AS sb
+         |  FROM lab),
+         |sp AS (
+         |  SELECT doc_id, component,
+         |    CASE WHEN nb < $TrainCut THEN 'train'
+         |         WHEN nb < $ValCut THEN 'val' ELSE 'test' END AS naive_split,
+         |    CASE WHEN sb < $TrainCut THEN 'train'
+         |         WHEN sb < $ValCut THEN 'val' ELSE 'test' END AS safe_split
+         |  FROM bkt)
+         |SELECT doc_id, component, naive_split, safe_split,
+         |  naive_split <> safe_split AS is_regrouped
+         |FROM sp ORDER BY doc_id""".stripMargin)),
 
     "data_epoch_shuffle" -> Q(epochShuffle, Some(
       s"""WITH e AS (

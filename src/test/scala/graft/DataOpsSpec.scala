@@ -691,4 +691,52 @@ class DataOpsSpec extends AnyFunSuite {
       assert(cr == candHit.toDouble / nTrue)
     }
   }
+
+  test("data_quality_propagate: component-consistent flags, exact min/low accounting") {
+    val rows = Registry.byName("data_quality_propagate")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"component", $"component_size", $"score",
+        $"component_min_score", $"n_low", $"is_contaminated")
+      .as[(Long, Long, Long, Double, Double, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, ms) =>
+      val minScore = ms.map(_._4).min
+      val nLow = ms.count(_._4 < 1.0).toLong
+      ms.foreach { case (_, _, sz, _, cmin, nl, flag) =>
+        assert(sz == ms.size, s"component $comp size")
+        assert(cmin == minScore, s"component $comp min")
+        assert(nl == nLow, s"component $comp n_low")
+        assert(flag == (nLow > 0), s"component $comp flag")
+      }
+    }
+    // the law holds in both directions corpus-wide: a component is
+    // flagged iff it holds a below-floor member (checked per component
+    // above); multi-member components exist so the grouping is exercised
+    assert(byComp.values.exists(_.size > 1))
+    assert(rows.exists(_._7) && rows.exists(!_._7))
+  }
+
+  test("data_lm_score: floor-log2 domain, bigram counts match tokenization") {
+    val rows = Registry.byName("data_lm_score").build(spark, TestSpark.sf)
+      .select($"doc_id", $"n_bigrams", $"lm_score", $"avg_logcount",
+        $"is_fluent")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nb, total, avg, fluent) =>
+      assert(nb > 0 && total >= nb, s"doc $id") // every bigram count >= 1 -> lg >= 1
+      assert(avg == total.toDouble / nb, s"doc $id avg")
+      assert(fluent == (avg >= 4.5), s"doc $id gate")
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5)) // the gate splits the corpus
+    // n_bigrams == tokens-1 for every doc with >= 2 whitespace tokens
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    docs.foreach { case (id, text) =>
+      val nTok = text.split("\\s+", -1).length
+      if (nTok >= 2) assert(byId(id) == nTok - 1L, s"doc $id bigrams")
+      else assert(!byId.contains(id), s"doc $id should have no bigrams")
+    }
+  }
 }

@@ -180,4 +180,30 @@ class TrainOpsSpec extends AnyFunSuite {
       assert(nw == words.size && nst == words.map(replay(_).size).sum)
     }
   }
+
+  test("data_split_by_component: no near-dup pair ever crosses the safe split") {
+    val rows = Registry.byName("data_split_by_component")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"component", $"naive_split", $"safe_split",
+        $"is_regrouped")
+      .as[(Long, Long, String, String, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    // every member of a component shares ONE safe side — the leakage-
+    // freedom guarantee, checked across all components
+    val byComp = rows.groupBy(_._2)
+    assert(byComp.values.forall(_.map(_._4).distinct.size == 1))
+    // the check is not vacuous: multi-member components exist at this sf
+    assert(byComp.values.exists(_.size > 1))
+    // singletons can't leak, so the safe split must equal the naive one
+    rows.filter { case (id, comp, _, _, _) => id == comp &&
+        byComp(comp).size == 1 }
+      .foreach { case (id, _, n, s, rg) =>
+        assert(n == s && !rg, s"singleton $id regrouped") }
+    // is_regrouped is exactly the naive/safe disagreement
+    assert(rows.forall { case (_, _, n, s, rg) => rg == (n != s) })
+    // and the naive split matches data_split_assign (same seed + cuts)
+    val naive = Registry.byName("data_split_assign").build(spark, TestSpark.sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(rows.forall { case (id, _, n, _, _) => naive(id) == n })
+  }
 }
