@@ -23,7 +23,9 @@ object Plans {
     "data_mm_phash", "data_mm_audio_frames", "data_sim_ivfpq_refine",
     "data_classifier_pr", "data_epoch_shuffle", "data_mm_neardup",
     "data_sim_ivfadc",
-    "data_bpe_train_encode", "data_mm_pgm_decode", "data_mm_scene_cuts")
+    "data_bpe_train_encode", "data_mm_pgm_decode", "data_mm_scene_cuts",
+    "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
+    "data_split_by_component", "data_lm_score")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -264,6 +266,32 @@ object Plans {
       |  it); the only exchange is the per-DOCUMENT lag window
       |  (partitioned by doc_id — never a global window), and the frame
       |  explode is a Generate forwarding the hash array attribute.
+      |- **data_mm_png_decode** — same one-Project shape as the PGM twin:
+      |  `png_encode` (deflate + filtering) evaluates once, decode + hash
+      |  consume the attribute; the compressed container adds per-row CPU
+      |  inside the projection, never plan structure. Map-only to the
+      |  dump sort.
+      |- **data_mm_reel_overlap** — candidates come from an equi-join on
+      |  the frame HASH (distinct (doc, hash) first, hot hashes dropped
+      |  at the [[MediaQueries.ReelHashCap]]) — never reel×reel; the
+      |  shared-frame count is a map-side-combinable aggregate per pair,
+      |  and the reel hashes come from the memo-persisted `mmreel`
+      |  relation shared with the scene-cut query (one container walk for
+      |  the family).
+      |- **data_quality_propagate** — component labels ride the audited
+      |  LSH chain (banded candidates, capped hot buckets); propagation
+      |  itself is ONE hash aggregate keyed on component + one join back,
+      |  both map-side combinable; no window, no per-component iteration.
+      |- **data_split_by_component** — after the component labels, the
+      |  split is a pure per-row projection (two md5 buckets + CASE); the
+      |  only joins are the label attach (left) — nothing new shuffles at
+      |  serving time.
+      |- **data_lm_score** — the bigram model is a map-side-combinable
+      |  count aggregate (memo-persisted, vocab-sized); scoring joins
+      |  occurrences to model rows ON the bigram key — linear in
+      |  occurrences, hot bigrams fan out to their own occurrences only.
+      |  floor(log2) is `length(bin(n)) - 1`: pure integer expressions,
+      |  fully codegen'd, no float log in the plan.
       |- **data_sim_ivfadc** — the residual-encoded IVFADC keeps the
       |  ivfpq query shape: residual computation is a MAP-ONLY literal
       |  centroid lookup (element_at of the collected coarse table — no

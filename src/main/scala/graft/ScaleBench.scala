@@ -39,7 +39,11 @@ object ScaleBench {
     "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components",
     // round-8 additions: tokenizer training, PGM container, reel scene cuts
     "data_bpe_train", "data_bpe_train_encode", "data_mm_pgm_decode",
-    "data_mm_scene_cuts")
+    "data_mm_scene_cuts",
+    // round-9 additions: PNG deflate container, reel overlap, graph
+    // curation, leakage-safe split, corpus-LM fluency
+    "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
+    "data_split_by_component", "data_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

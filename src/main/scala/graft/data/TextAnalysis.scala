@@ -20,8 +20,21 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpePattern), lit(0))).cast("long")
 
-  /** Word n-gram shingles, empty array when fewer than n words. */
-  def shingles(words: Column, n: Int): Column =
+  /** Word n-gram shingles, empty array when fewer than n words. Routes
+    * through the one-pass compiled [[graft.functions.WordShingles]]
+    * expression — the HOF form below is the semantic definition and
+    * parity reference (the hottest interpreted spot of the text family:
+    * it runs on every LSH/jaccard/bigram scan). */
+  def shingles(words: Column, n: Int): Column = {
+    graft.functions.WordShingleFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.WordShingleFunctions.word_shingles(words, n)
+  }
+
+  /** Composable-HOF form of [[shingles]]: the semantic definition, kept
+    * as the parity reference (DataOpsSpec asserts bit-identical output)
+    * and for sessions where registering functions is undesirable. */
+  def shinglesHof(words: Column, n: Int): Column =
     when(size(words) >= n,
       transform(sequence(lit(0), size(words) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))

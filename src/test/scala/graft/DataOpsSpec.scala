@@ -55,6 +55,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(fast.find(_._1 == 3L).get._2.get.forall(_.isEmpty))
   }
 
+  test("WordShingles expression is bit-identical to the HOF definition") {
+    // shingles() now routes through the one-pass compiled expression; the
+    // HOF form is the semantic definition (and the DuckDB oracles'
+    // shape). Divergence desynchronizes every shingle consumer from its
+    // oracle, so assert identity across the awkward inputs: NULL array,
+    // short array, empty strings, NULL elements (concat_ws skips them),
+    // multi-byte UTF-8, and both widths the queries use (2 and 3).
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("solo")),
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]]),
+      (5L, Seq("", "x", "", "y")),
+      (6L, Seq("héllo", "wörld", "日本語", "テスト")),
+      (7L, Seq(null, "mid", null, "end"))
+    ).toDF("doc_id", "w")
+    for (n <- Seq(2, 3)) {
+      val fast = docs.select($"doc_id", TextAnalysis.shingles($"w", n).as("sh"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      val hof = docs.select($"doc_id", TextAnalysis.shinglesHof($"w", n).as("sh"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      assert(fast == hof, s"n=$n")
+      // NULL and short arrays both yield EMPTY (never null)
+      assert(fast.find(_._1 == 4L).get._2 == Seq.empty)
+      assert(fast.find(_._1 == 2L).get._2 == Seq.empty)
+    }
+  }
+
   test("MinHashMergeAggregator over per-doc sigs equals row-streaming group sig") {
     // min is associative: elementwise-min of per-doc signatures == the
     // signature of the group's shingle multiset. The group query ships the
