@@ -355,6 +355,89 @@ object DataQueries {
     * frequency) — see [[lmScore]]. */
   private val FluentMin = 4.5
 
+  private val BoilerBlock = 8 // tokens per boilerplate block
+  private val BoilerT = 2     // blocks in >= T docs are boilerplate
+
+  /** CCNet-style boilerplate stripping — cross-document block dedup at
+    * passage granularity: every document segments into non-overlapping
+    * [[BoilerBlock]]-token blocks, a block appearing in ≥ [[BoilerT]]
+    * DISTINCT documents (navigation chrome, license footers, cookie
+    * banners — the crawl's repeated furniture) is boilerplate, and each
+    * document re-emits with its boilerplate blocks removed, in original
+    * block order. This is the paragraph-hash dedup CCNet runs before
+    * any model-based filter; with no newline structure in this corpus
+    * the passage unit is the fixed token block.
+    *
+    * Scale: the block → distinct-doc count is two map-side-combinable
+    * hash aggregates; the flag joins back ON the block text (linear in
+    * blocks); reconstruction is a per-document aggregate whose state is
+    * bounded by the document's own length. Nothing is
+    * corpus-quadratic. */
+  private def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (size(col("w")) + BoilerBlock - 1)
+            .divide(BoilerBlock).cast("int") - 1),
+          i => array_join(slice(col("w"), i * BoilerBlock + 1,
+            lit(BoilerBlock)), " "))).as(Seq("block_id", "bt")))
+    val counts = blocks.select(col("bt"), col("doc_id")).distinct()
+      .groupBy(col("bt")).agg(count(lit(1)).as("nd"))
+    blocks.join(counts, Seq("bt"))
+      .withColumn("is_boiler", col("nd") >= BoilerT)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("is_boiler"),
+            struct(col("block_id"), col("bt"))))),
+          x => x("bt")), " ").as("clean_text"))
+      .withColumn("is_all_boiler", col("n_boiler") === col("n_blocks"))
+      .dumpOrdered("doc_id")
+  }
+
+  private val RepDupMax = 0.15      // near-dup member fraction ceiling
+  private val RepQualMinQ6 = 1050000.0 // min mean quality (micro-units)
+
+  /** Source (domain) reputation gate — curation at the PROVENANCE level:
+    * per source, the fraction of its documents that are near-dup
+    * members (any transitive LSH component) and its mean quality score
+    * (summed in exact micro-unit longs, divided once — no float
+    * accumulation order); a source over the dup ceiling or under the
+    * quality floor is blocked wholesale. Real pipelines gate whole
+    * domains this way (content farms re-host; per-doc filters miss the
+    * pattern the domain exposes).
+    *
+    * Scale: one aggregate keyed on source after the component-label
+    * join; output is sources-sized. The quantized-long quality sum
+    * keeps the mean exact at any document count (a double sum would
+    * lose associativity under partitioning). */
+  private def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
+    val comp = Dedup.connectedComponents(
+        similarPairs(spark, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+    Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), col("source"),
+        round(score * 1e6).cast("long").as("q6"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("is_nd", col("component").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_nd"), 1L).otherwise(0L)).as("n_near_dup"),
+        sum(col("q6")).as("sum_q6"))
+      .select(col("source"), col("n_docs"), col("n_near_dup"), col("sum_q6"),
+        (col("n_near_dup").cast("double") / col("n_docs").cast("double"))
+          .as("near_dup_frac"),
+        (col("sum_q6").cast("double") / col("n_docs").cast("double"))
+          .as("mean_q6"))
+      .withColumn("is_blocked",
+        col("near_dup_frac") > RepDupMax || col("mean_q6") < RepQualMinQ6)
+      .dumpOrdered("source")
+  }
+
+
   /** Corpus-LM fluency scoring — the CCNet-style perplexity filter in
     * INTEGER domain: train a bigram frequency model on the corpus
     * itself, then score every document by the average
@@ -1988,6 +2071,60 @@ object DataQueries {
          |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= $FluentMin
          |    AS is_fluent
          |FROM d ORDER BY doc_id""".stripMargin)),
+
+    "data_boilerplate_strip" -> Q(boilerplateStrip, Some(
+      s"""WITH t AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |bx AS (
+         |  SELECT doc_id, w,
+         |    unnest(range(0, (len(w) + ${BoilerBlock - 1}) // $BoilerBlock))
+         |      AS block_id
+         |  FROM t),
+         |bl AS (
+         |  SELECT doc_id, block_id,
+         |    array_to_string(
+         |      w[block_id * $BoilerBlock + 1 : (block_id + 1) * $BoilerBlock],
+         |      ' ') AS bt
+         |  FROM bx),
+         |dd AS (SELECT DISTINCT bt, doc_id FROM bl),
+         |c AS (SELECT bt, count(*) AS nd FROM dd GROUP BY bt),
+         |f AS (
+         |  SELECT bl.doc_id, bl.block_id, bl.bt, c.nd >= $BoilerT AS is_boiler
+         |  FROM bl JOIN c USING (bt))
+         |SELECT doc_id, count(*) AS n_blocks,
+         |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  COALESCE(string_agg(CASE WHEN NOT is_boiler THEN bt END, ' '
+         |    ORDER BY block_id), '') AS clean_text,
+         |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         |    = count(*) AS is_all_boiler
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "data_source_reputation" -> Q(sourceReputation, Some(
+      s"""WITH RECURSIVE
+         |$duckPairsCc,
+         |w AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CAST(round((${duckScore("w")}) * 1000000) AS BIGINT) AS q6
+         |  FROM w),
+         |lab AS (
+         |  SELECT q.source, q.q6, c.component IS NOT NULL AS is_nd
+         |  FROM q LEFT JOIN comp c USING (doc_id)),
+         |ag AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN is_nd THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_near_dup,
+         |    CAST(sum(q6) AS BIGINT) AS sum_q6
+         |  FROM lab GROUP BY source)
+         |SELECT source, n_docs, n_near_dup, sum_q6,
+         |  CAST(n_near_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    AS near_dup_frac,
+         |  CAST(sum_q6 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_q6,
+         |  (CAST(n_near_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) > $RepDupMax
+         |   OR CAST(sum_q6 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |      < $RepQualMinQ6) AS is_blocked
+         |FROM ag ORDER BY source""".stripMargin)),
+
 
     "data_dedup_ngram_jaccard" -> Q(ngramJaccardTop, Some(
       s"""WITH s AS (

@@ -25,7 +25,8 @@ object Plans {
     "data_sim_ivfadc",
     "data_bpe_train_encode", "data_mm_pgm_decode", "data_mm_scene_cuts",
     "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
-    "data_split_by_component", "data_lm_score")
+    "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
+    "data_source_reputation")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -292,6 +293,17 @@ object Plans {
       |  occurrences, hot bigrams fan out to their own occurrences only.
       |  floor(log2) is `length(bin(n)) - 1`: pure integer expressions,
       |  fully codegen'd, no float log in the plan.
+      |- **data_boilerplate_strip** — block segmentation is a map-only
+      |  Generate over the token array; the block → distinct-doc count is
+      |  two map-side-combinable hash aggregates; the flag join is an
+      |  equi-join on the block text (linear in blocks); reconstruction
+      |  is a per-document aggregate whose collect_list state is bounded
+      |  by the document's own block count — no window, nothing
+      |  corpus-quadratic.
+      |- **data_source_reputation** — one aggregate keyed on source after
+      |  the component-label left join; quality means ride exact
+      |  quantized-long sums (micro-units) divided once, so the mean is
+      |  partition-order-independent at any count.
       |- **data_sim_ivfadc** — the residual-encoded IVFADC keeps the
       |  ivfpq query shape: residual computation is a MAP-ONLY literal
       |  centroid lookup (element_at of the collected coarse table — no

@@ -745,6 +745,49 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._7) && rows.exists(!_._7))
   }
 
+  test("data_boilerplate_strip: clean text is exactly the non-shared blocks, in order") {
+    val rows = Registry.byName("data_boilerplate_strip")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"n_blocks", $"n_boiler", $"clean_text", $"is_all_boiler")
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // independent replay: segment every doc into 8-token blocks, count
+    // distinct docs per block, strip blocks shared by >= 2 docs
+    def blocksOf(text: String): Seq[String] =
+      text.split("\\s+", -1).toSeq.grouped(8).map(_.mkString(" ")).toSeq
+    val docCount = docs.flatMap { case (id, t) => blocksOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val byId = rows.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, t) =>
+      val bs = blocksOf(t)
+      val kept = bs.filter(docCount(_) < 2)
+      val (_, nb, nboil, clean, allb) = byId(id)
+      assert(nb == bs.size, s"doc $id n_blocks")
+      assert(nboil == bs.size - kept.size, s"doc $id n_boiler")
+      assert(clean == kept.mkString(" "), s"doc $id clean_text")
+      assert(allb == kept.isEmpty, s"doc $id all_boiler")
+    }
+    assert(rows.exists(_._3 > 0)) // boilerplate exists at this sf
+  }
+
+  test("data_source_reputation: exact accounting, blocked iff over either threshold") {
+    val rows = Registry.byName("data_source_reputation")
+      .build(spark, TestSpark.sf)
+      .select($"source", $"n_docs", $"n_near_dup", $"sum_q6",
+        $"near_dup_frac", $"mean_q6", $"is_blocked")
+      .as[(String, Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val corpus = Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_._2).sum == corpus) // every doc in exactly one source
+    rows.foreach { case (src, n, nd, sq, f, mq, blocked) =>
+      assert(nd <= n, src)
+      assert(f == nd.toDouble / n, src)
+      assert(mq == sq.toDouble / n, src)
+      assert(blocked == (f > 0.15 || mq < 1050000.0), src)
+    }
+  }
+
   test("data_lm_score: floor-log2 domain, bigram counts match tokenization") {
     val rows = Registry.byName("data_lm_score").build(spark, TestSpark.sf)
       .select($"doc_id", $"n_bigrams", $"lm_score", $"avg_logcount",
