@@ -410,6 +410,10 @@ object MediaCodecImpl {
         }
       }
       if (got != filtered.length) return null
+      // the zlib stream must also END the IDAT payload: garbage bytes
+      // smuggled after the trailer would otherwise classify as valid
+      // (the same exact-length contract as trailing-bytes-after-IEND)
+      if (inf.getRemaining != 0) return null
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
@@ -439,26 +443,34 @@ object MediaCodecImpl {
     (w, h, raster)
   }
 
-  private def decodePng(b: Array[Byte]): InternalRow = {
-    val p = pngRaster(b)
-    if (p == null) return invalid(FmtPng)
-    val (width, height, raster) = p
+  /** Shared gray-pixel stats row over a CONTIGUOUS unpadded byte run —
+    * the one accumulate-and-emit used by every unpadded raster decode
+    * (PGM raster in place, PNG decoded raster), so the
+    * n_values/NULL-stats contract lives in exactly one place. */
+  private def grayStatsRow(format: UTF8String, width: Int, height: Int,
+                           buf: Array[Byte], off: Int): InternalRow = {
     val n = width.toLong * height
     var sum = 0L
     var min = Long.MaxValue
     var max = Long.MinValue
     var i = 0
     while (i < n) {
-      val v = (raster(i) & 0xFF).toLong
+      val v = (buf(off + i) & 0xFF).toLong
       sum += v
       if (v < min) min = v
       if (v > max) max = v
       i += 1
     }
     new GenericInternalRow(Array[Any](
-      FmtPng, true, width, height, null, n,
+      format, true, width, height, null, n,
       if (n > 0) sum else null, if (n > 0) min else null,
       if (n > 0) max else null))
+  }
+
+  private def decodePng(b: Array[Byte]): InternalRow = {
+    val p = pngRaster(b)
+    if (p == null) return invalid(FmtPng)
+    grayStatsRow(FmtPng, p._1, p._2, p._3, 0)
   }
 
   /** Validated P5 geometry: (rasterOffset, width, height) or null.
@@ -540,25 +552,8 @@ object MediaCodecImpl {
     }
   }
 
-  private def decodePgm(b: Array[Byte], g: Array[Int]): InternalRow = {
-    val dataOff = g(0); val width = g(1); val height = g(2)
-    val n = width.toLong * height
-    var sum = 0L
-    var min = Long.MaxValue
-    var max = Long.MinValue
-    var i = 0
-    while (i < n) {
-      val v = (b(dataOff + i) & 0xFF).toLong
-      sum += v
-      if (v < min) min = v
-      if (v > max) max = v
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](
-      FmtPgm, true, width, height, null, n,
-      if (n > 0) sum else null, if (n > 0) min else null,
-      if (n > 0) max else null))
-  }
+  private def decodePgm(b: Array[Byte], g: Array[Int]): InternalRow =
+    grayStatsRow(FmtPgm, g(1), g(2), b, g(0)) // unpadded raster in place
 
   private def decodeWav(b: Array[Byte]): InternalRow = {
     val g = wavGeometry(b)

@@ -55,8 +55,13 @@ object AvroBridge {
     // up front so a quote/backslash in a column name fails with a clear
     // error instead of emitting schema JSON Avro's parser rejects.
     def checkName(n: String): String = {
-      require(n.nonEmpty && (n.head.isLetter || n.head == '_') &&
-          n.forall(c => c.isLetterOrDigit || c == '_'),
+      // explicit ASCII ranges, not Character.isLetter: Avro names are
+      // ASCII-only, and a Unicode-letter column like "café" must hit
+      // THIS message, not Schema.Parser's raw exception downstream
+      def alpha(c: Char) =
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+      def alnum(c: Char) = alpha(c) || (c >= '0' && c <= '9')
+      require(n.nonEmpty && alpha(n.head) && n.forall(alnum),
         s"AvroBridge: '$n' is not a valid Avro name " +
           "([A-Za-z_][A-Za-z0-9_]*); alias the column before writing")
       n
@@ -86,8 +91,12 @@ object AvroBridge {
     // this sink silently wiping a real dataset).
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val scratchRoot = System.getProperty("java.io.tmpdir")
-    if (path.startsWith(scratchRoot) || path.startsWith(s"file:$scratchRoot"))
+    // Path-boundary-aware compare: "/tmpdata/gold" must NOT match a
+    // "/tmp" scratch root, and the "file:"/"file://" URI spellings must
+    // normalize to the same local path before comparing.
+    val scratchRoot = System.getProperty("java.io.tmpdir").stripSuffix("/")
+    val localPath = path.replaceFirst("^file:(//)?", "")
+    if (localPath == scratchRoot || localPath.startsWith(scratchRoot + "/"))
       fs.delete(p, true)
     df.rdd.mapPartitions { rows =>
       // parse once per task, not per row

@@ -97,5 +97,12 @@ class FormatSpec extends AnyFunSuite {
       graft.sources.AvroBridge.avroSchemaJson(
         StructType(Seq(StructField("t", TimestampType))), "r")
     }
+    // non-Avro column names must hit OUR message, not Schema.Parser's —
+    // including Unicode letters (Character.isLetter would admit them)
+    for (bad <- Seq("café", "日本", "with space", "a\"b", "9lead", ""))
+      intercept[IllegalArgumentException] {
+        graft.sources.AvroBridge.avroSchemaJson(
+          StructType(Seq(StructField(bad, LongType))), "r")
+      }
   }
 }
