@@ -331,7 +331,10 @@ object DataQueries {
     * itself is one hash aggregate over components + one join back, both
     * keyed on the component id. Identical-cluster skew is bounded by the
     * aggregate's map-side combine. */
-  private def qualityPropagate(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc (component, score) labels + component aggregates — the
+    * pre-dump relation behind `data_quality_propagate`, reused by the
+    * composed fate table. */
+  private def componentQuality(spark: SparkSession, dir: String): DataFrame = {
     val score = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
     val q = Tables.documentsHot(spark, dir)
       .select(col("doc_id"), score.as("score"))
@@ -339,17 +342,22 @@ object DataQueries {
         similarPairs(spark, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
       .select(col("id").as("doc_id"), col("component"))
     val labeled = q.join(comp, Seq("doc_id"), "left")
+      .withColumn("is_nd_member", col("component").isNotNull)
       .withColumn("component", coalesce(col("component"), col("doc_id")))
     val agg = labeled.groupBy(col("component"))
       .agg(count(lit(1)).as("component_size"),
         min(col("score")).as("component_min_score"),
         sum(when(col("score") < QualityFloor, 1L).otherwise(0L)).as("n_low"))
     labeled.join(agg, Seq("component"))
+      .withColumn("is_contaminated", col("n_low") > 0)
+  }
+
+  private def qualityPropagate(spark: SparkSession, dir: String): DataFrame =
+    componentQuality(spark, dir)
       .select(col("doc_id"), col("component"), col("component_size"),
         col("score"), col("component_min_score"), col("n_low"),
-        (col("n_low") > 0).as("is_contaminated"))
+        col("is_contaminated"))
       .dumpOrdered("doc_id")
-  }
 
   /** Fluency gate on the per-bigram average (floor-log2 of corpus
     * frequency) — see [[lmScore]]. */
@@ -357,6 +365,53 @@ object DataQueries {
 
   private val BoilerBlock = 8 // tokens per boilerplate block
   private val BoilerT = 2     // blocks in >= T docs are boilerplate
+
+  /** Bigram-LM CTE chain → `lmd(doc_id, n_bigrams, lm_score)` — ONE
+    * source of truth for the `data_lm_score` oracle and the composed
+    * fate table (l-prefixed names to compose collision-free). */
+  private lazy val duckLmCtes: String =
+    s"""lt AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |lbg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)),
+       |      i -> w[i] || ' ' || w[i+1])) AS bg
+       |  FROM lt),
+       |lmm AS (SELECT bg, count(*) AS c FROM lbg GROUP BY bg),
+       |lms AS (
+       |  SELECT lbg.doc_id, CAST(length(bin(lmm.c + 1)) - 1 AS BIGINT) AS lg
+       |  FROM lbg JOIN lmm USING (bg)),
+       |lmd AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(lg) AS BIGINT) AS lm_score
+       |  FROM lms GROUP BY doc_id)""".stripMargin
+
+  /** Boilerplate CTE chain → per-block `bf(doc_id, block_id, bt,
+    * is_boiler)` and per-doc `boil(doc_id, n_blocks, n_boiler)` — shared
+    * by the strip oracle and the composed fate table. */
+  private lazy val duckBoilerCtes: String =
+    s"""bt0 AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |bbx AS (
+       |  SELECT doc_id, w,
+       |    unnest(range(0, (len(w) + ${BoilerBlock - 1}) // $BoilerBlock))
+       |      AS block_id
+       |  FROM bt0),
+       |bbl AS (
+       |  SELECT doc_id, block_id,
+       |    array_to_string(
+       |      w[block_id * $BoilerBlock + 1 : (block_id + 1) * $BoilerBlock],
+       |      ' ') AS bt
+       |  FROM bbx),
+       |bdd AS (SELECT DISTINCT bt, doc_id FROM bbl),
+       |bc AS (SELECT bt, count(*) AS nd FROM bdd GROUP BY bt),
+       |bf AS (
+       |  SELECT bbl.doc_id, bbl.block_id, bbl.bt, bc.nd >= $BoilerT
+       |    AS is_boiler
+       |  FROM bbl JOIN bc USING (bt)),
+       |boil AS (
+       |  SELECT doc_id, count(*) AS n_blocks,
+       |    CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_boiler
+       |  FROM bf GROUP BY doc_id)""".stripMargin
 
   /** CCNet-style boilerplate stripping — cross-document block dedup at
     * passage granularity: every document segments into non-overlapping
@@ -373,7 +428,9 @@ object DataQueries {
     * blocks); reconstruction is a per-document aggregate whose state is
     * bounded by the document's own length. Nothing is
     * corpus-quadratic. */
-  private def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc boilerplate stats + reconstruction (pre-dump) — reused by
+    * the composed fate table. */
+  private def boilerStats(spark: SparkSession, dir: String): DataFrame = {
     val blocks = Tables.documentsHot(spark, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
       .select(col("doc_id"),
@@ -394,11 +451,13 @@ object DataQueries {
             struct(col("block_id"), col("bt"))))),
           x => x("bt")), " ").as("clean_text"))
       .withColumn("is_all_boiler", col("n_boiler") === col("n_blocks"))
-      .dumpOrdered("doc_id")
   }
 
+  private def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerStats(spark, dir).dumpOrdered("doc_id")
+
   private val RepDupMax = 0.15      // near-dup member fraction ceiling
-  private val RepQualMinQ6 = 1050000.0 // min mean quality (micro-units)
+  private val RepQualMinQ6 = 1000000.0 // min mean quality (micro-units)
 
   /** Source (domain) reputation gate — curation at the PROVENANCE level:
     * per source, the fraction of its documents that are near-dup
@@ -413,16 +472,17 @@ object DataQueries {
     * join; output is sources-sized. The quantized-long quality sum
     * keeps the mean exact at any document count (a double sum would
     * lose associativity under partitioning). */
-  private def sourceReputation(spark: SparkSession, dir: String): DataFrame = {
-    val score = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
-    val comp = Dedup.connectedComponents(
-        similarPairs(spark, dir).select(col("id_a"), col("id_b")), "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("component"))
+  /** Per-source reputation relation (pre-dump) — reused by the composed
+    * fate table. Rides [[componentQuality]]'s labels so the near-dup
+    * membership definition cannot drift between the two queries. */
+  private def sourceRep(spark: SparkSession, dir: String): DataFrame = {
     Tables.documentsHot(spark, dir)
-      .select(col("doc_id"), col("source"),
-        round(score * 1e6).cast("long").as("q6"))
-      .join(comp, Seq("doc_id"), "left")
-      .withColumn("is_nd", col("component").isNotNull)
+      .select(col("doc_id"), col("source"))
+      .join(componentQuality(spark, dir)
+        .select(col("doc_id"), col("score"), col("is_nd_member")),
+        Seq("doc_id"))
+      .select(col("source"), round(col("score") * 1e6).cast("long").as("q6"),
+        col("is_nd_member").as("is_nd"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_nd"), 1L).otherwise(0L)).as("n_near_dup"),
@@ -434,7 +494,68 @@ object DataQueries {
           .as("mean_q6"))
       .withColumn("is_blocked",
         col("near_dup_frac") > RepDupMax || col("mean_q6") < RepQualMinQ6)
-      .dumpOrdered("source")
+  }
+
+  private def sourceReputation(spark: SparkSession, dir: String): DataFrame =
+    sourceRep(spark, dir).dumpOrdered("source")
+
+  private val FateFluentMin = 4.3 // fate-table fluency bar (bottom tail)
+  private val FateBoilerMax = 0.5 // max boilerplate fraction to keep
+
+  /** The COMPOSED curation fate table, round-9 edition: every document
+    * through the full nine-signal chain with first-drop-wins precedence
+    * — source reputation (provenance first: a blocked domain drops
+    * everything it hosts), exact dedup, near-dup component dedup, the
+    * doc's own quality floor, contamination-by-association (clean copy
+    * in a dirty component), corpus-LM fluency, boilerplate saturation,
+    * stratified sampling — the "raw crawl in, training corpus out"
+    * picture with all of this round's signals integrated. Every signal
+    * reuses the individually-oracled relation it was verified with
+    * ([[sourceRep]], [[componentQuality]], [[lmScored]],
+    * [[boilerStats]]), so the composition cannot drift from the parts.
+    *
+    * Scale: a linear chain of doc_id-keyed hash joins over
+    * corpus-sized relations (the source gate broadcasts — it is
+    * sources-sized); each signal's own scale story is audited at its
+    * defining query. */
+  private def curationFate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsHot(spark, dir)
+    val e = Dedup.exact(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keeper_id").as("exact_keeper"))
+    val cq = componentQuality(spark, dir)
+      .select(col("doc_id"), col("component"), col("score"), col("n_low"))
+    val rep = sourceRep(spark, dir)
+      .select(col("source"), col("is_blocked").as("source_blocked"))
+    val lm = lmScored(spark, dir).select(col("doc_id"), col("avg_logcount"))
+    val boil = boilerStats(spark, dir)
+      .select(col("doc_id"),
+        (col("n_boiler").cast("double") / col("n_blocks").cast("double"))
+          .as("boiler_frac"))
+    val rates = SampleRates.toDF("lang", "rate_override")
+    val sp = docs.join(broadcast(rates), Seq("lang"), "left")
+      .select(col("doc_id"), hashFracCol.as("hash_frac"),
+        coalesce(col("rate_override"), lit(1.0)).as("rate"))
+    docs.select(col("doc_id"), col("source"))
+      .join(e, Seq("doc_id"))
+      .join(cq, Seq("doc_id"))
+      .join(broadcast(rep), Seq("source"))
+      .join(lm, Seq("doc_id"), "left")
+      .join(boil, Seq("doc_id"))
+      .join(sp, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("source_blocked"), "source_blocked")
+          .when(col("exact_keeper") =!= col("doc_id"), "exact_dup")
+          .when(col("component") =!= col("doc_id"), "near_dup")
+          .when(col("score") < QualityFloor, "quality")
+          .when(col("n_low") > 0, "contaminated")
+          .when(col("avg_logcount") < FateFluentMin, "not_fluent")
+          .when(col("boiler_frac") > FateBoilerMax, "boilerplate")
+          .when(col("hash_frac") >= col("rate"), "sample")
+          .otherwise("kept").as("fate"),
+        col("component"), col("score"), col("avg_logcount"),
+        col("boiler_frac"), col("source_blocked"))
+      .dumpOrdered("doc_id")
   }
 
 
@@ -455,7 +576,9 @@ object DataQueries {
     * corpus×bigram occurrence relation, is what [[Tables.memoBy]]
     * persists: recomputing the map-only explode twice is cheaper at
     * 100 TB than materializing an occurrences-sized cache. */
-  private def lmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc LM fluency relation (pre-dump) — reused by the composed
+    * fate table. Docs with < 2 tokens have no bigrams and are absent. */
+  private def lmScored(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = Tables.documentsHot(spark, dir)
       .select(col("doc_id"),
         explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 2))
@@ -470,8 +593,10 @@ object DataQueries {
       .withColumn("avg_logcount",
         col("lm_score").cast("double") / col("n_bigrams").cast("double"))
       .withColumn("is_fluent", col("avg_logcount") >= FluentMin)
-      .dumpOrdered("doc_id")
   }
+
+  private def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScored(spark, dir).dumpOrdered("doc_id")
 
   /** Exact n-gram Jaccard, LSH-subordinated: candidate pairs come from the
     * MinHash band buckets (equi-join on (band, bucket) — the 100 TB path;
@@ -2051,45 +2176,16 @@ object DataQueries {
          |ORDER BY doc_id""".stripMargin)),
 
     "data_lm_score" -> Q(lmScore, Some(
-      s"""WITH t AS (SELECT doc_id, $duckWords AS w FROM documents),
-         |bg AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(w)),
-         |      i -> w[i] || ' ' || w[i+1])) AS bg
-         |  FROM t),
-         |m AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
-         |s AS (
-         |  SELECT bg.doc_id, CAST(length(bin(m.c + 1)) - 1 AS BIGINT) AS lg
-         |  FROM bg JOIN m USING (bg)),
-         |d AS (
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |    CAST(sum(lg) AS BIGINT) AS lm_score
-         |  FROM s GROUP BY doc_id)
+      s"""WITH $duckLmCtes
          |SELECT doc_id, n_bigrams, lm_score,
          |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
          |    AS avg_logcount,
          |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= $FluentMin
          |    AS is_fluent
-         |FROM d ORDER BY doc_id""".stripMargin)),
+         |FROM lmd ORDER BY doc_id""".stripMargin)),
 
     "data_boilerplate_strip" -> Q(boilerplateStrip, Some(
-      s"""WITH t AS (SELECT doc_id, $duckWords AS w FROM documents),
-         |bx AS (
-         |  SELECT doc_id, w,
-         |    unnest(range(0, (len(w) + ${BoilerBlock - 1}) // $BoilerBlock))
-         |      AS block_id
-         |  FROM t),
-         |bl AS (
-         |  SELECT doc_id, block_id,
-         |    array_to_string(
-         |      w[block_id * $BoilerBlock + 1 : (block_id + 1) * $BoilerBlock],
-         |      ' ') AS bt
-         |  FROM bx),
-         |dd AS (SELECT DISTINCT bt, doc_id FROM bl),
-         |c AS (SELECT bt, count(*) AS nd FROM dd GROUP BY bt),
-         |f AS (
-         |  SELECT bl.doc_id, bl.block_id, bl.bt, c.nd >= $BoilerT AS is_boiler
-         |  FROM bl JOIN c USING (bt))
+      s"""WITH $duckBoilerCtes
          |SELECT doc_id, count(*) AS n_blocks,
          |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_boiler,
@@ -2097,7 +2193,7 @@ object DataQueries {
          |    ORDER BY block_id), '') AS clean_text,
          |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
          |    = count(*) AS is_all_boiler
-         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+         |FROM bf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "data_source_reputation" -> Q(sourceReputation, Some(
       s"""WITH RECURSIVE
@@ -2125,6 +2221,64 @@ object DataQueries {
          |      < $RepQualMinQ6) AS is_blocked
          |FROM ag ORDER BY source""".stripMargin)),
 
+
+    "data_curation_fate" -> Q(curationFate, Some(
+      s"""WITH RECURSIVE
+         |$duckPairsCc,
+         |fex AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))
+         |    AS exact_keeper
+         |  FROM documents),
+         |fw AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+         |fq AS (
+         |  SELECT doc_id, source, ${duckScore("w")} AS score FROM fw),
+         |flab AS (
+         |  SELECT fq.doc_id, fq.source, fq.score,
+         |    c.component IS NOT NULL AS is_nd,
+         |    COALESCE(c.component, fq.doc_id) AS component
+         |  FROM fq LEFT JOIN comp c USING (doc_id)),
+         |fcag AS (
+         |  SELECT component,
+         |    CAST(sum(CASE WHEN score < $QualityFloor THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_low
+         |  FROM flab GROUP BY component),
+         |frep AS (
+         |  SELECT source,
+         |    (CAST(sum(CASE WHEN is_nd THEN 1 ELSE 0 END) AS DOUBLE)
+         |       / count(*) > $RepDupMax
+         |     OR CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
+         |       / count(*) < $RepQualMinQ6) AS source_blocked
+         |  FROM flab GROUP BY source),
+         |$duckLmCtes,
+         |$duckBoilerCtes,
+         |fsamp AS (
+         |  SELECT doc_id, $duckHashFrac AS hash_frac, $duckRate AS rate
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  CASE WHEN rf.source_blocked THEN 'source_blocked'
+         |       WHEN e.exact_keeper <> d.doc_id THEN 'exact_dup'
+         |       WHEN l.component <> d.doc_id THEN 'near_dup'
+         |       WHEN l.score < $QualityFloor THEN 'quality'
+         |       WHEN ca.n_low > 0 THEN 'contaminated'
+         |       WHEN CAST(lm.lm_score AS DOUBLE) / lm.n_bigrams
+         |            < $FateFluentMin THEN 'not_fluent'
+         |       WHEN CAST(b.n_boiler AS DOUBLE) / b.n_blocks
+         |            > $FateBoilerMax THEN 'boilerplate'
+         |       WHEN sp.hash_frac >= sp.rate THEN 'sample'
+         |       ELSE 'kept' END AS fate,
+         |  l.component, l.score,
+         |  CAST(lm.lm_score AS DOUBLE) / lm.n_bigrams AS avg_logcount,
+         |  CAST(b.n_boiler AS DOUBLE) / b.n_blocks AS boiler_frac,
+         |  rf.source_blocked
+         |FROM documents d
+         |JOIN fex e USING (doc_id)
+         |JOIN flab l USING (doc_id)
+         |JOIN fcag ca ON l.component = ca.component
+         |JOIN frep rf ON l.source = rf.source
+         |LEFT JOIN lmd lm USING (doc_id)
+         |JOIN boil b USING (doc_id)
+         |JOIN fsamp sp USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
 
     "data_dedup_ngram_jaccard" -> Q(ngramJaccardTop, Some(
       s"""WITH s AS (

@@ -26,7 +26,7 @@ object Plans {
     "data_bpe_train_encode", "data_mm_pgm_decode", "data_mm_scene_cuts",
     "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
     "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
-    "data_source_reputation")
+    "data_source_reputation", "data_curation_fate")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -304,6 +304,13 @@ object Plans {
       |  the component-label left join; quality means ride exact
       |  quantized-long sums (micro-units) divided once, so the mean is
       |  partition-order-independent at any count.
+      |- **data_curation_fate** — the nine-signal composition is a LINEAR
+      |  chain of doc_id-keyed hash joins over the individually-audited
+      |  relations (component labels, LM scores, boiler stats) with the
+      |  sources-sized reputation gate broadcast; no signal re-derives
+      |  another's work (the component/quality relation feeds dedup,
+      |  contamination AND reputation through one build), and the
+      |  first-drop-wins CASE is a single projection.
       |- **data_sim_ivfadc** — the residual-encoded IVFADC keeps the
       |  ivfpq query shape: residual computation is a MAP-ONLY literal
       |  centroid lookup (element_at of the collected coarse table — no

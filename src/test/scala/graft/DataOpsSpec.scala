@@ -784,8 +784,40 @@ class DataOpsSpec extends AnyFunSuite {
       assert(nd <= n, src)
       assert(f == nd.toDouble / n, src)
       assert(mq == sq.toDouble / n, src)
-      assert(blocked == (f > 0.15 || mq < 1050000.0), src)
+      assert(blocked == (f > 0.15 || mq < 1000000.0), src)
     }
+  }
+
+  test("data_curation_fate: first-drop-wins precedence consistent with the signals") {
+    val rows = Registry.byName("data_curation_fate")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"fate", $"component", $"score", $"avg_logcount",
+        $"boiler_frac", $"source_blocked")
+      .as[(Long, String, Long, Double, Option[Double], Double, Boolean)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, fate, comp, score, avg, bf, blocked) =>
+      // each fate implies its own signal AND the non-firing of all
+      // earlier signals in the precedence chain
+      fate match {
+        case "source_blocked" => assert(blocked, id)
+        case "near_dup" => assert(!blocked && comp != id, id)
+        case "quality" => assert(!blocked && comp == id && score < 1.0, id)
+        case "not_fluent" =>
+          assert(!blocked && comp == id && score >= 1.0 &&
+            avg.exists(_ < 4.3), id)
+        case "boilerplate" =>
+          assert(!blocked && comp == id && score >= 1.0 &&
+            avg.forall(_ >= 4.3) && bf > 0.5, id)
+        case "kept" | "sample" =>
+          assert(!blocked && comp == id && score >= 1.0 &&
+            avg.forall(_ >= 4.3) && bf <= 0.5, id)
+        case "exact_dup" | "contaminated" => // valid but data-dependent
+        case other => fail(s"unknown fate $other for doc $id")
+      }
+    }
+    // the composition is non-degenerate: most signals fire at this sf
+    assert(rows.map(_._2).distinct.size >= 5, rows.map(_._2).distinct)
   }
 
   test("data_lm_score: floor-log2 domain, bigram counts match tokenization") {
