@@ -598,6 +598,74 @@ object DataQueries {
   private def lmScore(spark: SparkSession, dir: String): DataFrame =
     lmScored(spark, dir).dumpOrdered("doc_id")
 
+  private val BackoffMin = 2  // count cutoff: below it, back off a tier
+  private val BackoffPen = 4  // per-tier log2-domain backoff penalty
+  private val BackoffFluentMin = 1.5
+
+  /** Trigram LM scoring with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the count-based backoff
+    * designed exactly for distributed map-reduce LMs), kept in integer
+    * domain: position i scores `floor(log2(1+c))` of its trigram when
+    * the corpus count clears the [[BackoffMin]] cutoff, else backs off
+    * to the bigram tier at a [[BackoffPen]] log2-penalty, else to the
+    * unigram tier at twice the penalty (the integer surrogate of
+    * Brants' fixed α = 0.4 multiplier; count cutoffs are likewise the
+    * paper's own pruning device — and what makes backoff REAL on a
+    * self-trained model, where every trigram trivially has count ≥ 1).
+    * Per-tier hit counts expose the backoff mix a curation engineer
+    * tunes the cutoff against.
+    *
+    * Scale: three vocab-sized count models (map-side-combinable
+    * aggregates, memo-persisted); scoring is three LEFT equi-joins from
+    * the O(tokens) position relation to its tier keys — linear in
+    * occurrences, hot n-grams fan out to their own occurrences only.
+    * Same join discipline as [[lmScored]]; no float log anywhere. */
+  private def lmBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+    def grams(k: Int): DataFrame = toks
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("w"), k)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val tri = Tables.memoBy(spark, s"bo3:$dir")(grams(3))
+    val bi = Tables.memoBy(spark, s"bo2:$dir")(grams(2))
+    val uni = Tables.memoBy(spark, s"bo1:$dir")(grams(1))
+    def lg(c: Column): Column = (length(bin(c + 1)) - 1).cast("long")
+    val pos = toks.where(col("n") >= 3)
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(3), col("n"))).as(Seq("p", "i")))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("w"), col("i") - 2),
+          element_at(col("w"), col("i") - 1),
+          element_at(col("w"), col("i"))).as("g3"),
+        concat_ws(" ", element_at(col("w"), col("i") - 1),
+          element_at(col("w"), col("i"))).as("g2"),
+        element_at(col("w"), col("i")).as("g1"))
+    pos
+      .join(tri.select(col("g").as("g3"), col("c").as("c3")), Seq("g3"), "left")
+      .join(bi.select(col("g").as("g2"), col("c").as("c2")), Seq("g2"), "left")
+      .join(uni.select(col("g").as("g1"), col("c").as("c1")), Seq("g1"), "left")
+      .select(col("doc_id"),
+        when(col("c3") >= BackoffMin, lit(0))
+          .when(col("c2") >= BackoffMin, lit(1))
+          .otherwise(lit(2)).as("tier"),
+        when(col("c3") >= BackoffMin, lg(col("c3")))
+          .when(col("c2") >= BackoffMin, lg(col("c2")) - BackoffPen)
+          .otherwise(lg(coalesce(col("c1"), lit(0L))) - 2 * BackoffPen)
+          .as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("tier") === 0, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_bi_backoff"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_uni_backoff"),
+        sum(col("s")).as("bo_score"))
+      .withColumn("avg_score",
+        col("bo_score").cast("double") / col("n_pos").cast("double"))
+      .withColumn("is_fluent", col("avg_score") >= BackoffFluentMin)
+      .dumpOrdered("doc_id")
+  }
+
   /** Exact n-gram Jaccard, LSH-subordinated: candidate pairs come from the
     * MinHash band buckets (equi-join on (band, bucket) — the 100 TB path;
     * the minhash signature is an unbiased Jaccard sampler, so any pair
@@ -2183,6 +2251,57 @@ object DataQueries {
          |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= $FluentMin
          |    AS is_fluent
          |FROM lmd ORDER BY doc_id""".stripMargin)),
+
+    "data_lm_backoff" -> Q(lmBackoff, Some(
+      s"""WITH t AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |g3m AS (
+         |  SELECT g, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM t)
+         |  GROUP BY g),
+         |g2m AS (
+         |  SELECT g, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS g FROM t)
+         |  GROUP BY g),
+         |g1m AS (
+         |  SELECT g, count(*) AS c FROM (SELECT unnest(w) AS g FROM t)
+         |  GROUP BY g),
+         |pos AS (
+         |  SELECT doc_id, w, unnest(range(3, len(w) + 1)) AS i
+         |  FROM t WHERE len(w) >= 3),
+         |keys AS (
+         |  SELECT doc_id,
+         |    w[i-2] || ' ' || w[i-1] || ' ' || w[i] AS g3,
+         |    w[i-1] || ' ' || w[i] AS g2, w[i] AS g1
+         |  FROM pos),
+         |sc AS (
+         |  SELECT k.doc_id,
+         |    CASE WHEN t3.c >= $BackoffMin THEN 0
+         |         WHEN t2.c >= $BackoffMin THEN 1 ELSE 2 END AS tier,
+         |    CASE WHEN t3.c >= $BackoffMin
+         |           THEN CAST(length(bin(t3.c + 1)) - 1 AS BIGINT)
+         |         WHEN t2.c >= $BackoffMin
+         |           THEN CAST(length(bin(t2.c + 1)) - 1 AS BIGINT)
+         |                - $BackoffPen
+         |         ELSE CAST(length(bin(COALESCE(t1.c, 0) + 1)) - 1 AS BIGINT)
+         |              - ${2 * BackoffPen} END AS s
+         |  FROM keys k
+         |  LEFT JOIN g3m t3 ON k.g3 = t3.g
+         |  LEFT JOIN g2m t2 ON k.g2 = t2.g
+         |  LEFT JOIN g1m t1 ON k.g1 = t1.g)
+         |SELECT doc_id, count(*) AS n_pos,
+         |  CAST(sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_tri_hit,
+         |  CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bi_backoff,
+         |  CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_uni_backoff,
+         |  CAST(sum(s) AS BIGINT) AS bo_score,
+         |  CAST(sum(s) AS DOUBLE) / count(*) AS avg_score,
+         |  CAST(sum(s) AS DOUBLE) / count(*) >= $BackoffFluentMin
+         |    AS is_fluent
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "data_boilerplate_strip" -> Q(boilerplateStrip, Some(
       s"""WITH $duckBoilerCtes

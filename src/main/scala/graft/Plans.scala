@@ -26,7 +26,7 @@ object Plans {
     "data_bpe_train_encode", "data_mm_pgm_decode", "data_mm_scene_cuts",
     "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
     "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
-    "data_source_reputation", "data_curation_fate")
+    "data_source_reputation", "data_curation_fate", "data_lm_backoff")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -311,6 +311,11 @@ object Plans {
       |  another's work (the component/quality relation feeds dedup,
       |  contamination AND reputation through one build), and the
       |  first-drop-wins CASE is a single projection.
+      |- **data_lm_backoff** — three memo-persisted count models (each a
+      |  map-side-combinable aggregate), three LEFT equi-joins from the
+      |  O(tokens) position relation to its tier keys, one tier CASE in
+      |  a projection; the backoff decision is pure expression work —
+      |  no iterative per-position logic, no float log.
       |- **data_sim_ivfadc** — the residual-encoded IVFADC keeps the
       |  ivfpq query shape: residual computation is a MAP-ONLY literal
       |  centroid lookup (element_at of the collected coarse table — no

@@ -745,6 +745,46 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._7) && rows.exists(!_._7))
   }
 
+  test("data_lm_backoff: independent replay of the stupid-backoff tiers") {
+    val rows = Registry.byName("data_lm_backoff").build(spark, TestSpark.sf)
+      .select($"doc_id", $"n_pos", $"n_tri_hit", $"n_bi_backoff",
+        $"n_uni_backoff", $"bo_score", $"avg_score", $"is_fluent")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().toSeq
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // train the three count models independently
+    def toks(t: String) = t.split("\\s+", -1).toSeq
+    def grams(k: Int): Map[String, Long] = docs
+      .flatMap { case (_, t) => toks(t).sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (g3, g2, g1) = (grams(3), grams(2), grams(1))
+    def lg(c: Long) = 63 - java.lang.Long.numberOfLeadingZeros(c + 1)
+    val byId = rows.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, t) =>
+      val w = toks(t)
+      if (w.size >= 3) {
+        val scores = (2 until w.size).map { i =>
+          val (k3, k2, k1) = (s"${w(i - 2)} ${w(i - 1)} ${w(i)}",
+            s"${w(i - 1)} ${w(i)}", w(i))
+          if (g3.getOrElse(k3, 0L) >= 2) (0, lg(g3(k3)).toLong)
+          else if (g2.getOrElse(k2, 0L) >= 2) (1, lg(g2(k2)) - 4L)
+          else (2, lg(g1.getOrElse(k1, 0L)) - 8L)
+        }
+        val (_, np, t0, t1, t2, bo, avg, fl) = byId(id)
+        assert(np == scores.size, s"doc $id n_pos")
+        assert(t0 == scores.count(_._1 == 0), s"doc $id tri")
+        assert(t1 == scores.count(_._1 == 1), s"doc $id bi")
+        assert(t2 == scores.count(_._1 == 2), s"doc $id uni")
+        assert(bo == scores.map(_._2).sum, s"doc $id score")
+        assert(avg == bo.toDouble / np && fl == (avg >= 1.5), s"doc $id gate")
+      } else assert(!byId.contains(id), s"doc $id too short")
+    }
+    // backoff is real on this corpus: both backoff tiers fire somewhere
+    assert(rows.map(_._4).sum > 0)
+  }
+
   test("data_boilerplate_strip: clean text is exactly the non-shared blocks, in order") {
     val rows = Registry.byName("data_boilerplate_strip")
       .build(spark, TestSpark.sf)
