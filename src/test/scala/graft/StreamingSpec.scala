@@ -376,4 +376,70 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming source reputation accumulates exact evidence across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.CurationStreams
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    val out = CurationStreams.sourceReputationStream(docs).toDF()
+    val q = out.writeStream.format("memory").queryName("src_rep")
+      .outputMode(OutputMode.Update()).start()
+    // quality_score: stopword_ratio*2 + mean_word_len*0.01 + [20..400]-len
+    // bonus — "x y z" scores ~0.03 (low), 25 stopwords score > 2 (high)
+    val low = "x y z"
+    val high = Seq.fill(25)("the").mkString(" ")
+    def verdicts = spark.table("src_rep")
+      .select($"source", $"n_docs", $"is_blocked")
+      .as[(String, Long, Boolean)].collect().toSeq
+    try {
+      // batch 1: 9 low-quality docs — under the evidence bar, not blocked
+      input.addData((1L to 9L).map(i => (i, low, "farm")): _*)
+      q.processAllAvailable()
+      assert(verdicts.contains(("farm", 9L, false)))
+      // batch 2: the 10th doc crosses MinEvidence — verdict flips on
+      input.addData((10L, low, "farm"))
+      q.processAllAvailable()
+      assert(verdicts.contains(("farm", 10L, true)))
+      // batch 3: sustained good content redeems the source (re-evaluated
+      // verdict, unlike the image gate's immutable keepers)
+      input.addData((11L to 40L).map(i => (i, high, "farm")): _*)
+      q.processAllAvailable()
+      assert(verdicts.contains(("farm", 40L, false)))
+    } finally q.stop()
+    // exact-evidence law: final sums equal a batch aggregate of the same
+    // quantized expression over the full input
+    val all = ((1L to 10L).map(i => (i, low, "farm")) ++
+      (11L to 40L).map(i => (i, high, "farm")))
+      .toDF("doc_id", "text", "source")
+    val expect = CurationStreams.qualityDocs(all)
+      .groupBy($"source").agg(count(lit(1)).as("n"), sum($"q6").as("s"))
+      .as[(String, Long, Long)].head()
+    val fin = spark.table("src_rep")
+      .select($"source", $"n_docs", $"sum_q6")
+      .as[(String, Long, Long)].collect()
+      .filter(_._1 == "farm").maxBy(_._2)
+    assert((fin._1, fin._2, fin._3) == expect)
+  }
+
+  test("streaming source reputation over the corpus equals the batch quality axis") {
+    val d = java.nio.file.Files.createTempDirectory("graft_rep_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/documents.parquet"),
+      d.resolve("documents.parquet"))
+    import graft.streaming.{CurationStreams, MediaStreams}
+    val streamed = EventStreams.runToMemory(
+      CurationStreams.sourceReputationStream(
+        MediaStreams.readDocs(spark, d.toString)).toDF(),
+      "src_rep_corpus", OutputMode.Update())
+      .select(col("source"), col("n_docs"), col("sum_q6"))
+    val batch = CurationStreams
+      .qualityDocs(Tables.documents(spark, TestSpark.sf))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q6")).as("sum_q6"))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
 }
