@@ -666,6 +666,68 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  private val DsirBuckets = 4096  // hashed-bigram feature space
+  private val DsirTargetLang = "en" // the target-domain defining predicate
+  private val DsirThrQ6 = -1150000L // per-token selection floor, micro-units
+
+  /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): every document is
+    * scored by how much its hashed-BIGRAM distribution looks like a
+    * TARGET domain (here `lang = 'en'`, the "match the English reference
+    * corpus" framing — the paper's own features are hashed n-grams)
+    * relative to the raw corpus, and selection keeps the
+    * high-importance docs. Weights live in the repo's integer log2
+    * domain: bucket b contributes `floor(log2(1+target_b)) −
+    * floor(log2(1+raw_b))` per occurrence — the count-ratio surrogate
+    * of the paper's log-likelihood ratio (normalization constants shift
+    * every token equally and cancel in the per-token mean). The
+    * selection gate compares the per-token mean against [[DsirThrQ6]]
+    * by integer cross-multiplication — no float accumulation decides a
+    * boolean. Unlike [[TextAnalysis.linearScoreColumns]] (fixed literal
+    * weights), the weight table here is LEARNED from the corpus itself
+    * in the same job. Bigrams, not unigrams: feature resolution must
+    * exceed the integer log2 quantum or every bucket's ratio rounds to
+    * the same weight — measured on this corpus, 256 hashed unigrams
+    * score every doc exactly −1 (the 31-token shared vocab mixes all
+    * langs into every bucket) while hashed bigrams at 4096 split
+    * target/non-target selection 68%/19%.
+    *
+    * Scale: the model is two [[DsirBuckets]]-sized map-side-combinable
+    * aggregates (constant-size regardless of corpus — that is the whole
+    * point of feature hashing), memo-persisted and broadcast into the
+    * scoring join; scoring is one equi-join from the O(tokens)
+    * occurrence relation to the 4096-row model plus one per-doc hash
+    * aggregate. Nothing vocab-sized ships anywhere. */
+  private def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.shingles(col("w"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.hashBucket(col("g"), DsirBuckets).as("b"))
+    def lg(c: Column): Column = (length(bin(c + 1)) - 1).cast("long")
+    val model = Tables.memoBy(spark, s"dsir:$dir") {
+      val raw = occ.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val tgt = occ.where(col("lang") === DsirTargetLang)
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), (lg(coalesce(col("tc"), lit(0L))) - lg(col("rc")))
+          .as("w"))
+    }
+    occ.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        max((col("lang") === DsirTargetLang).cast("int")).cast("boolean")
+          .as("is_target"),
+        sum(col("w")).as("dsir_sum"))
+      .withColumn("avg_w",
+        col("dsir_sum").cast("double") / col("n_toks").cast("double"))
+      .withColumn("is_selected",
+        col("dsir_sum") * 1000000L >= lit(DsirThrQ6) * col("n_toks"))
+      .dumpOrdered("doc_id")
+  }
+
   /** Exact n-gram Jaccard, LSH-subordinated: candidate pairs come from the
     * MinHash band buckets (equi-join on (band, bucket) — the 100 TB path;
     * the minhash signature is an unbiased Jaccard sampler, so any pair
@@ -2251,6 +2313,35 @@ object DataQueries {
          |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= $FluentMin
          |    AS is_fluent
          |FROM lmd ORDER BY doc_id""".stripMargin)),
+
+    "data_dsir_resample" -> Q(dsirScore, Some(
+      s"""WITH t AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+         |occ AS (
+         |  SELECT doc_id, lang,
+         |    (CAST(list_sum(list_transform(range(1, 5), i ->
+         |       (strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1)
+         |         * 16 ** (4 - i))) AS BIGINT) % $DsirBuckets) AS b
+         |  FROM (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+         |          i -> w[i] || ' ' || w[i+1])) AS g
+         |        FROM t)),
+         |rawm AS (SELECT b, count(*) AS rc FROM occ GROUP BY b),
+         |tgtm AS (SELECT b, count(*) AS tc FROM occ
+         |         WHERE lang = '$DsirTargetLang' GROUP BY b),
+         |model AS (
+         |  SELECT rawm.b,
+         |    CAST(length(bin(COALESCE(tc, 0) + 1)) - 1 AS BIGINT)
+         |      - CAST(length(bin(rc + 1)) - 1 AS BIGINT) AS w
+         |  FROM rawm LEFT JOIN tgtm ON rawm.b = tgtm.b),
+         |s AS (
+         |  SELECT o.doc_id, count(*) AS n_toks,
+         |    max(o.lang = '$DsirTargetLang') AS is_target,
+         |    CAST(sum(m.w) AS BIGINT) AS dsir_sum
+         |  FROM occ o JOIN model m ON o.b = m.b
+         |  GROUP BY o.doc_id)
+         |SELECT doc_id, n_toks, is_target, dsir_sum,
+         |  CAST(dsir_sum AS DOUBLE) / CAST(n_toks AS DOUBLE) AS avg_w,
+         |  dsir_sum * 1000000 >= $DsirThrQ6 * n_toks AS is_selected
+         |FROM s ORDER BY doc_id""".stripMargin)),
 
     "data_lm_backoff" -> Q(lmBackoff, Some(
       s"""WITH t AS (SELECT doc_id, $duckWords AS w FROM documents),

@@ -26,7 +26,8 @@ object Plans {
     "data_bpe_train_encode", "data_mm_pgm_decode", "data_mm_scene_cuts",
     "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
     "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
-    "data_source_reputation", "data_curation_fate", "data_lm_backoff")
+    "data_source_reputation", "data_curation_fate", "data_lm_backoff",
+    "data_dsir_resample")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -311,6 +312,13 @@ object Plans {
       |  another's work (the component/quality relation feeds dedup,
       |  contamination AND reputation through one build), and the
       |  first-drop-wins CASE is a single projection.
+      |- **data_dsir_resample** — the learned weight table is two
+      |  constant-size (4096-bucket) map-side-combinable aggregates,
+      |  memo-persisted and BROADCAST into the scoring join; scoring is
+      |  one equi-join from the O(tokens) bigram-occurrence relation to
+      |  the model plus one per-doc hash aggregate — the plan must show
+      |  BroadcastHashJoin on the model side and no vocab-sized
+      |  exchange.
       |- **data_lm_backoff** — three memo-persisted count models (each a
       |  map-side-combinable aggregate), three LEFT equi-joins from the
       |  O(tokens) position relation to its tier keys, one tier CASE in

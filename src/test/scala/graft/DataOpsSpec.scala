@@ -785,6 +785,52 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum > 0)
   }
 
+  test("data_dsir_resample: independent replay of the learned importance weights") {
+    val rows = Registry.byName("data_dsir_resample").build(spark, TestSpark.sf)
+      .select($"doc_id", $"n_toks", $"is_target", $"dsir_sum", $"avg_w",
+        $"is_selected")
+      .as[(Long, Long, Boolean, Long, Double, Boolean)].collect().toSeq
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    // learn the hashed-bigram target/raw models independently
+    def bigramBuckets(t: String): Seq[Long] = t.split("\\s+", -1).toSeq
+      .sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      .map { g =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).take(2)
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h, 16) % 4096L
+      }
+    val occ = docs.flatMap { case (id, lang, t) =>
+      bigramBuckets(t).map(b => (id, lang, b)) }
+    def lg(c: Long) = (63 - java.lang.Long.numberOfLeadingZeros(c + 1)).toLong
+    val raw = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tgt = occ.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.size.toLong).toMap
+    val w = raw.map { case (b, rc) => b -> (lg(tgt.getOrElse(b, 0L)) - lg(rc)) }
+    val byId = rows.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, lang, t) =>
+      val bs = bigramBuckets(t)
+      if (bs.nonEmpty) {
+        val (_, n, isT, sw, avg, sel) = byId(id)
+        assert(n == bs.size, s"doc $id n_toks")
+        assert(isT == (lang == "en"), s"doc $id target flag")
+        assert(sw == bs.map(w).sum, s"doc $id weight sum")
+        assert(avg == sw.toDouble / n, s"doc $id avg")
+        assert(sel == (sw * 1000000L >= -1150000L * n), s"doc $id gate")
+      } else assert(!byId.contains(id), s"doc $id no bigrams")
+    }
+    // the estimator detects the target distribution: selection rate among
+    // target docs strictly exceeds the rate among non-target docs, and
+    // both selection classes are populated
+    val (t0, t1) = rows.partition(_._3)
+    def rate(s: Seq[(Long, Long, Boolean, Long, Double, Boolean)]) =
+      s.count(_._6).toDouble / s.size
+    assert(rate(t0) > rate(t1))
+    assert(rows.exists(_._6) && rows.exists(!_._6))
+  }
+
   test("data_boilerplate_strip: clean text is exactly the non-shared blocks, in order") {
     val rows = Registry.byName("data_boilerplate_strip")
       .build(spark, TestSpark.sf)
