@@ -728,6 +728,48 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  private val NoveltyMinPct = 50L // novelty floor, percent of distinct grams
+
+  /** Per-document n-gram NOVELTY contribution under ingestion order
+    * (doc_id = arrival): the fraction of a doc's distinct trigram
+    * shingles whose corpus-wide FIRST occurrence is this doc. The
+    * marginal-contribution signal a crawl curator reads alongside the
+    * pairwise near-dup families: a doc can evade every near-dup pair
+    * (no single strong overlap) yet contribute almost nothing new —
+    * assembled from fragments the corpus already has. The redundancy
+    * gate compares the novelty fraction against [[NoveltyMinPct]] by
+    * integer cross-multiplication.
+    *
+    * Scale: one distinct-shingle explode, one map-side-combinable
+    * (min, count) aggregate over grams, one equi-join back — a hot gram
+    * fans out to its own occurrences only, and nothing is
+    * corpus-quadratic. `min(doc_id)` makes "first" well-defined under
+    * any partitioning; an incremental variant would keep the gram →
+    * first_doc table as the persisted index and anti-join new batches
+    * (the [[graft.data.Dedup.incrementalCellScreen]] pattern). */
+  private def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("w"), 3))).as("g"))
+    val first = sh.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_docs_with"))
+    sh.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"),
+        sum(when(col("n_docs_with") === 1L, 1L).otherwise(0L))
+          .as("n_unique"))
+      .withColumn("novelty_frac",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .withColumn("is_redundant",
+        col("n_novel") * 100L < lit(NoveltyMinPct) * col("n_grams"))
+      .dumpOrdered("doc_id")
+  }
+
   /** Exact n-gram Jaccard, LSH-subordinated: candidate pairs come from the
     * MinHash band buckets (equi-join on (band, bucket) — the 100 TB path;
     * the minhash signature is an unbiased Jaccard sampler, so any pair
@@ -2313,6 +2355,25 @@ object DataQueries {
          |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= $FluentMin
          |    AS is_fluent
          |FROM lmd ORDER BY doc_id""".stripMargin)),
+
+    "data_novelty_score" -> Q(noveltyScore, Some(
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($duckShingles)) AS g
+         |  FROM documents),
+         |f AS (
+         |  SELECT g, min(doc_id) AS first_doc, count(*) AS n_docs_with
+         |  FROM sh GROUP BY g),
+         |s AS (
+         |  SELECT sh.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel,
+         |    CAST(sum(CASE WHEN f.n_docs_with = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_unique
+         |  FROM sh JOIN f ON sh.g = f.g GROUP BY sh.doc_id)
+         |SELECT doc_id, n_grams, n_novel, n_unique,
+         |  CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty_frac,
+         |  n_novel * 100 < $NoveltyMinPct * n_grams AS is_redundant
+         |FROM s ORDER BY doc_id""".stripMargin)),
 
     "data_dsir_resample" -> Q(dsirScore, Some(
       s"""WITH t AS (SELECT doc_id, lang, $duckWords AS w FROM documents),

@@ -27,7 +27,7 @@ object Plans {
     "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
     "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
     "data_source_reputation", "data_curation_fate", "data_lm_backoff",
-    "data_dsir_resample")
+    "data_dsir_resample", "data_novelty_score")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -312,6 +312,10 @@ object Plans {
       |  another's work (the component/quality relation feeds dedup,
       |  contamination AND reputation through one build), and the
       |  first-drop-wins CASE is a single projection.
+      |- **data_novelty_score** — one distinct-shingle explode, one
+      |  map-side-combinable (min, count) gram aggregate, one equi-join
+      |  back, one per-doc hash aggregate; a hot gram fans out to its
+      |  own occurrences only. No window, no self-join.
       |- **data_dsir_resample** — the learned weight table is two
       |  constant-size (4096-bucket) map-side-combinable aggregates,
       |  memo-persisted and BROADCAST into the scoring join; scoring is

@@ -831,6 +831,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._6) && rows.exists(!_._6))
   }
 
+  test("data_novelty_score: first-occurrence law and monotone ingestion order") {
+    val rows = Registry.byName("data_novelty_score").build(spark, TestSpark.sf)
+      .select($"doc_id", $"n_grams", $"n_novel", $"n_unique",
+        $"novelty_frac", $"is_redundant")
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSeq
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    def grams(t: String): Set[String] = t.split("\\s+", -1).toSeq
+      .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    // independent replay: a gram is novel in exactly the min-doc_id doc
+    val firstDoc = docs.flatMap { case (id, t) => grams(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val inDocs = docs.flatMap { case (id, t) => grams(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val byId = rows.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, t) =>
+      val g = grams(t)
+      if (g.nonEmpty) {
+        val (_, n, nv, nu, frac, red) = byId(id)
+        assert(n == g.size, s"doc $id n_grams")
+        assert(nv == g.count(firstDoc(_) == id), s"doc $id novel")
+        assert(nu == g.count(inDocs(_) == 1), s"doc $id unique")
+        assert(frac == nv.toDouble / n && red == (nv * 100 < 50 * n))
+      } else assert(!byId.contains(id))
+    }
+    // the very first doc is 100% novel; unique grams are always novel
+    assert(byId(rows.map(_._1).min)._5 == 1.0)
+    rows.foreach(r => assert(r._4 <= r._3, s"doc ${r._1} unique <= novel"))
+    assert(rows.exists(_._6) && rows.exists(!_._6))
+  }
+
   test("data_boilerplate_strip: clean text is exactly the non-shared blocks, in order") {
     val rows = Registry.byName("data_boilerplate_strip")
       .build(spark, TestSpark.sf)
