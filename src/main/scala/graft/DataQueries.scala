@@ -2195,6 +2195,83 @@ object DataQueries {
       .dumpOrdered("source_a", "source_b")
   }
 
+  private val PrQ = 1000000000000L // PageRank mass unit (pico-units)
+  private val PrIters = 5          // fixed rounds, oracle-unrolled
+  private val PrMaxSrcPerShingle = 64 // non-discriminative-shingle guard
+
+  /** Weighted PageRank over the source-overlap graph — provenance
+    * authority from CONTENT structure (the domain-centrality signal
+    * crawl pipelines rank hosts by, e.g. Common Crawl's harmonic
+    * centrality ranking): nodes are sources, edge weight is the shared
+    * distinct-shingle count from the [[sourceOverlap]] construction,
+    * and [[PrIters]] damped rounds redistribute rank along
+    * weight-proportional fractions. Everything lives in exact integer
+    * domain: rank in [[PrQ]] pico-units, edge fractions as
+    * floor(w·10⁶ / Σw), contributions as floor(pr·wq / 10⁶), damping as
+    * (15·pr₀ + 85·acc) div 100 — every round replays bit-identically on
+    * both engines, so the oracle unrolls all five rounds as CTEs (the
+    * BPE-trainer pattern). Dangling sources keep only the teleport term
+    * (dropped dangling mass — the standard simplification, documented
+    * rather than hidden).
+    *
+    * Scale: the graph is DOMAIN-sized, not document-sized — nodes are
+    * the provenance universe, edges come from the one-shuffle
+    * shingle-set expansion with [[PrMaxSrcPerShingle]] capping the
+    * per-shingle source set (a shingle present in more sources than the
+    * cap is crawl furniture carrying no authority signal — the
+    * [[graft.data.Dedup.capHotBuckets]] argument at set granularity;
+    * without it a stopword shingle shared by half the web's domains
+    * expands quadratically). Each round is one edge⋈rank equi-join +
+    * one map-side-combinable sum, persisted round-over-round — the
+    * Pregel shape, 5 bounded shuffles of a node-sized relation. */
+  private def sourcePagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsHot(spark, dir)
+    val sets = docs
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(TextAnalysis.shingles(col("toks"), 3)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) <= PrMaxSrcPerShingle)
+    val pairs = sets.select(explode(expr(
+      """filter(flatten(transform(ss, a -> transform(ss,
+        |  b -> struct(a AS src, b AS dst)))),
+        |  p -> p.src <> p.dst)""".stripMargin)).as("p"))
+      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+      .agg(count(lit(1)).as("n_shared"))
+    val wt = pairs.groupBy(col("src")).agg(sum(col("n_shared")).as("w"))
+    val edges = Tables.memoBy(spark, s"pr_edges:$dir") {
+      pairs.join(wt, Seq("src"))
+        .select(col("src"), col("dst"),
+          expr("n_shared * 1000000 div w").as("wq"))
+    }
+    val nodes = Tables.memoBy(spark, s"pr_nodes:$dir") {
+      docs.select(col("source")).distinct()
+    }
+    val n = nodes.count() // bounded: one scalar, domain-universe-sized
+    val pr0 = PrQ / n
+    var pr = nodes.select(col("source"), lit(pr0).as("pr"))
+    for (i <- 1 to PrIters) {
+      val acc = edges.join(pr.withColumnRenamed("source", "src"), Seq("src"))
+        .select(col("dst").as("source"), expr("pr * wq div 1000000").as("c"))
+        .groupBy(col("source")).agg(sum(col("c")).as("acc"))
+      pr = Tables.memoBy(spark, s"pr_round$i:$dir") {
+        nodes.join(acc, Seq("source"), "left")
+          .select(col("source"),
+            expr(s"(15 * $pr0 + 85 * coalesce(acc, 0)) div 100").as("pr"))
+      }
+    }
+    val deg = edges.groupBy(col("src").as("source"))
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("wq")).as("wq_out"))
+    pr.join(deg, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("wq_out"), lit(0L)).as("wq_out"),
+        col("pr").as("pr_q"),
+        (col("pr").cast("double") / PrQ.toDouble).as("pr_norm"))
+      .dumpOrdered("source")
+  }
+
   /** Per-source exact percentiles (p50/p90 of token length) via the same
     * value-histogram construction as [[qualityThreshold]], generalized to
     * groups: histogram on (source, n_tok), cumulative sum per source
@@ -2355,6 +2432,53 @@ object DataQueries {
          |  CAST(lm_score AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= $FluentMin
          |    AS is_fluent
          |FROM lmd ORDER BY doc_id""".stripMargin)),
+
+    "data_source_pagerank" -> Q(sourcePagerank, Some({
+      val round = (i: Int) => {
+        val p = if (i == 1) "pr0" else s"pr${i - 1}"
+        s"""pr$i AS (
+           |  SELECT nodes.source,
+           |    (15 * (SELECT $PrQ // n FROM nn)
+           |     + 85 * COALESCE(m.acc, 0)) // 100 AS pr
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS source,
+           |      CAST(sum((p.pr * e.wq) // 1000000) AS BIGINT) AS acc
+           |    FROM edges e JOIN $p p ON e.src = p.source
+           |    GROUP BY e.dst) m ON nodes.source = m.source)"""
+      }
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, unnest($duckShingles) AS shingle
+         |  FROM documents),
+         |keep AS (SELECT shingle FROM sh GROUP BY shingle
+         |         HAVING count(*) <= $PrMaxSrcPerShingle),
+         |ed AS (
+         |  SELECT a.source AS src, b.source AS dst, count(*) AS n_shared
+         |  FROM sh a JOIN sh b USING (shingle) JOIN keep USING (shingle)
+         |  WHERE a.source <> b.source GROUP BY 1, 2),
+         |wt AS (SELECT src, CAST(sum(n_shared) AS BIGINT) AS w
+         |       FROM ed GROUP BY src),
+         |edges AS (
+         |  SELECT ed.src, ed.dst, (ed.n_shared * 1000000) // wt.w AS wq
+         |  FROM ed JOIN wt ON ed.src = wt.src),
+         |nodes AS (SELECT DISTINCT source FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (
+         |  SELECT source, (SELECT $PrQ // n FROM nn) AS pr FROM nodes),
+         |${(1 to PrIters).map(round).mkString(",\n")},
+         |deg AS (
+         |  SELECT src AS source, count(*) AS n_neighbors,
+         |    CAST(sum(wq) AS BIGINT) AS wq_out
+         |  FROM edges GROUP BY src)
+         |SELECT n.source,
+         |  COALESCE(d.n_neighbors, 0) AS n_neighbors,
+         |  COALESCE(d.wq_out, 0) AS wq_out,
+         |  p.pr AS pr_q,
+         |  CAST(p.pr AS DOUBLE) / CAST($PrQ AS DOUBLE) AS pr_norm
+         |FROM nodes n
+         |LEFT JOIN deg d ON n.source = d.source
+         |JOIN pr$PrIters p ON n.source = p.source
+         |ORDER BY n.source""".stripMargin
+    })),
 
     "data_novelty_score" -> Q(noveltyScore, Some(
       s"""WITH sh AS (

@@ -27,7 +27,7 @@ object Plans {
     "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
     "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
     "data_source_reputation", "data_curation_fate", "data_lm_backoff",
-    "data_dsir_resample", "data_novelty_score")
+    "data_dsir_resample", "data_novelty_score", "data_source_pagerank")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -312,6 +312,12 @@ object Plans {
       |  another's work (the component/quality relation feeds dedup,
       |  contamination AND reputation through one build), and the
       |  first-drop-wins CASE is a single projection.
+      |- **data_source_pagerank** — the graph build is the one-shuffle
+      |  shingle-set expansion with the per-shingle source-set cap;
+      |  each of the five rounds is one edge⋈rank equi-join plus one
+      |  map-side-combinable sum over a NODE-sized relation, persisted
+      |  round-over-round — no round re-derives the graph, and the
+      |  expensive corpus scan appears once.
       |- **data_novelty_score** — one distinct-shingle explode, one
       |  map-side-combinable (min, count) gram aggregate, one equi-join
       |  back, one per-doc hash aggregate; a hot gram fans out to its

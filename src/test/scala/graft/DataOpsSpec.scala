@@ -862,6 +862,53 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._6) && rows.exists(!_._6))
   }
 
+  test("data_source_pagerank: independent replay of the weighted rounds") {
+    val rows = Registry.byName("data_source_pagerank")
+      .build(spark, TestSpark.sf)
+      .select($"source", $"n_neighbors", $"wq_out", $"pr_q", $"pr_norm")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    def grams(t: String): Set[String] = t.split("\\s+", -1).toSeq
+      .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    // rebuild the capped shingle-overlap edge weights independently
+    val bySrc = docs.groupBy(_._2).view
+      .mapValues(_.flatMap(d => grams(d._3)).toSet).toMap
+    val srcsOf = bySrc.toSeq.flatMap { case (s, gs) => gs.map(_ -> s) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .filter(_._2.size <= 64).toMap
+    val shared = srcsOf.values.toSeq
+      .flatMap(ss => for (a <- ss; b <- ss if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wTot = shared.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val wq = shared.map { case ((a, b), ns) => (a, b) -> ns * 1000000L / wTot(a) }
+    val nodes = docs.map(_._2).distinct.sorted
+    val pr0 = 1000000000000L / nodes.size
+    var pr = nodes.map(_ -> pr0).toMap
+    for (_ <- 1 to 5) {
+      val acc = wq.toSeq
+        .map { case ((a, b), q) => b -> pr(a) * q / 1000000L }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = nodes.map(s => s -> (15L * pr0 + 85L * acc.getOrElse(s, 0L)) / 100L)
+        .toMap
+    }
+    assert(rows.map(_._1).sorted == nodes)
+    rows.foreach { case (s, nN, wqOut, prQ, prN) =>
+      assert(nN == shared.keys.count(_._1 == s), s"src $s degree")
+      assert(wqOut == wq.collect { case ((a, _), q) if a == s => q }.sum)
+      assert(prQ == pr(s), s"src $s pagerank")
+      assert(prN == prQ.toDouble / 1e12)
+      // teleport floor: no node falls under the undamped share
+      assert(prQ >= 15L * pr0 / 100L - 1, s"src $s teleport floor")
+    }
+    // mass approximately conserved (floors only lose): sum <= PrQ, and
+    // the graph carries signal — ranks are not all equal
+    assert(rows.map(_._4).sum <= 1000000000000L)
+    assert(rows.map(_._4).distinct.size > 1)
+  }
+
   test("data_boilerplate_strip: clean text is exactly the non-shared blocks, in order") {
     val rows = Registry.byName("data_boilerplate_strip")
       .build(spark, TestSpark.sf)
