@@ -109,6 +109,28 @@ object IndexQueries {
       .dumpOrderedTail("doc_id")
   }
 
+  // -- hyperloglog distinct sketch --------------------------------------
+
+  /** HLL distinct-user estimate per event type vs the exact count. The
+    * sketch path is two map-side-combinable hash aggregates (values →
+    * 256 registers → estimate); `n_exact` exists purely for the
+    * differential and the accuracy columns — a production run at 100 TB
+    * would ship the register table alone (256 rows per group, mergeable
+    * by per-bucket MAX across corpus shards). */
+  private def sketchHll(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+    val est = Indexing.hllEstimate(
+      Indexing.hllRegisters(e, "user_id", Seq("event_type")),
+      Seq("event_type"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_hit"),
+        col("raw_est"), col("est_distinct"))
+      .dumpOrdered("event_type")
+  }
+
   // -- inverted index + phrase serving ---------------------------------
 
   /** Postings dumped with positions as a comma-joined string — the gate's
@@ -238,6 +260,45 @@ object IndexQueries {
          |  count(CASE WHEN bloom_hit THEN 1 END) AS n_flagged,
          |  count(CASE WHEN bloom_hit THEN 1 END) > 0 AS any_flagged
          |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "data_sketch_hll" -> Q(sketchHll, Some(
+      s"""WITH e AS (
+         |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |hv AS (
+         |  SELECT event_type, user_id,
+         |    CAST(list_sum(list_transform(range(1, 3), i ->
+         |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+         |        * 16 ** (2 - i))) AS BIGINT) AS bucket,
+         |    CAST(list_sum(list_transform(range(3, 15), i ->
+         |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+         |        * 16.0 ** (14 - i))) AS BIGINT) AS v
+         |  FROM e),
+         |regs AS (
+         |  SELECT event_type, bucket,
+         |    max(CASE WHEN v = 0 THEN 49
+         |             ELSE 49 - length(bin(v)) END) AS mj
+         |  FROM hv GROUP BY event_type, bucket),
+         |agg AS (
+         |  SELECT event_type, count(*) AS n_hit,
+         |    sum(CAST(1 AS BIGINT) << CAST(49 - mj AS INTEGER)) AS s_hit
+         |  FROM regs GROUP BY event_type),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM e GROUP BY event_type),
+         |r AS (
+         |  SELECT a.event_type, ex.n_exact, a.n_hit,
+         |    2.6499581405668102e19
+         |      / CAST(a.s_hit + (256 - a.n_hit) * ${Indexing.HllEmptyTerm}
+         |             AS DOUBLE) AS raw_est
+         |  FROM agg a JOIN ex USING (event_type))
+         |SELECT event_type, n_exact, n_hit, raw_est,
+         |  CASE WHEN raw_est <= ${Indexing.HllSmallRange} AND n_hit < 256
+         |       THEN ([${Indexing.HllLinearTable.mkString(", ")}])
+         |              [CAST(256 - n_hit AS INTEGER)]
+         |       ELSE raw_est END AS est_distinct
+         |FROM r ORDER BY event_type""".stripMargin)),
 
     "data_search_postings" -> Q(searchPostings, Some(
       s"""WITH t AS (

@@ -222,4 +222,89 @@ object Indexing {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  // ---------------------------------------------------------------------
+  // HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007): m = 256
+  // registers; register j = max over hashed values landing in bucket j of
+  // (leading zeros of the next 48 hash bits + 1). The register table is a
+  // (group, bucket, max-rank) hash aggregate — map-side combinable,
+  // shuffle O(groups × m) regardless of data volume — and two sketches
+  // merge by per-bucket MAX, the property that makes HLL the canonical
+  // distributed distinct counter (IndexOpsSpec asserts the merge law).
+  // Hashing is the portable md5 hex path (see Dedup.scala header): bucket
+  // = first 2 hex digits, rank over hex digits 3–14 (48 bits), so any
+  // engine replays the registers bit-for-bit. The estimator is the raw
+  // HLL harmonic mean in EXACT arithmetic: S = Σ_j 2^(49 − M_j) (empty
+  // buckets contribute 2^49) is an integer ≤ m·2^49 < 2^58 — BIGINT-safe
+  // — and the estimate α_m·m²·2^49 / S is ONE literal-over-integer double
+  // division, bit-identical on every IEEE-754 engine. The small-range
+  // (linear counting) correction applies below 2.5·m via the
+  // [[HllLinearTable]] literal lookup — see that constant for why a
+  // table instead of runtime ln().
+  // ---------------------------------------------------------------------
+
+  /** Rank slice width in bits (md5 hex digits 3–14). */
+  val HllVBits = 48
+
+  /** 2^49 — the empty-bucket term of the harmonic sum. */
+  val HllEmptyTerm = 562949953421312L
+
+  /** α_256·256²·2^49 with α_256 = 0.7213/(1 + 1.079/256), as one
+    * round-trip-exact double literal (mirrored in the oracle SQL). */
+  val HllNum256 = 2.6499581405668102e19
+
+  /** Small-range (linear counting) correction table: m·ln(m/V) for
+    * V = 1..256 empty buckets. ln() itself is NOT engine-portable (libm
+    * implementations round differently in the last ulp), but V can take
+    * only 256 values — so the correction ships as a literal lookup table
+    * shared VERBATIM with the oracle SQL (Double.toString is round-trip
+    * exact and every engine parses a decimal literal to the same nearest
+    * double). This is the HLL++ move: empirically-fitted constant tables
+    * instead of runtime transcendentals. */
+  val HllLinearTable: IndexedSeq[Double] =
+    (1 to 256).map(v => 256.0 * math.log(256.0 / v))
+
+  /** The raw-vs-linear-counting switch threshold, 2.5·m. */
+  val HllSmallRange = 640.0
+
+  /** Per-bucket HLL registers of `values(c)` under `groupCols`:
+    * (groupCols…, bucket, mj). One hash aggregate; rank = 49 −
+    * floor_log2(v) computed in integer domain via `length(bin(v))`
+    * (the same exact-floor-log2 trick as the LM fluency score). */
+  def hllRegisters(values: DataFrame, c: String,
+      groupCols: Seq[String]): DataFrame = {
+    val h = md5(col(c).cast("string"))
+    val v = conv(substring(h, 3, 12), 16, 10).cast("long")
+    val rank = when(v === 0L, lit(HllVBits + 1L))
+      .otherwise(lit(HllVBits + 1L) - length(bin(v)).cast("long"))
+    values
+      .withColumn("bucket", conv(substring(h, 1, 2), 16, 10).cast("long"))
+      .withColumn("rank", rank)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rank")).as("mj"))
+  }
+
+  /** Fold a register table to (groupCols…, n_hit, raw_est,
+    * est_distinct). The harmonic sum runs in BIGINT (2^(49−mj) via
+    * shiftleft — exact), the single division is the only floating-point
+    * step, and the small-range branch applies the [[HllLinearTable]]
+    * linear-counting correction (branch selection is deterministic: both
+    * engines compare the SAME bit-identical raw estimate against the
+    * same literal threshold). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_hit"),
+        // shiftleft's Scala signature takes a literal shift only — the
+        // SQL form accepts a column; 1L << (49 − mj) stays in BIGINT.
+        sum(expr(s"shiftleft(1L, cast(${HllVBits + 1} - mj as int))"))
+          .as("s_hit"))
+      .withColumn("raw_est",
+        lit(HllNum256) / (col("s_hit") +
+          (lit(256L) - col("n_hit")) * lit(HllEmptyTerm)).cast("double"))
+      .withColumn("est_distinct",
+        when(col("raw_est") <= lit(HllSmallRange) && col("n_hit") < 256,
+          element_at(lit(HllLinearTable.toArray),
+            (lit(256L) - col("n_hit")).cast("int")))
+          .otherwise(col("raw_est")))
+      .drop("s_hit")
 }

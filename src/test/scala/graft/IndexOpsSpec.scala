@@ -105,6 +105,43 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(real.where(size(col("positions")) =!= col("n_occ")).count() == 0)
   }
 
+  test("HLL registers merge by per-bucket MAX (sketch mergeability)") {
+    // The distributed-sketch law: registers built on any shard split
+    // MAX-merge to exactly the whole-corpus registers. Split events on
+    // event_id parity — two disjoint "shards".
+    val e = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+    val whole = Indexing.hllRegisters(e, "user_id", Seq("event_type"))
+    val merged = Indexing.hllRegisters(
+        e.where(col("event_id") % 2 === 0), "user_id", Seq("event_type"))
+      .unionByName(Indexing.hllRegisters(
+        e.where(col("event_id") % 2 === 1), "user_id", Seq("event_type")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("mj")).as("mj"))
+    assert(whole.exceptAll(merged).count() == 0)
+    assert(merged.exceptAll(whole).count() == 0)
+  }
+
+  test("HLL estimate lands within the m=256 error regime; ranks in [1,49]") {
+    val e = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+    val regs = Indexing.hllRegisters(e, "user_id", Seq("event_type"))
+    assert(regs.where(col("mj") < 1 || col("mj") > 49).count() == 0)
+    assert(regs.where(col("bucket") < 0 || col("bucket") > 255).count() == 0)
+    val est = Indexing.hllEstimate(regs, Seq("event_type"))
+      .join(e.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact")), Seq("event_type"))
+    // Testdata cardinalities sit in the small-range regime, so the
+    // linear-counting branch must fire and land tight (σ for linear
+    // counting at this load factor is ~2-3%; allow 15%).
+    val bad = est.where(
+      abs(col("est_distinct") / col("n_exact") - 1.0) > 0.15).count()
+    assert(bad == 0)
+    // The raw harmonic estimator is the one the correction replaces —
+    // biased HIGH in this regime, never below the corrected value.
+    assert(est.where(col("raw_est") < col("est_distinct")).count() == 0)
+  }
+
   test("phraseMatches counts adjacent pairs from the index only") {
     val docs = Seq(
       (1L, "to be or not to be"),
