@@ -116,6 +116,57 @@ object FormatQueries {
       .dumpOrdered("l_orderkey", "l_linenumber")
   }
 
+  /** Containers per (source, shard) — the knob that bounds container
+    * size; real pipelines scale it so WARC files stay ~1 GB. */
+  private val WarcShards = 4L
+
+  /** WARC-shaped crawl-container round-trip: documents pack into
+    * spec-faithful WARC/1.0 record streams (CRLF headers,
+    * `Content-Length` in octets, CRLF CRLF terminators), one container
+    * per (source, shard), and the compiled [[graft.functions
+    * .WarcRecords]] parser walks each container back out —
+    * Content-Length-driven slicing, never delimiter scanning. The oracle
+    * predicts every record's payload BYTE OFFSET from the source table
+    * alone (a window cumsum over the exact header-length arithmetic), so
+    * the differential passes only when the parser's walk reproduces the
+    * container layout byte-for-byte — the same oracle trick as the media
+    * codecs.
+    *
+    * Scale shape: packing is one hash aggregate per (source, shard);
+    * parsing is a map-only projection over containers. A real ingest
+    * runs only the parse half (containers arrive from the crawler);
+    * the encode half exists to make the differential self-contained. */
+  private def warcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WarcFunctions.register(spark)
+    import graft.functions.WarcFunctions.warc_records
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
+      col("doc_id").cast("string"),
+      lit(">\r\nContent-Length: "),
+      octet_length(col("text")).cast("string"),
+      lit("\r\n\r\n"),
+      col("text"),
+      lit("\r\n\r\n"))
+    val containers = Tables.documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"), pmod(col("doc_id"), lit(WarcShards)).as("shard"),
+        struct(col("doc_id"), rec.as("rec")).as("sr"))
+      .groupBy(col("source"), col("shard"))
+      // Ordered packing: array_sort on (doc_id, rec) structs makes the
+      // container deterministic under any partitioning (collect_list
+      // alone is arrival-ordered).
+      .agg(array_join(transform(array_sort(collect_list(col("sr"))),
+        s => s.getField("rec")), "").as("container"))
+    containers
+      .select(col("source"), col("shard"),
+        explode(warc_records(col("container"))).as("r"))
+      .select(col("r.rec_id").as("doc_id"), col("source"), col("shard"),
+        col("r.offset").as("payload_offset"),
+        col("r.content_length").as("content_length"),
+        md5(col("r.payload")).as("payload_md5"))
+      .dumpOrdered("doc_id")
+  }
+
   val defs: Seq[(String, Q)] = Seq(
     "data_jsonl_ingest" -> Q(jsonlIngest, Some(
       """SELECT doc_id, text, lang, source, n_chars
@@ -134,5 +185,27 @@ object FormatQueries {
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_str
         |FROM lineitem WHERE l_orderkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // The oracle never touches the container: it predicts each record's
+    // payload byte offset from the header-length arithmetic (81 fixed
+    // octets + the two decimal-width terms) cumsum'd over the records
+    // packed before it in the same (source, shard) container.
+    "data_warc_roundtrip" -> Q(warcRoundtrip, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, doc_id % $WarcShards AS shard,
+         |    octet_length(encode(text)) AS n, md5(text) AS pm
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (
+         |  SELECT *, 81 + length(CAST(doc_id AS VARCHAR))
+         |              + length(CAST(n AS VARCHAR)) AS hdr
+         |  FROM d)
+         |SELECT doc_id, source, shard,
+         |  CAST(COALESCE(sum(hdr + n + 4) OVER (
+         |      PARTITION BY source, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + hdr
+         |    AS BIGINT) AS payload_offset,
+         |  CAST(n AS BIGINT) AS content_length,
+         |  pm AS payload_md5
+         |FROM h ORDER BY doc_id""".stripMargin)),
   )
 }
