@@ -111,6 +111,46 @@ object TrainQueries {
       .dumpOrdered("epoch", "doc_id")
   }
 
+  // -- length curriculum -------------------------------------------------
+
+  /** Curriculum schedule (easy-first, Bengio et al. 2009): documents are
+    * staged short→long — length is the standard LM difficulty proxy — and
+    * ordered for training within each stage. Stage boundaries are EXACT
+    * corpus terciles of the token count, computed from an O(distinct
+    * lengths) histogram cumsum (the `data_quality_threshold` pattern —
+    * never a corpus-wide sort). Within a stage, documents shuffle
+    * deterministically across [[NShards]] hash shards with a
+    * `(stage, shard)`-partitioned position window, so the global
+    * training order (stage-major, round-robin across shards) needs no
+    * global sort anywhere: every window partition is corpus/24, and the
+    * consumer streams stages in order exactly like `data_epoch_shuffle`'s
+    * epochs. */
+  private def curriculumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    val cum = d.groupBy(col("n_tok")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("n_tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+    val b = cum.agg(
+      min(when(col("cum") * 3 >= col("n"), col("n_tok"))).as("b1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("n_tok"))).as("b2"))
+    val h = md5(concat(lit("curr|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    d.crossJoin(broadcast(b))
+      .withColumn("stage",
+        when(col("n_tok") <= col("b1"), lit(0L))
+          .when(col("n_tok") <= col("b2"), lit(1L)).otherwise(lit(2L)))
+      .withColumn("shard", pmod(col("doc_id"), lit(NShards.toLong)))
+      .withColumn("h", h)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("stage"), col("shard"),
+        col("pos"))
+      .dumpOrdered("doc_id")
+  }
+
   // -- classifier PR curve ----------------------------------------------
 
   private val Taus = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
@@ -581,6 +621,30 @@ object TrainQueries {
          |  CAST(row_number() OVER (PARTITION BY epoch, shard
          |    ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM h ORDER BY epoch, doc_id""".stripMargin)),
+
+    "data_curriculum_plan" -> Q(curriculumPlan, Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($duckWords) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |cum AS (
+         |  SELECT n_tok, sum(c) OVER (ORDER BY n_tok
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT n_tok, count(*) AS c FROM d GROUP BY n_tok) h),
+         |b AS (
+         |  SELECT min(CASE WHEN cum * 3 >= n THEN n_tok END) AS b1,
+         |         min(CASE WHEN cum * 3 >= n * 2 THEN n_tok END) AS b2
+         |  FROM cum CROSS JOIN (SELECT count(*) AS n FROM d) n),
+         |s AS (
+         |  SELECT doc_id, n_tok,
+         |    CASE WHEN n_tok <= b1 THEN 0
+         |         WHEN n_tok <= b2 THEN 1 ELSE 2 END AS stage,
+         |    doc_id % $NShards AS shard,
+         |    md5('curr|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM d CROSS JOIN b)
+         |SELECT doc_id, n_tok, CAST(stage AS BIGINT) AS stage, shard,
+         |  CAST(row_number() OVER (PARTITION BY stage, shard
+         |    ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin)),
 
     "data_classifier_pr" -> Q(classifierPr, Some(
       s"""WITH t AS (

@@ -206,4 +206,26 @@ class TrainOpsSpec extends AnyFunSuite {
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
     assert(rows.forall { case (id, _, n, _, _) => naive(id) == n })
   }
+
+  test("data_curriculum_plan: stages are length-monotone terciles; " +
+      "positions contiguous per (stage, shard)") {
+    val rows = Registry.byName("data_curriculum_plan")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"n_tok", $"stage", $"shard", $"pos")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val n = rows.size
+    assert(n > 0)
+    // stage boundaries never interleave lengths: every stage-0 doc is no
+    // longer than any stage-1 doc, and stage-1 vs stage-2 likewise
+    def lens(s: Long) = rows.filter(_._3 == s).map(_._2)
+    assert(lens(0).max <= lens(1).min)
+    assert(lens(1).max <= lens(2).min)
+    // tercile law: stage 0 holds at least a third, stages cumulate to >= 2/3
+    assert(lens(0).size * 3 >= n)
+    assert((lens(0).size + lens(1).size) * 3 >= 2 * n)
+    // positions are a contiguous 1..k permutation within each (stage, shard)
+    rows.groupBy(r => (r._3, r._4)).values.foreach { g =>
+      assert(g.map(_._5).sorted == (1L to g.size.toLong))
+    }
+  }
 }
