@@ -1677,6 +1677,48 @@ object DataQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Matching minhash components (of [[K]]) for the contamination call —
+    * est. Jaccard ≥ 0.5, the near-match threshold the exact-membership
+    * variants cannot express. */
+  private val FuzzyTau = K / 2
+
+  /** NEAR-match decontamination: the exact and Bloom variants only catch
+    * verbatim shingle overlap — a lightly paraphrased or
+    * punctuation-perturbed eval document sails through both. This variant
+    * compares whole-document MinHash signatures: the eval set's K-component
+    * signatures are a constant-size broadcast artifact (like the Bloom
+    * bitmap), each corpus document expands ×|eval| against it map-only,
+    * and estimated Jaccard = matching components / K. A document is
+    * contaminated when its best eval match clears [[FuzzyTau]] components
+    * (integer compare; the division to `est_jaccard` is reporting only).
+    *
+    * Scale: eval suites are thousands of documents — broadcastable by
+    * construction; the corpus side is ONE scan + one per-doc aggregate,
+    * no shuffle of the corpus. The best-match pick is max(struct) — a
+    * map-side-combinable argmax, deterministic via the negated-id
+    * tiebreak. */
+  private def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Dedup.minhashSig(TextAnalysis.shingles(col("toks"), 3), K).as("sig"))
+    val evalSigs = sigs.where(col("doc_id") < 10)
+      .select(col("doc_id").as("eval_id"), col("sig").as("esig"))
+    sigs.where(col("doc_id") >= 10)
+      .crossJoin(broadcast(evalSigs))
+      .select(col("doc_id"), col("eval_id"),
+        size(filter(zip_with(col("sig"), col("esig"), (a, b) => a === b),
+          x => x)).cast("long").as("n_match"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("n_match"), (-col("eval_id")).as("neg"))).as("m"))
+      .select(col("doc_id"),
+        (-col("m.neg")).as("best_eval_id"),
+        col("m.n_match").as("n_match"),
+        (col("m.n_match").cast("double") / K).as("est_jaccard"),
+        (col("m.n_match") >= FuzzyTau).as("is_contaminated"))
+      .dumpOrdered("doc_id")
+  }
+
   /** The streaming attribution join run in BATCH mode — same code path
     * (EventStreams.clickPurchaseAttribution plans as a plain interval
     * join on batch inputs; withWatermark is a no-op), so the DuckDB
@@ -3087,6 +3129,25 @@ object DataQueries {
          |  CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS contamination
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "data_decontaminate_fuzzy" -> Q(decontaminateFuzzy, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |s AS (SELECT doc_id, $duckSig AS sig FROM t),
+         |p AS (
+         |  SELECT c.doc_id, e.doc_id AS eval_id,
+         |    CAST(len(list_filter(range(1, ${K + 1}),
+         |      q -> c.sig[q] = e.sig[q])) AS BIGINT) AS n_match
+         |  FROM s c, s e
+         |  WHERE c.doc_id >= 10 AND e.doc_id < 10),
+         |b AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY n_match DESC, eval_id) AS rn
+         |  FROM p)
+         |SELECT doc_id, eval_id AS best_eval_id, n_match,
+         |  CAST(n_match AS DOUBLE) / $K AS est_jaccard,
+         |  n_match >= $FuzzyTau AS is_contaminated
+         |FROM b WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     "data_sample_stratified" -> Q(sampleStratified, Some(
       s"""WITH r AS (

@@ -1006,4 +1006,33 @@ class DataOpsSpec extends AnyFunSuite {
       else assert(!byId.contains(id), s"doc $id should have no bigrams")
     }
   }
+
+  test("fuzzy decontamination mechanism: signature match separates a " +
+      "paraphrase from an unrelated doc") {
+    import graft.data.{Dedup, TextAnalysis}
+    // A first-token perturbation leaves 9 of 11 trigram shingles intact
+    // (true J = 9/13): the exact-membership decontaminators score the
+    // paraphrase under their thresholds shingle-by-shingle, while the
+    // signature comparison must still put it far above an unrelated doc.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val para = "ALPHA " + base.stripPrefix("alpha ")
+    val unrel = "one two three four five six seven eight nine ten eleven twelve"
+    val sigs = Seq((0L, base), (1L, para), (2L, unrel)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.minhashSig(
+        TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3), 12).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    def matches(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+    assert(matches(0L, 1L) >= 6, s"paraphrase matched only ${matches(0L, 1L)}/12")
+    assert(matches(0L, 2L) == 0, "unrelated doc shares signature components")
+    // query-level internal consistency on the real corpus
+    val q = Registry.byName("data_decontaminate_fuzzy")
+      .build(spark, TestSpark.sf)
+      .select($"n_match", $"est_jaccard", $"is_contaminated")
+      .as[(Long, Double, Boolean)].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (m, j, c) =>
+      assert(m >= 0 && m <= 12 && j == m / 12.0 && c == (m >= 6))
+    }
+  }
 }
