@@ -126,6 +126,35 @@ object TemporalQueries {
       .dumpOrdered("user_id")
   }
 
+  /** SCD2 dimension versioning from the same changelog [[cdcApply]]
+    * compacts: where CDC-apply keeps only each key's LATEST state (SCD1),
+    * this emits the full version HISTORY — every upsert opens a version
+    * valid over `[its ts, the next change's ts)`, the last version is
+    * open-ended (NULL `valid_to_us`), and a delete tombstone closes the
+    * preceding version without opening one, leaving a gap (the deleted
+    * interval) exactly like a warehouse type-2 dimension.
+    *
+    * Scale: both windows partition BY KEY and order within the key's own
+    * history — partition size is one entity's change count, never the
+    * corpus — and they share one partitioning, so the plan is a single
+    * exchange + sort feeding lead() and row_number(). */
+  private def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      // the NEXT change (upsert or tombstone) closes this row's validity
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .where(col("op") === "U")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"), col("cents"),
+        col("valid_to_us").isNull.as("is_current"))
+      .dumpOrdered("user_id", "version")
+  }
+
   /** Tumbling-window (1 h) per-type event aggregation — the batch twin of
     * the streaming windowed aggregate, as one map-side-combinable hash
     * aggregate on (type, bucket). Buckets are epoch-aligned on both
@@ -316,6 +345,26 @@ object TemporalQueries {
         |SELECT user_id, last_event_id, last_ts_us, last_cents, n_ops,
         |  n_deletes
         |FROM s WHERE last_op = 'U' ORDER BY user_id""".stripMargin)),
+
+    "data_scd2_history" -> Q(scd2History, Some(
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |v AS (
+        |  SELECT *, lead(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to_us
+        |  FROM c),
+        |u AS (
+        |  SELECT user_id, event_id, ts_us AS valid_from_us, valid_to_us,
+        |    cents,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS BIGINT) AS version
+        |  FROM v WHERE op = 'U')
+        |SELECT user_id, version, event_id, valid_from_us, valid_to_us,
+        |  cents, valid_to_us IS NULL AS is_current
+        |FROM u ORDER BY user_id, version""".stripMargin)),
 
     "data_time_bucket" -> Q(timeBucket, Some(
       """SELECT event_type,

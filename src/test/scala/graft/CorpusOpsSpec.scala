@@ -244,4 +244,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     // each 'a' occurrence carries corpus tf 4, each 'b' carries 2 → 4+4+2
     assert(scored == Seq((1L, 3L, 10L), (2L, 3L, 10L)))
   }
+
+  test("scd2 history: interval laws and SCD1 consistency with cdc apply") {
+    val hist = Registry.byName("data_scd2_history").build(spark, TestSpark.sf)
+      .select($"user_id", $"version", $"valid_from_us", $"valid_to_us",
+        $"cents", $"is_current")
+      .as[(Long, Long, Long, Option[Long], Long, Boolean)].collect().toSeq
+    assert(hist.nonEmpty)
+    val byUser = hist.groupBy(_._1)
+    byUser.values.foreach { h =>
+      val s = h.sortBy(_._2)
+      // versions are 1..k, intervals ordered and non-overlapping; only
+      // the LAST version may be open-ended
+      assert(s.map(_._2) == (1L to s.size.toLong))
+      s.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.isDefined, "non-final version must be closed")
+          assert(a._4.get <= b._3, "intervals overlap")
+          assert(a._3 <= a._4.get, "negative interval")
+        case _ => ()
+      }
+      assert(s.count(_._6) <= 1, "more than one current version")
+      assert(s.forall(v => v._6 == v._4.isEmpty))
+    }
+    // SCD1 cross-check: cdc apply's survivors are exactly the users whose
+    // history ends OPEN (an upsert was last), with the same final cents.
+    val scd1 = Registry.byName("data_cdc_apply").build(spark, TestSpark.sf)
+      .select($"user_id", $"last_cents").as[(Long, Long)].collect().toMap
+    val open = byUser.view.mapValues(_.find(_._6)).toMap
+    open.foreach { case (u, cur) =>
+      cur match {
+        case Some(v) => assert(scd1.get(u).contains(v._5),
+          s"user $u: scd1 cents ${scd1.get(u)} != open version ${v._5}")
+        case None => assert(!scd1.contains(u),
+          s"user $u ended on a tombstone but survives scd1")
+      }
+    }
+    // tombstone-ended users exist at this sf, so the law is not vacuous
+    assert(open.values.exists(_.isEmpty))
+  }
 }
