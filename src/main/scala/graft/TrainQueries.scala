@@ -358,6 +358,197 @@ object TrainQueries {
       .dumpOrderedTail("doc_id")
   }
 
+  // -- unigram (SentencePiece-family) tokenizer ---------------------------
+
+  private val UniMaxPiece = 4     // candidate piece length cap
+  private val UniMinFreq = 2L     // multi-char candidate frequency cutoff
+  private val UniMaxVocab = 4096  // multi-char vocab cap (top by frequency)
+  private val UniMaxWordLen = 12  // Viterbi unroll bound (corpus max is 8)
+  private val UniCostBase = 65L   // cost = 65 − length(bin(freq)) ≥ 2
+
+  /** Distinct corpus words with frequency — the vocab-sized table both
+    * tokenizer trainers run on. */
+  private[graft] def uniWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsHot(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Unigram-LM piece vocabulary: every 1-char substring (the lossless
+    * fallback alphabet, kept unconditionally) plus 2..[[UniMaxPiece]]-char
+    * substrings above [[UniMinFreq]], capped to the top [[UniMaxVocab]]
+    * by (frequency, piece) — piece frequency counts every occurrence
+    * position weighted by word frequency. Piece cost is the exact-integer
+    * negative log: [[UniCostBase]] − floor_log2(freq) − 1 via
+    * `length(bin(freq))` (the LM-score trick), so higher-frequency pieces
+    * are cheaper and every cost is a positive BIGINT both engines agree
+    * on bit-for-bit. */
+  private[graft] def uniVocab(words: DataFrame): DataFrame = {
+    // positions × lengths: two explodes, chained selects
+    val subs = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("s"))
+      .select(col("word"), col("freq"), col("s"),
+        explode(sequence(lit(1), lit(UniMaxPiece))).as("l"))
+      .where(col("s") + col("l") <= length(col("word")))
+      .select(col("word").substr(col("s") + 1, col("l")).as("piece"),
+        col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("total"))
+    val cand = subs.where(length(col("piece")) >= 2 &&
+        col("total") >= UniMinFreq)
+      .orderBy(desc("total"), col("piece")).limit(UniMaxVocab)
+    val chars = subs.where(length(col("piece")) === 1)
+    cand.unionByName(chars)
+      .select(col("piece"),
+        (lit(UniCostBase) - length(bin(col("total"))).cast("long")).as("cost"))
+  }
+
+  /** Optimal (min-cost) unigram segmentation of every corpus word —
+    * SentencePiece's serving half with the classic Viterbi DP, entirely
+    * in exact integer domain. dp[i] = min over pieces ending at i of
+    * dp[j] + cost(word[j..i)), ties broken by the SMALLEST j (longest
+    * final piece), carried as min-of-struct(cost, backpointer); the
+    * 1-char alphabet guarantees reachability (losslessness is spec'd).
+    * Where the greedy `data_bpe_encode` commits to the longest prefix,
+    * this is globally optimal under the learned piece costs — the spec
+    * brute-forces all segmentations of every corpus word to prove it.
+    *
+    * Scale: the DP runs per DISTINCT word (vocab-sized work, like the
+    * BPE trainer) with the piece table pulled once as a bounded literal
+    * map ([[UniMaxVocab]] + alphabet entries — the model artifact a real
+    * tokenizer ships); corpus-scale serving is then one hash join from
+    * words to their segmentations, the `data_bpe_train_encode` shape.
+    * The oracle unrolls the same DP as [[UniMaxWordLen]] chained CTEs
+    * (the BPE-trainer oracle precedent) with arg_min tie rules matching
+    * the struct ordering exactly. */
+  private def unigramSegment(spark: SparkSession, dir: String): DataFrame = {
+    val words = uniWords(spark, dir)
+    val costs: Map[String, Long] = uniVocab(words).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val costMap = typedLit(costs)
+    val L = length(col("word"))
+    val dp = aggregate(
+      sequence(lit(1), L),
+      array(struct(lit(0L).as("cost"), lit(0).as("bp"))),
+      (acc, i) => concat(acc, array(array_min(filter(
+        transform(sequence(greatest(lit(0), i - lit(UniMaxPiece)), i - 1),
+          j => {
+            val c = element_at(costMap, col("word").substr(j + 1, i - j))
+            when(c.isNotNull, struct(
+              (element_at(acc, j + 1).getField("cost") + c).as("cost"),
+              j.as("bp")))
+          }),
+        x => x.isNotNull)))))
+    val walk = aggregate(
+      sequence(lit(1), L),
+      array(L),
+      (acc, _) => when(element_at(acc, size(acc)) > 0,
+        concat(acc, array(element_at(col("dp"),
+          element_at(acc, size(acc)) + 1).getField("bp"))))
+        .otherwise(acc))
+    val pieces = transform(sequence(lit(1), size(col("rev")) - 1),
+      k => col("word").substr(element_at(col("rev"), k) + 1,
+        element_at(col("rev"), k + 1) - element_at(col("rev"), k)))
+    // DP/oracle unroll bound — enforced eagerly at build time (a column
+    // guard would be pruned away); a longer-word corpus raises here with
+    // the knob to turn, instead of silently truncating the oracle's DP.
+    val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
+    require(maxLen <= UniMaxWordLen,
+      s"corpus word length $maxLen exceeds UniMaxWordLen=$UniMaxWordLen")
+    val out = words
+      .withColumn("dp", dp)
+      .withColumn("rev", reverse(walk))
+      .select(col("word"), col("freq"),
+        (size(col("rev")) - 1).cast("long").as("n_pieces"),
+        element_at(col("dp"), L + 1).getField("cost").as("total_cost"),
+        array_join(pieces, "|").as("encoded"))
+    out.dumpOrdered("word")
+  }
+
+  /** The shared vocab CTE block of the unigram oracle (through `vocab`
+    * and `edges`), then the DP and backtrack unrolled to
+    * [[UniMaxWordLen]] — `a{k}` accumulates dp rows, `bt{k}` walks the
+    * backpointers. */
+  private lazy val duckUnigramSql: String = {
+    val base =
+      s"""WITH wx AS (SELECT unnest($duckWords) AS word FROM documents),
+         |words AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM wx GROUP BY word),
+         |subs AS (
+         |  SELECT substr(word, CAST(s + 1 AS INTEGER), CAST(l AS INTEGER))
+         |           AS piece, freq
+         |  FROM words,
+         |       (SELECT unnest(range(0, $UniMaxWordLen)) AS s) ss,
+         |       (SELECT unnest(range(1, ${UniMaxPiece + 1})) AS l) ls
+         |  WHERE s + l <= length(word)),
+         |pt AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS total
+         |  FROM subs GROUP BY piece),
+         |cand AS (
+         |  SELECT piece, total FROM pt
+         |  WHERE length(piece) >= 2 AND total >= $UniMinFreq
+         |  ORDER BY total DESC, piece LIMIT $UniMaxVocab),
+         |vocab AS MATERIALIZED (
+         |  SELECT piece, $UniCostBase - length(bin(total)) AS cost
+         |  FROM (SELECT piece, total FROM cand UNION ALL
+         |        SELECT piece, total FROM pt WHERE length(piece) = 1)),
+         |pos AS (
+         |  SELECT word, CAST(unnest(range(0, length(word) + 1)) AS BIGINT)
+         |           AS i
+         |  FROM words),
+         |edges AS MATERIALIZED (
+         |  SELECT a.word, b.i AS j, a.i AS i, v.cost
+         |  FROM pos a JOIN pos b
+         |    ON b.word = a.word AND b.i < a.i AND b.i + $UniMaxPiece >= a.i
+         |  JOIN vocab v ON v.piece = substr(a.word,
+         |    CAST(b.i + 1 AS INTEGER), CAST(a.i - b.i AS INTEGER))),
+         |dp0 AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cost,
+         |         CAST(0 AS BIGINT) AS bp
+         |  FROM words),
+         |a0 AS (SELECT * FROM dp0)""".stripMargin
+    val dpRounds = (1 to UniMaxWordLen).map { k =>
+      s"""dp$k AS (
+         |  SELECT e.word, CAST($k AS BIGINT) AS i,
+         |    min(d.cost + e.cost) AS cost,
+         |    -- composite (total, j) packed into one BIGINT: j < 16, so
+         |    -- *16+j orders exactly like the Spark side's struct min
+         |    arg_min(e.j, (d.cost + e.cost) * 16 + e.j) AS bp
+         |  FROM edges e JOIN a${k - 1} d ON d.word = e.word AND d.i = e.j
+         |  WHERE e.i = $k GROUP BY e.word),
+         |a$k AS MATERIALIZED (SELECT * FROM a${k - 1} UNION ALL SELECT * FROM dp$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val aN = s"a$UniMaxWordLen"
+    val btRounds = (1 to UniMaxWordLen).map { k =>
+      s"""bt$k AS (
+         |  SELECT b.word, b.freq,
+         |    CASE WHEN b.pos > 0 THEN d.bp ELSE b.pos END AS pos,
+         |    CASE WHEN b.pos > 0 THEN list_append(b.cuts, d.bp)
+         |         ELSE b.cuts END AS cuts
+         |  FROM bt${k - 1} b LEFT JOIN $aN d
+         |    ON d.word = b.word AND d.i = b.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$dpRounds,
+       |bt0 AS (
+       |  SELECT word, freq, CAST(length(word) AS BIGINT) AS pos,
+       |         [CAST(length(word) AS BIGINT)] AS cuts
+       |  FROM words),
+       |$btRounds,
+       |seg AS (
+       |  SELECT word, freq, list_sort(cuts) AS rev
+       |  FROM bt$UniMaxWordLen)
+       |SELECT s.word, s.freq,
+       |  CAST(len(s.rev) - 1 AS BIGINT) AS n_pieces,
+       |  d.cost AS total_cost,
+       |  array_to_string(list_transform(range(1, len(s.rev)), k ->
+       |    substr(s.word, CAST(s.rev[k] + 1 AS INTEGER),
+       |           CAST(s.rev[k + 1] - s.rev[k] AS INTEGER))), '|') AS encoded
+       |FROM seg s JOIN $aN d ON d.word = s.word AND d.i = length(s.word)
+       |ORDER BY s.word""".stripMargin
+  }
+
   // -- tokenizer TRAINING -----------------------------------------------
 
   private val BpeTrainRounds = 8
@@ -621,6 +812,8 @@ object TrainQueries {
          |  CAST(row_number() OVER (PARTITION BY epoch, shard
          |    ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM h ORDER BY epoch, doc_id""".stripMargin)),
+
+    "data_unigram_segment" -> Q(unigramSegment, Some(duckUnigramSql)),
 
     "data_curriculum_plan" -> Q(curriculumPlan, Some(
       s"""WITH d AS (

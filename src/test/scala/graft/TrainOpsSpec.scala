@@ -207,6 +207,42 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(rows.forall { case (id, _, n, _, _) => naive(id) == n })
   }
 
+  test("data_unigram_segment: Viterbi output is lossless and brute-force " +
+      "optimal under the learned piece costs") {
+    val costs = TrainQueries.uniVocab(
+      TrainQueries.uniWords(spark, TestSpark.sf))
+      .as[(String, Long)].collect().toMap
+    val rows = Registry.byName("data_unigram_segment")
+      .build(spark, TestSpark.sf)
+      .select($"word", $"n_pieces", $"total_cost", $"encoded")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(rows.nonEmpty)
+
+    // exhaustive minimum over ALL segmentations into vocab pieces <= 4 chars
+    def bruteMin(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue)
+      dp(0) = 0L
+      for (i <- 1 to w.length; j <- math.max(0, i - 4) until i)
+        costs.get(w.substring(j, i)).foreach { c =>
+          if (dp(j) != Long.MaxValue && dp(j) + c < dp(i)) dp(i) = dp(j) + c
+        }
+      dp(w.length)
+    }
+
+    rows.foreach { case (w, n, cost, enc) =>
+      val pieces = enc.split("\\|").toSeq
+      assert(pieces.mkString("") == w, s"lossless: $enc != $w")
+      assert(pieces.size.toLong == n)
+      assert(pieces.forall(p => costs.contains(p)), s"$enc uses non-vocab piece")
+      // the reported segmentation ACHIEVES the reported cost...
+      assert(pieces.map(costs).sum == cost, s"$w: cost mismatch")
+      // ...and the reported cost is the true optimum
+      assert(cost == bruteMin(w), s"$w: $cost != brute ${bruteMin(w)}")
+    }
+    // non-vacuous: some corpus word genuinely splits into > 1 piece
+    assert(rows.exists(_._2 > 1))
+  }
+
   test("data_curriculum_plan: stages are length-monotone terciles; " +
       "positions contiguous per (stage, shard)") {
     val rows = Registry.byName("data_curriculum_plan")
