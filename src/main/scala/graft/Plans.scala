@@ -27,7 +27,9 @@ object Plans {
     "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
     "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
     "data_source_reputation", "data_curation_fate", "data_lm_backoff",
-    "data_dsir_resample", "data_novelty_score", "data_source_pagerank")
+    "data_dsir_resample", "data_novelty_score", "data_source_pagerank",
+    "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
+    "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -341,6 +343,31 @@ object Plans {
       |  with the same bounded O(k × dim) aggregate rounds, and the
       |  per-(query, probed-cell) L2 tables ride the broadcast probe
       |  set; corpus-side scoring touches only the m code columns.
+      |- **data_sketch_hll** — two map-side-combinable hash aggregates
+      |  (values → 256 registers → harmonic fold); the exact-count branch
+      |  exists only for the differential and joins one row per group.
+      |  Registers merge across shards by per-bucket MAX — the plan must
+      |  show partial_max on the register aggregate.
+      |- **data_warc_roundtrip** — packing is one hash aggregate per
+      |  (source, shard) with the ordered array_sort inside the aggregate
+      |  state; the parse half is a map-only projection (compiled
+      |  warc_records + explode) — no join anywhere; container size is
+      |  bounded by the shard knob, not the corpus.
+      |- **data_curriculum_plan** — stage boundaries from an O(distinct
+      |  lengths) histogram cumsum broadcast back; position windows
+      |  partition by (stage, shard) so the widest sort is corpus/24.
+      |- **data_decontaminate_fuzzy** — the eval signature table is a
+      |  BROADCAST constant; the corpus side is one scan, a ×|eval|
+      |  map-only expand, and one map-side-combinable max(struct) argmax —
+      |  the plan must show BroadcastNestedLoopJoin (a bounded cross
+      |  expand), never a corpus shuffle.
+      |- **data_scd2_history** — lead() and row_number() share ONE
+      |  (user_id) partitioning: a single exchange + sort feeds both
+      |  windows; partition size is one entity's change history.
+      |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
+      |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
+      |  with the piece-cost map as a bounded literal; the corpus scan
+      |  appears once, in the word-frequency aggregate.
       |
       |The final `Sort` over `Exchange SinglePartition, REPARTITION_BY_NUM`
       |in every dump is the deterministic result-dump sort (Out.ordered) —

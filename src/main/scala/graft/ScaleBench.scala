@@ -45,7 +45,10 @@ object ScaleBench {
     "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
     "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
     "data_source_reputation", "data_curation_fate", "data_lm_backoff",
-    "data_dsir_resample", "data_novelty_score", "data_source_pagerank")
+    "data_dsir_resample", "data_novelty_score", "data_source_pagerank",
+    // round-9 late additions: sketch/format/tokenizer/decontamination
+    "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
+    "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
