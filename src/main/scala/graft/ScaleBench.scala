@@ -48,7 +48,8 @@ object ScaleBench {
     "data_dsir_resample", "data_novelty_score", "data_source_pagerank",
     // round-9 late additions: sketch/format/tokenizer/decontamination
     "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
-    "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment")
+    "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
+    "data_unigram_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

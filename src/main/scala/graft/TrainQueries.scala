@@ -420,7 +420,7 @@ object TrainQueries {
     * The oracle unrolls the same DP as [[UniMaxWordLen]] chained CTEs
     * (the BPE-trainer oracle precedent) with arg_min tie rules matching
     * the struct ordering exactly. */
-  private def unigramSegment(spark: SparkSession, dir: String): DataFrame = {
+  private def unigramWordSegs(spark: SparkSession, dir: String): DataFrame = {
     val words = uniWords(spark, dir)
     val costs: Map[String, Long] = uniVocab(words).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -461,14 +461,41 @@ object TrainQueries {
         (size(col("rev")) - 1).cast("long").as("n_pieces"),
         element_at(col("dp"), L + 1).getField("cost").as("total_cost"),
         array_join(pieces, "|").as("encoded"))
-    out.dumpOrdered("word")
+    out
+  }
+
+  private def unigramSegment(spark: SparkSession, dir: String): DataFrame =
+    unigramWordSegs(spark, dir).dumpOrdered("word")
+
+  /** Corpus serving with the unigram tokenizer: one hash join from the
+    * word occurrences to the per-word optimal segmentations (the
+    * `data_bpe_train_encode` shape, against the OTHER tokenizer family) —
+    * per-doc fertility lands head-to-head comparable with the greedy BPE
+    * encoder on the same corpus. */
+  private def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val segs = unigramWordSegs(spark, dir)
+      .select(col("word"), col("n_pieces"), col("encoded").as("wseg"))
+    Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wpos", "word")))
+      .join(segs, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_subtokens"),
+        array_sort(collect_list(struct(col("wpos"),
+          col("wseg").as("w")))).as("ps"))
+      .select(col("doc_id"), col("n_words"), col("n_subtokens"),
+        (col("n_subtokens").cast("double") / col("n_words").cast("double"))
+          .as("subtok_per_word"),
+        concat_ws(" ", transform(col("ps"), _.getField("w"))).as("encoded"))
+      .dumpOrderedTail("doc_id")
   }
 
   /** The shared vocab CTE block of the unigram oracle (through `vocab`
     * and `edges`), then the DP and backtrack unrolled to
     * [[UniMaxWordLen]] — `a{k}` accumulates dp rows, `bt{k}` walks the
     * backpointers. */
-  private lazy val duckUnigramSql: String = {
+  private lazy val duckUnigramCtes: String = {
     val base =
       s"""WITH wx AS (SELECT unnest($duckWords) AS word FROM documents),
          |words AS MATERIALIZED (
@@ -538,16 +565,39 @@ object TrainQueries {
        |$btRounds,
        |seg AS (
        |  SELECT word, freq, list_sort(cuts) AS rev
-       |  FROM bt$UniMaxWordLen)
-       |SELECT s.word, s.freq,
-       |  CAST(len(s.rev) - 1 AS BIGINT) AS n_pieces,
-       |  d.cost AS total_cost,
-       |  array_to_string(list_transform(range(1, len(s.rev)), k ->
-       |    substr(s.word, CAST(s.rev[k] + 1 AS INTEGER),
-       |           CAST(s.rev[k + 1] - s.rev[k] AS INTEGER))), '|') AS encoded
-       |FROM seg s JOIN $aN d ON d.word = s.word AND d.i = length(s.word)
-       |ORDER BY s.word""".stripMargin
+       |  FROM bt$UniMaxWordLen),
+       |uni AS MATERIALIZED (
+       |  SELECT s.word, s.freq,
+       |    CAST(len(s.rev) - 1 AS BIGINT) AS n_pieces,
+       |    d.cost AS total_cost,
+       |    array_to_string(list_transform(range(1, len(s.rev)), k ->
+       |      substr(s.word, CAST(s.rev[k] + 1 AS INTEGER),
+       |             CAST(s.rev[k + 1] - s.rev[k] AS INTEGER))), '|')
+       |      AS encoded
+       |  FROM seg s JOIN $aN d
+       |    ON d.word = s.word AND d.i = length(s.word))""".stripMargin
   }
+
+  private lazy val duckUnigramSql: String =
+    s"""$duckUnigramCtes
+       |SELECT word, freq, n_pieces, total_cost, encoded
+       |FROM uni ORDER BY word""".stripMargin
+
+  private lazy val duckUnigramEncodeSql: String =
+    s"""$duckUnigramCtes,
+       |wp AS (
+       |  SELECT doc_id, unnest(range(0, len(w))) AS wpos, w
+       |  FROM (SELECT doc_id, $duckWords AS w FROM documents) q),
+       |ww AS (SELECT doc_id, wpos, w[wpos + 1] AS word FROM wp),
+       |j AS (
+       |  SELECT ww.doc_id, ww.wpos, u.n_pieces, u.encoded
+       |  FROM ww JOIN uni u USING (word))
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_subtokens,
+       |  CAST(sum(n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS subtok_per_word,
+       |  string_agg(encoded, ' ' ORDER BY wpos) AS encoded
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -- tokenizer TRAINING -----------------------------------------------
 
@@ -814,6 +864,8 @@ object TrainQueries {
          |FROM h ORDER BY epoch, doc_id""".stripMargin)),
 
     "data_unigram_segment" -> Q(unigramSegment, Some(duckUnigramSql)),
+
+    "data_unigram_encode" -> Q(unigramEncode, Some(duckUnigramEncodeSql)),
 
     "data_curriculum_plan" -> Q(curriculumPlan, Some(
       s"""WITH d AS (
