@@ -319,6 +319,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq((7L, 101L, true), (101L, 101L, false)))
   }
 
+  test("streaming WARC ingest gate: cross-batch payload dedup, malformed " +
+      "containers drop without killing the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def rec(id: Long, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+        s"$payload\r\n\r\n"
+    val input = MemoryStream[String]
+    val out = graft.streaming.WarcStreams.ingestDedupStream(
+      input.toDF().toDF("container")).toDF()
+    val q = out.writeStream.format("memory").queryName("warc_gate")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // batch 1: two records, one payload each
+      input.addData(rec(101L, "same body") + rec(102L, "other body"))
+      q.processAllAvailable()
+      // batch 2: a re-crawl of "same body" under a LOWER id, plus a
+      // malformed container that must contribute nothing
+      input.addData(rec(7L, "same body"))
+      input.addData("WARC/9.9\r\ngarbage")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("warc_gate")
+      .select($"rec_id", $"keeper_id", $"is_dup")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // first-seen keeper survives the lower-id re-crawl; the malformed
+    // container produced no verdicts at all
+    assert(rows == Seq((7L, 101L, true), (101L, 101L, false),
+      (102L, 102L, false)))
+  }
+
   test("transformWithState TTL: expired state is evicted, counters restart") {
     // In ProcessingTime time-mode the query free-runs micro-batches to
     // advance the TTL clock, so neither processAllAvailable nor
