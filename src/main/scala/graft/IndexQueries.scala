@@ -111,21 +111,21 @@ object IndexQueries {
 
   // -- hyperloglog distinct sketch --------------------------------------
 
-  /** HLL distinct-user estimate per event type vs the exact count. The
-    * sketch path is two map-side-combinable hash aggregates (values →
-    * 256 registers → estimate); `n_exact` exists purely for the
-    * differential and the accuracy columns — a production run at 100 TB
-    * would ship the register table alone (256 rows per group, mergeable
-    * by per-bucket MAX across corpus shards). */
+  /** HLL distinct-user estimate per event type vs the exact count — ONE
+    * scan, two map-side-combinable hash aggregates (values → 256
+    * registers → estimate). The exact count rides the register aggregate
+    * (buckets partition users, so per-bucket distincts sum exactly —
+    * see [[Indexing.hllRegisters]]) instead of a second scan + join; it
+    * exists purely for the differential and the accuracy columns — a
+    * production run at 100 TB would ship the register table alone
+    * (256 rows per group, mergeable by per-bucket MAX across corpus
+    * shards). */
   private def sketchHll(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val e = Tables.eventsHot(spark, dir)
       .where(col("event_type").isNotNull && col("user_id").isNotNull)
-    val est = Indexing.hllEstimate(
-      Indexing.hllRegisters(e, "user_id", Seq("event_type")),
-      Seq("event_type"))
-    val exact = e.groupBy(col("event_type"))
-      .agg(count_distinct(col("user_id")).as("n_exact"))
-    est.join(exact, Seq("event_type"))
+    Indexing.hllEstimate(
+        Indexing.hllRegisters(e, "user_id", Seq("event_type")),
+        Seq("event_type"))
       .select(col("event_type"), col("n_exact"), col("n_hit"),
         col("raw_est"), col("est_distinct"))
       .dumpOrdered("event_type")

@@ -268,9 +268,18 @@ object Indexing {
   val HllSmallRange = 640.0
 
   /** Per-bucket HLL registers of `values(c)` under `groupCols`:
-    * (groupCols…, bucket, mj). One hash aggregate; rank = 49 −
+    * (groupCols…, bucket, mj, nd). One hash aggregate; rank = 49 −
     * floor_log2(v) computed in integer domain via `length(bin(v))`
-    * (the same exact-floor-log2 trick as the LM fluency score). */
+    * (the same exact-floor-log2 trick as the LM fluency score).
+    *
+    * `nd` is the bucket's EXACT distinct count — since the bucket is a
+    * function of the value's hash, buckets partition the value set and
+    * per-group `nd` sums to the exact group cardinality, so a caller
+    * wanting the exact/estimate comparison pays ONE scan instead of a
+    * second aggregate + join. Only `mj` is a mergeable sketch component
+    * (per-bucket MAX across shards); `nd` sums correctly only over
+    * shards with disjoint VALUE sets — drop it when merging row-split
+    * shards. */
   def hllRegisters(values: DataFrame, c: String,
       groupCols: Seq[String]): DataFrame = {
     val h = md5(col(c).cast("string"))
@@ -281,10 +290,10 @@ object Indexing {
       .withColumn("bucket", conv(substring(h, 1, 2), 16, 10).cast("long"))
       .withColumn("rank", rank)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
-      .agg(max(col("rank")).as("mj"))
+      .agg(max(col("rank")).as("mj"), count_distinct(col(c)).as("nd"))
   }
 
-  /** Fold a register table to (groupCols…, n_hit, raw_est,
+  /** Fold a register table to (groupCols…, n_hit, n_exact, raw_est,
     * est_distinct). The harmonic sum runs in BIGINT (2^(49−mj) via
     * shiftleft — exact), the single division is the only floating-point
     * step, and the small-range branch applies the [[HllLinearTable]]
@@ -294,6 +303,7 @@ object Indexing {
   def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
     regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_hit"),
+        sum(col("nd")).as("n_exact"),
         // shiftleft's Scala signature takes a literal shift only — the
         // SQL form accepts a column; 1L << (49 − mj) stays in BIGINT.
         sum(expr(s"shiftleft(1L, cast(${HllVBits + 1} - mj as int))"))

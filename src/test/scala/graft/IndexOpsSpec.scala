@@ -111,7 +111,12 @@ class IndexOpsSpec extends AnyFunSuite {
     // event_id parity — two disjoint "shards".
     val e = Tables.events(spark, TestSpark.sf)
       .where(col("event_type").isNotNull && col("user_id").isNotNull)
+    // only mj is the mergeable sketch component — nd sums correctly only
+    // over value-disjoint shards, and an event_id row split is NOT
+    // value-disjoint (the same user appears in both halves), so it is
+    // dropped before merging, exactly as the hllRegisters scaladoc says.
     val whole = Indexing.hllRegisters(e, "user_id", Seq("event_type"))
+      .drop("nd")
     val merged = Indexing.hllRegisters(
         e.where(col("event_id") % 2 === 0), "user_id", Seq("event_type"))
       .unionByName(Indexing.hllRegisters(
@@ -129,8 +134,12 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(regs.where(col("mj") < 1 || col("mj") > 49).count() == 0)
     assert(regs.where(col("bucket") < 0 || col("bucket") > 255).count() == 0)
     val est = Indexing.hllEstimate(regs, Seq("event_type"))
-      .join(e.groupBy(col("event_type"))
-        .agg(count_distinct(col("user_id")).as("n_exact")), Seq("event_type"))
+    // the one-pass exact count (per-bucket distinct sums) must equal the
+    // plain count-distinct — the bucket-partition law
+    val plain = e.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_plain"))
+    assert(est.join(plain, Seq("event_type"))
+      .where(col("n_exact") =!= col("n_plain")).count() == 0)
     // Testdata cardinalities sit in the small-range regime, so the
     // linear-counting branch must fire and land tight (σ for linear
     // counting at this load factor is ~2-3%; allow 15%).
