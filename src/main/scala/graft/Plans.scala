@@ -344,9 +344,10 @@ object Plans {
       |  with the same bounded O(k × dim) aggregate rounds, and the
       |  per-(query, probed-cell) L2 tables ride the broadcast probe
       |  set; corpus-side scoring touches only the m code columns.
-      |- **data_sketch_hll** — two map-side-combinable hash aggregates
-      |  (values → 256 registers → harmonic fold); the exact-count branch
-      |  exists only for the differential and joins one row per group.
+      |- **data_sketch_hll** — ONE scan, two map-side-combinable hash
+      |  aggregates (values → 256 registers → harmonic fold); the exact
+      |  count rides the register aggregate as sum of per-bucket
+      |  distincts (buckets partition users) — no join, no second scan.
       |  Registers merge across shards by per-bucket MAX — the plan must
       |  show partial_max on the register aggregate.
       |- **data_warc_roundtrip** — packing is one hash aggregate per

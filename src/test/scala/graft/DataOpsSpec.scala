@@ -1010,10 +1010,10 @@ class DataOpsSpec extends AnyFunSuite {
   test("fuzzy decontamination mechanism: signature match separates a " +
       "paraphrase from an unrelated doc") {
     import graft.data.{Dedup, TextAnalysis}
-    // A first-token perturbation leaves 9 of 11 trigram shingles intact
-    // (true J = 9/13): the exact-membership decontaminators score the
-    // paraphrase under their thresholds shingle-by-shingle, while the
-    // signature comparison must still put it far above an unrelated doc.
+    // A first-token perturbation of the 12-token doc breaks only the
+    // first of its 10 trigram shingles (true J = 9/11 ≈ 0.82, expected
+    // signature agreement ≈ 10/12): the signature comparison must put
+    // the paraphrase far above an unrelated doc.
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val para = "ALPHA " + base.stripPrefix("alpha ")
     val unrel = "one two three four five six seven eight nine ten eleven twelve"
