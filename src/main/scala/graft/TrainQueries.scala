@@ -420,10 +420,11 @@ object TrainQueries {
     * The oracle unrolls the same DP as [[UniMaxWordLen]] chained CTEs
     * (the BPE-trainer oracle precedent) with arg_min tie rules matching
     * the struct ordering exactly. */
-  private def unigramWordSegs(spark: SparkSession, dir: String): DataFrame = {
-    val words = uniWords(spark, dir)
-    val costs: Map[String, Long] = uniVocab(words).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  /** Viterbi min-cost segmentation of every row of `words(word, freq)`
+    * under a literal piece→cost map — the reusable DP core of both the
+    * one-shot segmenter and the EM re-estimation rounds. */
+  private[graft] def viterbiSegment(words: DataFrame,
+      costs: Map[String, Long]): DataFrame = {
     val costMap = typedLit(costs)
     val L = length(col("word"))
     val dp = aggregate(
@@ -464,8 +465,71 @@ object TrainQueries {
     out
   }
 
+  /** Piece→cost map pull (bounded, the model artifact). */
+  private def collectCosts(vocab: DataFrame): Map[String, Long] =
+    vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def unigramWordSegs(spark: SparkSession, dir: String): DataFrame = {
+    val words = uniWords(spark, dir)
+    // DP/oracle unroll bound — enforced eagerly at build time (a column
+    // guard would be pruned away); a longer-word corpus raises here with
+    // the knob to turn, instead of silently truncating the oracle's DP.
+    val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
+    require(maxLen <= UniMaxWordLen,
+      s"corpus word length $maxLen exceeds UniMaxWordLen=$UniMaxWordLen")
+    viterbiSegment(words, collectCosts(uniVocab(words)))
+  }
+
   private def unigramSegment(spark: SparkSession, dir: String): DataFrame =
     unigramWordSegs(spark, dir).dumpOrdered("word")
+
+  /** One EM re-estimation + prune round — the step that makes the unigram
+    * family a TRAINER (SentencePiece's loop: segment with the current
+    * model, re-estimate piece probabilities from the pieces the optimal
+    * segmentations actually USED, drop everything else, re-segment).
+    * Piece usage is counted from round-1's Viterbi output weighted by
+    * word frequency; the re-estimated vocabulary keeps exactly the used
+    * pieces at their usage-derived costs plus the 1-char alphabet (the
+    * lossless fallback, at its substring-count cost when unused) — the
+    * prune: candidate substrings that never won a segmentation are gone,
+    * concentrating probability mass exactly like the EM E/M steps do on
+    * expected counts. Output compares the rounds per word; DataOpsSpec's
+    * brute-force law re-proves round-2 optimality under the new costs.
+    *
+    * Scale: both rounds are vocab-sized DP work; usage counting is one
+    * explode + hash aggregate over the per-word segmentations. */
+  private def unigramEm(spark: SparkSession, dir: String): DataFrame = {
+    val words = uniWords(spark, dir)
+    val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
+    require(maxLen <= UniMaxWordLen,
+      s"corpus word length $maxLen exceeds UniMaxWordLen=$UniMaxWordLen")
+    val costs1 = collectCosts(uniVocab(words))
+    val seg1 = viterbiSegment(words, costs1)
+    val usage: Map[String, Long] = seg1
+      .select(col("freq"), explode(split(col("encoded"), "\\|")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // chars stay at their substring-count cost when round 1 never used
+    // them (the lossless fallback must always price in)
+    val chars1 = costs1.filter { case (p, _) => p.length == 1 }
+    // UniCostBase − length(bin(total)); length(bin(t)) = 64 − nlz(t)
+    def cost(total: Long): Long =
+      UniCostBase - (64 - java.lang.Long.numberOfLeadingZeros(total))
+    val costs2 = usage.map { case (p, t) => p -> cost(t) } ++
+      chars1.filter { case (p, _) => !usage.contains(p) }
+    viterbiSegment(words, costs2)
+      .select(col("word"), col("freq"),
+        col("n_pieces").as("n_pieces_em"),
+        col("total_cost").as("total_cost_em"),
+        col("encoded").as("encoded_em"))
+      .join(seg1.select(col("word"), col("n_pieces").as("n_pieces_r1"),
+        col("encoded").as("encoded_r1")), Seq("word"))
+      .select(col("word"), col("freq"), col("n_pieces_r1"),
+        col("n_pieces_em"), col("total_cost_em"),
+        (col("encoded_em") =!= col("encoded_r1")).as("is_resegmented"),
+        col("encoded_em"))
+      .dumpOrdered("word")
+  }
 
   /** Corpus serving with the unigram tokenizer: one hash join from the
     * word occurrences to the per-word optimal segmentations (the
@@ -518,55 +582,67 @@ object TrainQueries {
          |vocab AS MATERIALIZED (
          |  SELECT piece, $UniCostBase - length(bin(total)) AS cost
          |  FROM (SELECT piece, total FROM cand UNION ALL
-         |        SELECT piece, total FROM pt WHERE length(piece) = 1)),
-         |pos AS (
+         |        SELECT piece, total FROM pt WHERE length(piece) = 1))"""
+        .stripMargin
+    s"$base,\n${duckViterbiCtes("", "vocab")}"
+  }
+
+  /** One Viterbi DP + backtrack CTE chain (all names suffixed `sfx`)
+    * segmenting `words` under the piece costs of `vocabCte`, ending at
+    * `uni$sfx(word, freq, n_pieces, total_cost, encoded)` — generated
+    * twice by the EM oracle (round-1 vocab, re-estimated vocab2). */
+  private def duckViterbiCtes(sfx: String, vocabCte: String): String = {
+    val base =
+      s"""pos$sfx AS (
          |  SELECT word, CAST(unnest(range(0, length(word) + 1)) AS BIGINT)
          |           AS i
          |  FROM words),
-         |edges AS MATERIALIZED (
+         |edges$sfx AS MATERIALIZED (
          |  SELECT a.word, b.i AS j, a.i AS i, v.cost
-         |  FROM pos a JOIN pos b
+         |  FROM pos$sfx a JOIN pos$sfx b
          |    ON b.word = a.word AND b.i < a.i AND b.i + $UniMaxPiece >= a.i
-         |  JOIN vocab v ON v.piece = substr(a.word,
+         |  JOIN $vocabCte v ON v.piece = substr(a.word,
          |    CAST(b.i + 1 AS INTEGER), CAST(a.i - b.i AS INTEGER))),
-         |dp0 AS (
+         |dp0$sfx AS (
          |  SELECT word, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cost,
          |         CAST(0 AS BIGINT) AS bp
          |  FROM words),
-         |a0 AS (SELECT * FROM dp0)""".stripMargin
+         |a0$sfx AS (SELECT * FROM dp0$sfx)""".stripMargin
     val dpRounds = (1 to UniMaxWordLen).map { k =>
-      s"""dp$k AS (
+      s"""dp$k$sfx AS (
          |  SELECT e.word, CAST($k AS BIGINT) AS i,
          |    min(d.cost + e.cost) AS cost,
          |    -- composite (total, j) packed into one BIGINT: j < 16, so
          |    -- *16+j orders exactly like the Spark side's struct min
          |    arg_min(e.j, (d.cost + e.cost) * 16 + e.j) AS bp
-         |  FROM edges e JOIN a${k - 1} d ON d.word = e.word AND d.i = e.j
+         |  FROM edges$sfx e JOIN a${k - 1}$sfx d
+         |    ON d.word = e.word AND d.i = e.j
          |  WHERE e.i = $k GROUP BY e.word),
-         |a$k AS MATERIALIZED (SELECT * FROM a${k - 1} UNION ALL SELECT * FROM dp$k)"""
+         |a$k$sfx AS MATERIALIZED (
+         |  SELECT * FROM a${k - 1}$sfx UNION ALL SELECT * FROM dp$k$sfx)"""
         .stripMargin
     }.mkString(",\n")
-    val aN = s"a$UniMaxWordLen"
+    val aN = s"a$UniMaxWordLen$sfx"
     val btRounds = (1 to UniMaxWordLen).map { k =>
-      s"""bt$k AS (
+      s"""bt$k$sfx AS (
          |  SELECT b.word, b.freq,
          |    CASE WHEN b.pos > 0 THEN d.bp ELSE b.pos END AS pos,
          |    CASE WHEN b.pos > 0 THEN list_append(b.cuts, d.bp)
          |         ELSE b.cuts END AS cuts
-         |  FROM bt${k - 1} b LEFT JOIN $aN d
+         |  FROM bt${k - 1}$sfx b LEFT JOIN $aN d
          |    ON d.word = b.word AND d.i = b.pos)""".stripMargin
     }.mkString(",\n")
     s"""$base,
        |$dpRounds,
-       |bt0 AS (
+       |bt0$sfx AS (
        |  SELECT word, freq, CAST(length(word) AS BIGINT) AS pos,
        |         [CAST(length(word) AS BIGINT)] AS cuts
        |  FROM words),
        |$btRounds,
-       |seg AS (
+       |seg$sfx AS (
        |  SELECT word, freq, list_sort(cuts) AS rev
-       |  FROM bt$UniMaxWordLen),
-       |uni AS MATERIALIZED (
+       |  FROM bt$UniMaxWordLen$sfx),
+       |uni$sfx AS MATERIALIZED (
        |  SELECT s.word, s.freq,
        |    CAST(len(s.rev) - 1 AS BIGINT) AS n_pieces,
        |    d.cost AS total_cost,
@@ -574,7 +650,7 @@ object TrainQueries {
        |      substr(s.word, CAST(s.rev[k] + 1 AS INTEGER),
        |             CAST(s.rev[k + 1] - s.rev[k] AS INTEGER))), '|')
        |      AS encoded
-       |  FROM seg s JOIN $aN d
+       |  FROM seg$sfx s JOIN $aN d
        |    ON d.word = s.word AND d.i = length(s.word))""".stripMargin
   }
 
@@ -582,6 +658,30 @@ object TrainQueries {
     s"""$duckUnigramCtes
        |SELECT word, freq, n_pieces, total_cost, encoded
        |FROM uni ORDER BY word""".stripMargin
+
+  private lazy val duckUnigramEmSql: String =
+    s"""$duckUnigramCtes,
+       |usage AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS total
+       |  FROM (SELECT freq, unnest(string_split(encoded, '|')) AS piece
+       |        FROM uni) z
+       |  GROUP BY piece),
+       |vocab2 AS MATERIALIZED (
+       |  SELECT piece, $UniCostBase - length(bin(total)) AS cost
+       |  FROM (SELECT piece, total FROM usage
+       |        UNION ALL
+       |        SELECT piece, total FROM pt
+       |        WHERE length(piece) = 1
+       |          AND piece NOT IN (SELECT piece FROM usage)) z),
+       |${duckViterbiCtes("_b", "vocab2")}
+       |SELECT u2.word, u2.freq,
+       |  u1.n_pieces AS n_pieces_r1,
+       |  u2.n_pieces AS n_pieces_em,
+       |  u2.total_cost AS total_cost_em,
+       |  u2.encoded <> u1.encoded AS is_resegmented,
+       |  u2.encoded AS encoded_em
+       |FROM uni_b u2 JOIN uni u1 USING (word)
+       |ORDER BY u2.word""".stripMargin
 
   private lazy val duckUnigramEncodeSql: String =
     s"""$duckUnigramCtes,
@@ -866,6 +966,8 @@ object TrainQueries {
     "data_unigram_segment" -> Q(unigramSegment, Some(duckUnigramSql)),
 
     "data_unigram_encode" -> Q(unigramEncode, Some(duckUnigramEncodeSql)),
+
+    "data_unigram_em" -> Q(unigramEm, Some(duckUnigramEmSql)),
 
     "data_curriculum_plan" -> Q(curriculumPlan, Some(
       s"""WITH d AS (

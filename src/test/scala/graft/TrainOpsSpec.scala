@@ -243,6 +243,53 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._2 > 1))
   }
 
+  test("data_unigram_em: round 2 is brute-force optimal under the " +
+      "usage-re-estimated costs; pruning holds") {
+    // rebuild costs2 exactly as the EM step defines them: usage counts
+    // from round-1 segmentations, plus unused single chars at their
+    // round-1 (substring-count) cost
+    val seg1 = Registry.byName("data_unigram_segment")
+      .build(spark, TestSpark.sf)
+      .select($"word", $"freq", $"encoded")
+      .as[(String, Long, String)].collect().toSeq
+    val usage = seg1.flatMap { case (_, f, enc) =>
+      enc.split("\\|").toSeq.map(_ -> f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val costs1 = TrainQueries.uniVocab(
+      TrainQueries.uniWords(spark, TestSpark.sf))
+      .as[(String, Long)].collect().toMap
+    def cost(t: Long): Long = 65L - java.lang.Long.toBinaryString(t).length
+    val costs2 = usage.map { case (p, t) => p -> cost(t) } ++
+      costs1.filter { case (p, _) => p.length == 1 && !usage.contains(p) }
+
+    def bruteMin(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue)
+      dp(0) = 0L
+      for (i <- 1 to w.length; j <- math.max(0, i - 4) until i)
+        costs2.get(w.substring(j, i)).foreach { c =>
+          if (dp(j) != Long.MaxValue && dp(j) + c < dp(i)) dp(i) = dp(j) + c
+        }
+      dp(w.length)
+    }
+
+    val em = Registry.byName("data_unigram_em").build(spark, TestSpark.sf)
+      .select($"word", $"total_cost_em", $"encoded_em", $"is_resegmented")
+      .as[(String, Long, String, Boolean)].collect().toSeq
+    assert(em.nonEmpty)
+    val enc1 = seg1.map(r => r._1 -> r._3).toMap
+    em.foreach { case (w, c, enc, rs) =>
+      val pieces = enc.split("\\|").toSeq
+      assert(pieces.mkString("") == w)
+      // PRUNE law: every multi-char piece of round 2 survived round 1's
+      // usage (candidate substrings that never won are gone)
+      assert(pieces.filter(_.length > 1).forall(usage.contains),
+        s"$w: unpruned piece in $enc")
+      assert(pieces.map(costs2).sum == c)
+      assert(c == bruteMin(w), s"$w: $c != brute ${bruteMin(w)}")
+      assert(rs == (enc != enc1(w)))
+    }
+  }
+
   test("data_curriculum_plan: stages are length-monotone terciles; " +
       "positions contiguous per (stage, shard)") {
     val rows = Registry.byName("data_curriculum_plan")
