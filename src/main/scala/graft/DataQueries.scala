@@ -243,6 +243,64 @@ object DataQueries {
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     similarPairs(spark, dir).dumpOrdered("id_a", "id_b")
 
+  /** Triangle counting over the near-dup graph — the clique-density
+    * signal (a triangle-rich component is a template family, not a
+    * chain of borderline matches) and the classic distributed-graph
+    * kernel, via the degree-orientation trick: every edge points from
+    * its lower-(degree, id) endpoint to the higher, so each triangle is
+    * counted exactly once at its lowest vertex, and the wedge join's
+    * intermediate is Σ d_out² with d_out ≤ √(2m) — the bound that keeps
+    * a hub node from exploding the join (a naive wedge join is Σ d²,
+    * quadratic in the hottest vertex's degree). Orientation keys pack
+    * (degree, id) into one BIGINT (degree · 2³² + id — exact while
+    * degree < 2³¹ and ids < 2³², both true by construction here and
+    * both mirrored in the oracle). Three equi-joins, no window, no
+    * recursion. Per-node counts: each triangle credits its three
+    * corners; nodes of the graph with zero triangles are kept (LEFT
+    * join), isolated docs are not graph nodes and are not rows. */
+  private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // build the pairs plan BEFORE entering the memo: a by-name build that
+    // itself memoizes (documentsHot inside the signature build) nests
+    // computeIfAbsent on the same map — "Recursive update"
+    val pairs = similarPairs(spark, dir).select(col("id_a"), col("id_b"))
+    triangleCounts(Tables.memoBy(spark, s"tripairs:$dir")(pairs))
+      .dumpOrdered("doc_id")
+  }
+
+  /** Degree-oriented per-node triangle counts over an (id_a, id_b) edge
+    * list (a < b, distinct) — see [[graphTriangles]] for the full
+    * algorithm/scale notes. Split out so the spec can run it on
+    * synthetic graphs with known triangle structure. */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val keyed = e
+      .join(deg.select(col("v").as("id_a"), col("degree").as("da")), Seq("id_a"))
+      .join(deg.select(col("v").as("id_b"), col("degree").as("db")), Seq("id_b"))
+      .select(
+        (col("da") * lit(4294967296L) + col("id_a")).as("ka"),
+        (col("db") * lit(4294967296L) + col("id_b")).as("kb"))
+    val oriented = keyed.select(
+      least(col("ka"), col("kb")).as("src"),
+      greatest(col("ka"), col("kb")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    val tri = wedges.join(oriented.as("e3"),
+      col("v") === col("e3.src") && col("w") === col("e3.dst"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("v"), col("w"))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(perNode.select((col("k") % lit(4294967296L)).as("v"),
+        col("n_triangles")), Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .dumpOrdered("doc_id")
+  }
+
   /** LSH quality vs EXACT Jaccard ground truth on a deterministic
     * evaluation sample (doc_id < 500): candidate recall (does any band
     * surface the true pair), decision recall and precision (est ≥
@@ -2436,6 +2494,35 @@ object DataQueries {
          |   AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, est_jaccard FROM pairs
          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    "data_graph_triangles" -> Q(graphTriangles, Some(
+      s"""WITH RECURSIVE
+         |$duckPairsCc,
+         |deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT id_a AS v FROM pairs
+         |        UNION ALL SELECT id_b FROM pairs) z
+         |  GROUP BY v),
+         |keyed AS (
+         |  SELECT da.degree * 4294967296 + p.id_a AS ka,
+         |         db.degree * 4294967296 + p.id_b AS kb
+         |  FROM pairs p JOIN deg da ON da.v = p.id_a
+         |               JOIN deg db ON db.v = p.id_b),
+         |o AS (SELECT least(ka, kb) AS src, greatest(ka, kb) AS dst
+         |      FROM keyed),
+         |wed AS (
+         |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+         |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+         |tri AS (
+         |  SELECT x, y, z FROM wed JOIN o e3
+         |    ON wed.y = e3.src AND wed.z = e3.dst),
+         |pn AS (
+         |  SELECT k, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT unnest([x, y, z]) AS k FROM tri) u GROUP BY k)
+         |SELECT deg.v AS doc_id, deg.degree,
+         |  COALESCE(pn.n_triangles, 0) AS n_triangles
+         |FROM deg LEFT JOIN pn ON pn.k % 4294967296 = deg.v
+         |ORDER BY doc_id""".stripMargin)),
 
     "data_dedup_components" -> Q(dedupComponents, Some(
       s"""WITH RECURSIVE

@@ -30,7 +30,7 @@ object Plans {
     "data_dsir_resample", "data_novelty_score", "data_source_pagerank",
     "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
     "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
-    "data_unigram_encode", "data_unigram_em")
+    "data_unigram_encode", "data_unigram_em", "data_graph_triangles")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries

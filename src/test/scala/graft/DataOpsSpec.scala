@@ -1007,6 +1007,30 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counts match brute force on known graph shapes") {
+    // K4 (every node in 3 of the 4 triangles) ∪ a square (0 triangles)
+    // ∪ a triangle with a pendant — exercises orientation ties, closed
+    // and open wedges, and the zero-count LEFT join.
+    val edges = Seq(
+      // K4 on 1..4
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      // square on 10..13
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L),
+      // triangle 20,21,22 with pendant 23
+      (20L, 21L), (20L, 22L), (21L, 22L), (22L, 23L)
+    ).toDF("id_a", "id_b")
+    val got = DataQueries.triangleCounts(edges)
+      .select($"doc_id", $"degree", $"n_triangles")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val expected = Seq(
+      (1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 3L, 3L),
+      (10L, 2L, 0L), (11L, 2L, 0L), (12L, 2L, 0L), (13L, 2L, 0L),
+      (20L, 2L, 1L), (21L, 2L, 1L), (22L, 3L, 1L), (23L, 1L, 0L))
+    assert(got == expected)
+    // global triangle law: per-node counts sum to 3 × the triangle count
+    assert(got.map(_._3).sum == 3 * (4 + 0 + 1))
+  }
+
   test("fuzzy decontamination mechanism: signature match separates a " +
       "paraphrase from an unrelated doc") {
     import graft.data.{Dedup, TextAnalysis}
