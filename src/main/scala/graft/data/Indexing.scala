@@ -280,14 +280,23 @@ object Indexing {
     * (per-bucket MAX across shards); `nd` sums correctly only over
     * shards with disjoint VALUE sets — drop it when merging row-split
     * shards. */
-  def hllRegisters(values: DataFrame, c: String,
-      groupCols: Seq[String]): DataFrame = {
-    val h = md5(col(c).cast("string"))
+  /** The (bucket, rank) column pair of a value under the portable md5
+    * hashing — shared by the batch register aggregate and the streaming
+    * windowed registers (whose aggregate cannot carry the batch path's
+    * count_distinct). */
+  def hllBucketRank(c: Column): (Column, Column) = {
+    val h = md5(c.cast("string"))
     val v = conv(substring(h, 3, 12), 16, 10).cast("long")
     val rank = when(v === 0L, lit(HllVBits + 1L))
       .otherwise(lit(HllVBits + 1L) - length(bin(v)).cast("long"))
+    (conv(substring(h, 1, 2), 16, 10).cast("long"), rank)
+  }
+
+  def hllRegisters(values: DataFrame, c: String,
+      groupCols: Seq[String]): DataFrame = {
+    val (bucket, rank) = hllBucketRank(col(c))
     values
-      .withColumn("bucket", conv(substring(h, 1, 2), 16, 10).cast("long"))
+      .withColumn("bucket", bucket)
       .withColumn("rank", rank)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("rank")).as("mj"), count_distinct(col(c)).as("nd"))

@@ -58,6 +58,34 @@ object EventStreams {
         (sum(round(col("value") * 100).cast("long")).cast(DecimalType(18, 2)) / 100)
           .cast(DecimalType(18, 2)).as("sum_value"))
 
+  /** Watermarked per-window HLL REGISTER stream: approximate distinct
+    * users per (1 h window, event type) with bounded state — the
+    * streaming twin of `data_sketch_hll`. The stream's output IS the
+    * register table (window, type, bucket, mj), the mergeable artifact:
+    * registers at rest MAX-merge across any re-run or shard split, and
+    * the estimate is a vocab-free batch fold at query time
+    * ([[graft.data.Indexing.hllEstimate]] semantics — StreamingSpec
+    * asserts single-batch register parity with the batch path and folds
+    * the streamed registers to the same estimates). Exact
+    * `count_distinct` is NOT expressible in a streaming aggregate (it
+    * would need per-key value sets in state); 256 longs per group is
+    * the whole point. State is watermark-bounded: closed windows emit
+    * once (Append) and their registers leave the store. */
+  def hllWindowRegisters(events: DataFrame): DataFrame = {
+    val (bucket, rank) =
+      graft.data.Indexing.hllBucketRank(col("user_id"))
+    events
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+      .withColumn("bucket", bucket)
+      .withColumn("rank", rank)
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"),
+        col("bucket"))
+      .agg(max(col("rank")).as("mj"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("bucket"), col("mj"))
+  }
+
   /** Typed event row over the NORMALIZED µs column — state logic never
     * touches the generation-dependent raw `ts`. */
   case class EventRow(event_id: Long, ts_us: Long, user_id: Long,

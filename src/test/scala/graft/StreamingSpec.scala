@@ -95,6 +95,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming HLL window registers match batch; fold to the same estimates") {
+    import graft.data.Indexing
+    val streamed = EventStreams.runToMemory(
+      EventStreams.hllWindowRegisters(EventStreams.readEvents(spark, eventsGlob)),
+      // Complete for the bounded-input parity run, like windowedCounts
+      "hll_regs", OutputMode.Complete())
+
+    val e = Tables.events(spark, TestSpark.sf)
+      .where(col("event_type").isNotNull && col("user_id").isNotNull)
+    val (bucket, rank) = Indexing.hllBucketRank(col("user_id"))
+    val batch = e
+      .withColumn("bucket", bucket).withColumn("rank", rank)
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"),
+        col("bucket"))
+      .agg(max(col("rank")).as("mj"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("bucket"), col("mj"))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // the streamed registers fold to the same estimates as the batch
+    // fold (nd is absent from a streaming aggregate — estimate columns
+    // never read it, so a zero stub suffices for the fold)
+    val estS = Indexing.hllEstimate(streamed.withColumn("nd", lit(0L)),
+        Seq("win_start", "event_type"))
+      .select(col("win_start"), col("event_type"), col("n_hit"),
+        col("est_distinct"))
+    val estB = Indexing.hllEstimate(batch.withColumn("nd", lit(0L)),
+        Seq("win_start", "event_type"))
+      .select(col("win_start"), col("event_type"), col("n_hit"),
+        col("est_distinct"))
+    assert(estS.exceptAll(estB).isEmpty && estB.exceptAll(estS).isEmpty)
+  }
+
   test("stream-stream interval join converges to the batch join") {
     val ev = EventStreams.readEvents(spark, eventsGlob)
     val streamed = EventStreams.runToMemory(
