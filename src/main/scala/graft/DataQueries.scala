@@ -1756,17 +1756,28 @@ object DataQueries {
     * map-side-combinable argmax, deterministic via the negated-id
     * tiebreak. */
   private def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documentsHot(spark, dir)
+    graft.functions.ArrEqCountFunctions.register(spark)
+    // Memo-persist BARRIER below the ×|eval| expand: inlined, the
+    // tokenize→shingle→minhash projection collapses into the join output
+    // and re-evaluates once PER PAIR — FuzzyProbe measured the sig scan
+    // at 2.4 s vs 33-38 s for the joined scoring at sf10 (the round-7
+    // media fan-out pathology, caught again here). The barrier makes the
+    // expand read cached signatures. (Plan built outside the memo call —
+    // a by-name build that itself memoizes nests computeIfAbsent.)
+    val sigsPlan = Tables.documentsHot(spark, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         Dedup.minhashSig(TextAnalysis.shingles(col("toks"), 3), K).as("sig"))
+    val sigs = Tables.memoBy(spark, s"fuzzysigs:$dir")(sigsPlan)
     val evalSigs = sigs.where(col("doc_id") < 10)
       .select(col("doc_id").as("eval_id"), col("sig").as("esig"))
     sigs.where(col("doc_id") >= 10)
       .crossJoin(broadcast(evalSigs))
       .select(col("doc_id"), col("eval_id"),
-        size(filter(zip_with(col("sig"), col("esig"), (a, b) => a === b),
-          x => x)).cast("long").as("n_match"))
+        // compiled signature compare — the interpreted zip_with form was
+        // the query's CPU constant at sf10 (21.4 s; bit-parity spec'd)
+        graft.functions.ArrEqCountFunctions
+          .arr_eq_count(col("sig"), col("esig")).as("n_match"))
       .groupBy(col("doc_id"))
       .agg(max(struct(col("n_match"), (-col("eval_id")).as("neg"))).as("m"))
       .select(col("doc_id"),

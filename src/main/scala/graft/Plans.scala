@@ -362,7 +362,22 @@ object Plans {
       |  BROADCAST constant; the corpus side is one scan, a ×|eval|
       |  map-only expand, and one map-side-combinable max(struct) argmax —
       |  the plan must show BroadcastNestedLoopJoin (a bounded cross
-      |  expand), never a corpus shuffle.
+      |  expand), never a corpus shuffle. The corpus side below the join
+      |  must be an InMemoryTableScan of the SIGNATURE memo — with the
+      |  sig projection inlined, the expand re-evaluates
+      |  tokenize→shingle→minhash once per pair (FuzzyProbe: 2.4 s scan
+      |  vs 33–38 s joined at sf10; barrier = 0.60 s), and the compare is
+      |  the compiled arr_eq_count, not an interpreted zip_with.
+      |- **data_unigram_em** — both Viterbi rounds are per-row HOF folds
+      |  over the DISTINCT-word table with literal cost maps (model
+      |  artifacts collected at build); the round-2/round-1 comparison is
+      |  one vocab-sized equi-join. The corpus appears only in the
+      |  word-frequency aggregate.
+      |- **data_graph_triangles** — degree join, orientation projection,
+      |  wedge self-join and the closing-edge join are ALL equi-joins on
+      |  the packed (degree, id) key; the pairs relation is the memoized
+      |  LSH candidate chain (one build, four consumers). No recursion,
+      |  no window.
       |- **data_scd2_history** — lead() and row_number() share ONE
       |  (user_id) partitioning: a single exchange + sort feeds both
       |  windows; partition size is one entity's change history.

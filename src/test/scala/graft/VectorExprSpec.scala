@@ -82,4 +82,36 @@ class VectorExprSpec extends AnyFunSuite {
       .as[(Option[Double], Option[Double])].collect().toSeq
     assert(elemNull == Seq((None, None), (Some(1.0), Some(1.0))))
   }
+
+  test("arr_eq_count matches the zip_with/filter HOF on adversarial arrays") {
+    graft.functions.ArrEqCountFunctions.register(spark)
+    import graft.functions.ArrEqCountFunctions.arr_eq_count
+    // length mismatches, null elements on either side, empty arrays,
+    // full agreement, zero agreement
+    val rows = Seq(
+      (Seq[Option[String]](Some("a"), Some("b"), Some("c")),
+        Seq[Option[String]](Some("a"), Some("x"), Some("c"))),
+      (Seq[Option[String]](Some("a"), Some("b")),
+        Seq[Option[String]](Some("a"), Some("b"), Some("c"))),
+      (Seq[Option[String]](Some("a"), None, Some("c")),
+        Seq[Option[String]](Some("a"), None, Some("c"))),
+      (Seq[Option[String]](), Seq[Option[String]](Some("a"))),
+      (Seq[Option[String]](Some("x")), Seq[Option[String]](Some("y"))),
+      (Seq[Option[String]](Some("s"), Some("s")),
+        Seq[Option[String]](Some("s"), Some("s"))))
+      .toDF("a", "b")
+    val got = rows.select(
+        arr_eq_count(col("a"), col("b")).as("fast"),
+        size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+          x => x)).cast("long").as("hof"))
+      .as[(Long, Long)].collect().toSeq
+    got.foreach { case (fast, hof) => assert(fast == hof, s"$fast != $hof") }
+    assert(got.map(_._1) == Seq(2L, 2L, 2L, 0L, 0L, 2L))
+    // null ARRAY propagates (BinaryExpression null intolerance)
+    val n = Seq((Option.empty[Seq[String]], Some(Seq("a"))))
+      .toDF("a", "b")
+      .select(arr_eq_count(col("a"), col("b")))
+      .as[Option[Long]].collect().toSeq
+    assert(n == Seq(None))
+  }
 }
