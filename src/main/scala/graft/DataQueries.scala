@@ -1226,6 +1226,45 @@ object DataQueries {
       .dumpOrderedTail("doc_id")
   }
 
+  /** Membership / edit rates of the two synthetic snapshots (percent). */
+  private val DiffKeep = 90
+  private val DiffEdit = 20
+
+  /** Corpus snapshot diff — the crawl-over-crawl change audit every
+    * versioned corpus needs: which documents were ADDED, REMOVED, or
+    * CHANGED between snapshot A and snapshot B, decided by id + content
+    * hash. The two snapshots derive deterministically from the documents
+    * table (independent seeded 90% membership draws; 20% of B's docs
+    * carry an edited text — the same source-derived-fixture trick as the
+    * media encoders), so the differential proves the diff logic, not the
+    * fixture.
+    *
+    * Scale: ONE full-outer hash join on the id with md5 columns computed
+    * on the scan — no content comparison beyond the 32-char hash, no
+    * window, no skew surface (ids are unique). At 100 TB this is the
+    * snapshot-manifest join, the companion of `data_shard_manifest`'s
+    * checksums and `data_dedup_incremental`'s content screen. */
+  private def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsHot(spark, dir)
+    def member(seed: String) =
+      Indexing.seededBucket(col("doc_id"), lit(seed), 100) < DiffKeep
+    val a = docs.where(member("snapA"))
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val b = docs.where(member("snapB"))
+      .select(col("doc_id"),
+        md5(when(
+          Indexing.seededBucket(col("doc_id"), lit("edit"), 100) < DiffEdit,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+          .as("new_md5"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_md5"), col("new_md5"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged").as("status"))
+      .dumpOrdered("doc_id")
+  }
+
   private def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id") +:
@@ -3727,6 +3766,29 @@ object DataQueries {
          |    CAST(p AS VARCHAR) || ':' || h[CAST(p + 1 AS INTEGER)]), ','))
          |    AS fp_md5
          |FROM sel ORDER BY doc_id""".stripMargin)),
+
+    "data_corpus_diff" -> Q(corpusDiff, Some {
+      val bucket = (seed: String) =>
+        s"""(CAST(list_sum(list_transform(range(1, 5), i ->
+           |      (strpos('0123456789abcdef',
+           |         substr(md5('$seed|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+           |        * 16 ** (4 - i))) AS BIGINT) % 100)""".stripMargin
+      s"""WITH a AS (
+         |  SELECT doc_id, md5(text) AS old_md5 FROM documents
+         |  WHERE ${bucket("snapA")} < $DiffKeep),
+         |b AS (
+         |  SELECT doc_id,
+         |    md5(CASE WHEN ${bucket("edit")} < $DiffEdit
+         |             THEN text || ' edited' ELSE text END) AS new_md5
+         |  FROM documents WHERE ${bucket("snapB")} < $DiffKeep)
+         |SELECT doc_id, a.old_md5, b.new_md5,
+         |  CASE WHEN a.old_md5 IS NULL THEN 'added'
+         |       WHEN b.new_md5 IS NULL THEN 'removed'
+         |       WHEN a.old_md5 <> b.new_md5 THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM a FULL OUTER JOIN b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }),
 
     "data_dedup_incremental" -> Q(dedupIncremental, Some(
       s"""WITH t AS (

@@ -30,7 +30,8 @@ object Plans {
     "data_dsir_resample", "data_novelty_score", "data_source_pagerank",
     "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
     "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
-    "data_unigram_encode", "data_unigram_em", "data_graph_triangles")
+    "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
+    "data_corpus_diff")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -373,6 +374,9 @@ object Plans {
       |  artifacts collected at build); the round-2/round-1 comparison is
       |  one vocab-sized equi-join. The corpus appears only in the
       |  word-frequency aggregate.
+      |- **data_corpus_diff** — ONE full-outer hash join on the unique
+      |  id with md5 columns computed on the scans; no window, no skew
+      |  surface, content never compared beyond the 32-char hash.
       |- **data_graph_triangles** — degree join, orientation projection,
       |  wedge self-join and the closing-edge join are ALL equi-joins on
       |  the packed (degree, id) key; the pairs relation is the memoized

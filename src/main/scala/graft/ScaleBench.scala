@@ -49,7 +49,8 @@ object ScaleBench {
     // round-9 late additions: sketch/format/tokenizer/decontamination
     "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
     "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
-    "data_unigram_encode", "data_unigram_em", "data_graph_triangles")
+    "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
+    "data_corpus_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1007,6 +1007,42 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus diff statuses match independently recomputed membership draws") {
+    def bucket(seed: String, id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(4), 16) % 100
+    }
+    val rows = Registry.byName("data_corpus_diff").build(spark, TestSpark.sf)
+      .select($"doc_id", $"status")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    // all four fates occur at this sf — the check is not vacuous
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(byStatus.keySet), byStatus.toString)
+    rows.foreach { case (id, st) =>
+      val inA = bucket("snapA", id) < 90
+      val inB = bucket("snapB", id) < 90
+      val edited = bucket("edit", id) < 20
+      val expect =
+        if (!inA && inB) "added"
+        else if (inA && !inB) "removed"
+        else if (edited) "changed"
+        else "unchanged"
+      assert(st == expect, s"doc $id: $st != $expect")
+    }
+    // docs in neither snapshot appear in neither side of the full outer
+    val ids = rows.map(_._1).toSet
+    val all = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id").as[Long].collect().toSeq
+    all.filterNot(ids).foreach { id =>
+      assert(bucket("snapA", id) >= 90 && bucket("snapB", id) >= 90,
+        s"doc $id missing from the diff but in a snapshot")
+    }
+  }
+
   test("triangle counts match brute force on known graph shapes") {
     // K4 (every node in 3 of the 4 triangles) ∪ a square (0 triangles)
     // ∪ a triangle with a pendant — exercises orientation ties, closed
