@@ -298,7 +298,7 @@ object DataQueries {
         col("n_triangles")), Seq("v"), "left")
       .select(col("v").as("doc_id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-      .dumpOrdered("doc_id")
+    // (no dump sort here — the query wrapper owns result ordering)
   }
 
   /** LSH quality vs EXACT Jaccard ground truth on a deterministic
@@ -1794,6 +1794,15 @@ object DataQueries {
     * no shuffle of the corpus. The best-match pick is max(struct) — a
     * map-side-combinable argmax, deterministic via the negated-id
     * tiebreak. */
+  /** The per-doc signature plan of the fuzzy decontaminator — ONE
+    * definition shared with [[graft.FuzzyProbe]] so the probe's numbers
+    * can never drift from the query they justify. */
+  private[graft] def fuzzySigPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsHot(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Dedup.minhashSig(TextAnalysis.shingles(col("toks"), 3), K).as("sig"))
+
   private def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrEqCountFunctions.register(spark)
     // Memo-persist BARRIER below the ×|eval| expand: inlined, the
@@ -1803,10 +1812,7 @@ object DataQueries {
     // media fan-out pathology, caught again here). The barrier makes the
     // expand read cached signatures. (Plan built outside the memo call —
     // a by-name build that itself memoizes nests computeIfAbsent.)
-    val sigsPlan = Tables.documentsHot(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        Dedup.minhashSig(TextAnalysis.shingles(col("toks"), 3), K).as("sig"))
+    val sigsPlan = fuzzySigPlan(spark, dir) // built OUTSIDE the by-name memo
     val sigs = Tables.memoBy(spark, s"fuzzysigs:$dir")(sigsPlan)
     val evalSigs = sigs.where(col("doc_id") < 10)
       .select(col("doc_id").as("eval_id"), col("sig").as("esig"))
@@ -3769,10 +3775,7 @@ object DataQueries {
 
     "data_corpus_diff" -> Q(corpusDiff, Some {
       val bucket = (seed: String) =>
-        s"""(CAST(list_sum(list_transform(range(1, 5), i ->
-           |      (strpos('0123456789abcdef',
-           |         substr(md5('$seed|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
-           |        * 16 ** (4 - i))) AS BIGINT) % 100)""".stripMargin
+        DuckFrag.bucket(s"'$seed|' || CAST(doc_id AS VARCHAR)", 100)
       s"""WITH a AS (
          |  SELECT doc_id, md5(text) AS old_md5 FROM documents
          |  WHERE ${bucket("snapA")} < $DiffKeep),

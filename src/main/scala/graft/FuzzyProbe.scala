@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.data.{Dedup, TextAnalysis}
 
 /** Decomposes `data_decontaminate_fuzzy`'s cost at a probe SF: (a) the
   * signature scan alone, (b) compiled arr_eq_count pair scoring, (c) the
@@ -23,10 +22,9 @@ object FuzzyProbe {
     graft.functions.ArrEqCountFunctions.register(spark)
     import graft.functions.ArrEqCountFunctions.arr_eq_count
 
-    def sigs = Tables.documentsHot(spark, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        Dedup.minhashSig(TextAnalysis.shingles(col("toks"), 3), 12).as("sig"))
+    // the PRODUCTION signature plan — shared with decontaminateFuzzy so
+    // the probe always measures the workload the query actually runs
+    def sigs = DataQueries.fuzzySigPlan(spark, dir)
     def evalSigs = sigs.where(col("doc_id") < 10)
       .select(col("doc_id").as("eval_id"), col("sig").as("esig"))
 

@@ -34,9 +34,7 @@ object IndexQueries {
     * [[Indexing.seededBucket]] (same strpos arithmetic the classifier
     * oracle uses). `arg` is the full md5 argument incl. seed prefix. */
   private def duckBucket(arg: String, m: Int): String =
-    s"(CAST(list_sum(list_transform(range(1, 5), i -> " +
-      s"(strpos('0123456789abcdef', substr(md5($arg), i, 1)) - 1) " +
-      s"* 16 ** (4 - i))) AS BIGINT) % $m)"
+    DuckFrag.bucket(arg, m)
 
   // -- duplicate-span removal ------------------------------------------
 

@@ -20,3 +20,18 @@ final case class Q(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     headline: Boolean = false)
+
+/** Shared DuckDB oracle fragments — arithmetic that must stay
+  * bit-identical to a Spark-side twin lives in ONE string template. */
+object DuckFrag {
+
+  /** DuckDB twin of [[graft.data.Indexing.seededBucket]] (first-4-hex-
+    * digit md5 bucket mod m). `arg` is the full md5 argument including
+    * any seed prefix. A second hand-maintained copy of this strpos
+    * arithmetic is how an oracle silently diverges — delegate, never
+    * re-type. */
+  def bucket(arg: String, m: Int): String =
+    s"(CAST(list_sum(list_transform(range(1, 5), i -> " +
+      s"(strpos('0123456789abcdef', substr(md5($arg), i, 1)) - 1) " +
+      s"* 16 ** (4 - i))) AS BIGINT) % $m)"
+}

@@ -17,12 +17,10 @@ object TrainQueries {
 
   private val duckWords = "string_split_regex(text, '\\s+')"
 
-  /** DuckDB twin of [[Indexing.seededBucket]]: first-4-hex-digit md5
-    * bucket of `'<seed>|' || arg`, mod m. */
+  /** DuckDB twin of [[Indexing.seededBucket]] — delegates to the single
+    * shared template ([[DuckFrag.bucket]]). */
   private def duckBucket(arg: String, m: Int): String =
-    s"(CAST(list_sum(list_transform(range(1, 5), i -> " +
-      s"(strpos('0123456789abcdef', substr(md5($arg), i, 1)) - 1) " +
-      s"* 16 ** (4 - i))) AS BIGINT) % $m)"
+    DuckFrag.bucket(arg, m)
 
   // -- hash split -------------------------------------------------------
 
@@ -449,12 +447,9 @@ object TrainQueries {
     val pieces = transform(sequence(lit(1), size(col("rev")) - 1),
       k => col("word").substr(element_at(col("rev"), k) + 1,
         element_at(col("rev"), k + 1) - element_at(col("rev"), k)))
-    // DP/oracle unroll bound — enforced eagerly at build time (a column
-    // guard would be pruned away); a longer-word corpus raises here with
-    // the knob to turn, instead of silently truncating the oracle's DP.
-    val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
-    require(maxLen <= UniMaxWordLen,
-      s"corpus word length $maxLen exceeds UniMaxWordLen=$UniMaxWordLen")
+    // (the UniMaxWordLen unroll guard runs ONCE in the callers — an
+    // extra copy here would re-run the corpus-scale word aggregate per
+    // viterbi round)
     val out = words
       .withColumn("dp", dp)
       .withColumn("rev", reverse(walk))
@@ -469,14 +464,23 @@ object TrainQueries {
   private def collectCosts(vocab: DataFrame): Map[String, Long] =
     vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  private def unigramWordSegs(spark: SparkSession, dir: String): DataFrame = {
-    val words = uniWords(spark, dir)
-    // DP/oracle unroll bound — enforced eagerly at build time (a column
-    // guard would be pruned away); a longer-word corpus raises here with
-    // the knob to turn, instead of silently truncating the oracle's DP.
+  /** Memoized distinct-word table (vocab-sized cache — the corpus-scale
+    * tokenize+aggregate runs ONCE per session however many unigram
+    * builds consume it) plus the eager DP/oracle unroll-bound guard (a
+    * column guard would be pruned away; a longer-word corpus raises here
+    * with the knob to turn, instead of silently truncating the oracle's
+    * unrolled DP). The guard's aggregate reads the cache — trivial. */
+  private def uniWordsChecked(spark: SparkSession, dir: String): DataFrame = {
+    val plan = uniWords(spark, dir) // built OUTSIDE the memo (no nesting)
+    val words = Tables.memoBy(spark, s"uniwords:$dir")(plan)
     val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
     require(maxLen <= UniMaxWordLen,
       s"corpus word length $maxLen exceeds UniMaxWordLen=$UniMaxWordLen")
+    words
+  }
+
+  private def unigramWordSegs(spark: SparkSession, dir: String): DataFrame = {
+    val words = uniWordsChecked(spark, dir)
     viterbiSegment(words, collectCosts(uniVocab(words)))
   }
 
@@ -499,12 +503,12 @@ object TrainQueries {
     * Scale: both rounds are vocab-sized DP work; usage counting is one
     * explode + hash aggregate over the per-word segmentations. */
   private def unigramEm(spark: SparkSession, dir: String): DataFrame = {
-    val words = uniWords(spark, dir)
-    val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
-    require(maxLen <= UniMaxWordLen,
-      s"corpus word length $maxLen exceeds UniMaxWordLen=$UniMaxWordLen")
+    val words = uniWordsChecked(spark, dir)
     val costs1 = collectCosts(uniVocab(words))
-    val seg1 = viterbiSegment(words, costs1)
+    // round-1 segmentations feed the usage collect AND the final
+    // round-comparison join — memo barrier so the DP runs once
+    val seg1Plan = viterbiSegment(words, costs1)
+    val seg1 = Tables.memoBy(spark, s"uniseg1:$dir")(seg1Plan)
     val usage: Map[String, Long] = seg1
       .select(col("freq"), explode(split(col("encoded"), "\\|")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("total"))

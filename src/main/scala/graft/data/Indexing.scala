@@ -267,6 +267,18 @@ object Indexing {
   /** The raw-vs-linear-counting switch threshold, 2.5·m. */
   val HllSmallRange = 640.0
 
+  /** The (bucket, rank) column pair of a value under the portable md5
+    * hashing — shared by the batch register aggregate and the streaming
+    * windowed registers (whose aggregate cannot carry the batch path's
+    * count_distinct). */
+  def hllBucketRank(c: Column): (Column, Column) = {
+    val h = md5(c.cast("string"))
+    val v = conv(substring(h, 3, 12), 16, 10).cast("long")
+    val rank = when(v === 0L, lit(HllVBits + 1L))
+      .otherwise(lit(HllVBits + 1L) - length(bin(v)).cast("long"))
+    (conv(substring(h, 1, 2), 16, 10).cast("long"), rank)
+  }
+
   /** Per-bucket HLL registers of `values(c)` under `groupCols`:
     * (groupCols…, bucket, mj, nd). One hash aggregate; rank = 49 −
     * floor_log2(v) computed in integer domain via `length(bin(v))`
@@ -280,18 +292,6 @@ object Indexing {
     * (per-bucket MAX across shards); `nd` sums correctly only over
     * shards with disjoint VALUE sets — drop it when merging row-split
     * shards. */
-  /** The (bucket, rank) column pair of a value under the portable md5
-    * hashing — shared by the batch register aggregate and the streaming
-    * windowed registers (whose aggregate cannot carry the batch path's
-    * count_distinct). */
-  def hllBucketRank(c: Column): (Column, Column) = {
-    val h = md5(c.cast("string"))
-    val v = conv(substring(h, 3, 12), 16, 10).cast("long")
-    val rank = when(v === 0L, lit(HllVBits + 1L))
-      .otherwise(lit(HllVBits + 1L) - length(bin(v)).cast("long"))
-    (conv(substring(h, 1, 2), 16, 10).cast("long"), rank)
-  }
-
   def hllRegisters(values: DataFrame, c: String,
       groupCols: Seq[String]): DataFrame = {
     val (bucket, rank) = hllBucketRank(col(c))
