@@ -369,6 +369,9 @@ object TrainQueries {
   private[graft] def uniWords(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsHot(spark, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      // leading-whitespace text splits to an empty first token; a
+      // zero-length word would send the Viterbi DP into element_at(acc, 0)
+      .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Unigram-LM piece vocabulary: every 1-char substring (the lossless
@@ -473,7 +476,10 @@ object TrainQueries {
   private def uniWordsChecked(spark: SparkSession, dir: String): DataFrame = {
     val plan = uniWords(spark, dir) // built OUTSIDE the memo (no nesting)
     val words = Tables.memoBy(spark, s"uniwords:$dir")(plan)
-    val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
+    val maxLen = Option(words.agg(max(length(col("word")))).head.get(0))
+      .map(_.asInstanceOf[Int])
+      .getOrElse(throw new IllegalArgumentException(
+        s"unigram trainer needs a non-empty corpus: no words found in $dir"))
     require(maxLen <= UniMaxWordLen,
       s"corpus word length $maxLen exceeds UniMaxWordLen=$UniMaxWordLen")
     words
@@ -568,7 +574,7 @@ object TrainQueries {
       s"""WITH wx AS (SELECT unnest($duckWords) AS word FROM documents),
          |words AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM wx GROUP BY word),
+         |  FROM wx WHERE length(word) > 0 GROUP BY word),
          |subs AS (
          |  SELECT substr(word, CAST(s + 1 AS INTEGER), CAST(l AS INTEGER))
          |           AS piece, freq

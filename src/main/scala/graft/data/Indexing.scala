@@ -296,6 +296,11 @@ object Indexing {
       groupCols: Seq[String]): DataFrame = {
     val (bucket, rank) = hllBucketRank(col(c))
     values
+      // md5(NULL) would land rows in a null bucket whose mj is NULL: the
+      // shiftleft term drops out of the harmonic sum while count(*) still
+      // counts the register row, biasing the estimate — NULLs are not
+      // distinct values, so drop them here rather than trust callers
+      .where(col(c).isNotNull)
       .withColumn("bucket", bucket)
       .withColumn("rank", rank)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
