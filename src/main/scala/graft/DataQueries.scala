@@ -1217,12 +1217,77 @@ object DataQueries {
     * or above are the incoming batch. */
   private val SnapshotId = 400L
 
+  /** Shared oracle of the batch-vs-corpus cell screen: both the
+    * per-batch recompute (`data_dedup_incremental`) and the
+    * maintained-index serve (`data_dedup_index_serve`) must return
+    * exactly this — the stored index IS the corpus's distinct cell set,
+    * so one SQL differential-checks both physical paths. */
+  private lazy val duckScreenSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckWords AS toks FROM documents),
+       |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+       |ch AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(
+       |      toks[(i * $ScreenCell + 1):(i * $ScreenCell + $ScreenCell)],
+       |      ' ')) AS h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, (n + ${ScreenCell - 1}) // $ScreenCell)) AS i
+       |        FROM c) x),
+       |corp AS (SELECT DISTINCT h AS hc FROM ch WHERE doc_id < $SnapshotId),
+       |b AS (
+       |  SELECT ch.doc_id, count(*) AS n_cells, count(hc) AS n_dup_cells
+       |  FROM ch LEFT JOIN corp ON ch.h = corp.hc
+       |  WHERE ch.doc_id >= $SnapshotId GROUP BY ch.doc_id)
+       |SELECT doc_id, n_cells, n_dup_cells,
+       |  CAST(n_dup_cells AS DOUBLE) / CAST(n_cells AS DOUBLE)
+       |    AS dup_cell_frac,
+       |  CAST(n_dup_cells AS DOUBLE) / CAST(n_cells AS DOUBLE) >= 0.5
+       |    AS is_mostly_dup
+       |FROM b ORDER BY doc_id""".stripMargin
+
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsHot(spark, dir)
     Dedup.incrementalCellScreen(
         docs.where(col("doc_id") >= SnapshotId),
         docs.where(col("doc_id") < SnapshotId),
         "doc_id", "text", ScreenCell)
+      .dumpOrderedTail("doc_id")
+  }
+
+  /** Maintained-index serve paths, built once per (process, dir): the
+    * corpus cell index is written as shard-partitioned parquet by
+    * [[Dedup.writeCellIndex]] exactly once, then every serve (bench rep,
+    * repeated verify build) reads the STORED index — the production
+    * lifecycle, where the index outlives any single batch. Keyed by dir,
+    * not session: the files persist across sessions within the process. */
+  private val builtCellIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val idxRunId = java.util.UUID.randomUUID().toString.take(8)
+
+  private def cellIndexPath(spark: SparkSession, dir: String): String =
+    builtCellIndexes.computeIfAbsent(dir, _ => {
+      val name = new java.io.File(dir).getName
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_cellidx_$idxRunId/$name"
+      Dedup.writeCellIndex(
+        Tables.documentsHot(spark, dir).where(col("doc_id") < SnapshotId),
+        "doc_id", "text", ScreenCell, p)
+      p
+    })
+
+  /** The maintained-index serve (VERDICT r9 #1): identical screen verdicts
+    * to `data_dedup_incremental` — the stored index IS the corpus's
+    * distinct cell set — but the corpus side is a partition-pruned scan of
+    * the persisted index instead of a per-batch recompute, and the big
+    * side is never shuffled ([[Dedup.indexedCellScreen]]'s broadcast
+    * orientation). The oracle is shared with the incremental screen: same
+    * semantics, differential-checked through a different physical path. */
+  private def dedupIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.read.parquet(cellIndexPath(spark, dir))
+    val batchCells = Dedup.cellHashes(
+      Tables.documentsHot(spark, dir).where(col("doc_id") >= SnapshotId),
+      "doc_id", "text", ScreenCell)
+    Dedup.indexedCellScreen(batchCells, idx, "doc_id")
       .dumpOrderedTail("doc_id")
   }
 
@@ -3793,29 +3858,12 @@ object DataQueries {
          |ORDER BY doc_id""".stripMargin
     }),
 
-    "data_dedup_incremental" -> Q(dedupIncremental, Some(
-      s"""WITH t AS (
-         |  SELECT doc_id, $duckWords AS toks FROM documents),
-         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
-         |ch AS (
-         |  SELECT doc_id,
-         |    md5(array_to_string(
-         |      toks[(i * $ScreenCell + 1):(i * $ScreenCell + $ScreenCell)],
-         |      ' ')) AS h
-         |  FROM (SELECT doc_id, toks,
-         |          unnest(range(0, (n + ${ScreenCell - 1}) // $ScreenCell)) AS i
-         |        FROM c) x),
-         |corp AS (SELECT DISTINCT h AS hc FROM ch WHERE doc_id < $SnapshotId),
-         |b AS (
-         |  SELECT ch.doc_id, count(*) AS n_cells, count(hc) AS n_dup_cells
-         |  FROM ch LEFT JOIN corp ON ch.h = corp.hc
-         |  WHERE ch.doc_id >= $SnapshotId GROUP BY ch.doc_id)
-         |SELECT doc_id, n_cells, n_dup_cells,
-         |  CAST(n_dup_cells AS DOUBLE) / CAST(n_cells AS DOUBLE)
-         |    AS dup_cell_frac,
-         |  CAST(n_dup_cells AS DOUBLE) / CAST(n_cells AS DOUBLE) >= 0.5
-         |    AS is_mostly_dup
-         |FROM b ORDER BY doc_id""".stripMargin)),
+    "data_dedup_incremental" -> Q(dedupIncremental, Some(duckScreenSql)),
+
+    // same semantics, different physical path: the serve reads the stored
+    // shard-partitioned index where the incremental screen recomputes the
+    // corpus cells — one oracle differential-checks both
+    "data_dedup_index_serve" -> Q(dedupIndexServe, Some(duckScreenSql)),
 
     "data_quality_classifier" -> Q(qualityClassifier, Some(
       s"""WITH f AS (

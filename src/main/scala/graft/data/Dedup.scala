@@ -242,6 +242,63 @@ object Dedup {
       .withColumn("is_mostly_dup", col("dup_cell_frac") >= 0.5)
   }
 
+  /** Shard key of a cell hash: its first hex nibble as an int — the
+    * layout key of the MAINTAINED index ([[writeCellIndex]]). 16 shards
+    * keeps the toy-scale directory count sane while exercising the same
+    * partition-pruning machinery; production widens to two nibbles (256)
+    * by raising the substring length, nothing else changes. Hash-derived,
+    * so shards are uniform by construction — no skew surface. */
+  def cellShard(h: Column): Column =
+    conv(substring(h, 1, 1), 16, 10).cast("int")
+
+  /** Build the maintained corpus cell-hash index ONCE: distinct cell
+    * hashes written as parquet partitioned by [[cellShard]]. This is the
+    * production shape [[incrementalCellScreen]]'s scaladoc promises — the
+    * index is a persisted table a crawl pipeline maintains across
+    * batches, not a per-batch recompute of the whole corpus.
+    *
+    * `repartition(shard)` before the partitioned write: without it every
+    * task writes a file into every shard directory (tasks × shards tiny
+    * files); with it each shard is one writer's output. At 100 TB the
+    * same layout holds with more shards and multiple files per shard
+    * (`repartition(n, shard)`); appending a new batch's novel hashes is
+    * a partitioned INSERT into the same directories. */
+  def writeCellIndex(corpus: DataFrame, idCol: String, textCol: String,
+      cellWords: Int, path: String): Unit =
+    cellHashes(corpus, idCol, textCol, cellWords)
+      .select(col("cell_hash")).distinct()
+      .withColumn("shard", cellShard(col("cell_hash")))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Serve an ingest batch against the STORED index (the read-back of
+    * [[writeCellIndex]]): same output contract as
+    * [[incrementalCellScreen]] — (id, n_cells, n_dup_cells,
+    * dup_cell_frac, is_mostly_dup) — but the corpus side is never
+    * recomputed and never shuffled.
+    *
+    * Join orientation is the scale argument: the index is the 100 TB
+    * side, the batch is small by definition (one ingest increment), so
+    * the hit count runs as `index INNER JOIN broadcast(batch cells)` —
+    * a BroadcastHashJoin that STREAMS the index scan (zero exchange on
+    * the big side) and feeds dynamic partition pruning on the `shard`
+    * directory key, so only the shard directories the batch actually
+    * touches are read. Per-doc totals come from the batch alone; docs
+    * with zero index hits re-enter through the left join with a 0. */
+  def indexedCellScreen(batchCells: DataFrame, index: DataFrame,
+      idCol: String): DataFrame = {
+    val bc = batchCells.withColumn("shard", cellShard(col("cell_hash")))
+    val totals = bc.groupBy(col(idCol)).agg(count(lit(1)).as("n_cells"))
+    val hits = index.join(broadcast(bc), Seq("shard", "cell_hash"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_cells"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_cells"),
+        coalesce(col("n_dup_cells"), lit(0L)).as("n_dup_cells"))
+      .withColumn("dup_cell_frac",
+        col("n_dup_cells").cast("double") / col("n_cells").cast("double"))
+      .withColumn("is_mostly_dup", col("dup_cell_frac") >= 0.5)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding column with the fixed-round deterministic

@@ -561,6 +561,33 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == Seq((10L, 4L, 2L, 0.5, true), (11L, 2L, 0L, 0.0, false)))
   }
 
+  test("indexedCellScreen over the stored index equals the per-batch screen") {
+    val corpus = Seq((1L, "a b c d"), (2L, "a b e f")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b x y c d z w"), // 4 cells, 2 known
+      (11L, "q r s t"),         // fully novel
+      (12L, "a b a b")          // duplicate batch cells: each occurrence counts
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_spec")
+      .resolve("cells").toString
+    Dedup.writeCellIndex(corpus, "doc_id", "text", 2, path)
+    val idx = spark.read.parquet(path)
+    // layout contract: shard is the directory key (partition pruning's
+    // handle) and must be derivable from the hash — a drifted shard rule
+    // would silently serve misses
+    assert(idx.columns.toSet == Set("cell_hash", "shard"))
+    assert(idx.where($"shard" =!= Dedup.cellShard($"cell_hash")).isEmpty)
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("shard=")))
+    val served = Dedup.indexedCellScreen(
+        Dedup.cellHashes(batch, "doc_id", "text", 2), idx, "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    val direct = Dedup.incrementalCellScreen(batch, corpus, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(served == direct)
+    assert(served == Seq((10L, 4L, 2L, 0.5, true), (11L, 2L, 0L, 0.0, false),
+      (12L, 2L, 2L, 1.0, true)))
+  }
+
   test("linearScoreColumns is the mean hashed-bucket weight") {
     // Weight of a token = (hex4(md5 tok) % 64) % 7 - 3: recompute in plain
     // Scala and compare — the operator must be exactly this arithmetic.
