@@ -289,6 +289,43 @@ object MediaQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Color-PNG decode differential over the two remaining real-crawl PNG
+    * color types: every document's text derives THREE channel streams
+    * (r = c%256, g = (3c+7)%256, b = (5c+11)%256), even doc_ids pack
+    * them as TRUECOLOR (type 2: 3-byte pixels, bpp-offset filters), odd
+    * doc_ids as PALETTE (type 3: first-appearance PLTE + 1-byte indices,
+    * ≤64 distinct colors by construction — the code list caps at 64),
+    * and `media_decode_rgb` must reproduce the per-channel integer sums
+    * the oracle derives from the text alone — proving the
+    * Paeth-over-bpp=3 inverses and the PLTE dereference channel by
+    * channel (a one-byte-off filter reference corrupts every later
+    * pixel of the image and shifts the sums).
+    *
+    * Scale: map-only like every media featurization — encode and decode
+    * are codegen'd expressions in one projection; no shuffle. */
+  private def mmPngRgbDecode(spark: SparkSession, dir: String): DataFrame = {
+    MediaFunctions.register(spark)
+    import MediaFunctions.{media_decode_rgb, png_encode_pal, png_encode_rgb}
+    val codes = Multimodal.textCodes(col("text"), 64)
+    val packed = transform(codes, c =>
+      pmod(c, lit(256)) * 65536 + pmod(c * 3 + 7, lit(256)) * 256 +
+        pmod(c * 5 + 11, lit(256)))
+    val px = slice(packed, lit(1), floor(size(packed) / W).cast("int") * W)
+    Tables.documents(spark, dir)
+      .where(col("text").isNotNull && length(col("text")) >= W)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, png_encode_rgb(px, W))
+          .otherwise(png_encode_pal(px, W)).as("payload"))
+      .select(col("doc_id"), media_decode_rgb(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.valid").as("valid"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.n_pixels").as("n_pixels"),
+        col("m.sum_r").as("sum_r"), col("m.sum_g").as("sum_g"),
+        col("m.sum_b").as("sum_b"), col("m.min_val").as("min_val"),
+        col("m.max_val").as("max_val"))
+      .dumpOrdered("doc_id")
+  }
+
   val ReelFrames = 9  // frames per reel
   val ReelGroup = 3   // consecutive same-content frames per scene
   val ReelShift = 7   // pixel rotation per scene change (= one row at W=7)
@@ -584,6 +621,31 @@ object MediaQueries {
          |  CAST(list_max(i.pix) AS BIGINT) AS max_val,
          |  ph.phash
          |FROM img i JOIN ph USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_png_rgb_decode" -> Q(mmPngRgbDecode, Some(
+      s"""WITH ${codesCte("")},
+         |pc AS (SELECT doc_id, codes[1:(len(codes) // $W) * $W] AS cs FROM c),
+         |img AS (
+         |  SELECT doc_id,
+         |    list_transform(cs, x -> x % 256) AS r,
+         |    list_transform(cs, x -> (x * 3 + 7) % 256) AS g,
+         |    list_transform(cs, x -> (x * 5 + 11) % 256) AS b,
+         |    len(cs) // $W AS h
+         |  FROM pc WHERE len(cs) >= $W)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'png-rgb' ELSE 'png-pal' END
+         |    AS format,
+         |  true AS valid,
+         |  CAST($W AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(len(r) AS BIGINT) AS n_pixels,
+         |  CAST(list_sum(r) AS BIGINT) AS sum_r,
+         |  CAST(list_sum(g) AS BIGINT) AS sum_g,
+         |  CAST(list_sum(b) AS BIGINT) AS sum_b,
+         |  CAST(least(list_min(r), list_min(g), list_min(b)) AS BIGINT)
+         |    AS min_val,
+         |  CAST(greatest(list_max(r), list_max(g), list_max(b)) AS BIGINT)
+         |    AS max_val
+         |FROM img ORDER BY doc_id""".stripMargin)),
 
     "data_mm_scene_cuts" -> Q(mmSceneCuts, Some(
       s"""WITH ${codesCte("")},

@@ -16,6 +16,7 @@ object Plans {
     "data_asof_join", "data_sessionize", "data_chunk_dedup",
     "data_event_rolling", "data_tfidf_topk",
     "data_dedup_semantic", "data_sim_sq8_topk", "data_dedup_incremental",
+    "data_dedup_index_serve",
     "data_sim_ivfpq", "data_chunk_cdc", "data_curation_gate",
     "data_sim_ivf_pruned", "data_mm_decode",
     "data_dedup_spans", "data_sketch_cms", "data_decontaminate_bloom",
@@ -31,7 +32,7 @@ object Plans {
     "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
     "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
     "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
-    "data_corpus_diff")
+    "data_corpus_diff", "data_mm_png_rgb_decode")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -153,6 +154,14 @@ object Plans {
       |  and met by a shuffle EQUI-join — deliberately not broadcast: the
       |  index scales with the corpus. Batch-side per-doc counts are one
       |  map-side-combinable aggregate.
+      |- **data_dedup_index_serve** — the MAINTAINED-index serve: the
+      |  stored shard-partitioned index scan carries
+      |  `PartitionFilters: [... dynamicpruningexpression(shard IN ...)]`
+      |  (only the shard directories the batch touches are listed/read)
+      |  and `ReadSchema` holds only `cell_hash`; the hit count is a
+      |  `BroadcastHashJoin` that STREAMS the index (build side = the
+      |  broadcast batch cells, reused by the pruning subquery) — the
+      |  100 TB side is never shuffled and never recomputed.
       |- **data_sim_ivfpq** — the full IVF-PQ query shape: the encoded
       |  corpus (coarse cell + m codes) meets the per-query routing+ADC
       |  table through ONE `BroadcastExchange` equi-join on the coarse
@@ -277,6 +286,11 @@ object Plans {
       |  consume the attribute; the compressed container adds per-row CPU
       |  inside the projection, never plan structure. Map-only to the
       |  dump sort.
+      |- **data_mm_png_rgb_decode** — the color twin: one Project carries
+      |  the per-doc-id encoder branch (truecolor vs palette) and the
+      |  `media_decode_rgb` consumer; PLTE dereference and bpp=3
+      |  unfiltering are per-row CPU inside the projection, never plan
+      |  structure. Map-only to the dump sort.
       |- **data_mm_reel_overlap** — candidates come from an equi-join on
       |  the frame HASH (distinct (doc, hash) first, hot hashes dropped
       |  at the [[MediaQueries.ReelHashCap]]) — never reel×reel; the

@@ -50,7 +50,9 @@ object ScaleBench {
     "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
     "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
     "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
-    "data_corpus_diff")
+    "data_corpus_diff",
+    // round-10 additions: maintained dedup index serve, color PNG
+    "data_dedup_index_serve", "data_mm_png_rgb_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

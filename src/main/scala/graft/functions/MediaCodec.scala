@@ -20,13 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP (BITMAPINFOHEADER, 8-bit uncompressed): magic + header
   *    validation, explicit pixel-array offset, 4-byte row-stride padding,
   *    and bottom-up OR top-down (negative height) row order.
-  *  - PNG (8-bit grayscale, color type 0 — THE real-world compressed
-  *    image format): exact signature, CRC32-verified chunk walk,
-  *    IHDR validation, consecutive-IDAT concatenation inflated through
-  *    `java.util.zip.Inflater` (real zlib deflate, exact-output-size
-  *    enforcement against decompression bombs), and full scanline
-  *    unfiltering (None/Sub/Up/Average/Paeth on reconstructed
-  *    neighbors).
+  *  - PNG (8-bit color types 0 grayscale, 2 truecolor RGB, 3 palette —
+  *    THE real-world compressed image format): exact signature,
+  *    CRC32-verified chunk walk, IHDR/PLTE validation, consecutive-IDAT
+  *    concatenation inflated through `java.util.zip.Inflater` (real
+  *    zlib deflate, exact-output-size enforcement against decompression
+  *    bombs), and full scanline unfiltering (None/Sub/Up/Average/Paeth
+  *    on reconstructed neighbors with bpp-offset left references).
   *  - PGM (Netpbm P5 binary graymap — a REAL-WORLD interchange format):
   *    tokenized ASCII header (whitespace-separated width/height/maxval
   *    with `#`-to-end-of-line comments permitted in any gap, exactly one
@@ -282,17 +282,31 @@ object MediaCodecImpl {
     val raw = new Array[Byte](width * height)
     var i = 0
     while (i < raw.length) { raw(i) = (pixels.getInt(i) & 0xFF).toByte; i += 1 }
-    val filtered = new Array[Byte](height * (1 + width))
+    pngContainer(raw, width, height, 1, 0, null)
+  }
+
+  /** Shared PNG container build: filter the raw raster (filters cycle
+    * `row % 5` with bpp-offset left/upper-left neighbors — the
+    * multi-byte-pixel rule truecolor needs), deflate, emit the CRC'd
+    * chunk sequence (IHDR [PLTE] IDAT IEND). One writer for all three
+    * color types so the filter arithmetic can never diverge between
+    * them. */
+  private def pngContainer(raw: Array[Byte], width: Int, height: Int,
+                           bpp: Int, colorType: Int,
+                           plte: Array[Byte]): Array[Byte] = {
+    val rowBytes = width * bpp
+    val filtered = new Array[Byte](height * (1 + rowBytes))
     var r = 0
     while (r < height) {
       val f = r % 5
-      filtered(r * (1 + width)) = f.toByte
+      filtered(r * (1 + rowBytes)) = f.toByte
       var x = 0
-      while (x < width) {
-        val cur = raw(r * width + x) & 0xFF
-        val left = if (x > 0) raw(r * width + x - 1) & 0xFF else 0
-        val up = if (r > 0) raw((r - 1) * width + x) & 0xFF else 0
-        val ul = if (x > 0 && r > 0) raw((r - 1) * width + x - 1) & 0xFF else 0
+      while (x < rowBytes) {
+        val cur = raw(r * rowBytes + x) & 0xFF
+        val left = if (x >= bpp) raw(r * rowBytes + x - bpp) & 0xFF else 0
+        val up = if (r > 0) raw((r - 1) * rowBytes + x) & 0xFF else 0
+        val ul = if (x >= bpp && r > 0)
+          raw((r - 1) * rowBytes + x - bpp) & 0xFF else 0
         val v = f match {
           case 0 => cur
           case 1 => cur - left
@@ -300,7 +314,7 @@ object MediaCodecImpl {
           case 3 => cur - (left + up) / 2
           case _ => cur - paeth(left, up, ul)
         }
-        filtered(r * (1 + width) + 1 + x) = (v & 0xFF).toByte
+        filtered(r * (1 + rowBytes) + 1 + x) = (v & 0xFF).toByte
         x += 1
       }
       r += 1
@@ -319,11 +333,75 @@ object MediaCodecImpl {
     putU32be(ihdr, 0, width.toLong)
     putU32be(ihdr, 4, height.toLong)
     ihdr(8) = 8 // bit depth
-    // color type 0 (grayscale), compression 0, filter 0, interlace 0
+    ihdr(9) = colorType.toByte
+    // compression 0, filter 0, interlace 0 stay zero
     pngChunk(out, "IHDR", ihdr)
+    if (plte != null) pngChunk(out, "PLTE", plte)
     pngChunk(out, "IDAT", comp.toByteArray)
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** PNG truecolor encoder (color type 2): pixels are packed 0xRRGGBB
+    * ints, emitted as 3-byte RGB samples with the same cycling scanline
+    * filters as [[pngEncode]] — but over bpp=3, so a roundtrip proves the
+    * bpp-offset Sub/Average/Paeth inverses, not just the gray ones.
+    * `height = n / width` full rows; fewer pixels than one row → null. */
+  def pngEncodeRgb(pixels: ArrayData, width: Int): Array[Byte] = {
+    if (pixels == null) return null
+    val height = pixels.numElements() / width
+    if (height == 0) return null
+    val n = width * height
+    val raw = new Array[Byte](3 * n)
+    var i = 0
+    while (i < n) {
+      val p = pixels.getInt(i)
+      raw(3 * i) = ((p >> 16) & 0xFF).toByte
+      raw(3 * i + 1) = ((p >> 8) & 0xFF).toByte
+      raw(3 * i + 2) = (p & 0xFF).toByte
+      i += 1
+    }
+    pngContainer(raw, width, height, 3, 2, null)
+  }
+
+  /** PNG palette encoder (color type 3): pixels are packed 0xRRGGBB ints,
+    * the PLTE is their distinct colors in FIRST-APPEARANCE order (the
+    * deterministic choice — no sort, no hash order), the raster stores
+    * 1-byte palette indices, filters cycle like the other encoders (PNG
+    * filters palette INDICES, not colors). More than 256 distinct colors
+    * cannot be palette-encoded → null, like the fewer-than-one-row
+    * degenerate. */
+  def pngEncodePal(pixels: ArrayData, width: Int): Array[Byte] = {
+    if (pixels == null) return null
+    val height = pixels.numElements() / width
+    if (height == 0) return null
+    val n = width * height
+    val raw = new Array[Byte](n)
+    val index = new java.util.HashMap[Integer, Integer]()
+    val order = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      val p = pixels.getInt(i) & 0xFFFFFF
+      var e = index.get(p)
+      if (e == null) {
+        if (order.length == 256) return null
+        e = Integer.valueOf(order.length)
+        index.put(p, e)
+        order += p
+      }
+      raw(i) = e.intValue().toByte
+      i += 1
+    }
+    val plte = new Array[Byte](3 * order.length)
+    var j = 0
+    while (j < order.length) {
+      val p = order(j)
+      plte(3 * j) = ((p >> 16) & 0xFF).toByte
+      plte(3 * j + 1) = ((p >> 8) & 0xFF).toByte
+      plte(3 * j + 2) = (p & 0xFF).toByte
+      j += 1
+    }
+    pngContainer(raw, width, height, 1, 3, plte)
   }
 
   /** Pixel-count ceiling for PNG decode: a crafted IHDR must not drive a
@@ -332,26 +410,39 @@ object MediaCodecImpl {
     * thumbnail-pipeline input and bounds both allocations below. */
   private val PngMaxPixels = 1L << 26
 
-  /** Strict PNG gray8 decode → (width, height, top-down unpadded raster),
-    * or null. The whole container must validate: exact 8-byte signature;
-    * chunk walk with EVERY chunk's CRC32 verified; IHDR first (13 bytes,
-    * bit depth 8, color type 0 grayscale, deflate compression, filter
-    * method 0, no interlace); IDAT chunks consecutive, their
-    * concatenation inflating (real `java.util.zip.Inflater` zlib) to
-    * EXACTLY height·(1+width) bytes — truncated or oversized streams
-    * (decompression bombs) reject; IEND last, empty, with NOTHING after
-    * it (same exact-length contract as [[pgmGeometry]]); every scanline
-    * filter byte 0..4, reconstructed per spec (Sub/Up/Average/Paeth on
-    * the RECONSTRUCTED neighbors). Ancillary chunks between IHDR and the
-    * IDAT run (e.g. tEXt, gAMA) are walked and CRC-checked but otherwise
+  /** Parsed PNG container: geometry, color type, the UNFILTERED raster at
+    * native bytes-per-pixel (1 for gray/palette, 3 for truecolor) and the
+    * PLTE triples (palette images only). */
+  private final class PngImage(val w: Int, val h: Int, val colorType: Int,
+                               val bpp: Int, val raster: Array[Byte],
+                               val plte: Array[Byte])
+
+  /** Strict PNG parse → [[PngImage]], or null. Accepts 8-bit color types
+    * 0 (grayscale), 2 (truecolor RGB) and 3 (palette). The whole
+    * container must validate: exact 8-byte signature; chunk walk with
+    * EVERY chunk's CRC32 verified; IHDR first (13 bytes, bit depth 8,
+    * deflate compression, filter method 0, no interlace); for palette
+    * images exactly one PLTE before the IDAT run, length divisible by 3
+    * with 1..256 entries, every raster index inside the palette (PLTE on
+    * a grayscale image, or a duplicate, rejects); IDAT chunks
+    * consecutive, their concatenation inflating (real
+    * `java.util.zip.Inflater` zlib) to EXACTLY height·(1+width·bpp)
+    * bytes — truncated or oversized streams (decompression bombs)
+    * reject; IEND last, empty, with NOTHING after it (same exact-length
+    * contract as [[pgmGeometry]]); every scanline filter byte 0..4,
+    * reconstructed per spec on the RECONSTRUCTED neighbors with
+    * bpp-OFFSET left/upper-left references (the multi-byte-pixel rule:
+    * for truecolor, "left" is the same channel 3 bytes back). Ancillary
+    * chunks (e.g. tEXt, gAMA) are walked and CRC-checked but otherwise
     * ignored, per spec. Corrupt payloads return null, never crash the
     * scan. */
-  private def pngRaster(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+  private def pngParse(b: Array[Byte]): PngImage = {
     if (!isPng(b)) return null
     var off = 8L
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var colorType = -1
     var seenIhdr = false; var seenIend = false
     var idatStarted = false; var idatClosed = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (off < b.length) {
       if (seenIend) return null // trailing bytes after IEND
@@ -367,8 +458,9 @@ object MediaCodecImpl {
         if (!tagAt(b, to, "IHDR") || len != 13L) return null
         val lw = u32be(b, dataOff); val lh = u32be(b, dataOff + 4)
         if (lw <= 0 || lh <= 0 || lw * lh > PngMaxPixels) return null
+        colorType = b(dataOff + 9) & 0xFF
         if (b(dataOff + 8) != 8 ||   // bit depth
-            b(dataOff + 9) != 0 ||   // color type: grayscale
+            (colorType != 0 && colorType != 2 && colorType != 3) ||
             b(dataOff + 10) != 0 ||  // compression: deflate
             b(dataOff + 11) != 0 ||  // filter method 0
             b(dataOff + 12) != 0)    // no Adam7 interlace
@@ -376,8 +468,17 @@ object MediaCodecImpl {
         w = lw.toInt; h = lh.toInt
         seenIhdr = true
       } else if (tagAt(b, to, "IHDR")) return null // duplicate IHDR
-      else if (tagAt(b, to, "IDAT")) {
+      else if (tagAt(b, to, "PLTE")) {
+        // PLTE: palette images only (truecolor's suggested palette is
+        // legal per spec but our encoder never emits one — and accepting
+        // it would weaken the whole-container-validates classification),
+        // exactly once, before any IDAT, 1..256 RGB triples
+        if (colorType != 3 || plte != null || idatStarted) return null
+        if (len == 0L || len % 3 != 0 || len > 768L) return null
+        plte = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len.toInt)
+      } else if (tagAt(b, to, "IDAT")) {
         if (idatClosed) return null // IDAT chunks must be consecutive
+        if (colorType == 3 && plte == null) return null // PLTE must precede
         idatStarted = true
         idat.write(b, dataOff, len.toInt)
       } else if (tagAt(b, to, "IEND")) {
@@ -390,7 +491,9 @@ object MediaCodecImpl {
       off += 12 + len
     }
     if (!seenIhdr || !seenIend) return null
-    val filtered = new Array[Byte](h * (1 + w)) // bounded by PngMaxPixels
+    val bpp = if (colorType == 2) 3 else 1
+    val rowBytes = w * bpp
+    val filtered = new Array[Byte](h * (1 + rowBytes)) // ≤ 3·PngMaxPixels
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -417,17 +520,18 @@ object MediaCodecImpl {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    val raster = new Array[Byte](w * h)
+    val raster = new Array[Byte](h * rowBytes)
     var r = 0
     while (r < h) {
-      val f = filtered(r * (1 + w)) & 0xFF
+      val f = filtered(r * (1 + rowBytes)) & 0xFF
       if (f > 4) return null
       var x = 0
-      while (x < w) {
-        val v = filtered(r * (1 + w) + 1 + x) & 0xFF
-        val left = if (x > 0) raster(r * w + x - 1) & 0xFF else 0
-        val up = if (r > 0) raster((r - 1) * w + x) & 0xFF else 0
-        val ul = if (x > 0 && r > 0) raster((r - 1) * w + x - 1) & 0xFF else 0
+      while (x < rowBytes) {
+        val v = filtered(r * (1 + rowBytes) + 1 + x) & 0xFF
+        val left = if (x >= bpp) raster(r * rowBytes + x - bpp) & 0xFF else 0
+        val up = if (r > 0) raster((r - 1) * rowBytes + x) & 0xFF else 0
+        val ul = if (x >= bpp && r > 0)
+          raster((r - 1) * rowBytes + x - bpp) & 0xFF else 0
         val rec = f match {
           case 0 => v
           case 1 => v + left
@@ -435,12 +539,58 @@ object MediaCodecImpl {
           case 3 => v + (left + up) / 2
           case _ => v + paeth(left, up, ul)
         }
-        raster(r * w + x) = (rec & 0xFF).toByte
+        raster(r * rowBytes + x) = (rec & 0xFF).toByte
         x += 1
       }
       r += 1
     }
-    (w, h, raster)
+    if (colorType == 3) {
+      // every index must dereference inside the palette — an
+      // out-of-range index is a spec error, not a recoverable pixel
+      val entries = plte.length / 3
+      var i = 0
+      while (i < raster.length) {
+        if ((raster(i) & 0xFF) >= entries) return null
+        i += 1
+      }
+    }
+    new PngImage(w, h, colorType, bpp, raster, plte)
+  }
+
+  /** Gray8 view of a PNG ([[pngParse]] restricted to color type 0) —
+    * the contract every EXISTING gray consumer (stats decode, values,
+    * resize, dhash) keeps: color payloads are not silently luma-converted
+    * into the grayscale feature path. */
+  private def pngRaster(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val p = pngParse(b)
+    if (p == null || p.colorType != 0) null else (p.w, p.h, p.raster)
+  }
+
+  /** RGB view of a PNG: 3·w·h bytes row-major [r,g,b] — truecolor raster
+    * in place, palette dereferenced through PLTE, grayscale replicated
+    * across the three channels. Null when the container fails
+    * [[pngParse]]. */
+  private def pngRgbRaster(b: Array[Byte]): PngImage = {
+    val p = pngParse(b)
+    if (p == null) return null
+    if (p.colorType == 2) return p
+    val rgb = new Array[Byte](3 * p.w * p.h)
+    var i = 0
+    if (p.colorType == 3) {
+      while (i < p.raster.length) {
+        val e = (p.raster(i) & 0xFF) * 3
+        rgb(3 * i) = p.plte(e); rgb(3 * i + 1) = p.plte(e + 1)
+        rgb(3 * i + 2) = p.plte(e + 2)
+        i += 1
+      }
+    } else {
+      while (i < p.raster.length) {
+        val v = p.raster(i)
+        rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+        i += 1
+      }
+    }
+    new PngImage(p.w, p.h, p.colorType, 3, rgb, p.plte)
   }
 
   /** Shared gray-pixel stats row over a CONTIGUOUS unpadded byte run —
@@ -471,6 +621,60 @@ object MediaCodecImpl {
     val p = pngRaster(b)
     if (p == null) return invalid(FmtPng)
     grayStatsRow(FmtPng, p._1, p._2, p._3, 0)
+  }
+
+  /** [[decodeRgb]] output schema: per-channel sums + whole-image
+    * min/max over all channel bytes. Integer domain throughout (the
+    * grayscale [[Schema]] convention): `n_pixels` is 0, not NULL, for an
+    * invalid payload so counts aggregate cleanly. */
+  val RgbSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true),
+    StructField("min_val", LongType, nullable = true),
+    StructField("max_val", LongType, nullable = true)))
+
+  private val FmtPngGray = UTF8String.fromString("png-gray")
+  private val FmtPngRgb = UTF8String.fromString("png-rgb")
+  private val FmtPngPal = UTF8String.fromString("png-pal")
+
+  /** Color decode → [[RgbSchema]] stats over the RGB view of a PNG
+    * (truecolor raster in place, palette dereferenced, grayscale
+    * replicated — [[pngRgbRaster]]). A wrong bpp-offset filter inverse or
+    * a mis-indexed PLTE corrupts every later byte of the image, and the
+    * per-channel integer sums catch it against a text-derived oracle. */
+  def decodeRgb(bytes: Array[Byte]): InternalRow = {
+    val p = if (bytes == null) null else pngRgbRaster(bytes)
+    if (p == null)
+      return new GenericInternalRow(Array[Any](
+        FmtUnknown, false, null, null, 0L, null, null, null, null, null))
+    val n = p.w.toLong * p.h
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val r = (p.raster(3 * i) & 0xFF).toLong
+      val g = (p.raster(3 * i + 1) & 0xFF).toLong
+      val b = (p.raster(3 * i + 2) & 0xFF).toLong
+      sr += r; sg += g; sb += b
+      val lo = Math.min(r, Math.min(g, b)); val hi = Math.max(r, Math.max(g, b))
+      if (lo < mn) mn = lo
+      if (hi > mx) mx = hi
+      i += 1
+    }
+    val fmt = p.colorType match {
+      case 0 => FmtPngGray
+      case 2 => FmtPngRgb
+      case _ => FmtPngPal
+    }
+    new GenericInternalRow(Array[Any](
+      fmt, true, p.w, p.h, n, sr, sg, sb,
+      if (n > 0) mn else null, if (n > 0) mx else null))
   }
 
   /** Validated P5 geometry: (rasterOffset, width, height) or null.
@@ -864,6 +1068,67 @@ case class PngEncode(child: Expression, width: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `png_encode_rgb(pixels array<int>, width)` → binary truecolor PNG
+  * (packed 0xRRGGBB pixels; see [[MediaCodecImpl.pngEncodeRgb]]). Null
+  * for fewer pixels than one row. */
+case class PngEncodeRgb(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, s"width must be positive, got $width")
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_encode_rgb"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.pngEncodeRgb(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MediaCodecImpl.pngEncodeRgb($c, $width);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PngEncodeRgb =
+    copy(child = newChild)
+}
+
+/** `png_encode_pal(pixels array<int>, width)` → binary palette PNG
+  * (packed 0xRRGGBB pixels, PLTE in first-appearance order; see
+  * [[MediaCodecImpl.pngEncodePal]]). Null for fewer pixels than one row
+  * or more than 256 distinct colors. */
+case class PngEncodePal(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, s"width must be positive, got $width")
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_encode_pal"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.pngEncodePal(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MediaCodecImpl.pngEncodePal($c, $width);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PngEncodePal =
+    copy(child = newChild)
+}
+
+/** `media_decode_rgb(payload binary)` → the [[MediaCodecImpl.RgbSchema]]
+  * per-channel feature struct over any accepted PNG color type. NULL
+  * payload propagates NULL. */
+case class MediaDecodeRgb(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecImpl.RgbSchema
+  override def prettyName: String = "media_decode_rgb"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaCodecImpl.decodeRgb(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaCodecImpl.decodeRgb($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDecodeRgb =
+    copy(child = newChild)
+}
+
 /** `media_decode(payload binary)` → the [[MediaCodecImpl.Schema]] feature
   * struct. NULL payload propagates NULL. */
 case class MediaDecode(child: Expression) extends UnaryExpression {
@@ -1017,6 +1282,17 @@ object MediaFunctions {
     ("png_encode", classOf[PngEncode],
       arity(2, "png_encode(pixels, width)")(exprs =>
         PngEncode(exprs.head, intLit(exprs(1), "png_encode(pixels, width)")))),
+    ("png_encode_rgb", classOf[PngEncodeRgb],
+      arity(2, "png_encode_rgb(pixels, width)")(exprs =>
+        PngEncodeRgb(exprs.head,
+          intLit(exprs(1), "png_encode_rgb(pixels, width)")))),
+    ("png_encode_pal", classOf[PngEncodePal],
+      arity(2, "png_encode_pal(pixels, width)")(exprs =>
+        PngEncodePal(exprs.head,
+          intLit(exprs(1), "png_encode_pal(pixels, width)")))),
+    ("media_decode_rgb", classOf[MediaDecodeRgb],
+      arity(1, "media_decode_rgb(payload)")(exprs =>
+        MediaDecodeRgb(exprs.head))),
     ("media_resize", classOf[MediaResize],
       arity(3, "media_resize(payload, outW, outH)")(exprs =>
         MediaResize(exprs.head,
@@ -1048,6 +1324,14 @@ object MediaFunctions {
   def png_encode(pixels: Column, width: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "png_encode", pixels, org.apache.spark.sql.functions.lit(width))
+  def png_encode_rgb(pixels: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "png_encode_rgb", pixels, org.apache.spark.sql.functions.lit(width))
+  def png_encode_pal(pixels: Column, width: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "png_encode_pal", pixels, org.apache.spark.sql.functions.lit(width))
+  def media_decode_rgb(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("media_decode_rgb", payload)
   def media_values(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("media_values", payload)
   def media_dhash(payload: Column): Column =
