@@ -761,14 +761,22 @@ object TrainQueries {
     * round k-1's cache, not the whole chain. The driver-side state is
     * `rounds` merge rows. */
   private[graft] def trainMergeRounds(words: DataFrame,
-                                      rounds: Int = BpeTrainRounds)
+                                      rounds: Int = BpeTrainRounds,
+                                      specials: Seq[String] = Nil)
       : (DataFrame, Seq[BpeMerge]) = {
+    val charSplit = expr(
+      """CASE WHEN length(word) >= 1
+        |  THEN transform(sequence(1, length(word)),
+        |                 i -> substring(word, i, 1))
+        |  ELSE cast(array() AS array<string>) END""".stripMargin)
+    // a SPECIAL token enters the loop as ONE atomic symbol: never
+    // char-split, so no merge can form across or inside it — the
+    // reserved-token contract every production tokenizer keeps
+    val syms = if (specials.isEmpty) charSplit
+      else when(col("word").isInCollection(specials), array(col("word")))
+        .otherwise(charSplit)
     var wf = words
-      .withColumn("syms", expr(
-        """CASE WHEN length(word) >= 1
-          |  THEN transform(sequence(1, length(word)),
-          |                 i -> substring(word, i, 1))
-          |  ELSE cast(array() AS array<string>) END""".stripMargin))
+      .withColumn("syms", syms)
       .persist()
     val merges = Seq.newBuilder[BpeMerge]
     for (k <- 1 to rounds) {
@@ -822,6 +830,53 @@ object TrainQueries {
     * merge, as [[BpeTrainRounds]] unrolled CTE blocks. */
   private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val m = bpeMerges(spark, dir)
+    import spark.implicits._
+    m.map(x => (x.step.toLong, x.lhs, x.rhs, x.lhs + x.rhs, x.cnt))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .dumpOrdered("step")
+  }
+
+  /** The reserved special token: appended once per document (the GPT-2
+    * document-separator convention) and kept ATOMIC through training —
+    * never char-split, never merged into or across. */
+  private[graft] val BpeSpecialToken = "<|endoftext|>"
+
+  /** The PRETOKENIZED BPE model (VERDICT r9 #3): the corpus aggregates to
+    * pretoken frequencies under the GPT-2-style regex
+    * ([[TextAnalysis.bpePretokens]] — leading-space word units,
+    * contraction suffixes, whitespace runs all first-class merge atoms,
+    * so the trainer can learn " the"-style boundary-aware merges), plus
+    * one [[BpeSpecialToken]] per document reserved from merging. Same
+    * count→merge→re-pair loop, same single corpus scan. */
+  private[graft] def bpePretokTrainedWords(spark: SparkSession,
+                                           dir: String): DataFrame = {
+    val docs = Tables.documentsHot(spark, dir)
+    Tables.memoBy(spark, s"bpepretok:$dir") {
+      trainMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+      val base = docs
+        .select(explode(concat(TextAnalysis.bpePretokens(col("text")),
+          array(lit(BpeSpecialToken)))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val (wf, merges) =
+        trainMergeRounds(base, specials = Seq(BpeSpecialToken))
+      trainMemo.put((spark, s"pretok:$dir"), merges)
+      wf
+    }
+  }
+
+  private def bpePretokMerges(spark: SparkSession, dir: String): Seq[BpeMerge] = {
+    bpePretokTrainedWords(spark, dir)
+    trainMemo.get((spark, s"pretok:$dir"))
+  }
+
+  /** The merge list learned over the PRETOKENIZED corpus — differs from
+    * `data_bpe_train`'s exactly where pretokenization matters (space-
+    * prefixed units, punctuation split off, contraction suffixes). The
+    * oracle replays the identical regex split with DuckDB's
+    * `regexp_extract_all`, the special-token reservation, and all
+    * [[BpeTrainRounds]] rounds. */
+  private def bpePretok(spark: SparkSession, dir: String): DataFrame = {
+    val m = bpePretokMerges(spark, dir)
     import spark.implicits._
     m.map(x => (x.step.toLong, x.lhs, x.rhs, x.lhs + x.rhs, x.cnt))
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
@@ -903,6 +958,30 @@ object TrainQueries {
         |                   i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
         |  FROM wd)""".stripMargin +:
       (1 to BpeTrainRounds).map(bpeRoundCtes)).mkString(",\n")
+
+  /** The PRETOKENIZED twin of [[bpeTrainCtes]]: pretoken frequencies from
+    * the SAME regex split ([[TextAnalysis.BpePretokPattern]], doubled
+    * apostrophe for the SQL literal) plus one appended special token per
+    * document, the special kept atomic in w0, then the identical unrolled
+    * rounds — [[bpeRoundCtes]] is reused verbatim, so the two trainers
+    * can only diverge in the pretokenization under test. */
+  private def bpePretokCtes: String = {
+    val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
+    (s"""wd AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(list_append(
+        |          regexp_extract_all(lower(text), '$pat', 0),
+        |          '$BpeSpecialToken')) AS word
+        |        FROM documents) z
+        |  GROUP BY word),
+        |w0 AS (
+        |  SELECT word, freq,
+        |    CASE WHEN word = '$BpeSpecialToken' THEN [word]
+        |         ELSE list_transform(range(1, length(word) + 1),
+        |                i -> substr(word, CAST(i AS INTEGER), 1)) END AS syms
+        |  FROM wd)""".stripMargin +:
+      (1 to BpeTrainRounds).map(bpeRoundCtes)).mkString(",\n")
+  }
 
   // -- CUBE stats -------------------------------------------------------
 
@@ -1108,6 +1187,15 @@ object TrainQueries {
 
     "data_bpe_train" -> Q(bpeTrain, Some(
       s"""WITH $bpeTrainCtes
+         |SELECT * FROM (
+         |${(1 to BpeTrainRounds).map(k =>
+             s"  SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs, " +
+               s"a || b AS merged, cnt AS pair_count FROM t$k")
+             .mkString("\n  UNION ALL\n")}
+         |) u ORDER BY step""".stripMargin)),
+
+    "data_bpe_pretok" -> Q(bpePretok, Some(
+      s"""WITH $bpePretokCtes
          |SELECT * FROM (
          |${(1 to BpeTrainRounds).map(k =>
              s"  SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs, " +

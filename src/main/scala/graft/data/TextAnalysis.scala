@@ -20,6 +20,24 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpePattern), lit(0))).cast("long")
 
+  /** GPT-2-STYLE pretokenizer: contractions first, then space-prefixed
+    * letter / digit / punctuation runs (the " word" leading-space
+    * convention that makes BPE merges word-boundary-aware), then bare
+    * whitespace runs. A portable subset of the published GPT-2 pattern:
+    * no lookahead (DuckDB's RE2 lacks it), ASCII classes over
+    * `lower(text)` instead of \p{L}/\p{N} — both engines' regexes are
+    * leftmost-FIRST on alternation, so the piece boundaries agree
+    * bit-for-bit. The alternatives are EXHAUSTIVE over all characters
+    * (the punct class is the complement of letter/digit/space), which is
+    * what makes the split lossless: concatenating the pretokens
+    * reproduces `lower(text)` exactly (property-tested over arbitrary
+    * strings in BpeTrainProps). */
+  val BpePretokPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+
+  def bpePretokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpePretokPattern), lit(0))
+
   /** Word n-gram shingles, empty array when fewer than n words. Routes
     * through the one-pass compiled [[graft.functions.WordShingles]]
     * expression — the HOF form below is the semantic definition and

@@ -75,4 +75,47 @@ object BpeTrainProps extends Properties("BpeTrain") {
           s"gotSyms=$gotSyms vs $wantSyms")
       mergesMatch && symsMatch
     }
+
+  // arbitrary printable-ish strings, biased toward the characters the
+  // pretokenizer treats specially (apostrophes, spaces, contraction
+  // letters, punctuation)
+  private val pretokText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaLowerChar, 2 -> Gen.numChar, 2 -> Gen.const(' '),
+    1 -> Gen.const('\''), 1 -> Gen.const('\n'), 1 -> Gen.const('\t'),
+    1 -> Gen.oneOf('.', ',', '!', '-', '<', '|', '>'),
+    1 -> Gen.oneOf('A', 'Z'), 1 -> Gen.oneOf('s', 't', 'm', 'd')
+  )).map(_.mkString)
+
+  property("pretokenizer is LOSSLESS: concat of pretokens == lower(text)") =
+    forAll(pretokText) { text =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val row = Seq(Tuple1(text)).toDF("text")
+        .select(
+          array_join(graft.data.TextAnalysis.bpePretokens($"text"), "")
+            .as("joined"),
+          lower($"text").as("want"))
+        .head()
+      row.getString(0) == row.getString(1)
+    }
+
+  property("special token stays atomic through pretok training") =
+    forAll(corpus) { words =>
+      import spark.implicits._
+      // splice the special token in as a pretoken of every-word frequency:
+      // it must end training as ONE symbol, and no learned merge may
+      // contain any fragment of it
+      val special = TrainQueries.BpeSpecialToken
+      // frequency far above anything the tiny corpus can produce: were
+      // the special char-split, its internal pairs would win EVERY round
+      val wordsDf = (words + (special -> 9999L)).toSeq.toDF("word", "freq")
+      val (wf, merges) =
+        TrainQueries.trainMergeRounds(wordsDf, Rounds, Seq(special))
+      val specialSyms = wf.where($"word" === special)
+        .select($"syms").as[Seq[String]].head()
+      wf.unpersist()
+      specialSyms == Seq(special) &&
+        merges.forall(m => !m.lhs.contains("<") && !m.rhs.contains("<") &&
+          !m.lhs.contains("|") && !m.rhs.contains("|"))
+    }
 }
