@@ -32,7 +32,7 @@ object Plans {
     "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
     "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
     "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
-    "data_corpus_diff", "data_mm_png_rgb_decode")
+    "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -391,6 +391,12 @@ object Plans {
       |- **data_corpus_diff** — ONE full-outer hash join on the unique
       |  id with md5 columns computed on the scans; no window, no skew
       |  surface, content never compared beyond the 32-char hash.
+      |- **data_unigram_em3** — the K-round generalization of the EM:
+      |  every round is the same vocab-sized per-row DP fold under a
+      |  literal cost map, usage re-estimation is one explode +
+      |  aggregate on the MEMOIZED previous round; the final output is
+      |  two vocab-sized equi-joins (round 1 + round K−1 comparisons).
+      |  Rounds scale the constant K, never the corpus.
       |- **data_graph_triangles** — degree join, orientation projection,
       |  wedge self-join and the closing-edge join are ALL equi-joins on
       |  the packed (degree, id) key; the pairs relation is the memoized

@@ -541,6 +541,67 @@ object TrainQueries {
       .dumpOrdered("word")
   }
 
+  /** Re-estimation rounds of the MULTI-round unigram EM — fixed for
+    * oracle determinism (the SentencePiece prune schedule runs a fixed
+    * number of sub-iterations per prune step for the same reason). */
+  private val UniEmRounds = 3
+
+  /** Multi-round unigram EM (VERDICT r9 #4): the re-estimation/prune step
+    * looped [[UniEmRounds]] times the way `trainMergeRounds` loops
+    * merges — segment under the current costs, re-estimate piece costs
+    * from what the optimal segmentations USED (unused chars fall back to
+    * their original substring-count cost: the lossless alphabet always
+    * prices in), re-segment. Round k's segmentation is memoized so round
+    * k+1's usage collect reads the cache, never a recomputed DP; round 1
+    * SHARES `unigramEm`'s memo entry. Output compares the final round
+    * against round 1 plus `is_converged` (final round == round K−1's
+    * re-segmentation — the EM fixpoint check a real prune schedule
+    * monitors).
+    *
+    * Scale: each round is vocab-sized DP work + one explode/aggregate
+    * usage count; K is a constant, so the loop scales with VOCAB × K,
+    * not the corpus. */
+  private def unigramEmK(spark: SparkSession, dir: String): DataFrame = {
+    val words = uniWordsChecked(spark, dir)
+    val costs1 = collectCosts(uniVocab(words))
+    val chars1 = costs1.filter { case (p, _) => p.length == 1 }
+    def cost(total: Long): Long =
+      UniCostBase - (64 - java.lang.Long.numberOfLeadingZeros(total))
+    def usageOf(seg: DataFrame): Map[String, Long] = seg
+      .select(col("freq"), explode(split(col("encoded"), "\\|")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var costs = costs1
+    val segs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- 1 to UniEmRounds + 1) {
+      val key = if (k == 1) s"uniseg1:$dir" else s"unisegem:$dir:$k"
+      val plan = viterbiSegment(words, costs)
+      val seg = Tables.memoBy(spark, key)(plan)
+      segs += seg
+      if (k <= UniEmRounds) {
+        val usage = usageOf(seg)
+        costs = usage.map { case (p, t) => p -> cost(t) } ++
+          chars1.filter { case (p, _) => !usage.contains(p) }
+      }
+    }
+    segs(UniEmRounds)
+      .select(col("word"), col("freq"),
+        col("n_pieces").as("n_pieces_em"),
+        col("total_cost").as("total_cost_em"),
+        col("encoded").as("encoded_em"))
+      .join(segs(0).select(col("word"),
+        col("n_pieces").as("n_pieces_r1"),
+        col("encoded").as("encoded_r1")), Seq("word"))
+      .join(segs(UniEmRounds - 1).select(col("word"),
+        col("encoded").as("encoded_prev")), Seq("word"))
+      .select(col("word"), col("freq"), col("n_pieces_r1"),
+        col("n_pieces_em"), col("total_cost_em"),
+        (col("encoded_em") =!= col("encoded_r1")).as("is_resegmented"),
+        (col("encoded_em") === col("encoded_prev")).as("is_converged"),
+        col("encoded_em"))
+      .dumpOrdered("word")
+  }
+
   /** Corpus serving with the unigram tokenizer: one hash join from the
     * word occurrences to the per-word optimal segmentations (the
     * `data_bpe_train_encode` shape, against the OTHER tokenizer family) —
@@ -692,6 +753,52 @@ object TrainQueries {
        |  u2.encoded AS encoded_em
        |FROM uni_b u2 JOIN uni u1 USING (word)
        |ORDER BY u2.word""".stripMargin
+
+  /** One EM re-estimation CTE pair: usage counts from segmentation
+    * `fromUni`, re-estimated vocabulary `vocabName` (used pieces at their
+    * usage-derived cost + unused single chars at their substring-count
+    * cost from `pt` — the same fallback rule every Scala-side round
+    * applies). Generated once per EM round so the K-round oracle can
+    * never drift from the 1-round one. */
+  private def duckEmStep(fromUni: String, usageName: String,
+                         vocabName: String): String =
+    s"""$usageName AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS total
+       |  FROM (SELECT freq, unnest(string_split(encoded, '|')) AS piece
+       |        FROM $fromUni) z
+       |  GROUP BY piece),
+       |$vocabName AS MATERIALIZED (
+       |  SELECT piece, $UniCostBase - length(bin(total)) AS cost
+       |  FROM (SELECT piece, total FROM $usageName
+       |        UNION ALL
+       |        SELECT piece, total FROM pt
+       |        WHERE length(piece) = 1
+       |          AND piece NOT IN (SELECT piece FROM $usageName)) z)"""
+      .stripMargin
+
+  /** [[UniEmRounds]] chained EM rounds: each re-estimates from the
+    * previous round's segmentation and re-runs the full unrolled Viterbi
+    * chain under the new vocabulary. */
+  private lazy val duckUnigramEm3Sql: String = {
+    val steps = (1 to UniEmRounds).map { k =>
+      val from = if (k == 1) "uni" else s"uni_e${k - 1}"
+      duckEmStep(from, s"usage$k", s"vocab${k + 1}") + ",\n" +
+        duckViterbiCtes(s"_e$k", s"vocab${k + 1}")
+    }.mkString(",\n")
+    s"""$duckUnigramCtes,
+       |$steps
+       |SELECT uf.word, uf.freq,
+       |  u1.n_pieces AS n_pieces_r1,
+       |  uf.n_pieces AS n_pieces_em,
+       |  uf.total_cost AS total_cost_em,
+       |  uf.encoded <> u1.encoded AS is_resegmented,
+       |  uf.encoded = up.encoded AS is_converged,
+       |  uf.encoded AS encoded_em
+       |FROM uni_e$UniEmRounds uf
+       |JOIN uni u1 USING (word)
+       |JOIN uni_e${UniEmRounds - 1} up USING (word)
+       |ORDER BY uf.word""".stripMargin
+  }
 
   private lazy val duckUnigramEncodeSql: String =
     s"""$duckUnigramCtes,
@@ -1057,6 +1164,8 @@ object TrainQueries {
     "data_unigram_encode" -> Q(unigramEncode, Some(duckUnigramEncodeSql)),
 
     "data_unigram_em" -> Q(unigramEm, Some(duckUnigramEmSql)),
+
+    "data_unigram_em3" -> Q(unigramEmK, Some(duckUnigramEm3Sql)),
 
     "data_curriculum_plan" -> Q(curriculumPlan, Some(
       s"""WITH d AS (

@@ -290,6 +290,80 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("data_unigram_em3: K-round EM matches an independent in-memory EM " +
+      "(optimality, pruning and convergence flags at round K)") {
+    // full in-memory replica of the EM loop, sharing NO code with the
+    // DataFrame side: Viterbi with the exact tie rule (min cost, then
+    // smallest backpointer = longest final piece), usage re-estimation,
+    // unused-char fallback — iterated the same K rounds
+    val wordFreq = TrainQueries.uniWords(spark, TestSpark.sf)
+      .as[(String, Long)].collect().toMap
+    val costs1 = TrainQueries.uniVocab(
+      TrainQueries.uniWords(spark, TestSpark.sf))
+      .as[(String, Long)].collect().toMap
+    val chars1 = costs1.filter(_._1.length == 1)
+    def cost(t: Long): Long = 65L - java.lang.Long.toBinaryString(t).length
+
+    def segment(w: String, costs: Map[String, Long]): Seq[String] = {
+      val dp = Array.fill(w.length + 1)((Long.MaxValue, Int.MaxValue))
+      dp(0) = (0L, 0)
+      for (i <- 1 to w.length) {
+        var best = (Long.MaxValue, Int.MaxValue)
+        for (j <- math.max(0, i - 4) until i)
+          costs.get(w.substring(j, i)).foreach { c =>
+            if (dp(j)._1 != Long.MaxValue) {
+              val cand = (dp(j)._1 + c, j)
+              if (cand._1 < best._1 ||
+                  (cand._1 == best._1 && cand._2 < best._2)) best = cand
+            }
+          }
+        dp(i) = best
+      }
+      val cuts = scala.collection.mutable.ArrayBuffer(w.length)
+      while (cuts.last > 0) cuts += dp(cuts.last)._2
+      val rev = cuts.reverse
+      (1 until rev.length).map(k => w.substring(rev(k - 1), rev(k)))
+    }
+
+    val K = 3
+    var costs = costs1
+    var finalCosts = costs1
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Map[String, Seq[String]]]
+    for (k <- 1 to K + 1) {
+      val seg = wordFreq.keys.map(w => w -> segment(w, costs)).toMap
+      segs += seg
+      finalCosts = costs
+      if (k <= K) {
+        val usage = seg.toSeq
+          .flatMap { case (w, ps) => ps.map(_ -> wordFreq(w)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        costs = usage.map { case (p, t) => p -> cost(t) } ++
+          chars1.filter(c => !usage.contains(c._1))
+      }
+    }
+
+    val rows = Registry.byName("data_unigram_em3").build(spark, TestSpark.sf)
+      .select($"word", $"n_pieces_r1", $"n_pieces_em", $"total_cost_em",
+        $"is_resegmented", $"is_converged", $"encoded_em")
+      .as[(String, Long, Long, Long, Boolean, Boolean, String)]
+      .collect().toSeq
+    assert(rows.nonEmpty && rows.size == wordFreq.size)
+    rows.foreach { case (w, n1, nk, c, rs, cv, enc) =>
+      val want = segs(K)(w)
+      assert(enc == want.mkString("|"), s"$w: $enc != ${want.mkString("|")}")
+      assert(n1 == segs(0)(w).size.toLong && nk == want.size.toLong)
+      assert(c == want.map(finalCosts).sum, s"$w: cost")
+      assert(rs == (want != segs(0)(w)) && cv == (want == segs(K - 1)(w)))
+    }
+    // non-vacuous: on this corpus the EM's effect is the PRUNE (the
+    // initial vocab already derives from substring frequencies, so the
+    // optimal segmentations are a usage fixpoint — is_resegmented stays
+    // false, which the per-row flag equality above already proves); the
+    // final cost table must be a strict subset of the candidate vocab
+    assert(finalCosts.size < costs1.size, "EM never pruned the vocabulary")
+    assert(rows.exists(_._6), "no word converged by round K")
+  }
+
   test("data_curriculum_plan: stages are length-monotone terciles; " +
       "positions contiguous per (stage, shard)") {
     val rows = Registry.byName("data_curriculum_plan")
