@@ -1624,7 +1624,7 @@ object DataQueries {
 
   /** Repetition gate for [[curationGate]]: documents whose duplicated-
     * trigram occupancy exceeds this fraction are dropped as repetitive. */
-  private val RepTau = 0.1
+  private[graft] val RepTau = 0.1
 
   /** Round-6 curation gate: the NEW operator family composed into one
     * per-document fate decision — exact dedup (md5 keeper), the Gopher

@@ -21,8 +21,8 @@ object IndexQueries {
                            //   narrower than the vocab so collisions occur
                            //   and est >= exact is a real inequality)
   private val CmsTopK = 20
-  private val BloomK = 3   // bloom hash functions
-  private val BloomM = 4096 // bloom bits
+  private[graft] val BloomK = 3   // bloom hash functions
+  private[graft] val BloomM = 4096 // bloom bits
 
   private val duckWords = "string_split_regex(text, '\\s+')"
   private def duckShingles(n: Int): String = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
-import graft.data.TextAnalysis
+import graft.data.{Indexing, TextAnalysis}
 
 /** Streaming twin of the source-reputation gate
   * (`data_source_reputation`'s quality axis): documents arrive as a
@@ -53,6 +53,105 @@ object CurationStreams {
     docs.select(col("doc_id"), col("source"),
         round(score * 1e6).cast("long").as("q6"))
       .as[DocQ]
+  }
+
+  /** TTL of an exact-dup keeper cell: content hashes idle longer than
+    * this age out of state. One day is the natural crawl cadence; any
+    * bound works — the contract under test is that state CANNOT grow
+    * unboundedly with stream length. */
+  val KeeperTtlMs: Long = 24L * 3600 * 1000
+
+  case class FateFlags(doc_id: Long, h: String, passes_gopher: Boolean,
+                       dup_tri_frac: Double, clf_score: Double,
+                       contaminated: Boolean)
+  case class DocFate(doc_id: Long, keeper_id: Long, fate: String)
+
+  /** Streaming curation fate: the incrementally-decidable axes of the
+    * batch `data_curation_gate` composed into ONE stream, so every
+    * arriving document gets its drop/keep verdict at ingest instead of
+    * in the nightly batch.
+    *
+    *  - The QUALITY STACK (Gopher rules, compiled duplicate-trigram
+    *    repetition, hashed linear classifier) uses the batch gate's
+    *    exact expressions, map-only inside the micro-batch scan.
+    *  - The EXACT-DUP KEEPER is per-content-hash state: the keeper is
+    *    the minimum doc_id seen so far for the hash (within one
+    *    micro-batch the batch minimum wins, so a single-batch replay of
+    *    the corpus reproduces the batch gate's keeper election exactly —
+    *    StreamingSpec's parity law). Keeper cells age out on a
+    *    [[KeeperTtlMs]] processing-time TTL, bounding state by the
+    *    RECENT content universe rather than stream history.
+    *  - CONTAMINATION probes each document's distinct shingles against a
+    *    LITERAL Bloom bitmap of the eval suite (the bounded artifact of
+    *    `data_decontaminate_bloom`) — map-only, no state, no join.
+    *
+    * Precedence mirrors the batch gate (dup before quality before
+    * repetition before classifier), with `contaminated` LAST: it only
+    * fires for documents every shared axis would keep, so per doc the
+    * stream verdict either equals the gate's or is `contaminated` where
+    * the gate says `kept` — the exact parity law StreamingSpec pins.
+    *
+    * Scale: state is one long per DISTINCT RECENT content hash (TTL'd);
+    * everything else is projection work. The near-dup axis needs
+    * corpus-wide LSH labels and deliberately stays batch. */
+  def curationFateStream(docs: DataFrame, bloomBitmap: String, bloomK: Int,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[DocFate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.NgramFunctions.register(spark)
+    import graft.functions.NgramFunctions.ngram_stats
+    val gopher = TextAnalysis.gopherColumns(col("text")).toMap
+    val clf = TextAnalysis.linearScoreColumns(col("text")).toMap
+    val flags = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("tri", ngram_stats(col("toks"), 3))
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        gopher("passes_gopher").as("passes_gopher"),
+        when(col("tri.total") > 0,
+          col("tri.dup").cast("double") / col("tri.total").cast("double"))
+          .otherwise(0.0).as("dup_tri_frac"),
+        clf("score").as("clf_score"),
+        exists(array_distinct(TextAnalysis.shingles(col("toks"), 3)),
+          s => Indexing.bloomHitColumn(bloomBitmap, s, bloomK))
+          .as("contaminated"))
+      .as[FateFlags]
+    // NoTimeout is the TEST configuration: with processing-time timeouts
+    // armed, the default as-fast-as-possible trigger re-runs no-data
+    // batches continuously (each could fire a timeout), so a test
+    // harness's processAllAvailable never settles; production runs with
+    // a trigger interval, where the empty timeout batches are the
+    // intended eviction mechanism.
+    val ttl = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    flags.groupByKey(_.h)
+      .flatMapGroupsWithState[Long, DocFate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        timeout)(keeperFate(ttl))
+  }
+
+  /** The per-content-hash state function of [[curationFateStream]],
+    * exposed for direct unit-testing of the timeout branch (via
+    * `TestGroupState`). State = the minimum doc_id seen for the hash. */
+  private[graft] def keeperFate(ttl: Boolean)(
+      h: String, rows: Iterator[FateFlags],
+      state: GroupState[Long]): Iterator[DocFate] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val batch = rows.toSeq
+      val keeper = (state.getOption ++ batch.map(_.doc_id)).min
+      state.update(keeper)
+      if (ttl) state.setTimeoutDuration(KeeperTtlMs)
+      batch.iterator.map { d =>
+        val fate =
+          if (d.doc_id != keeper) "exact_dup"
+          else if (!d.passes_gopher) "quality"
+          else if (d.dup_tri_frac > graft.DataQueries.RepTau) "repetitive"
+          else if (d.clf_score <= 0.0) "classifier"
+          else if (d.contaminated) "contaminated"
+          else "kept"
+        DocFate(d.doc_id, keeper, fate)
+      }
+    }
   }
 
   /** Running per-source reputation; emits the updated verdict for every

@@ -491,6 +491,112 @@ class StreamingSpec extends AnyFunSuite {
     assert((fin._1, fin._2, fin._3) == expect)
   }
 
+  test("streaming curation fate: single-batch corpus parity with the batch gate") {
+    import graft.data.{Indexing, TextAnalysis}
+    import graft.streaming.{CurationStreams, MediaStreams}
+    val d = java.nio.file.Files.createTempDirectory("graft_fate_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/documents.parquet"),
+      d.resolve("documents.parquet"))
+    // the bloom bitmap, built exactly as data_decontaminate_bloom builds it
+    val sh = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id",
+        explode(array_distinct(TextAnalysis.shingles($"toks", 3))).as("sh"))
+    val bits = Indexing.bloomBits(
+      sh.where($"doc_id" < 10).select($"sh").distinct(),
+      "sh", IndexQueries.BloomK, IndexQueries.BloomM)
+    val bitmap = Indexing.bloomBitmapString(bits, IndexQueries.BloomM)
+    val streamed = EventStreams.runToMemory(
+      CurationStreams.curationFateStream(
+        MediaStreams.readDocs(spark, d.toString), bitmap,
+        IndexQueries.BloomK,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout).toDF(),
+      "fate_stream", OutputMode.Update())
+      .select($"doc_id", $"fate").as[(Long, String)].collect().toMap
+    val gate = Registry.byName("data_curation_gate").build(spark, TestSpark.sf)
+      .select($"doc_id", $"fate").as[(Long, String)].collect().toMap
+    val flagged = Registry.byName("data_decontaminate_bloom")
+      .build(spark, TestSpark.sf)
+      .select($"doc_id", $"any_flagged").as[(Long, Boolean)].collect().toMap
+    assert(streamed.size == gate.size && streamed.nonEmpty)
+    // parity law: per doc the stream verdict equals the gate's, except
+    // `contaminated` (the axis the gate lacks) may only replace `kept`
+    streamed.foreach { case (id, f) =>
+      if (f == "contaminated") assert(gate(id) == "kept", s"doc $id")
+      else assert(f == gate(id), s"doc $id: $f != ${gate(id)}")
+    }
+    // the contamination axis is EXACTLY the batch Bloom flag, wherever
+    // the shared axes keep the doc (flagged covers the non-eval corpus)
+    flagged.foreach { case (id, fl) =>
+      assert((streamed(id) == "contaminated") == (fl && gate(id) == "kept"),
+        s"doc $id")
+    }
+    // non-vacuous: the corpus exercises the quality stack, the
+    // contamination axis AND a kept doc (it has no exact text dups —
+    // the dup axis is pinned by the micro-batch test below)
+    assert(streamed.values.exists(_ == "contaminated"))
+    assert(streamed.values.exists(_ == "kept"))
+    assert(streamed.values.exists(v => v == "quality" || v == "repetitive" ||
+      v == "classifier"))
+  }
+
+  test("streaming curation fate: keeper state dedups across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.CurationStreams
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val bitmap = "0" * 64 // empty filter: contamination axis off
+    val out = CurationStreams.curationFateStream(docs, bitmap, 3,
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout).toDF()
+    val q = out.writeStream.format("memory").queryName("fate_mb")
+      .outputMode(OutputMode.Update()).start()
+    def fates = spark.table("fate_mb")
+      .select($"doc_id", $"fate").as[(Long, String)].collect().toSeq
+    val t = "alpha beta gamma delta"
+    try {
+      // batch 1: two copies of one text — the batch MINIMUM is keeper
+      input.addData((5L, t), (3L, t))
+      q.processAllAvailable()
+      assert(fates.contains((5L, "exact_dup")))
+      assert(fates.exists(r => r._1 == 3L && r._2 != "exact_dup"))
+      // batch 2: the hash is REMEMBERED — a later copy is a dup on
+      // arrival, and an unseen text is not
+      input.addData((7L, t), (8L, "epsilon zeta eta theta"))
+      q.processAllAvailable()
+      assert(fates.contains((7L, "exact_dup")))
+      assert(fates.exists(r => r._1 == 8L && r._2 != "exact_dup"))
+    } finally q.stop()
+  }
+
+  test("streaming curation fate: timed-out keeper cells evict; live cells re-arm") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import graft.streaming.CurationStreams
+    // timeout branch: state removed, nothing emitted — the TTL that
+    // bounds the hash-set state in production
+    val timedOut = TestGroupState.create[Long](Optional.of(7L),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(), true)
+    val out = CurationStreams.keeperFate(ttl = true)(
+      "h", Iterator.empty, timedOut)
+    assert(out.isEmpty && timedOut.isRemoved)
+    // live branch: keeper = min(remembered, batch), TTL re-armed
+    val live = TestGroupState.create[Long](Optional.of(5L),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(), false)
+    val flags = Seq(
+      CurationStreams.FateFlags(9L, "h", passes_gopher = true, 0.0, 1.0,
+        contaminated = false),
+      CurationStreams.FateFlags(2L, "h", passes_gopher = true, 0.0, 1.0,
+        contaminated = false))
+    val fates = CurationStreams.keeperFate(ttl = true)(
+      "h", flags.iterator, live).toSeq
+    assert(live.get == 2L)
+    assert(live.getTimeoutTimestampMs.isPresent)
+    assert(fates.find(_.doc_id == 9L).get.fate == "exact_dup")
+    assert(fates.find(_.doc_id == 2L).get.fate == "kept")
+  }
+
   test("streaming source reputation over the corpus equals the batch quality axis") {
     val d = java.nio.file.Files.createTempDirectory("graft_rep_stream")
     java.nio.file.Files.copy(
