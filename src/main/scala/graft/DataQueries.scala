@@ -116,6 +116,29 @@ object DataQueries {
        |      AS v
        |  FROM mean m CROSS JOIN wl_$out wl)""".stripMargin
 
+  /** The pca1 power-iteration CTE chain (mean, deterministic e₁ init,
+    * three [[duckPowerRound]]s → `p3(mean, v)`) — shared by the pca1
+    * score oracle and the OPQ rotation oracle. */
+  private lazy val duckPcaChain: String =
+    s"""m0 AS (
+       |  SELECT pos,
+       |    CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000)
+       |                  AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(*) * 1000 AS DOUBLE) AS mv
+       |  FROM (SELECT embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS pos
+       |        FROM embeddings) u
+       |  GROUP BY pos),
+       |mean AS (SELECT list(mv ORDER BY pos) AS mean FROM m0),
+       |p0 AS (
+       |  SELECT mean,
+       |    list_transform(range(1, len(mean) + 1),
+       |      i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v
+       |  FROM mean),
+       |${duckPowerRound("p0", "p1")},
+       |${duckPowerRound("p1", "p2")},
+       |${duckPowerRound("p2", "p3")}""".stripMargin
+
   /** Near-dup decision threshold on estimated Jaccard — single source for
     * the Spark builders and every oracle that embeds it. */
   private val DupThreshold = 0.5
@@ -991,6 +1014,38 @@ object DataQueries {
     Similarity.pc1Scores(Tables.embeddingsHot(spark, dir), rounds = 3)
       .dumpOrdered("vec_id")
 
+  /** OPQ rotation memo: the Householder vector is a bounded model
+    * artifact derived from a multi-round power iteration — collect it
+    * once per (session, dir), like [[trainMemo]]'s merge lists. */
+  private val opqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Double]]()
+
+  private def opqU(spark: SparkSession, dir: String): Array[Double] = {
+    opqMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    opqMemo.computeIfAbsent((spark, dir), _ =>
+      Similarity.opqHouseholder(Tables.embeddingsHot(spark, dir), rounds = 3))
+  }
+
+  /** PQ in the OPQ-rotated space at the SAME (m, k, rounds) code budget
+    * as `data_sim_pq_topk` — `data_sim_recall` carries the side-by-side
+    * recall row. The rotated corpus sits behind a memo barrier: the
+    * reflected coordinates share one `u·x` fold per row (inlined, the
+    * projection would re-evaluate it per coordinate), and production
+    * writes the rotated+encoded index once at ingest anyway. */
+  private def simOpqTop(spark: SparkSession, dir: String): DataFrame = {
+    val u = opqU(spark, dir)
+    val rotated = Tables.memoBy(spark, s"opqrot:$dir") {
+      Similarity.opqRotate(Tables.embeddingsHot(spark, dir), "embedding", u)
+        .persist()
+    }
+    Similarity.pqTopK(
+      Similarity.opqRotate(queriesOf(spark, dir), "q_vec", u),
+      rotated, m = PqM, k = PqK, rounds = PqRounds, topK = 5)
+  }
+
+  private def simOpq(spark: SparkSession, dir: String): DataFrame =
+    simOpqTop(spark, dir).dumpOrdered("q_id", "rnk")
+
   /** Recall@k of every fitted ANN variant — the quality curve a user
     * tunes nprobe/m against. Both engines re-run the ANN queries and
     * count integer hit overlaps, so the metric itself is oracle-checked.
@@ -1032,6 +1087,7 @@ object DataQueries {
           m = PqM, k = PqK, rounds = PqRounds, topK = 3, nprobe = 2)),
       ("pq", "cos", 5,
         Similarity.pqTopK(q, hot, m = PqM, k = PqK, rounds = PqRounds, topK = 5)),
+      ("opq", "cos", 5, simOpqTop(spark, dir)),
       ("sq8", "cos", 5, Similarity.sq8TopK(q, hot, k = 5)))
     val tagged = variants.map { case (m, truth, kAt, df) =>
       df.select(lit(m).as("method"), lit(truth).as("truth"),
@@ -3152,24 +3208,7 @@ object DataQueries {
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)),
 
     "data_embed_pca1" -> Q(embedPca1, Some(
-      s"""WITH m0 AS (
-         |  SELECT pos,
-         |    CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000)
-         |                  AS BIGINT)) AS DOUBLE)
-         |      / CAST(count(*) * 1000 AS DOUBLE) AS mv
-         |  FROM (SELECT embedding,
-         |          unnest(range(1, len(embedding) + 1)) AS pos
-         |        FROM embeddings) u
-         |  GROUP BY pos),
-         |mean AS (SELECT list(mv ORDER BY pos) AS mean FROM m0),
-         |p0 AS (
-         |  SELECT mean,
-         |    list_transform(range(1, len(mean) + 1),
-         |      i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v
-         |  FROM mean),
-         |${duckPowerRound("p0", "p1")},
-         |${duckPowerRound("p1", "p2")},
-         |${duckPowerRound("p2", "p3")}
+      s"""WITH $duckPcaChain
          |SELECT e.vec_id,
          |  list_reduce(list_transform(
          |    list_zip(list_transform(list_zip(e.embedding, p.mean),
@@ -3977,6 +4016,95 @@ object DataQueries {
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
     }),
 
+    "data_sim_opq" -> Q(simOpq, Some {
+      val sub = 16 // dim 64 / PqM
+      def sCtes(s: Int): String = {
+        val a = s * sub + 1
+        val b = (s + 1) * sub
+        val sv = s"embedding[$a:$b]"
+        s"""c0_$s AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           |           AS cell,
+           |    list_transform($sv, x -> CAST(x AS DOUBLE)) AS cvec
+           |  FROM (SELECT vec_id, embedding FROM remb
+           |        ORDER BY vec_id LIMIT $PqK) z),
+           |a_$s AS (
+           |  SELECT vec_id, sv, cell FROM (
+           |    SELECT e.vec_id, e.$sv AS sv, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${duckSqDist(s"e.$sv", "c.cvec")}, c.cell) AS rn
+           |    FROM remb e CROSS JOIN c0_$s c) x WHERE rn = 1),
+           |u_$s AS (
+           |  SELECT cell, list(v ORDER BY pos) AS cvec_new FROM (
+           |    SELECT cell, pos,
+           |      CAST(sum(CAST(round(CAST(sv[pos] AS DOUBLE) * 1000)
+           |                    AS BIGINT)) AS DOUBLE)
+           |        / CAST(count(*) * 1000 AS DOUBLE) AS v
+           |    FROM (SELECT cell, sv, unnest(range(1, ${sub + 1})) AS pos
+           |          FROM a_$s) y
+           |    GROUP BY cell, pos) g GROUP BY cell),
+           |c1_$s AS (
+           |  SELECT c0.cell, COALESCE(u.cvec_new, c0.cvec) AS cvec
+           |  FROM c0_$s c0 LEFT JOIN u_$s u USING (cell)),
+           |enc_$s AS (
+           |  SELECT vec_id, $s AS s, cell AS code FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${duckSqDist(s"e.$sv", "c.cvec")}, c.cell) AS rn
+           |    FROM remb e CROSS JOIN c1_$s c) x WHERE rn = 1),
+           |qt_$s AS (
+           |  SELECT q.q_id, $s AS s, c.cell,
+           |    CAST(round(${duckDot(s"q.q_vec[$a:$b]", "c.cvec")} * 1000000)
+           |      AS BIGINT) AS qdot
+           |  FROM q CROSS JOIN c1_$s c)""".stripMargin
+      }
+      // the pca1 chain yields p3.v; the Householder u and the rotated
+      // relation remb replay Similarity.opqHouseholder / opqRotate
+      // operation-for-operation (index-ordered folds, left-assoc
+      // 2.0 * d * u[i]), then the data_sim_pq_topk replay runs on remb
+      s"""WITH $duckPcaChain,
+         |hu AS (
+         |  SELECT CASE WHEN nrm < 1e-12 THEN list_transform(vm, x -> 0.0)
+         |              ELSE list_transform(vm, x -> x / nrm) END AS u
+         |  FROM (
+         |    SELECT vm,
+         |      sqrt(list_reduce(list_transform(vm, x -> x * x),
+         |                       (p, q) -> p + q)) AS nrm
+         |    FROM (SELECT list_transform(range(1, len(v) + 1),
+         |             i -> CASE WHEN i = 1 THEN v[i] - 1.0 ELSE v[i] END)
+         |             AS vm
+         |          FROM p3) z) z2),
+         |rx AS (
+         |  SELECT e.vec_id, e.embedding AS x0, h.u,
+         |    list_reduce(list_transform(list_zip(e.embedding, h.u),
+         |      z -> CAST(z[1] AS DOUBLE) * z[2]), (p, q) -> p + q) AS d
+         |  FROM embeddings e CROSS JOIN hu h),
+         |remb AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(x0) + 1),
+         |      i -> CAST(x0[i] AS DOUBLE) - 2.0 * d * u[i]) AS embedding
+         |  FROM rx),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM remb
+         |      WHERE vec_id < 10),
+         |${(0 until PqM).map(sCtes).mkString(",\n")},
+         |enc AS (${(0 until PqM).map(s => s"SELECT * FROM enc_$s")
+                     .mkString(" UNION ALL ")}),
+         |qt AS (${(0 until PqM).map(s => s"SELECT * FROM qt_$s")
+                    .mkString(" UNION ALL ")}),
+         |sc AS (
+         |  SELECT qt.q_id, enc.vec_id, CAST(sum(qt.qdot) AS BIGINT) AS score
+         |  FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.cell
+         |  WHERE qt.q_id <> enc.vec_id
+         |  GROUP BY qt.q_id, enc.vec_id),
+         |r AS (
+         |  SELECT q_id, vec_id, score,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT q_id, rnk, vec_id AS neighbor_id, score FROM r
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    }),
+
     "data_chunk_cdc" -> Q(chunkCdcDedup, Some {
       val hex4 = (x: String) =>
         s"""CAST(list_sum(list_transform(range(1, 5), i ->
@@ -4120,6 +4248,7 @@ object DataQueries {
        |ivfpqr AS (SELECT * FROM (${body("data_sim_ivfpq_refine")}) x),
        |ivfadc AS (SELECT * FROM (${body("data_sim_ivfadc")}) x),
        |pq AS (SELECT * FROM (${body("data_sim_pq_topk")}) x),
+       |opq AS (SELECT * FROM (${body("data_sim_opq")}) x),
        |sq8 AS (SELECT * FROM (${body("data_sim_sq8_topk")}) x),
        |tagged AS (
        |  SELECT 'ivf_fitted' AS method, 'cos' AS truth, 3 AS k_at,
@@ -4132,6 +4261,8 @@ object DataQueries {
        |  SELECT 'ivfadc', 'l2', 3, q_id, neighbor_id FROM ivfadc
        |  UNION ALL
        |  SELECT 'pq', 'cos', 5, q_id, neighbor_id FROM pq
+       |  UNION ALL
+       |  SELECT 'opq', 'cos', 5, q_id, neighbor_id FROM opq
        |  UNION ALL
        |  SELECT 'sq8', 'cos', 5, q_id, neighbor_id FROM sq8),
        |j AS (

