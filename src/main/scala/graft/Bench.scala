@@ -65,6 +65,8 @@ object Bench {
   private val Passes = 4
   private val BlockReps = 4
   private val Warmups = 3
+  private val FillRejectRatio = 3.0
+  private val MaxBlockRetries = 2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,13 +149,43 @@ object Bench {
     for (_ <- 1 to Warmups) built.foreach { case (name, df) =>
       run(name, "warmup")(df)
     }
+    // Noise rejection (VERDICT r9 #7): a block whose FILL rep exceeds
+    // [[FillRejectRatio]] × the block median was hit by external machine
+    // state (normal fill cost is 2-3× steady state — see the methodology
+    // note above; r9's anomaly was 4-6×, e.g. 1.59 s vs a 0.35 s median,
+    // with the contamination leaking into the steady reps of the same
+    // contiguous window). Such a block is DISCARDED and re-run, at most
+    // [[MaxBlockRetries]] times; retry counts land in the JSON
+    // (`retried`) so the artifact shows when the rule fired. Round
+    // deltas then measure plans, not transient machine state.
+    val retried = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def runBlock(name: String, df: DataFrame, pass: Int): Array[Double] = {
+      var attempt = 0
+      var block: Array[Double] = null
+      var done = false
+      while (!done) {
+        System.gc()
+        block = Array.tabulate(BlockReps)(_ => run(name, s"pass$pass")(df))
+        val finite = block.filter(d => !d.isInfinite && !d.isNaN)
+        val median =
+          if (finite.isEmpty) Double.PositiveInfinity
+          else finite.sorted.apply(finite.length / 2)
+        val inflated = !median.isInfinite &&
+          block(0) > FillRejectRatio * median
+        if (inflated && attempt < MaxBlockRetries) {
+          attempt += 1
+          retried(name) = retried.getOrElse(name, 0) + 1
+        } else done = true
+      }
+      block
+    }
     val nReps = Passes * BlockReps
     val repTimes: Array[Array[Double]] = Array.fill(built.size, nReps)(0.0)
     for (pass <- 0 until Passes) {
       for (((name, df), qi) <- built.zipWithIndex) {
-        System.gc()
+        val block = runBlock(name, df, pass)
         for (r <- 0 until BlockReps)
-          repTimes(qi)(pass * BlockReps + r) = run(name, s"pass$pass")(df)
+          repTimes(qi)(pass * BlockReps + r) = block(r)
       }
     }
     val results: Seq[(String, Double)] = built.zipWithIndex.map {
@@ -187,6 +219,10 @@ object Bench {
     val reps = built.zipWithIndex.map { case ((name, _), qi) =>
       name -> repTimes(qi).toSeq
     }
+    val retriedJson =
+      if (retried.isEmpty) ""
+      else retried.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(",\"retried\":{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
@@ -203,7 +239,7 @@ object Bench {
         s""","cold":{"value":${jnum(coldTotal)},"queries":${jmap(coldTimes)}}""" +
         s""","aqe":{"value":${jnum(aqeTimes.map(_._2).sum)},"queries":${jmap(aqeTimes)}}""" +
         s""","build":${jmap(buildTimes)},"build_total":${jnum(buildTotal)}""" +
-        errJson +
+        retriedJson + errJson +
         s""","sf":"$sfDir"}"""
     println(json)
     // Durable copy + a clean re-print AFTER spark.stop(): Spark's logging
