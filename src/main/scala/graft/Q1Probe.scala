@@ -48,6 +48,49 @@ object Q1Probe {
     time("parquet-direct")(RefQueries.q1AggBody(narrow()))
     spark.catalog.clearCache()
     time("parquet-direct-cold")(RefQueries.q1AggBody(narrow()))
+    // split-size sweep: at probe SFs the file bytes divided by the
+    // default 128 MB target can undershoot the core count (e.g. sf10
+    // lineitem ≈ 1.1 GB → ~9 scan partitions on 32 cores) — measure the
+    // same plan at smaller split targets to separate "scan-bound" from
+    // "parallelism-bound"
+    for (mb <- Seq(64, 32, 16, 8)) {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", s"${mb}MB")
+      time(f"parquet-direct ${mb}MB")(RefQueries.q1AggBody(narrow()))
+    }
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32MB")
+    // decomposition at the best split size: decode vs arithmetic vs
+    // grouped aggregation
+    time("decode only (5 cols)")(narrow().select(
+      sum(col("l_quantity")), sum(col("l_extendedprice")),
+      sum(col("l_discount")), count(col("l_returnflag")),
+      count(col("l_linestatus"))))
+    time("arith, global agg")(narrow().select(
+      sum(round(col("l_quantity") * 100).cast("long")),
+      sum(round(col("l_extendedprice") * 100).cast("long")),
+      sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))),
+      count(lit(1))))
+    time("full q1 (grouped)")(RefQueries.q1AggBody(narrow()))
+    // floor-form cents: (x*100 + 0.5)::long is pure codegen arithmetic
+    // (Spark's Round allocates a BigDecimal per value); identical to
+    // round-half-up on the positive, integer-cents-valued data
+    def centsF(c: org.apache.spark.sql.Column) =
+      (c * 100 + lit(0.5)).cast("long")
+    time("q1 floor-form cents")(narrow()
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(centsF(col("l_quantity"))).as("qty_c"),
+        sum(centsF(col("l_extendedprice"))).as("price_c"),
+        sum(centsF(col("l_extendedprice")) *
+          (lit(100L) - centsF(col("l_discount")))).as("disc_c4"),
+        count(lit(1)).as("count_order")))
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16384")
+    time("q1 batch 16384")(RefQueries.q1AggBody(narrow()))
+    spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+    time("registered ref_q1_agg")(
+      Registry.byName("ref_q1_agg").build(spark, sfDir))
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    time("registered (128MB)")(
+      Registry.byName("ref_q1_agg").build(spark, sfDir))
     spark.stop()
   }
 }

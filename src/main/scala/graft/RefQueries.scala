@@ -302,11 +302,26 @@ object RefQueries {
     * DuckDB's sum-widened (38,2)/(38,4) — and fail the driver's
     * representation-sensitive hash). */
   /** The cents-scaled aggregate alone — shared with `Q1Probe` so the
-    * probe always times the SHIPPED computation. */
+    * probe always times the SHIPPED computation.
+    *
+    * Cents scaling is the FLOOR FORM `(x·100 + 0.5)::long`, not
+    * `round(x·100)`: Spark's `Round` routes every double through a
+    * per-value `BigDecimal.setScale` (measured 2.6× on the whole query
+    * at sf10 — 1.45 → 0.57 s, from 4.6× of DuckDB to 1.6×), while the
+    * floor form stays pure codegen arithmetic. The two are equal on
+    * POSITIVE values whose true decimals have ≤ 2 places (TPC-H
+    * measures: the fp product lands within ~1e-11 of an integer cent,
+    * never near a .5 midpoint; for positives floor(v+0.5) IS
+    * round-half-up by definition) — the precondition RefSpec pins
+    * against the real table, and the DuckDB oracle's native round()
+    * differential re-proves at every SF. Negative measures would need
+    * the round form back (floor(v+0.5) rounds -2.5 toward +∞). */
   private[graft] def q1AggBody(src: DataFrame): DataFrame = {
-    val qtyC = round(col("l_quantity") * 100).cast("long")
-    val priceC = round(col("l_extendedprice") * 100).cast("long")
-    val discC = round(col("l_discount") * 100).cast("long")
+    def cents(c: org.apache.spark.sql.Column) =
+      (c * 100 + lit(0.5)).cast("long")
+    val qtyC = cents(col("l_quantity"))
+    val priceC = cents(col("l_extendedprice"))
+    val discC = cents(col("l_discount"))
     src.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(qtyC).as("qty_c"),

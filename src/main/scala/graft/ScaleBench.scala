@@ -64,6 +64,14 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // Split sizing for the probe hardware (the brief's "size
+      // maxPartitionBytes to the target SF"): the probe tables top out
+      // ~1 GB, so the 128 MB default yields ~9 scan tasks on 32 cores —
+      // the scan-bound queries (q1-class) leave 2/3 of the machine idle.
+      // 32 MB ≈ bytes/(2-3×cores) at sf10 (measured: q1 1.04 → 0.62 s);
+      // a real 100 TB cluster keeps the default — thousands of tasks
+      // come free there.
+      .config("spark.sql.files.maxPartitionBytes", "32MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

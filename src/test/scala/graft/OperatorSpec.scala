@@ -26,6 +26,25 @@ class OperatorSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("floor-form cents equals round-half-up on the real lineitem measures") {
+    // q1AggBody's (x*100 + 0.5)::long replaced round(x*100)::long for the
+    // BigDecimal-free codegen path — pin the equivalence precondition
+    // (positive, ≤2-decimal measures) against the actual table, plus the
+    // exact boundary values the floor form must get right
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    def both(c: org.apache.spark.sql.Column) =
+      ((c * 100 + lit(0.5)).cast("long"), round(c * 100).cast("long"))
+    for (m <- Seq("l_quantity", "l_extendedprice", "l_discount")) {
+      val (f, r) = both(col(m))
+      assert(li.where(f =!= r || col(m) < 0).isEmpty,
+        s"$m: floor form diverged from round (or negative value present)")
+    }
+    val edge = Seq(0.0, 0.01, 0.99, 1.0, 12.34, 949.99, 104949.5)
+      .toDF("x")
+    val (f, r) = both($"x")
+    assert(edge.where(f =!= r).isEmpty)
+  }
+
   test("DedupLatest.latestBy equals the row_number formulation (A1)") {
     val df = Seq(
       ("s1", 1L, "a"), ("s1", 3L, "c"), ("s1", 2L, "b"),

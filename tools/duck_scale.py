@@ -36,7 +36,19 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_shard_manifest", "data_tfidf_selfmrr", "data_mm_components",
           # round-8 additions: tokenizer training, PGM container, reel scene cuts
           "data_bpe_train", "data_bpe_train_encode", "data_mm_pgm_decode",
-          "data_mm_scene_cuts"]
+          "data_mm_scene_cuts",
+          # round-9 additions (mirrors graft.ScaleBench.ExtraQueries)
+          "data_mm_png_decode", "data_mm_reel_overlap", "data_quality_propagate",
+          "data_split_by_component", "data_lm_score", "data_boilerplate_strip",
+          "data_source_reputation", "data_curation_fate", "data_lm_backoff",
+          "data_dsir_resample", "data_novelty_score", "data_source_pagerank",
+          "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
+          "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
+          "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
+          "data_corpus_diff",
+          # round-10 additions
+          "data_dedup_index_serve", "data_mm_png_rgb_decode", "data_bpe_pretok",
+          "data_unigram_em3", "data_sim_opq"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
