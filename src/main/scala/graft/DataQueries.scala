@@ -1269,9 +1269,22 @@ object DataQueries {
     * [[DedupCell]]: ingest screening flags short boilerplate spans too. */
   private val ScreenCell = 4
 
-  /** The snapshot boundary: docs below are the "existing corpus", docs at
-    * or above are the incoming batch. */
+  /** The ingest-batch window [SnapshotId, BatchEnd): the incoming batch
+    * is this FIXED id slice and the "existing corpus" is everything
+    * else. The batch must stay bounded while the corpus grows with the
+    * scale factor — an unbounded batch (the old `>= SnapshotId` split)
+    * inverts the incremental-ingest premise at sf10, where it became
+    * 99.9% of the corpus and the serve path's batch broadcast a
+    * corpus-sized table. At the verify SF (≤ 500 docs) the split is
+    * unchanged: corpus 0–399, batch 400–499. */
   private val SnapshotId = 400L
+  private val BatchEnd = 500L
+
+  private def batchDocs(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") >= SnapshotId && col("doc_id") < BatchEnd)
+
+  private def corpusDocs(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") < SnapshotId || col("doc_id") >= BatchEnd)
 
   /** Shared oracle of the batch-vs-corpus cell screen: both the
     * per-batch recompute (`data_dedup_incremental`) and the
@@ -1290,11 +1303,13 @@ object DataQueries {
        |  FROM (SELECT doc_id, toks,
        |          unnest(range(0, (n + ${ScreenCell - 1}) // $ScreenCell)) AS i
        |        FROM c) x),
-       |corp AS (SELECT DISTINCT h AS hc FROM ch WHERE doc_id < $SnapshotId),
+       |corp AS (SELECT DISTINCT h AS hc FROM ch
+       |         WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd),
        |b AS (
        |  SELECT ch.doc_id, count(*) AS n_cells, count(hc) AS n_dup_cells
        |  FROM ch LEFT JOIN corp ON ch.h = corp.hc
-       |  WHERE ch.doc_id >= $SnapshotId GROUP BY ch.doc_id)
+       |  WHERE ch.doc_id >= $SnapshotId AND ch.doc_id < $BatchEnd
+       |  GROUP BY ch.doc_id)
        |SELECT doc_id, n_cells, n_dup_cells,
        |  CAST(n_dup_cells AS DOUBLE) / CAST(n_cells AS DOUBLE)
        |    AS dup_cell_frac,
@@ -1305,8 +1320,7 @@ object DataQueries {
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsHot(spark, dir)
     Dedup.incrementalCellScreen(
-        docs.where(col("doc_id") >= SnapshotId),
-        docs.where(col("doc_id") < SnapshotId),
+        batchDocs(docs), corpusDocs(docs),
         "doc_id", "text", ScreenCell)
       .dumpOrderedTail("doc_id")
   }
@@ -1326,7 +1340,7 @@ object DataQueries {
       val name = new java.io.File(dir).getName
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_cellidx_$idxRunId/$name"
       Dedup.writeCellIndex(
-        Tables.documentsHot(spark, dir).where(col("doc_id") < SnapshotId),
+        corpusDocs(Tables.documentsHot(spark, dir)),
         "doc_id", "text", ScreenCell, p)
       p
     })
@@ -1341,7 +1355,7 @@ object DataQueries {
   private def dedupIndexServe(spark: SparkSession, dir: String): DataFrame = {
     val idx = spark.read.parquet(cellIndexPath(spark, dir))
     val batchCells = Dedup.cellHashes(
-      Tables.documentsHot(spark, dir).where(col("doc_id") >= SnapshotId),
+      batchDocs(Tables.documentsHot(spark, dir)),
       "doc_id", "text", ScreenCell)
     Dedup.indexedCellScreen(batchCells, idx, "doc_id")
       .dumpOrderedTail("doc_id")

@@ -86,6 +86,21 @@ object Q1Probe {
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16384")
     time("q1 batch 16384")(RefQueries.q1AggBody(narrow()))
     spark.conf.unset("spark.sql.parquet.columnarReaderBatchSize")
+    // packed-int group key: (ascii(flag) << 8) | ascii(status) — primitive
+    // key admits the vectorized fast hash map; chars unpack on the 6 rows
+    def centsF2(c: org.apache.spark.sql.Column) =
+      (c * 100 + lit(0.5)).cast("long")
+    time("q1 packed-int key")(narrow()
+      .groupBy((ascii(col("l_returnflag")) * 256 +
+        ascii(col("l_linestatus"))).as("k"))
+      .agg(sum(centsF2(col("l_quantity"))).as("qty_c"),
+        sum(centsF2(col("l_extendedprice"))).as("price_c"),
+        sum(centsF2(col("l_extendedprice")) *
+          (lit(100L) - centsF2(col("l_discount")))).as("disc_c4"),
+        count(lit(1)).as("count_order"))
+      .select(expr("char(k div 256)").as("l_returnflag"),
+        expr("char(k % 256)").as("l_linestatus"),
+        col("qty_c"), col("price_c"), col("disc_c4"), col("count_order")))
     time("registered ref_q1_agg")(
       Registry.byName("ref_q1_agg").build(spark, sfDir))
     spark.conf.unset("spark.sql.files.maxPartitionBytes")
