@@ -46,20 +46,13 @@ object Dedup {
     * upstream if null docs must survive. */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
       cellWords: Int): DataFrame = {
-    val C = cellWords
+    // compiled one-pass cell build (empty/NULL token arrays yield the
+    // empty array — zero rows after the explode, matching the oracle)
+    graft.functions.WordCellFunctions.register(docs.sparkSession)
+    import graft.functions.WordCellFunctions.word_cells
     val cells = docs
       .withColumn("toks", TextAnalysis.tokens(col(textCol)))
-      .withColumn("n", size(col("toks")).cast("long"))
-      // n = 0 guard (an empty token array): sequence(0, -1) would emit a
-      // DESCENDING two-element [0, -1] — two phantom cells the DuckDB
-      // twin's range() never produces. NULL here makes explode drop the
-      // row: zero cells, matching the oracle for any future tokenizer
-      // that can return empty arrays.
-      .withColumn("ch", explode(when(col("n") > 0, transform(
-        sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),
-        i => struct(i.as("chunk_id"),
-          concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C)))
-            .as("chunk"))))))
+      .withColumn("ch", explode(word_cells(col("toks"), cellWords)))
       .select(col(idCol), col("ch.chunk_id"), col("ch.chunk"),
         md5(col("ch.chunk")).as("h"))
     val keepers = cells.groupBy(col("h"))
@@ -158,20 +151,18 @@ object Dedup {
   /** Non-overlapping `cellWords`-word cell hashes per row: (id, chunk_id,
     * cell_hash) — the span-granular content key shared by [[chunkDedup]]
     * (which also carries the chunk text for reassembly) and
-    * [[incrementalCellScreen]]. Same n=0 guard as chunkDedup: an empty
-    * token array yields zero cells, not phantom descending-sequence ones. */
+    * [[incrementalCellScreen]]. Empty/NULL token arrays yield zero cells
+    * (the compiled [[graft.functions.WordCells]] returns the empty
+    * array, which the explode drops). */
   def cellHashes(docs: DataFrame, idCol: String, textCol: String,
                  cellWords: Int): DataFrame = {
-    val C = cellWords
+    graft.functions.WordCellFunctions.register(docs.sparkSession)
+    import graft.functions.WordCellFunctions.word_cells
     docs
       .withColumn("toks", TextAnalysis.tokens(col(textCol)))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("ch", explode(when(col("n") > 0, transform(
-        sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),
-        i => struct(i.as("chunk_id"),
-          md5(concat_ws(" ", slice(col("toks"), (i * C + 1).cast("int"), lit(C))))
-            .as("cell_hash"))))))
-      .select(col(idCol), col("ch.chunk_id"), col("ch.cell_hash"))
+      .withColumn("ch", explode(word_cells(col("toks"), cellWords)))
+      .select(col(idCol), col("ch.chunk_id"),
+        md5(col("ch.chunk")).as("cell_hash"))
   }
 
   /** Content-defined chunk hashes per row: chunk boundaries fall where a

@@ -561,6 +561,38 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == Seq((10L, 4L, 2L, 0.5, true), (11L, 2L, 0L, 0.0, false)))
   }
 
+  test("WordCells expression is bit-identical to the HOF cell definition") {
+    // the compiled one-pass form replaced the per-cell transform lambda on
+    // every chunk/cell dedup scan — any divergence desynchronizes the span
+    // family from its oracles, so assert identity across the awkward
+    // inputs: NULL array, empty array, NULL words, short tail, C > len
+    graft.functions.WordCellFunctions.register(spark)
+    import graft.functions.WordCellFunctions.word_cells
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e")),   // short tail cell
+      (2L, Seq("x")),                       // single sub-width cell
+      (3L, Seq.empty[String]),              // zero cells
+      (4L, null.asInstanceOf[Seq[String]]), // NULL array: zero cells
+      (5L, Seq("p", null, "q", "r"))        // null word skipped in concat
+    ).toDF("doc_id", "toks")
+    val C = 2
+    def hof = docs.withColumn("n", size($"toks").cast("long"))
+      .select($"doc_id", explode(when($"n" > 0, transform(
+        sequence(lit(0L), expr(s"(n + ${C - 1}) div $C") - 1),
+        i => struct(i.as("chunk_id"),
+          concat_ws(" ", slice($"toks", (i * C + 1).cast("int"), lit(C)))
+            .as("chunk"))))).as("ch"))
+      .select($"doc_id", $"ch.chunk_id", $"ch.chunk")
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = docs
+      .select($"doc_id", explode(word_cells($"toks", C)).as("ch"))
+      .select($"doc_id", $"ch.chunk_id", $"ch.chunk")
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == hof)
+    assert(got.exists(_._1 == 5L)) // the null-word doc still yields cells
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
   test("indexedCellScreen over the stored index equals the per-batch screen") {
     val corpus = Seq((1L, "a b c d"), (2L, "a b e f")).toDF("doc_id", "text")
     val batch = Seq(
