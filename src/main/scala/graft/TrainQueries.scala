@@ -459,6 +459,11 @@ object TrainQueries {
       .select(col("word"), col("freq"),
         (size(col("rev")) - 1).cast("long").as("n_pieces"),
         element_at(col("dp"), L + 1).getField("cost").as("total_cost"),
+        // `pieces` is the authoritative segmentation (the EM usage
+        // counts explode IT — splitting the joined string back on '|'
+        // would mis-credit any corpus word that itself contains '|');
+        // `encoded` is its display form, dropped or aliased by callers
+        pieces.as("pieces"),
         array_join(pieces, "|").as("encoded"))
     out
   }
@@ -491,7 +496,7 @@ object TrainQueries {
   }
 
   private def unigramSegment(spark: SparkSession, dir: String): DataFrame =
-    unigramWordSegs(spark, dir).dumpOrdered("word")
+    unigramWordSegs(spark, dir).drop("pieces").dumpOrdered("word")
 
   /** One EM re-estimation + prune round — the step that makes the unigram
     * family a TRAINER (SentencePiece's loop: segment with the current
@@ -516,7 +521,7 @@ object TrainQueries {
     val seg1Plan = viterbiSegment(words, costs1)
     val seg1 = Tables.memoBy(spark, s"uniseg1:$dir")(seg1Plan)
     val usage: Map[String, Long] = seg1
-      .select(col("freq"), explode(split(col("encoded"), "\\|")).as("piece"))
+      .select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("total"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // chars stay at their substring-count cost when round 1 never used
@@ -568,7 +573,7 @@ object TrainQueries {
     def cost(total: Long): Long =
       UniCostBase - (64 - java.lang.Long.numberOfLeadingZeros(total))
     def usageOf(seg: DataFrame): Map[String, Long] = seg
-      .select(col("freq"), explode(split(col("encoded"), "\\|")).as("piece"))
+      .select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("total"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     var costs = costs1
@@ -714,15 +719,17 @@ object TrainQueries {
        |  SELECT word, freq, list_sort(cuts) AS rev
        |  FROM bt$UniMaxWordLen$sfx),
        |uni$sfx AS MATERIALIZED (
-       |  SELECT s.word, s.freq,
-       |    CAST(len(s.rev) - 1 AS BIGINT) AS n_pieces,
-       |    d.cost AS total_cost,
-       |    array_to_string(list_transform(range(1, len(s.rev)), k ->
-       |      substr(s.word, CAST(s.rev[k] + 1 AS INTEGER),
-       |             CAST(s.rev[k + 1] - s.rev[k] AS INTEGER))), '|')
-       |      AS encoded
-       |  FROM seg$sfx s JOIN $aN d
-       |    ON d.word = s.word AND d.i = length(s.word))""".stripMargin
+       |  SELECT word, freq, n_pieces, total_cost, pieces,
+       |    array_to_string(pieces, '|') AS encoded
+       |  FROM (
+       |    SELECT s.word, s.freq,
+       |      CAST(len(s.rev) - 1 AS BIGINT) AS n_pieces,
+       |      d.cost AS total_cost,
+       |      list_transform(range(1, len(s.rev)), k ->
+       |        substr(s.word, CAST(s.rev[k] + 1 AS INTEGER),
+       |               CAST(s.rev[k + 1] - s.rev[k] AS INTEGER))) AS pieces
+       |    FROM seg$sfx s JOIN $aN d
+       |      ON d.word = s.word AND d.i = length(s.word)) z)""".stripMargin
   }
 
   private lazy val duckUnigramSql: String =
@@ -734,7 +741,7 @@ object TrainQueries {
     s"""$duckUnigramCtes,
        |usage AS MATERIALIZED (
        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS total
-       |  FROM (SELECT freq, unnest(string_split(encoded, '|')) AS piece
+       |  FROM (SELECT freq, unnest(pieces) AS piece
        |        FROM uni) z
        |  GROUP BY piece),
        |vocab2 AS MATERIALIZED (
@@ -764,7 +771,7 @@ object TrainQueries {
                          vocabName: String): String =
     s"""$usageName AS MATERIALIZED (
        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS total
-       |  FROM (SELECT freq, unnest(string_split(encoded, '|')) AS piece
+       |  FROM (SELECT freq, unnest(pieces) AS piece
        |        FROM $fromUni) z
        |  GROUP BY piece),
        |$vocabName AS MATERIALIZED (

@@ -25,15 +25,19 @@ object TextAnalysis {
     * convention that makes BPE merges word-boundary-aware), then bare
     * whitespace runs. A portable subset of the published GPT-2 pattern:
     * no lookahead (DuckDB's RE2 lacks it), ASCII classes over
-    * `lower(text)` instead of \p{L}/\p{N} — both engines' regexes are
+    * `lower(text)` instead of \p{L}/\p{N}, and an EXPLICIT whitespace
+    * class instead of `\s` — Java's \s includes vertical tab \x0B where
+    * RE2's does not, so a \s-based pattern would split differently
+    * around VT on the two engines; with the explicit class, VT falls
+    * into the punctuation complement on BOTH. Both engines' regexes are
     * leftmost-FIRST on alternation, so the piece boundaries agree
     * bit-for-bit. The alternatives are EXHAUSTIVE over all characters
-    * (the punct class is the complement of letter/digit/space), which is
-    * what makes the split lossless: concatenating the pretokens
-    * reproduces `lower(text)` exactly (property-tested over arbitrary
-    * strings in BpeTrainProps). */
+    * (the punct class is the complement of letter/digit/listed
+    * whitespace), which is what makes the split lossless: concatenating
+    * the pretokens reproduces `lower(text)` exactly (property-tested
+    * over arbitrary strings — including VT — in BpeTrainProps). */
   val BpePretokPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
 
   def bpePretokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(BpePretokPattern), lit(0))

@@ -99,10 +99,14 @@ object WordCellFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("word_cells")))
       registry.createOrReplaceTempFunction(
         "word_cells",
-        exprs => exprs(1) match {
-          case Literal(v: Int, IntegerType) => WordCells(exprs.head, v)
-          case other => throw new IllegalArgumentException(
-            s"word_cells(words, c): c must be an integer literal, got $other")
+        exprs => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"word_cells(words, c): expected 2 arguments, got ${exprs.length}")
+          exprs(1) match {
+            case Literal(v: Int, IntegerType) => WordCells(exprs.head, v)
+            case other => throw new IllegalArgumentException(
+              s"word_cells(words, c): c must be an integer literal, got $other")
+          }
         },
         "scala_udf")
   }

@@ -99,10 +99,14 @@ object WordShingleFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")))
       registry.createOrReplaceTempFunction(
         "word_shingles",
-        exprs => exprs(1) match {
-          case Literal(v: Int, IntegerType) => WordShingles(exprs.head, v)
-          case other => throw new IllegalArgumentException(
-            s"word_shingles(words, n): n must be an integer literal, got $other")
+        exprs => {
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"word_shingles(words, n): expected 2 arguments, got ${exprs.length}")
+          exprs(1) match {
+            case Literal(v: Int, IntegerType) => WordShingles(exprs.head, v)
+            case other => throw new IllegalArgumentException(
+              s"word_shingles(words, n): n must be an integer literal, got $other")
+          }
         },
         "scala_udf")
   }

@@ -131,14 +131,21 @@ object CurationStreams {
 
   /** The per-content-hash state function of [[curationFateStream]],
     * exposed for direct unit-testing of the timeout branch (via
-    * `TestGroupState`). State = the minimum doc_id seen for the hash. */
+    * `TestGroupState`). State = the hash's keeper doc_id: FIRST-SEEN
+    * WINS — a remembered keeper is never re-elected by a later
+    * smaller-id arrival, because the earlier verdict has already been
+    * emitted and Update mode cannot retract it; re-electing would let
+    * TWO copies of identical content pass the gate. Within one
+    * micro-batch (no prior state) the batch minimum wins, which is what
+    * makes a single-batch corpus replay reproduce the batch gate's
+    * min-id election exactly. */
   private[graft] def keeperFate(ttl: Boolean)(
       h: String, rows: Iterator[FateFlags],
       state: GroupState[Long]): Iterator[DocFate] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
       val batch = rows.toSeq
-      val keeper = (state.getOption ++ batch.map(_.doc_id)).min
+      val keeper = state.getOption.getOrElse(batch.map(_.doc_id).min)
       state.update(keeper)
       if (ttl) state.setTimeoutDuration(KeeperTtlMs)
       batch.iterator.map { d =>

@@ -82,6 +82,9 @@ object BpeTrainProps extends Properties("BpeTrain") {
   private val pretokText: Gen[String] = Gen.listOf(Gen.frequency(
     6 -> Gen.alphaLowerChar, 2 -> Gen.numChar, 2 -> Gen.const(' '),
     1 -> Gen.const('\''), 1 -> Gen.const('\n'), 1 -> Gen.const('\t'),
+    // vertical tab (0x0B) is the Java-vs-RE2 whitespace divergence the
+    // explicit class exists for: it must land in the punct class
+    1 -> Gen.oneOf('\u000B', '\f', '\r'),
     1 -> Gen.oneOf('.', ',', '!', '-', '<', '|', '>'),
     1 -> Gen.oneOf('A', 'Z'), 1 -> Gen.oneOf('s', 't', 'm', 'd')
   )).map(_.mkString)

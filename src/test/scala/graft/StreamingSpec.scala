@@ -581,7 +581,9 @@ class StreamingSpec extends AnyFunSuite {
     val out = CurationStreams.keeperFate(ttl = true)(
       "h", Iterator.empty, timedOut)
     assert(out.isEmpty && timedOut.isRemoved)
-    // live branch: keeper = min(remembered, batch), TTL re-armed
+    // live branch: the remembered keeper WINS (first-seen — a later
+    // smaller id must NOT re-elect, or two copies of the content would
+    // both be emitted as non-dup across batches), TTL re-armed
     val live = TestGroupState.create[Long](Optional.of(5L),
       GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(), false)
     val flags = Seq(
@@ -591,10 +593,19 @@ class StreamingSpec extends AnyFunSuite {
         contaminated = false))
     val fates = CurationStreams.keeperFate(ttl = true)(
       "h", flags.iterator, live).toSeq
-    assert(live.get == 2L)
+    assert(live.get == 5L)
     assert(live.getTimeoutTimestampMs.isPresent)
     assert(fates.find(_.doc_id == 9L).get.fate == "exact_dup")
-    assert(fates.find(_.doc_id == 2L).get.fate == "kept")
+    assert(fates.find(_.doc_id == 2L).get.fate == "exact_dup")
+    // no remembered keeper: the batch minimum is elected (the rule that
+    // makes a single-batch corpus replay match the batch gate)
+    val fresh = TestGroupState.create[Long](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(), false)
+    val fates2 = CurationStreams.keeperFate(ttl = true)(
+      "h", flags.iterator, fresh).toSeq
+    assert(fresh.get == 2L)
+    assert(fates2.find(_.doc_id == 2L).get.fate == "kept")
+    assert(fates2.find(_.doc_id == 9L).get.fate == "exact_dup")
   }
 
   test("streaming source reputation over the corpus equals the batch quality axis") {
