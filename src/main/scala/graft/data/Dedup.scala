@@ -275,7 +275,12 @@ object Dedup {
     * the big side) and feeds dynamic partition pruning on the `shard`
     * directory key, so only the shard directories the batch actually
     * touches are read. Per-doc totals come from the batch alone; docs
-    * with zero index hits re-enter through the left join with a 0. */
+    * with zero index hits re-enter through the left join with a 0.
+    *
+    * DPP caveat (PartitionPruningSpec pins it): Spark's planner inserts
+    * the pruning subquery only when the filtering side carries a
+    * SELECTIVE predicate — batch relations should arrive as a filtered
+    * slice (the natural ingest shape), not a bare literal relation. */
   def indexedCellScreen(batchCells: DataFrame, index: DataFrame,
       idCol: String): DataFrame = {
     val bc = batchCells.withColumn("shard", cellShard(col("cell_hash")))

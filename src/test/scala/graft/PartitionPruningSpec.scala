@@ -64,6 +64,51 @@ class PartitionPruningSpec extends AnyFunSuite {
       assigned.where($"cell".isin(0L, 1L)).count())
   }
 
+  test("indexedCellScreen plan: index streamed through a BroadcastHashJoin " +
+      "with dynamic partition pruning on the shard key") {
+    import spark.implicits._
+    import graft.data.Dedup
+    // the maintained-index serve's plan contract (PLANS.md audit note,
+    // locked here): the stored index side must never shuffle (BHJ with
+    // the batch broadcast) and the shard directory key must carry a
+    // dynamicpruning expression fed by that broadcast. The corpus is the
+    // real documents table — DPP's benefit heuristic (pruning ratio ×
+    // scan size) correctly declines on a few-KB toy index, so the spec
+    // pins the real-fixture scale the shipped query runs at.
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text")
+    // the real query's split shape: DPP's planner additionally requires a
+    // SELECTIVE predicate on the filtering (batch) side — a bare literal
+    // relation would decline the pruning even when beneficial
+    val corpus = docs.where($"doc_id" < 480)
+    val batch = docs.where($"doc_id" >= 480)
+    val dir = Files.createTempDirectory("graft_idx_plan").toString + "/cells"
+    Dedup.writeCellIndex(corpus, "doc_id", "text", 2, dir)
+    // AQE off, like the bench/ScaleBench sessions whose plan PLANS.md
+    // audits: under AQE the pruning filter is planned adaptively and the
+    // static sparkPlan would not show it
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val served = Dedup.indexedCellScreen(
+      Dedup.cellHashes(batch, "doc_id", "text", 2),
+      spark.read.parquet(dir), "doc_id")
+    val plan = served.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.indexOf("dynamicpruning") >= 0, plan)
+    val idxScan = served.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("graft_idx_plan")) =>
+          f.metadata.getOrElse("PartitionFilters", "")
+      }
+    assert(idxScan.nonEmpty, "no file scan over the stored index found")
+    assert(idxScan.get.contains("dynamicpruning"),
+      s"shard key carries no dynamic pruning: ${idxScan.get}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
   test("ivfTopKFittedPruned: pruned-read result == unpruned, plan prunes") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.sf)
