@@ -1363,6 +1363,49 @@ object DataQueries {
       p
     })
 
+  /** The index-MAINTENANCE lifecycle: a PRIVATE index copy (the shared
+    * serve index must stay the pristine corpus index) is built once,
+    * the batch screened against it, its novel cells APPENDED
+    * ([[Dedup.appendCellIndex]]), and the batch re-screened — after
+    * which every batch cell must be a duplicate. The before-screen is
+    * materialized BEFORE the append (a lazy plan would re-read the
+    * mutated directory); the after-screen re-plans per run, so its scan
+    * lists the appended files. The differential proves the append
+    * covered every batch cell on every shard: a missed shard would
+    * leave Spark's after-count below the oracle's corpus∪batch replay. */
+  private def dedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val batchCells = Dedup.cellHashes(
+      batchDocs(Tables.documentsHot(spark, dir)),
+      "doc_id", "text", ScreenCell)
+    val path = new java.io.File(idxRoot, "append_" +
+      new java.io.File(dir).getName).getAbsolutePath
+    val before = Tables.memoBy(spark, s"idxappend:$dir") {
+      Dedup.writeCellIndex(corpusDocs(Tables.documentsHot(spark, dir)),
+        "doc_id", "text", ScreenCell, path)
+      // localCheckpoint (eager), NOT persist: the append below triggers
+      // refreshByPath on the index directory, which would INVALIDATE a
+      // cache whose plan still references the path and silently recompute
+      // the "before" verdicts against the mutated index; checkpointing
+      // severs the lineage, freezing the pre-append result.
+      val b = Dedup.indexedCellScreen(
+        batchCells, spark.read.parquet(path), "doc_id")
+        .localCheckpoint(true)
+      Dedup.appendCellIndex(batchCells, path)
+      b
+    }
+    val after = Dedup.indexedCellScreen(
+      batchCells, spark.read.parquet(path), "doc_id")
+    before
+      .select(col("doc_id"), col("n_cells"),
+        col("n_dup_cells").as("n_dup_before"))
+      .join(after.select(col("doc_id"),
+        col("n_dup_cells").as("n_dup_after")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_cells"), col("n_dup_before"),
+        col("n_dup_after"),
+        (col("n_dup_after") === col("n_cells")).as("is_fully_indexed"))
+      .dumpOrderedTail("doc_id")
+  }
+
   /** The maintained-index serve (VERDICT r9 #1): identical screen verdicts
     * to `data_dedup_incremental` — the stored index IS the corpus's
     * distinct cell set — but the corpus side is a partition-pruned scan of
@@ -3935,6 +3978,39 @@ object DataQueries {
     // shard-partitioned index where the incremental screen recomputes the
     // corpus cells — one oracle differential-checks both
     "data_dedup_index_serve" -> Q(dedupIndexServe, Some(duckScreenSql)),
+
+    "data_dedup_index_append" -> Q(dedupIndexAppend, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckWords AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(
+         |      toks[(i * $ScreenCell + 1):(i * $ScreenCell + $ScreenCell)],
+         |      ' ')) AS h
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, (n + ${ScreenCell - 1}) // $ScreenCell)) AS i
+         |        FROM c) x),
+         |corp AS (SELECT DISTINCT h AS hc FROM ch
+         |         WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd),
+         |bcells AS (SELECT doc_id, h FROM ch
+         |           WHERE doc_id >= $SnapshotId AND doc_id < $BatchEnd),
+         |corp2 AS (
+         |  SELECT hc FROM corp
+         |  UNION
+         |  SELECT DISTINCT h FROM bcells),
+         |b AS (
+         |  SELECT bc.doc_id, count(*) AS n_cells,
+         |    count(c1.hc) AS n_dup_before
+         |  FROM bcells bc LEFT JOIN corp c1 ON bc.h = c1.hc
+         |  GROUP BY bc.doc_id),
+         |a AS (
+         |  SELECT bc.doc_id, count(c2.hc) AS n_dup_after
+         |  FROM bcells bc LEFT JOIN corp2 c2 ON bc.h = c2.hc
+         |  GROUP BY bc.doc_id)
+         |SELECT b.doc_id, b.n_cells, b.n_dup_before, a.n_dup_after,
+         |  a.n_dup_after = b.n_cells AS is_fully_indexed
+         |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     "data_quality_classifier" -> Q(qualityClassifier, Some(
       s"""WITH f AS (

@@ -262,6 +262,36 @@ object Dedup {
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** MAINTAIN the stored index: append an ingest batch's NOVEL cell
+    * hashes — batch distinct cells anti-joined against the index — as a
+    * partitioned APPEND into the same shard directories, exactly the
+    * incremental INSERT [[writeCellIndex]]'s layout exists for. After
+    * the append, re-serving the same batch reports every cell as a
+    * duplicate (the law the spec and the `data_dedup_index_append`
+    * oracle pin).
+    *
+    * Scale shape: a naive `batch ANTI JOIN index` would hash-build the
+    * INDEX side — the 100 TB side. Instead the known hashes come from
+    * the same streamed inner join the serve path uses (index ⋈
+    * broadcast(batch distinct), partition-pruned, output bounded by the
+    * BATCH), and the novel set is `batch ANTI broadcast(hits)` — both
+    * joins build only batch-bounded sides, the index never shuffles,
+    * and the write touches only the shard directories holding novel
+    * hashes. Reading and appending the same directory is safe: the
+    * scan's file listing is fixed at planning, before any new file
+    * lands. */
+  def appendCellIndex(batchCells: DataFrame, indexPath: String): Unit = {
+    val spark = batchCells.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val bd = batchCells.select(col("cell_hash")).distinct()
+      .withColumn("shard", cellShard(col("cell_hash")))
+    val hits = idx.join(broadcast(bd), Seq("shard", "cell_hash"))
+      .select(col("shard"), col("cell_hash"))
+    bd.join(broadcast(hits), Seq("shard", "cell_hash"), "left_anti")
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(indexPath)
+  }
+
   /** Serve an ingest batch against the STORED index (the read-back of
     * [[writeCellIndex]]): same output contract as
     * [[incrementalCellScreen]] — (id, n_cells, n_dup_cells,

@@ -620,6 +620,31 @@ class DataOpsSpec extends AnyFunSuite {
       (12L, 2L, 2L, 1.0, true)))
   }
 
+  test("appendCellIndex: novel cells only; re-serve sees every batch cell") {
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b x y"), (11L, "x y z w")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_append")
+      .resolve("cells").toString
+    Dedup.writeCellIndex(corpus, "doc_id", "text", 2, path)
+    val n0 = spark.read.parquet(path).count()
+    val bc = Dedup.cellHashes(batch, "doc_id", "text", 2)
+    Dedup.appendCellIndex(bc, path)
+    // only the NOVEL distinct hashes landed: batch cells are
+    // [a b][x y] + [x y][z w] -> 3 distinct, one ([a b]) already indexed
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == n0 + 2)
+    assert(idx.select($"cell_hash").distinct().count() == idx.count(),
+      "append must never duplicate an index row")
+    // re-serving the same batch now reports every cell as a duplicate
+    val served = Dedup.indexedCellScreen(bc, idx, "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)]
+      .collect().toSeq
+    assert(served == Seq((10L, 2L, 2L, 1.0, true), (11L, 2L, 2L, 1.0, true)))
+    // idempotence: a second append of the same batch is a no-op
+    Dedup.appendCellIndex(bc, path)
+    assert(spark.read.parquet(path).count() == n0 + 2)
+  }
+
   test("linearScoreColumns is the mean hashed-bucket weight") {
     // Weight of a token = (hex4(md5 tok) % 64) % 7 - 3: recompute in plain
     // Scala and compare — the operator must be exactly this arithmetic.
