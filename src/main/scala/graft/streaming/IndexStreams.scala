@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.data.Dedup
+
+/** Streaming ingest against the MAINTAINED dedup index: every
+  * micro-batch of documents is screened by the same partition-pruned
+  * broadcast serve the batch pipeline uses
+  * ([[graft.data.Dedup.indexedCellScreen]]) and, when `maintain` is on,
+  * its novel cells are APPENDED to the index
+  * ([[graft.data.Dedup.appendCellIndex]]) — so a page re-crawled in a
+  * LATER batch screens as duplicate without any state-store state: the
+  * INDEX IS THE STATE, durable, shared with the batch pipeline, and
+  * unbounded by executor memory (the state-store approaches —
+  * MediaStreams' keeper gate, CurationStreams' TTL'd hash set — keep
+  * state in memory per key; this keeps it at rest, the shape an
+  * incremental crawl actually runs).
+  *
+  * foreachBatch rather than a stateful operator, deliberately: the
+  * screen is a JOIN against a mutable at-rest table, which Structured
+  * Streaming's stream-static joins would plan once and never re-list —
+  * per-batch re-planning inside foreachBatch picks up the appended
+  * shard files. Verdicts append to `outPath` tagged with the batch id.
+  *
+  * Scale: per batch, exactly the batch pipeline's serve cost (index
+  * streamed, batch broadcast, shard directories pruned) plus, under
+  * `maintain`, the batch-bounded anti-join append. Nothing accumulates
+  * in memory across batches.
+  */
+object IndexStreams {
+
+  def screenStream(docs: DataFrame, indexPath: String, outPath: String,
+                   cellWords: Int, maintain: Boolean,
+                   checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        // one cell build feeds both the screen and the append
+        val cells = Dedup.cellHashes(batch.toDF(), "doc_id", "text", cellWords)
+          .localCheckpoint(true)
+        val screened = Dedup.indexedCellScreen(
+          cells, spark.read.parquet(indexPath), "doc_id")
+        screened.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+        if (maintain) Dedup.appendCellIndex(cells, indexPath)
+        ()
+      }
+      .start()
+}

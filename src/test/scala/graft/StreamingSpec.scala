@@ -570,6 +570,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("index screen stream: the stored index is the cross-batch state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_stream")
+    val idxPath = base.resolve("index").toString
+    val outPath = base.resolve("verdicts").toString
+    // seed the index from a corpus: cells [a b], [c d]
+    graft.data.Dedup.writeCellIndex(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 2, idxPath)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = IndexStreams.screenStream(docs, idxPath, outPath,
+      cellWords = 2, maintain = true, base.resolve("ckpt").toString)
+    try {
+      input.addData((10L, "a b x y")) // [a b] known, [x y] novel
+      q.processAllAvailable()
+      // [x y] persisted by batch 0's append: a later batch sees it as a
+      // dup through the INDEX, with no state-store state anywhere
+      input.addData((11L, "x y q r"), (12L, "a b c d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outPath)
+      .select($"doc_id", $"n_cells", $"n_dup_cells", $"batch_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((10L, 2L, 1L, 0L), (11L, 2L, 1L, 1L),
+      (12L, 2L, 2L, 1L)))
+    // the index grew by exactly the novel cells: [x y] then [q r]
+    assert(spark.read.parquet(idxPath).count() == 4)
+  }
+
   test("streaming curation fate: timed-out keeper cells evict; live cells re-arm") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
