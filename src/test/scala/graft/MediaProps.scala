@@ -95,6 +95,37 @@ object MediaProps extends Properties("MediaCodec") {
         MediaCodecImpl.reelDHashes(reel.dropRight(1 + reel.length % 7)) == null
     }
 
+  private val rgbImg = for {
+    w <- Gen.choose(1, 9)
+    h <- Gen.choose(1, 9)
+    px <- Gen.listOfN(w * h, Gen.choose(0, 0xFFFFFF))
+  } yield (w, h, px)
+
+  property("color PNG: per-channel stats identity through truecolor AND " +
+      "palette encodes for any pixel content") =
+    forAll(rgbImg) { case (w, h, px) =>
+      def chSums(p: Seq[Int]): (Long, Long, Long, Long, Long) = {
+        val r = p.map(x => ((x >> 16) & 0xFF).toLong)
+        val g = p.map(x => ((x >> 8) & 0xFF).toLong)
+        val b = p.map(x => (x & 0xFF).toLong)
+        val all = r ++ g ++ b
+        (r.sum, g.sum, b.sum, all.min, all.max)
+      }
+      val want = chSums(px)
+      def check(bytes: Array[Byte], fmt: String): Boolean = {
+        val row = MediaCodecImpl.decodeRgb(bytes)
+        row.getUTF8String(0).toString == fmt && row.getBoolean(1) &&
+          row.getInt(2) == w && row.getInt(3) == h &&
+          (row.getLong(5), row.getLong(6), row.getLong(7),
+            row.getLong(8), row.getLong(9)) ==
+            ((want._1, want._2, want._3, want._4, want._5))
+      }
+      val arr = ArrayData.toArrayData(px.toArray)
+      // ≤ 81 pixels → ≤ 81 distinct colors: palette always encodable
+      check(MediaCodecImpl.pngEncodeRgb(arr, w), "png-rgb") &&
+        check(MediaCodecImpl.pngEncodePal(arr, w), "png-pal")
+    }
+
   property("PGM header fuzz: arbitrary bytes after the magic never crash") =
     forAll(Gen.choose(0, 64).flatMap(n =>
         Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 255),
