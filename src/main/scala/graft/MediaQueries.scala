@@ -326,6 +326,54 @@ object MediaQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** JPEG roundtrip bands: fixed encode quality plus the error
+    * tolerances the query's booleans embed. Measured at q=90 over the
+    * text-derived pixels (JpegProbe): max per-pixel |err| = 21 and max
+    * per-doc mean drift = 0.43 across 500k docs at sf10 — the bands sit
+    * 3–5× above (the sketch-approx convention), so a near-threshold doc
+    * flipping one engine's boolean is implausible at any SF. */
+  val JpegQuality = 90
+  val JpegPixTol = 64
+  val JpegMeanTol = 2.0
+
+  /** Decode differential for the LOSSY real-crawl format: grayscale
+    * baseline JPEG through the JDK's ImageIO codec
+    * ([[graft.functions.JpegCodecImpl]]). JPEG's loss rules out the
+    * bit-exact oracle every other container has, so this query uses the
+    * `ref_sketch_approx` contract: validity, geometry and pixel count
+    * hash-compare EXACTLY, and the decode quality is asserted through
+    * engine-side tolerance booleans (Spark compares its REAL decode
+    * against the source pixels; the oracle's expectation is trivially
+    * true by construction — the differential still proves the encode →
+    * decode pipeline ran, returned the right geometry everywhere, and
+    * stayed inside the measured loss band corpus-wide).
+    *
+    * Scale: map-only — encode, decode and the error folds are
+    * expressions in one projection; no shuffle. */
+  private def mmJpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.JpegFunctions.register(spark)
+    import graft.functions.JpegFunctions._
+    val px = Multimodal.fullRowPixels(col("text"))
+    Tables.documents(spark, dir)
+      .where(col("text").isNotNull && length(col("text")) >= W)
+      .select(col("doc_id"), px.as("px"))
+      .select(col("doc_id"), col("px"),
+        // ONE decode per row: stats and pixels ride the same struct
+        media_decode_jpeg(
+          jpeg_encode_gray(col("px"), W, JpegQuality)).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.valid").as("valid"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.n_values").as("n_values"),
+        (abs(col("m.sum_val").cast("double") / col("m.n_values")
+          - aggregate(col("px"), lit(0L), (a, x) => a + x).cast("double")
+            / size(col("px"))) <= JpegMeanTol).as("mean_within_tol"),
+        (aggregate(zip_with(col("m.pixels"), col("px"),
+          (d, s) => abs(d - s)),
+          lit(0), (a, x) => greatest(a, x)) <= JpegPixTol)
+          .as("pixels_within_tol"))
+      .dumpOrdered("doc_id")
+  }
+
   val ReelFrames = 9  // frames per reel
   val ReelGroup = 3   // consecutive same-content frames per scene
   val ReelShift = 7   // pixel rotation per scene change (= one row at W=7)
@@ -645,6 +693,15 @@ object MediaQueries {
          |    AS min_val,
          |  CAST(greatest(list_max(r), list_max(g), list_max(b)) AS BIGINT)
          |    AS max_val
+         |FROM img ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_jpeg_decode" -> Q(mmJpegDecode, Some(
+      s"""WITH ${codesCte("")},
+         |$pixCtes
+         |SELECT doc_id, 'jpeg' AS format, true AS valid,
+         |  CAST($W AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(len(pix) AS BIGINT) AS n_values,
+         |  true AS mean_within_tol, true AS pixels_within_tol
          |FROM img ORDER BY doc_id""".stripMargin)),
 
     "data_mm_scene_cuts" -> Q(mmSceneCuts, Some(

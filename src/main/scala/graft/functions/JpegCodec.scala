@@ -1,0 +1,270 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JPEG (8-bit grayscale baseline) through the JDK's bundled ImageIO —
+  * the LOSSY real-crawl format next to the hand-rolled lossless codecs
+  * (WAV/BMP/PGM/PNG). Hand-rolling a spec-exact JPEG pipeline (DCT,
+  * quantization tables, Huffman) buys nothing over the platform codec
+  * here, because JPEG's loss makes a bit-exact cross-engine oracle
+  * impossible ANYWAY: the differential contract for this format is the
+  * `ref_sketch_approx` pattern — exact columns where exactness exists
+  * (validity, geometry, pixel count) and engine-side TOLERANCE BOOLEANS
+  * where it cannot (each engine checks its own decode against its own
+  * expectation; the booleans hash-compare). Within one JVM the codec is
+  * deterministic, so Spark's booleans are stable run to run.
+  *
+  * Same scale contract as the other codecs: encode and decode are
+  * per-row expressions inside the scan projection — map-only
+  * featurization, never a shuffle.
+  */
+object JpegCodecImpl {
+
+  /** Decode output schema — the gray [[MediaCodecImpl.Schema]] shape plus
+    * the decoded `pixels` (row-major top-down), so stats AND error-band
+    * comparisons ride ONE decode per row. */
+  val Schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_values", LongType, nullable = false),
+    StructField("sum_val", LongType, nullable = true),
+    StructField("min_val", LongType, nullable = true),
+    StructField("max_val", LongType, nullable = true),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = true)))
+
+  private val FmtJpeg = UTF8String.fromString("jpeg")
+  private val FmtUnknown = UTF8String.fromString("unknown")
+
+  // Per-THREAD codec instances: ImageIO's getImage{Writers,Readers}ByFormat
+  // lookup plus a file-backed cache stream per call costs ~100 µs/row —
+  // measured 71.7 s for the sf10 query before this, 500k rows of plugin
+  // lookups and scratch-file streams. Writers/readers are not thread-safe
+  // but are reusable per thread; streams are explicit memory-cache ones.
+  private val writerTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
+  private val readerTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next())
+
+  /** Baseline grayscale JPEG encode at fixed quality: `height = n / width`
+    * full rows (the shared encoder contract); fewer pixels than one row →
+    * null. Quality is a compile-time constant of the expression so the
+    * loss profile — and therefore the tolerance booleans downstream —
+    * cannot drift between runs. */
+  def encodeGray(pixels: ArrayData, width: Int, quality: Int): Array[Byte] = {
+    if (pixels == null) return null
+    val height = pixels.numElements() / width
+    if (height == 0) return null
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    val n = width * height
+    while (i < n) {
+      raster.setSample(i % width, i / width, 0, pixels.getInt(i) & 0xFF)
+      i += 1
+    }
+    val writer = writerTl.get()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality / 100.0f)
+    val bos = new java.io.ByteArrayOutputStream(256)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.flush()
+    } catch {
+      case _: Exception =>
+        writerTl.remove() // a failed writer may hold broken state
+        return null
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** JFIF/EXIF signature sniff: JPEG streams begin SOI = 0xFFD8. */
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte &&
+      b(2) == 0xFF.toByte
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = readerTl.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } catch {
+      case _: Exception =>
+        readerTl.remove() // a failed reader may hold broken state
+        null
+    } finally iis.close()
+  }
+
+  /** Decode → gray stats + pixels row, or invalid. Corrupt payloads
+    * (ImageIO decline or decode exception) return invalid, never crash
+    * the scan — the shared codec contract. ONE ImageIO read serves both
+    * the stats and the pixel array. */
+  def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    if (!isJpeg(bytes))
+      return new GenericInternalRow(Array[Any](
+        FmtUnknown, false, null, null, 0L, null, null, null, null))
+    val img = readImage(bytes)
+    if (img == null)
+      return new GenericInternalRow(Array[Any](
+        FmtJpeg, false, null, null, 0L, null, null, null, null))
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // band 0; our encoder writes TYPE_BYTE_GRAY (single band)
+        val v = raster.getSample(x, y, 0)
+        out(y * w + x) = v
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    new GenericInternalRow(Array[Any](
+      FmtJpeg, true, w, h, n,
+      if (n > 0) sum else null, if (n > 0) mn else null,
+      if (n > 0) mx else null,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)))
+  }
+
+  /** Decoded pixel stream alone (row-major top-down ints), or null when
+    * the payload fails to decode. */
+  def values(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || !isJpeg(bytes)) return null
+    val img = readImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `jpeg_encode_gray(pixels array<int>)` → binary baseline grayscale
+  * JPEG at the fixed quality. Null for fewer pixels than one row. */
+case class JpegEncodeGray(child: Expression, width: Int, quality: Int)
+    extends UnaryExpression {
+  require(width > 0, s"width must be positive, got $width")
+  require(quality >= 1 && quality <= 100, s"quality 1..100, got $quality")
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_encode_gray"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegCodecImpl.encodeGray(input.asInstanceOf[ArrayData], width, quality)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.JpegCodecImpl.encodeGray($c, $width, $quality);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegEncodeGray =
+    copy(child = newChild)
+}
+
+/** `media_decode_jpeg(payload binary)` → the gray stats struct. */
+case class MediaDecodeJpeg(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = JpegCodecImpl.Schema
+  override def prettyName: String = "media_decode_jpeg"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegCodecImpl.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.JpegCodecImpl.decode($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDecodeJpeg =
+    copy(child = newChild)
+}
+
+/** `media_values_jpeg(payload binary)` → `array<int>` decoded pixels. */
+case class MediaValuesJpeg(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "media_values_jpeg"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegCodecImpl.values(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.JpegCodecImpl.values($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MediaValuesJpeg =
+    copy(child = newChild)
+}
+
+object JpegFunctions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions
+        .Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    def put(name: String, build: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, build, "scala_udf")
+    put("jpeg_encode_gray", exprs => {
+      if (exprs.length != 3) throw new IllegalArgumentException(
+        s"jpeg_encode_gray(pixels, width, quality): expected 3 arguments, " +
+          s"got ${exprs.length}")
+      JpegEncodeGray(exprs.head,
+        intLit(exprs(1), "jpeg_encode_gray"), intLit(exprs(2), "jpeg_encode_gray"))
+    })
+    put("media_decode_jpeg", exprs => {
+      if (exprs.length != 1) throw new IllegalArgumentException(
+        s"media_decode_jpeg(payload): expected 1 argument, got ${exprs.length}")
+      MediaDecodeJpeg(exprs.head)
+    })
+    put("media_values_jpeg", exprs => {
+      if (exprs.length != 1) throw new IllegalArgumentException(
+        s"media_values_jpeg(payload): expected 1 argument, got ${exprs.length}")
+      MediaValuesJpeg(exprs.head)
+    })
+  }
+
+  def jpeg_encode_gray(pixels: Column, width: Int, quality: Int): Column =
+    org.apache.spark.sql.functions.call_function("jpeg_encode_gray", pixels,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(quality))
+  def media_decode_jpeg(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("media_decode_jpeg", payload)
+  def media_values_jpeg(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("media_values_jpeg", payload)
+}
