@@ -31,7 +31,7 @@ object JpegProbe {
       .select(col("doc_id"), col("px"),
         jpeg_encode_gray(col("px"), W, quality).as("payload"))
       .select(col("doc_id"), col("px"),
-        media_values_jpeg(col("payload")).as("dec"))
+        media_decode_jpeg(col("payload")).getField("pixels").as("dec"))
       .select(col("doc_id"),
         aggregate(zip_with(col("dec"), col("px"),
           (d, s) => abs(d - s)), lit(0), (a, x) => greatest(a, x))
@@ -42,7 +42,8 @@ object JpegProbe {
             / size(col("px"))).as("mean_drift"))
     val row = df.agg(max(col("max_err")), max(col("mean_drift")),
       count(lit(1))).head()
-    println(s"[jpegprobe] q=$quality max_pixel_err=${row.get(0)} " +
+    if (row.getLong(2) == 0L) println("[jpegprobe] docs=0 (nothing to measure)")
+    else println(s"[jpegprobe] q=$quality max_pixel_err=${row.get(0)} " +
       f"max_mean_drift=${row.getDouble(1)}%.3f docs=${row.getLong(2)}")
     spark.stop()
   }

@@ -86,7 +86,10 @@ object JpegCodecImpl {
       ios.flush()
     } catch {
       case _: Exception =>
-        writerTl.remove() // a failed writer may hold broken state
+        // free native state before discarding; a broken codec may throw
+        // from dispose() too — discarding is the priority
+        try writerTl.get().dispose() catch { case _: Exception => }
+        writerTl.remove()
         return null
     } finally ios.close()
     bos.toByteArray
@@ -106,7 +109,8 @@ object JpegCodecImpl {
       reader.read(0)
     } catch {
       case _: Exception =>
-        readerTl.remove() // a failed reader may hold broken state
+        try readerTl.get().dispose() catch { case _: Exception => }
+        readerTl.remove()
         null
     } finally iis.close()
   }
@@ -150,23 +154,6 @@ object JpegCodecImpl {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)))
   }
 
-  /** Decoded pixel stream alone (row-major top-down ints), or null when
-    * the payload fails to decode. */
-  def values(bytes: Array[Byte]): ArrayData = {
-    if (bytes == null || !isJpeg(bytes)) return null
-    val img = readImage(bytes)
-    if (img == null) return null
-    val w = img.getWidth; val h = img.getHeight
-    val out = new Array[Int](w * h)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
-      y += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
 }
 
 /** `jpeg_encode_gray(pixels array<int>)` → binary baseline grayscale
@@ -207,23 +194,6 @@ case class MediaDecodeJpeg(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `media_values_jpeg(payload binary)` → `array<int>` decoded pixels. */
-case class MediaValuesJpeg(child: Expression) extends UnaryExpression {
-  override def nullable: Boolean = true
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "media_values_jpeg"
-
-  override protected def nullSafeEval(input: Any): Any =
-    JpegCodecImpl.values(input.asInstanceOf[Array[Byte]])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.JpegCodecImpl.values($c);
-         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
-
-  override protected def withNewChildInternal(newChild: Expression): MediaValuesJpeg =
-    copy(child = newChild)
-}
 
 object JpegFunctions {
 
@@ -252,11 +222,6 @@ object JpegFunctions {
         s"media_decode_jpeg(payload): expected 1 argument, got ${exprs.length}")
       MediaDecodeJpeg(exprs.head)
     })
-    put("media_values_jpeg", exprs => {
-      if (exprs.length != 1) throw new IllegalArgumentException(
-        s"media_values_jpeg(payload): expected 1 argument, got ${exprs.length}")
-      MediaValuesJpeg(exprs.head)
-    })
   }
 
   def jpeg_encode_gray(pixels: Column, width: Int, quality: Int): Column =
@@ -265,6 +230,4 @@ object JpegFunctions {
       org.apache.spark.sql.functions.lit(quality))
   def media_decode_jpeg(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("media_decode_jpeg", payload)
-  def media_values_jpeg(payload: Column): Column =
-    org.apache.spark.sql.functions.call_function("media_values_jpeg", payload)
 }

@@ -23,7 +23,9 @@ import graft.data.Dedup
   * screen is a JOIN against a mutable at-rest table, which Structured
   * Streaming's stream-static joins would plan once and never re-list —
   * per-batch re-planning inside foreachBatch picks up the appended
-  * shard files. Verdicts append to `outPath` tagged with the batch id.
+  * shard files. Verdicts OVERWRITE their batch-id partition of
+  * `outPath` (dynamic partition overwrite), so foreachBatch's
+  * at-least-once replays replace rather than duplicate a batch's rows.
   *
   * Scale: per batch, exactly the batch pipeline's serve cost (index
   * streamed, batch broadcast, shard directories pruned) plus, under
@@ -42,10 +44,29 @@ object IndexStreams {
         // one cell build feeds both the screen and the append
         val cells = Dedup.cellHashes(batch.toDF(), "doc_id", "text", cellWords)
           .localCheckpoint(true)
-        val screened = Dedup.indexedCellScreen(
-          cells, spark.read.parquet(indexPath), "doc_id")
+        // a checkpointed micro-batch is a bare relation, so the DPP
+        // planner declines (the selective-predicate rule Dedup's
+        // scaladoc documents) — prune STATICALLY instead: the batch's
+        // distinct shard ids are a bounded driver pull (≤ the shard
+        // universe) and the literal IN lands in PartitionFilters at
+        // planning time, the ivfTopKFittedPruned pattern
+        val shards = cells
+          .select(Dedup.cellShard(col("cell_hash")).as("shard"))
+          .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+        val idx = spark.read.parquet(indexPath)
+          .where(col("shard").isin(shards: _*))
+        val screened = Dedup.indexedCellScreen(cells, idx, "doc_id")
+        // verdicts land OVERWRITING this batch id's partition, not
+        // appending: foreachBatch is at-least-once, and a replayed batch
+        // must REPLACE its rows (a replay after a committed index append
+        // re-screens against the appended index — one self-consistent
+        // verdict set per batch, never contradictory duplicates). The
+        // append side is idempotent by construction (novel = anti-join
+        // against the current index; re-appending adds nothing).
         screened.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
         if (maintain) Dedup.appendCellIndex(cells, indexPath)
         ()
       }

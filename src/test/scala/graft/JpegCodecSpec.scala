@@ -26,7 +26,7 @@ class JpegCodecSpec extends AnyFunSuite {
     val srcMean = pix35.sum.toDouble / 35
     assert(math.abs(mean - srcMean) <= MediaQueries.JpegMeanTol,
       s"mean drift ${math.abs(mean - srcMean)}")
-    val dec = JpegCodecImpl.values(b)
+    val dec = row.getArray(8)
     assert(dec != null && dec.numElements() == 35)
     val maxErr = (0 until 35)
       .map(i => math.abs(dec.getInt(i) - pix35(i))).max
@@ -46,8 +46,7 @@ class JpegCodecSpec extends AnyFunSuite {
     val truncated = good.take(good.length / 2)
     val rowT = JpegCodecImpl.decode(truncated)
     assert(rowT.getUTF8String(0).toString == "jpeg" && !rowT.getBoolean(1))
-    assert(rowT.getLong(4) == 0L)
-    assert(JpegCodecImpl.values(truncated) == null)
+    assert(rowT.getLong(4) == 0L && rowT.isNullAt(8))
     // non-JPEG bytes: sniffed unknown, invalid
     val rowU = JpegCodecImpl.decode("plain text".getBytes("UTF-8"))
     assert(rowU.getUTF8String(0).toString == "unknown" && !rowU.getBoolean(1))

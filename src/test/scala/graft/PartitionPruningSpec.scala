@@ -95,8 +95,17 @@ class PartitionPruningSpec extends AnyFunSuite {
       spark.read.parquet(dir), "doc_id")
     val plan = served.queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin") ||
-      plan.indexOf("dynamicpruning") >= 0, plan)
+    // the real never-shuffle-the-index contract: no ShuffleExchange may
+    // sit ABOVE the stored index's scan (the totals⋈hits join shuffles
+    // batch-sized aggregates — that one is fine and expected)
+    val indexShuffled = served.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.exists(_.collectLeaves().exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.get("Location").exists(_.contains("graft_idx_plan"))
+      case _ => false
+    })
+    assert(!indexShuffled, "the stored index must never sit below a shuffle")
     val idxScan = served.queryExecution.sparkPlan.collectLeaves()
       .collectFirst {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
