@@ -45,6 +45,50 @@ object JpegProbe {
     if (row.getLong(2) == 0L) println("[jpegprobe] docs=0 (nothing to measure)")
     else println(s"[jpegprobe] q=$quality max_pixel_err=${row.get(0)} " +
       f"max_mean_drift=${row.getDouble(1)}%.3f docs=${row.getLong(2)}")
+
+    // rgb mode: max per-channel pixel error + per-channel mean drift
+    // over the packed 0xRRGGBB derivation the color query uses
+    import org.apache.spark.sql.Column
+    def ch(c: Column, s: Int): Column =
+      (if (s == 0) c else shiftright(c, s)).bitwiseAND(lit(255))
+    val codes = Multimodal.textCodes(col("text"), 64)
+    val packedPx = transform(codes, c =>
+      pmod(c, lit(256)) * 65536 + pmod(c * 3 + 7, lit(256)) * 256 +
+        pmod(c * 5 + 11, lit(256)))
+    val pxr = slice(packedPx, lit(1),
+      floor(size(packedPx) / W).cast("int") * W)
+    def drift(shift: Int): Column =
+      abs(aggregate(col("dec"), lit(0L),
+          (a, x) => a + ch(x, shift).cast("long")).cast("double")
+          / size(col("dec"))
+        - aggregate(col("px"), lit(0L),
+            (a, x) => a + ch(x, shift).cast("long")).cast("double")
+          / size(col("px")))
+    def luma(c: Column): Column =
+      ((ch(c, 16) * 299 + ch(c, 8) * 587 + ch(c, 0) * 114) / 1000)
+        .cast("int")
+    val rgb = Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull && length(col("text")) >= W)
+      .select(col("doc_id"), pxr.as("px"))
+      .select(col("doc_id"), col("px"),
+        media_decode_jpeg_rgb(jpeg_encode_rgb(col("px"), W, quality))
+          .getField("pixels").as("dec"))
+      .select(col("doc_id"),
+        aggregate(zip_with(col("dec"), col("px"), (d, s) =>
+          greatest(abs(ch(d, 16) - ch(s, 16)), abs(ch(d, 8) - ch(s, 8)),
+            abs(ch(d, 0) - ch(s, 0)))),
+          lit(0), (a, x) => greatest(a, x)).as("max_err"),
+        aggregate(zip_with(col("dec"), col("px"),
+          (d, s) => abs(luma(d) - luma(s))),
+          lit(0), (a, x) => greatest(a, x)).as("max_luma_err"),
+        drift(16).as("dr"), drift(8).as("dg"), drift(0).as("db"))
+    val r2 = rgb.agg(max(col("max_err")), max(col("max_luma_err")),
+      max(col("dr")), max(col("dg")), max(col("db")), count(lit(1))).head()
+    if (r2.getLong(5) == 0L) println("[jpegprobe-rgb] docs=0")
+    else println(s"[jpegprobe-rgb] q=$quality max_pixel_err=${r2.get(0)} " +
+      s"max_luma_err=${r2.get(1)} " +
+      f"max_drift_r=${r2.getDouble(2)}%.3f g=${r2.getDouble(3)}%.3f " +
+      f"b=${r2.getDouble(4)}%.3f docs=${r2.getLong(5)}")
     spark.stop()
   }
 }

@@ -374,6 +374,71 @@ object MediaQueries {
       .dumpOrdered("doc_id")
   }
 
+  /** Color-JPEG roundtrip bands, shaped by what 4:2:0 chroma
+    * subsampling (the JDK writer applies it at EVERY quality) actually
+    * preserves: LUMA stays full-resolution — measured max per-pixel
+    * luma error 20 at q=90 over the packed text-derived pixels
+    * (JpegProbe rgb mode), band 3× above — while per-pixel CHROMA of
+    * noise-like synthetic pixels is structurally destroyed (measured
+    * max per-channel error 194 — a per-pixel channel band would be
+    * vacuous at any honest setting), so chroma is asserted in
+    * AGGREGATE: per-channel mean drift, measured max 3.14, band ~4×
+    * above. The sketch-approx convention throughout. */
+  val JpegRgbLumaTol = 64
+  val JpegRgbMeanTol = 12.0
+
+  /** Color decode differential for the lossy real-crawl format: 3-band
+    * YCbCr baseline JPEG through the same ImageIO codec
+    * ([[graft.functions.JpegCodecImpl.encodeRgb]]/`decodeRgb`), same
+    * packed-0xRRGGBB pixel derivation as the PNG truecolor query. Same
+    * `ref_sketch_approx` contract as the gray query: validity, geometry
+    * and pixel count hash-compare EXACTLY; decode quality is asserted
+    * through per-CHANNEL mean-drift booleans plus a whole-image
+    * per-pixel LUMA band — the two statistics 4:2:0 subsampling
+    * actually preserves (Spark checks its real decode against the
+    * source; the oracle's expectation is true by construction).
+    *
+    * Scale: map-only — encode, decode and the error folds are
+    * expressions in one projection; no shuffle. */
+  private def mmJpegRgbDecode(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.JpegFunctions.register(spark)
+    import graft.functions.JpegFunctions._
+    def ch(c: Column, s: Int): Column =
+      (if (s == 0) c else shiftright(c, s)).bitwiseAND(lit(255))
+    // integer ITU-R 601 luma approximation; /1000 truncates (positive)
+    def luma(c: Column): Column =
+      ((ch(c, 16) * 299 + ch(c, 8) * 587 + ch(c, 0) * 114) / 1000)
+        .cast("int")
+    def meanTolOf(sumCol: Column, shift: Int): Column =
+      abs(sumCol.cast("double") / col("m.n_pixels")
+        - aggregate(col("px"), lit(0L),
+            (a, x) => a + ch(x, shift).cast("long")).cast("double")
+          / size(col("px"))) <= JpegRgbMeanTol
+    val codes = Multimodal.textCodes(col("text"), 64)
+    val packed = transform(codes, c =>
+      pmod(c, lit(256)) * 65536 + pmod(c * 3 + 7, lit(256)) * 256 +
+        pmod(c * 5 + 11, lit(256)))
+    val px = slice(packed, lit(1), floor(size(packed) / W).cast("int") * W)
+    Tables.documents(spark, dir)
+      .where(col("text").isNotNull && length(col("text")) >= W)
+      .select(col("doc_id"), px.as("px"))
+      .select(col("doc_id"), col("px"),
+        // ONE decode per row: channel sums and pixels ride one struct
+        media_decode_jpeg_rgb(
+          jpeg_encode_rgb(col("px"), W, JpegQuality)).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.valid").as("valid"), col("m.width").as("width"),
+        col("m.height").as("height"), col("m.n_pixels").as("n_pixels"),
+        meanTolOf(col("m.sum_r"), 16).as("mean_r_within_tol"),
+        meanTolOf(col("m.sum_g"), 8).as("mean_g_within_tol"),
+        meanTolOf(col("m.sum_b"), 0).as("mean_b_within_tol"),
+        (aggregate(zip_with(col("m.pixels"), col("px"),
+          (d, s) => abs(luma(d) - luma(s))),
+          lit(0), (a, x) => greatest(a, x)) <= JpegRgbLumaTol)
+          .as("luma_within_tol"))
+      .dumpOrdered("doc_id")
+  }
+
   val ReelFrames = 9  // frames per reel
   val ReelGroup = 3   // consecutive same-content frames per scene
   val ReelShift = 7   // pixel rotation per scene change (= one row at W=7)
@@ -702,6 +767,19 @@ object MediaQueries {
          |  CAST($W AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
          |  CAST(len(pix) AS BIGINT) AS n_values,
          |  true AS mean_within_tol, true AS pixels_within_tol
+         |FROM img ORDER BY doc_id""".stripMargin)),
+
+    "data_mm_jpeg_rgb_decode" -> Q(mmJpegRgbDecode, Some(
+      s"""WITH ${codesCte("")},
+         |pc AS (SELECT doc_id, codes[1:(len(codes) // $W) * $W] AS cs
+         |       FROM c),
+         |img AS (SELECT doc_id, len(cs) AS n, len(cs) // $W AS h FROM pc
+         |        WHERE len(cs) >= $W)
+         |SELECT doc_id, 'jpeg' AS format, true AS valid,
+         |  CAST($W AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(n AS BIGINT) AS n_pixels,
+         |  true AS mean_r_within_tol, true AS mean_g_within_tol,
+         |  true AS mean_b_within_tol, true AS luma_within_tol
          |FROM img ORDER BY doc_id""".stripMargin)),
 
     "data_mm_scene_cuts" -> Q(mmSceneCuts, Some(

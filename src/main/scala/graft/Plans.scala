@@ -32,7 +32,8 @@ object Plans {
     "data_sketch_hll", "data_warc_roundtrip", "data_curriculum_plan",
     "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
     "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
-    "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3")
+    "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3",
+    "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -405,6 +406,18 @@ object Plans {
       |- **data_scd2_history** — lead() and row_number() share ONE
       |  (user_id) partitioning: a single exchange + sort feeds both
       |  windows; partition size is one entity's change history.
+      |- **data_mm_jpeg_decode** — the lossy-codec gray roundtrip: the
+      |  `px` source-pixel list evaluates ONCE in its own Project
+      |  (multi-consumer non-cheap projection — CollapseProject refuses
+      |  to duplicate it), and the single `media_decode_jpeg` struct
+      |  carries stats AND pixels so the mean/pixel tolerance folds ride
+      |  one ImageIO read per row. Map-only to the dump sort — no
+      |  shuffle, no UDF (compiled expressions with per-thread codecs).
+      |- **data_mm_jpeg_rgb_decode** — the color twin: same one-Project
+      |  shape with the packed-0xRRGGBB pixel list shared by the three
+      |  per-channel mean folds and the luma band; encode, decode and
+      |  the folds are per-row CPU inside the projection, never plan
+      |  structure. Map-only to the dump sort.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

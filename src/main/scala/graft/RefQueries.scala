@@ -312,8 +312,9 @@ object RefQueries {
     * POSITIVE values whose true decimals have ≤ 2 places (TPC-H
     * measures: the fp product lands within ~1e-11 of an integer cent,
     * never near a .5 midpoint; for positives floor(v+0.5) IS
-    * round-half-up by definition) — the precondition RefSpec pins
-    * against the real table, and the DuckDB oracle's native round()
+    * round-half-up by definition) — the precondition OperatorSpec pins
+    * against the real table ("floor-form cents equals round-half-up on
+    * the real lineitem measures"), and the DuckDB oracle's native round()
     * differential re-proves at every SF. Negative measures would need
     * the round form back (floor(v+0.5) rounds -2.5 toward +∞). */
   private[graft] def q1AggBody(src: DataFrame): DataFrame = {

@@ -693,12 +693,15 @@ object Similarity {
   def opqRotate(df: DataFrame, vecCol: String,
                 u: Array[Double]): DataFrame = {
     val uLit = array(u.map(lit): _*)
-    df.withColumn("_ud",
+    // collision-resistant staging name: never clobber a caller column
+    val ud = Iterator.from(0).map(i => s"_graft_opq_ud$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(ud,
         aggregate(zip_with(col(vecCol), uLit, (x, y) => x.cast("double") * y),
           lit(0.0), (a, x) => a + x))
       .withColumn(vecCol, zip_with(col(vecCol), uLit,
-        (x, uu) => x.cast("double") - lit(2.0) * col("_ud") * uu))
-      .drop("_ud")
+        (x, uu) => x.cast("double") - lit(2.0) * col(ud) * uu))
+      .drop(ud)
   }
 
   /** PQ in the OPQ-rotated space: train the reflection, rotate both

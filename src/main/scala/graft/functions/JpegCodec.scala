@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** JPEG (8-bit grayscale baseline) through the JDK's bundled ImageIO —
+/** JPEG (8-bit baseline: grayscale AND 3-band YCbCr color) through the
+  * JDK's bundled ImageIO —
   * the LOSSY real-crawl format next to the hand-rolled lossless codecs
   * (WAV/BMP/PGM/PNG). Hand-rolling a spec-exact JPEG pipeline (DCT,
   * quantization tables, Huffman) buys nothing over the platform codec
@@ -125,7 +126,12 @@ object JpegCodecImpl {
       return new GenericInternalRow(Array[Any](
         FmtUnknown, false, null, null, 0L, null, null, null, null))
     val img = readImage(bytes)
-    if (img == null)
+    // a decodable COLOR (multi-band) JPEG is not "valid grayscale": the
+    // registered function is exposed generally, and summarizing a YCbCr
+    // image by raster band 0 would silently report luma-ish garbage as
+    // gray stats — reject to the invalid row; color goes through
+    // [[decodeRgb]]
+    if (img == null || img.getRaster.getNumBands != 1)
       return new GenericInternalRow(Array[Any](
         FmtJpeg, false, null, null, 0L, null, null, null, null))
     val w = img.getWidth; val h = img.getHeight
@@ -152,6 +158,91 @@ object JpegCodecImpl {
       if (n > 0) sum else null, if (n > 0) mn else null,
       if (n > 0) mx else null,
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)))
+  }
+
+  /** [[decodeRgb]] output schema — the PNG [[MediaCodecImpl.RgbSchema]]
+    * per-channel-sums contract plus the decoded `pixels` (packed
+    * 0xRRGGBB, row-major top-down) so per-channel error bands ride the
+    * same single decode. */
+  val RgbSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true),
+    StructField("pixels", ArrayType(IntegerType, containsNull = false),
+      nullable = true)))
+
+  /** Baseline COLOR (YCbCr 3-band) JPEG encode at fixed quality over
+    * packed 0xRRGGBB pixels — the [[MediaCodecImpl.pngEncodeRgb]] input
+    * contract. `height = n / width` full rows; fewer pixels than one
+    * row → null. Pixels land through the image's sRGB color model
+    * (`setRGB` bulk), so the bytes the platform codec sees are
+    * band-order-independent. */
+  def encodeRgb(pixels: ArrayData, width: Int, quality: Int): Array[Byte] = {
+    if (pixels == null) return null
+    val height = pixels.numElements() / width
+    if (height == 0) return null
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val n = width * height
+    val packed = new Array[Int](n)
+    var i = 0
+    while (i < n) { packed(i) = pixels.getInt(i) & 0xFFFFFF; i += 1 }
+    img.setRGB(0, 0, width, height, packed, 0, width)
+    val writer = writerTl.get()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality / 100.0f)
+    val bos = new java.io.ByteArrayOutputStream(256)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.flush()
+    } catch {
+      case _: Exception =>
+        try writerTl.get().dispose() catch { case _: Exception => }
+        writerTl.remove()
+        return null
+    } finally ios.close()
+    bos.toByteArray
+  }
+
+  /** Color decode → [[RgbSchema]] per-channel stats + packed pixels, or
+    * invalid — corrupt payloads never crash the scan. Pixels come back
+    * through `getRGB` bulk (the image's color model → packed sRGB), so
+    * a grayscale JPEG decodes with its gray value replicated across
+    * channels — the [[MediaCodecImpl.decodeRgb]] replicate contract —
+    * and a 3-band YCbCr image converts band-order-independently. */
+  def decodeRgb(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    if (!isJpeg(bytes))
+      return new GenericInternalRow(Array[Any](
+        FmtUnknown, false, null, null, 0L, null, null, null, null))
+    val img = readImage(bytes)
+    if (img == null)
+      return new GenericInternalRow(Array[Any](
+        FmtJpeg, false, null, null, 0L, null, null, null, null))
+    val w = img.getWidth; val h = img.getHeight
+    val packed = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < packed.length) {
+      val p = packed(i)
+      sr += (p >>> 16) & 0xFF
+      sg += (p >>> 8) & 0xFF
+      sb += p & 0xFF
+      packed(i) = p & 0xFFFFFF // strip alpha: the stored-pixel contract
+      i += 1
+    }
+    val n = w.toLong * h
+    new GenericInternalRow(Array[Any](
+      FmtJpeg, true, w, h, n, sr, sg, sb,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(packed)))
   }
 
 }
@@ -194,6 +285,46 @@ case class MediaDecodeJpeg(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `jpeg_encode_rgb(pixels array<int> packed 0xRRGGBB)` → binary
+  * baseline color JPEG at the fixed quality. Null for fewer pixels than
+  * one row. */
+case class JpegEncodeRgb(child: Expression, width: Int, quality: Int)
+    extends UnaryExpression {
+  require(width > 0, s"width must be positive, got $width")
+  require(quality >= 1 && quality <= 100, s"quality 1..100, got $quality")
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_encode_rgb"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegCodecImpl.encodeRgb(input.asInstanceOf[ArrayData], width, quality)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.JpegCodecImpl.encodeRgb($c, $width, $quality);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegEncodeRgb =
+    copy(child = newChild)
+}
+
+/** `media_decode_jpeg_rgb(payload binary)` → the per-channel RGB stats
+  * struct ([[JpegCodecImpl.RgbSchema]]). */
+case class MediaDecodeJpegRgb(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = JpegCodecImpl.RgbSchema
+  override def prettyName: String = "media_decode_jpeg_rgb"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegCodecImpl.decodeRgb(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.JpegCodecImpl.decodeRgb($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDecodeJpegRgb =
+    copy(child = newChild)
+}
+
 
 object JpegFunctions {
 
@@ -222,6 +353,18 @@ object JpegFunctions {
         s"media_decode_jpeg(payload): expected 1 argument, got ${exprs.length}")
       MediaDecodeJpeg(exprs.head)
     })
+    put("jpeg_encode_rgb", exprs => {
+      if (exprs.length != 3) throw new IllegalArgumentException(
+        s"jpeg_encode_rgb(pixels, width, quality): expected 3 arguments, " +
+          s"got ${exprs.length}")
+      JpegEncodeRgb(exprs.head,
+        intLit(exprs(1), "jpeg_encode_rgb"), intLit(exprs(2), "jpeg_encode_rgb"))
+    })
+    put("media_decode_jpeg_rgb", exprs => {
+      if (exprs.length != 1) throw new IllegalArgumentException(
+        s"media_decode_jpeg_rgb(payload): expected 1 argument, got ${exprs.length}")
+      MediaDecodeJpegRgb(exprs.head)
+    })
   }
 
   def jpeg_encode_gray(pixels: Column, width: Int, quality: Int): Column =
@@ -230,4 +373,10 @@ object JpegFunctions {
       org.apache.spark.sql.functions.lit(quality))
   def media_decode_jpeg(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("media_decode_jpeg", payload)
+  def jpeg_encode_rgb(pixels: Column, width: Int, quality: Int): Column =
+    org.apache.spark.sql.functions.call_function("jpeg_encode_rgb", pixels,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(quality))
+  def media_decode_jpeg_rgb(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("media_decode_jpeg_rgb", payload)
 }

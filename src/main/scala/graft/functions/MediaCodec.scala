@@ -457,7 +457,12 @@ object MediaCodecImpl {
       if (!seenIhdr) {
         if (!tagAt(b, to, "IHDR") || len != 13L) return null
         val lw = u32be(b, dataOff); val lh = u32be(b, dataOff + 4)
-        if (lw <= 0 || lh <= 0 || lw * lh > PngMaxPixels) return null
+        // bound each dimension BEFORE the product: u32 dims up to
+        // 0xC0000000 would overflow the Long product past MaxValue and
+        // wrap negative, sneaking past a product-only guard into a
+        // wrapped toInt and a negative-size allocation
+        if (lw <= 0 || lh <= 0 || lw > PngMaxPixels || lh > PngMaxPixels ||
+            lw * lh > PngMaxPixels) return null
         colorType = b(dataOff + 9) & 0xFF
         if (b(dataOff + 8) != 8 ||   // bit depth
             (colorType != 0 && colorType != 2 && colorType != 3) ||
