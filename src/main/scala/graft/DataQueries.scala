@@ -1422,6 +1422,85 @@ object DataQueries {
       .dumpOrderedTail("doc_id")
   }
 
+  /** Maintained NEAR-dup (band) index, built once per (process, dir) —
+    * the [[cellIndexPath]] lifecycle for the MinHash LSH band index
+    * ([[Dedup.writeBandIndex]]): the corpus's (band, bucket → ref_id)
+    * rows persist as shard-partitioned parquet with the hot-bucket cap
+    * applied AT BUILD, and every serve reads the stored artifact
+    * instead of recomputing corpus signatures per run. */
+  private val builtBandIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bandIndexPath(spark: SparkSession, dir: String): String =
+    builtBandIndexes.computeIfAbsent(dir, _ => {
+      val name = "band_" + new java.io.File(dir).getName
+      val p = new java.io.File(idxRoot, name).getAbsolutePath
+      Dedup.writeBandIndex(
+        Dedup.bandRows(corpusDocs(Tables.documentsHot(spark, dir)),
+          "doc_id", "text", K, Bands, R),
+        "doc_id", HotBucketCap, p)
+      p
+    })
+
+  /** The maintained near-dup serve (VERDICT r10 #1): incremental
+    * PARAPHRASE screening against the stored band index — per batch doc,
+    * how many of its LSH bands collide with any stored corpus bucket and
+    * how many distinct corpus documents it collides with. The oracle
+    * replays the band derivation over corpus and batch from the text
+    * (the cap is untouched at testdata bucket sizes, the
+    * [[HotBucketCap]] convention), so the differential proves the
+    * stored artifact holds exactly the corpus's band rows and the
+    * pruned broadcast serve counts them right. */
+  private def dedupBandIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.read.parquet(bandIndexPath(spark, dir))
+    val batchBands = Dedup.bandRows(
+      batchDocs(Tables.documentsHot(spark, dir)), "doc_id", "text",
+      K, Bands, R)
+    Dedup.indexedBandScreen(batchBands, idx, "doc_id")
+      .dumpOrderedTail("doc_id")
+  }
+
+  /** Band-index MAINTENANCE lifecycle (the [[dedupIndexAppend]] pattern
+    * one similarity notch over): private index copy, before-screen
+    * frozen via localCheckpoint (the append's refreshByPath would
+    * silently recompute a persist against the mutated directory),
+    * novel (band, bucket, ref_id) rows appended
+    * ([[Dedup.appendBandIndex]]), after-screen re-planned — after which
+    * every batch band must collide (with at least itself): the
+    * cross-batch first-seen law. The differential proves the append
+    * covered every (shard, band, bucket, ref_id) the oracle's
+    * corpus∪batch replay holds. */
+  private def dedupBandIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val batchBands = Dedup.bandRows(
+      batchDocs(Tables.documentsHot(spark, dir)), "doc_id", "text",
+      K, Bands, R)
+    val path = new java.io.File(idxRoot, "bandappend_" +
+      new java.io.File(dir).getName).getAbsolutePath
+    val before = Tables.memoBy(spark, s"bandidxappend:$dir") {
+      Dedup.writeBandIndex(
+        Dedup.bandRows(corpusDocs(Tables.documentsHot(spark, dir)),
+          "doc_id", "text", K, Bands, R),
+        "doc_id", HotBucketCap, path)
+      val b = Dedup.indexedBandScreen(
+        batchBands, spark.read.parquet(path), "doc_id")
+        .localCheckpoint(true)
+      Dedup.appendBandIndex(batchBands, "doc_id", HotBucketCap, path)
+      b
+    }
+    val after = Dedup.indexedBandScreen(
+      batchBands, spark.read.parquet(path), "doc_id")
+    before
+      .select(col("doc_id"), col("n_bands"),
+        col("n_hit_bands").as("n_hit_before"))
+      .join(after.select(col("doc_id"),
+        col("n_hit_bands").as("n_hit_after"),
+        col("n_candidates").as("n_candidates_after")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_bands"), col("n_hit_before"),
+        col("n_hit_after"), col("n_candidates_after"),
+        (col("n_hit_after") === col("n_bands")).as("is_fully_indexed"))
+      .dumpOrderedTail("doc_id")
+  }
+
   /** Membership / edit rates of the two synthetic snapshots (percent). */
   private val DiffKeep = 90
   private val DiffEdit = 20
@@ -4011,6 +4090,68 @@ object DataQueries {
          |SELECT b.doc_id, b.n_cells, b.n_dup_before, a.n_dup_after,
          |  a.n_dup_after = b.n_cells AS is_fully_indexed
          |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    "data_dedup_band_index_serve" -> Q(dedupBandIndexServe, Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |bb AS (
+         |  SELECT doc_id, band,
+         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|'))
+         |      AS bucket
+         |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS band
+         |        FROM sig)),
+         |corp AS (SELECT DISTINCT band, bucket, doc_id AS ref_id FROM bb
+         |         WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd),
+         |b AS (SELECT doc_id, band, bucket FROM bb
+         |      WHERE doc_id >= $SnapshotId AND doc_id < $BatchEnd),
+         |tot AS (SELECT doc_id, count(*) AS n_bands FROM b GROUP BY doc_id),
+         |h AS (
+         |  SELECT b.doc_id, count(DISTINCT b.band) AS n_hit_bands,
+         |    count(DISTINCT c.ref_id) AS n_candidates
+         |  FROM b JOIN corp c ON b.band = c.band AND b.bucket = c.bucket
+         |  GROUP BY b.doc_id)
+         |SELECT t.doc_id, t.n_bands,
+         |  COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+         |  COALESCE(h.n_candidates, 0) AS n_candidates,
+         |  COALESCE(h.n_hit_bands, 0) > 0 AS is_near_dup_candidate
+         |FROM tot t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    "data_dedup_band_index_append" -> Q(dedupBandIndexAppend, Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM documents),
+         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+         |bb AS (
+         |  SELECT doc_id, band,
+         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|'))
+         |      AS bucket
+         |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS band
+         |        FROM sig)),
+         |corp AS (SELECT DISTINCT band, bucket, doc_id AS ref_id FROM bb
+         |         WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd),
+         |b AS (SELECT doc_id, band, bucket FROM bb
+         |      WHERE doc_id >= $SnapshotId AND doc_id < $BatchEnd),
+         |corp2 AS (
+         |  SELECT band, bucket, ref_id FROM corp
+         |  UNION
+         |  SELECT DISTINCT band, bucket, doc_id AS ref_id FROM b),
+         |tot AS (SELECT doc_id, count(*) AS n_bands FROM b GROUP BY doc_id),
+         |hb AS (
+         |  SELECT b.doc_id, count(DISTINCT b.band) AS n_hit_before
+         |  FROM b JOIN corp c ON b.band = c.band AND b.bucket = c.bucket
+         |  GROUP BY b.doc_id),
+         |ha AS (
+         |  SELECT b.doc_id, count(DISTINCT b.band) AS n_hit_after,
+         |    count(DISTINCT c.ref_id) AS n_candidates_after
+         |  FROM b JOIN corp2 c ON b.band = c.band AND b.bucket = c.bucket
+         |  GROUP BY b.doc_id)
+         |SELECT t.doc_id, t.n_bands,
+         |  COALESCE(hb.n_hit_before, 0) AS n_hit_before,
+         |  COALESCE(ha.n_hit_after, 0) AS n_hit_after,
+         |  COALESCE(ha.n_candidates_after, 0) AS n_candidates_after,
+         |  COALESCE(ha.n_hit_after, 0) = t.n_bands AS is_fully_indexed
+         |FROM tot t LEFT JOIN hb USING (doc_id) LEFT JOIN ha USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
 
     "data_quality_classifier" -> Q(qualityClassifier, Some(
       s"""WITH f AS (

@@ -33,7 +33,8 @@ object Plans {
     "data_decontaminate_fuzzy", "data_scd2_history", "data_unigram_segment",
     "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
     "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3",
-    "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode")
+    "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
+    "data_dedup_band_index_serve")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -418,6 +419,14 @@ object Plans {
       |  per-channel mean folds and the luma band; encode, decode and
       |  the folds are per-row CPU inside the projection, never plan
       |  structure. Map-only to the dump sort.
+      |- **data_dedup_band_index_serve** — the maintained NEAR-dup serve:
+      |  the stored band index's scan carries `PartitionFilters: [...
+      |  dynamicpruningexpression(shard IN ...)]` on the bucket-shard
+      |  directory key and `ReadSchema` holds only (ref_id, band, bucket);
+      |  the hit/candidate counts ride ONE `BroadcastHashJoin` whose build
+      |  side is the batch's band rows — the 100 TB index streams, never
+      |  shuffles, never recomputes corpus signatures (the hot-bucket cap
+      |  applied AT BUILD bounds every serve's per-bucket fan-out).
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

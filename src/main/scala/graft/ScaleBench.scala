@@ -54,7 +54,8 @@ object ScaleBench {
     // round-10 additions: maintained dedup index serve, color PNG
     "data_dedup_index_serve", "data_mm_png_rgb_decode", "data_bpe_pretok",
     "data_unigram_em3", "data_sim_opq", "data_dedup_index_append",
-    "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode")
+    "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
+    "data_dedup_band_index_serve", "data_dedup_band_index_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

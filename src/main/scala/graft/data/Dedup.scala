@@ -325,6 +325,192 @@ object Dedup {
       .withColumn("is_mostly_dup", col("dup_cell_frac") >= 0.5)
   }
 
+  /** Per-document LSH band rows — (id, band, bucket) — the NEAR-dup
+    * analog of [[cellHashes]]' exact content keys: tokens → `shingleN`
+    * shingles → k-min md5 signature ([[minhashSig]], compiled) → b
+    * bands of r rows ([[bandBuckets]]). One row per (doc, band); a
+    * document with too little text for one shingle still emits its b
+    * degenerate-bucket rows (the all-null signature hashes like any
+    * other — both engines agree, the minhash-bands oracle pins it).
+    * Map-only per row: the signature and band hashes are projections,
+    * the only "shuffle" is the explode's row fan-out. */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, b: Int, r: Int, shingleN: Int = 3): DataFrame =
+    docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__sh", TextAnalysis.shingles(col("__toks"), shingleN))
+      .withColumn("__sig", minhashSig(col("__sh"), k))
+      .select(col(idCol),
+        explode(bandBuckets(col("__sig"), b, r)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("band"),
+        col("__bb.bucket").as("bucket"))
+
+  /** Build the maintained NEAR-dup (MinHash band) index ONCE: the
+    * corpus's (band, bucket → ref_id) rows written as parquet
+    * partitioned by [[cellShard]] of the bucket hash — the
+    * [[writeCellIndex]] lifecycle one similarity notch over, so
+    * incremental paraphrase screening stops recomputing corpus
+    * signatures per run. Unlike the cell index (distinct hashes only),
+    * band rows KEEP the owning document id: a serve needs to report
+    * which corpus documents collide, not just that something does.
+    *
+    * The hot-bucket guard runs AT BUILD ([[capHotBuckets]] on
+    * (band, bucket) at distinct-doc granularity): a degenerate bucket —
+    * every sub-shingle-length document shares the empty-signature
+    * bucket — would otherwise fan every future batch doc out to a
+    * constant fraction of the corpus at serve time. Dropping it at
+    * build bounds EVERY later serve and append; non-discriminative
+    * buckets carry no similarity signal by definition (the
+    * [[capHotBuckets]] recall argument).
+    *
+    * Same layout discipline as [[writeCellIndex]]: `repartition(shard)`
+    * so each shard directory is one writer's output; production widens
+    * the shard universe via [[cellShard]]'s nibble count. */
+  def writeBandIndex(bands: DataFrame, idCol: String, cap: Int,
+                     path: String): Unit =
+    capHotBuckets(
+        bands.select(col(idCol).as("ref_id"), col("band"), col("bucket"))
+          .distinct(),
+        Seq("band", "bucket"), cap)
+      .withColumn("shard", cellShard(col("bucket")))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Serve an ingest batch's NEAR-dup screen from the STORED band index
+    * (the read-back of [[writeBandIndex]]): per batch document —
+    * total band rows, bands that collided with any stored bucket,
+    * distinct corpus documents collided with anywhere, and the
+    * candidate flag. A flagged document proceeds to exact signature
+    * comparison against its (bounded, by the build-time cap) candidate
+    * set; an unflagged one provably collides with nothing stored.
+    *
+    * Join orientation mirrors [[indexedCellScreen]] — the scale
+    * argument: `index INNER JOIN broadcast(batch bands)` STREAMS the
+    * 100 TB index scan (zero exchange on the big side), feeds dynamic
+    * partition pruning on the bucket-shard directory key, and the
+    * output is bounded by batch × cap. Docs with zero hits re-enter
+    * through the left join. Self-collisions (a batch doc already
+    * appended) count like any other — the append law depends on it. */
+  def indexedBandScreen(batchBands: DataFrame, index: DataFrame,
+      idCol: String): DataFrame = {
+    val bb = batchBands.withColumn("shard", cellShard(col("bucket")))
+    val totals = bb.groupBy(col(idCol)).agg(count(lit(1)).as("n_bands"))
+    val hits = index.join(broadcast(bb), Seq("shard", "band", "bucket"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("band")).as("n_hit_bands"),
+        countDistinct(col("ref_id")).as("n_candidates"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_bands"),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .withColumn("is_near_dup_candidate", col("n_hit_bands") > 0)
+  }
+
+  /** MAINTAIN the stored band index: append an ingest batch's NOVEL
+    * (band, bucket, ref_id) rows — so later batches screen against this
+    * batch's signatures too. Same bounded-build discipline as
+    * [[appendCellIndex]]: known rows come from the streamed
+    * `index ⋈ broadcast(batch rows)` join (output bounded by the
+    * batch), novel = batch ANTI broadcast(known) — the index never
+    * shuffles, and the write touches only the shard directories holding
+    * novel rows. Idempotent: re-appending the same batch adds nothing.
+    *
+    * The build-time hot-bucket cap is enforced on APPENDS too: a batch
+    * row landing in a bucket the stored index already holds at `cap`
+    * distinct refs is dropped (the bucket is saturated —
+    * non-discriminative), so the per-bucket serve fan-out bound
+    * survives maintenance. Bucket sizes come from the same streamed
+    * join, so the check costs no extra index pass. */
+  def appendBandIndex(batchBands: DataFrame, idCol: String, cap: Int,
+                      indexPath: String): Unit = {
+    val spark = batchBands.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val bd = batchBands
+      .select(col(idCol).as("ref_id"), col("band"), col("bucket"))
+      .distinct()
+      .withColumn("shard", cellShard(col("bucket")))
+    val stored = idx.join(
+        broadcast(bd.select(col("shard"), col("band"), col("bucket"))
+          .distinct()),
+        Seq("shard", "band", "bucket"))
+      .select(col("shard"), col("band"), col("bucket"), col("ref_id"))
+    val known = stored.groupBy(col("shard"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+    bd.join(broadcast(stored), Seq("shard", "band", "bucket", "ref_id"),
+        "left_anti")
+      .join(broadcast(known), Seq("shard", "band", "bucket"), "left")
+      .where(coalesce(col("__n"), lit(0L)) < cap)
+      .select(col("ref_id"), col("band"), col("bucket"), col("shard"))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(indexPath)
+  }
+
+  /** COMPACT a maintained shard-partitioned index: every
+    * [[appendCellIndex]]/[[appendBandIndex]] (and every streaming
+    * micro-batch append) adds parquet files into shard directories
+    * without bound — after N appends each shard holds N small files and
+    * serve-side scan tasks grow forever. This rewrites any shard
+    * directory whose file count exceeds `maxFilesPerShard` down to
+    * `targetFilesPerShard` files, preserving the partition layout (and
+    * therefore every serve plan: partition pruning, broadcast
+    * orientation, schema — the spec pins serve-identical-before/after).
+    *
+    * Mechanics: each oversized shard is read, rewritten into a
+    * temp subdirectory (underscore-prefixed — hidden from any
+    * concurrent scan's file listing), then swapped in: new files
+    * renamed into the shard directory before the old files are deleted
+    * (renames are metadata operations on HDFS-like stores). A reader
+    * planned mid-swap can see the union — duplicate rows, not missing
+    * ones — so compaction runs in the maintainer's single-writer window
+    * like the appends themselves; a crash mid-swap is repaired by
+    * re-running (rewrite is idempotent on content). At 100 TB this is
+    * the same per-shard job with more shards, each bounded by its own
+    * directory's bytes — never a whole-index shuffle.
+    *
+    * Returns (shardsCompacted, filesBefore, filesAfter) across the
+    * shards it touched (untouched shards excluded). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerShard: Int, targetFilesPerShard: Int = 1): (Int, Int, Int) = {
+    require(maxFilesPerShard >= 1 && targetFilesPerShard >= 1,
+      "file bounds must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def dataFiles(dir: org.apache.hadoop.fs.Path) =
+      fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath)
+    val shardDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .map(_.getPath)
+    var done = 0; var before = 0; var after = 0
+    shardDirs.foreach { dir =>
+      val old = dataFiles(dir)
+      if (old.length > maxFilesPerShard) {
+        val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
+        fs.delete(tmp, true)
+        // read the one shard directory (schema = payload columns only;
+        // `shard` is the directory key) and rewrite it small
+        spark.read.parquet(dir.toString)
+          .coalesce(targetFilesPerShard)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val fresh = dataFiles(tmp)
+        fresh.foreach { f =>
+          // compact- prefix: can never collide with a live part- file
+          val dst = new org.apache.hadoop.fs.Path(dir,
+            s"compact-${f.getName.stripPrefix("part-")}")
+          if (!fs.rename(f, dst))
+            throw new java.io.IOException(s"compact rename failed: $f -> $dst")
+        }
+        old.foreach(f => fs.delete(f, false))
+        fs.delete(tmp, true)
+        done += 1; before += old.length; after += fresh.length
+      }
+    }
+    (done, before, after)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * cluster the embedding column with the fixed-round deterministic

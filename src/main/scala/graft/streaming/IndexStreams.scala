@@ -34,9 +34,23 @@ import graft.data.Dedup
   */
 object IndexStreams {
 
+  /** Per-batch compaction knob shared by both streams: every append adds
+    * files into the touched shard directories without bound, so a
+    * maintained stream compacts its own index every `compactEvery`
+    * batches ([[graft.data.Dedup.compactIndex]]) — safe HERE precisely
+    * because foreachBatch is the index's single writer (the compaction
+    * contract) and batches serialize. 0 disables. */
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batchId: Long, compactEvery: Int,
+      maxFilesPerShard: Int): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      Dedup.compactIndex(spark, indexPath, maxFilesPerShard): Unit
+    }
+
   def screenStream(docs: DataFrame, indexPath: String, outPath: String,
                    cellWords: Int, maintain: Boolean,
-                   checkpoint: String): StreamingQuery =
+                   checkpoint: String, compactEvery: Int = 0,
+                   maxFilesPerShard: Int = 4): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
@@ -67,7 +81,54 @@ object IndexStreams {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
-        if (maintain) Dedup.appendCellIndex(cells, indexPath)
+        if (maintain) {
+          Dedup.appendCellIndex(cells, indexPath)
+          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard)
+        }
+        ()
+      }
+      .start()
+
+  /** The NEAR-dup gate at ingest: every micro-batch's LSH band rows are
+    * screened against the STORED band index
+    * ([[graft.data.Dedup.indexedBandScreen]]) and, under `maintain`,
+    * appended ([[graft.data.Dedup.appendBandIndex]]) — so a PARAPHRASE
+    * of a document first seen in an earlier batch flags as a candidate
+    * in every later batch (the cross-batch first-seen law, one
+    * similarity notch over [[screenStream]]'s exact-cell gate). Same
+    * architecture throughout: the index IS the cross-batch state
+    * (durable, at rest, shared with the batch pipeline), foreachBatch
+    * re-plans per batch to see appended shard files, static literal-IN
+    * shard pruning (DPP declines on checkpointed bare relations),
+    * dynamic partition OVERWRITE of the batch's verdict partition so
+    * at-least-once replays converge, and the build-time hot-bucket cap
+    * enforced on every append. */
+  def bandScreenStream(docs: DataFrame, indexPath: String, outPath: String,
+                       k: Int, b: Int, r: Int, cap: Int, maintain: Boolean,
+                       checkpoint: String, compactEvery: Int = 0,
+                       maxFilesPerShard: Int = 4): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        // one signature build feeds both the screen and the append
+        val bands = Dedup.bandRows(batch.toDF(), "doc_id", "text", k, b, r)
+          .localCheckpoint(true)
+        val shards = bands
+          .select(Dedup.cellShard(col("bucket")).as("shard"))
+          .distinct().collect().map(row => Integer.valueOf(row.getInt(0)))
+          .toSeq
+        val idx = spark.read.parquet(indexPath)
+          .where(col("shard").isin(shards: _*))
+        Dedup.indexedBandScreen(bands, idx, "doc_id")
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+        if (maintain) {
+          Dedup.appendBandIndex(bands, "doc_id", cap, indexPath)
+          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard)
+        }
         ()
       }
       .start()

@@ -645,6 +645,129 @@ class DataOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == n0 + 2)
   }
 
+  test("band index lifecycle: serve counts collisions; append is novel-only, " +
+      "idempotent, and makes the batch fully indexed") {
+    // near-dup fixture: 10/11 share doc 1's text verbatim (all bands
+    // collide), 12 shares a long prefix (some bands collide), 13 is
+    // disjoint text (no collision)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different corpus content about something else"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (13L, "unrelated novel words nowhere near anything stored here"))
+      .toDF("doc_id", "text")
+    val k = 6; val b = 3; val r = 2
+    val path = java.nio.file.Files.createTempDirectory("graft_band_idx")
+      .resolve("bands").toString
+    Dedup.writeBandIndex(Dedup.bandRows(corpus, "doc_id", "text", k, b, r),
+      "doc_id", cap = 64, path)
+    val idx = spark.read.parquet(path)
+    // layout contract: shard derives from the bucket hash, ref_id kept
+    assert(idx.columns.toSet == Set("ref_id", "band", "bucket", "shard"))
+    assert(idx.where($"shard" =!= Dedup.cellShard($"bucket")).isEmpty)
+    val bb = Dedup.bandRows(batch, "doc_id", "text", k, b, r)
+    val served = Dedup.indexedBandScreen(bb, idx, "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    // the verbatim copy collides in all b bands with exactly doc 1;
+    // the disjoint doc collides nowhere
+    assert(served == Seq((10L, b.toLong, b.toLong, 1L, true),
+      (13L, b.toLong, 0L, 0L, false)))
+    // append: only novel (band, bucket, ref) rows land — doc 10's rows
+    // are all new (its ref_id differs from doc 1's even on shared
+    // buckets), a re-append adds nothing
+    val n0 = idx.count()
+    Dedup.appendBandIndex(bb, "doc_id", cap = 64, path)
+    val n1 = spark.read.parquet(path).count()
+    assert(n1 == n0 + 2 * b, s"expected ${n0 + 2 * b} rows, got $n1")
+    Dedup.appendBandIndex(bb, "doc_id", cap = 64, path)
+    assert(spark.read.parquet(path).count() == n1, "re-append must be a no-op")
+    // the cross-batch first-seen law: after the append every batch band
+    // collides (with at least its own stored row)
+    val after = Dedup.indexedBandScreen(bb, spark.read.parquet(path), "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(after.forall(row => row._3 == row._2 && row._5))
+    assert(after.find(_._1 == 10L).get._4 == 2L) // candidates: doc 1 + self
+  }
+
+  test("writeBandIndex drops hot buckets at build; appendBandIndex refuses " +
+      "saturated buckets") {
+    // every corpus doc shares one text -> every (band, bucket) holds 3
+    // refs; cap 2 empties the index at build
+    val hot = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_band_cap")
+      .resolve("bands").toString
+    val k = 4; val b = 2; val r = 2
+    Dedup.writeBandIndex(Dedup.bandRows(hot, "doc_id", "text", k, b, r),
+      "doc_id", cap = 2, path)
+    // every bucket capped -> nothing stored (an all-capped write leaves
+    // no shard directories at all; like writeCellIndex, the lifecycle
+    // assumes a non-degenerate corpus to bootstrap from)
+    assert(!new java.io.File(path).listFiles()
+        .exists(_.getName.startsWith("shard=")),
+      "a bucket above the cap must not be stored")
+    // rebuild under a loose cap, then append two more refs per bucket:
+    // the first fills the bucket TO the cap universe (stored count 3 < 4),
+    // the second finds it saturated and drops
+    Dedup.writeBandIndex(Dedup.bandRows(hot, "doc_id", "text", k, b, r),
+      "doc_id", cap = 4, path)
+    val add1 = Dedup.bandRows(Seq((10L, "a b c d e f")).toDF("doc_id", "text"),
+      "doc_id", "text", k, b, r)
+    Dedup.appendBandIndex(add1, "doc_id", cap = 4, path)
+    assert(spark.read.parquet(path).count() == 3L * b + b)
+    val add2 = Dedup.bandRows(Seq((11L, "a b c d e f")).toDF("doc_id", "text"),
+      "doc_id", "text", k, b, r)
+    Dedup.appendBandIndex(add2, "doc_id", cap = 4, path)
+    assert(spark.read.parquet(path).count() == 4L * b,
+      "an append into a bucket at cap must drop")
+  }
+
+  test("compactIndex shrinks shard files and leaves serve results identical") {
+    import graft.data.Dedup
+    val corpus = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_compact")
+      .resolve("cells").toString
+    Dedup.writeCellIndex(corpus, "doc_id", "text", 2, path)
+    // N appends -> N extra files per touched shard directory
+    (0 until 5).foreach { i =>
+      Dedup.appendCellIndex(
+        Dedup.cellHashes(Seq((100L + i, s"w$i x$i y$i z$i"))
+          .toDF("doc_id", "text"), "doc_id", "text", 2), path)
+    }
+    val batch = Seq((200L, "a b w0 x0 q q")).toDF("doc_id", "text")
+    val bc = Dedup.cellHashes(batch, "doc_id", "text", 2)
+    def files() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(d =>
+        d.listFiles().count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))).sum
+    def serve() = Dedup.indexedCellScreen(
+        bc, spark.read.parquet(path), "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Double, Boolean)]
+      .collect().toSeq
+    val beforeRows = serve()
+    val beforeFiles = files()
+    val (nShards, fBefore, fAfter) =
+      Dedup.compactIndex(spark, path, maxFilesPerShard = 1)
+    assert(nShards > 0 && fBefore > fAfter,
+      s"compaction did nothing: $nShards shards, $fBefore -> $fAfter")
+    val afterFiles = files()
+    assert(afterFiles < beforeFiles,
+      s"file count must drop: $beforeFiles -> $afterFiles")
+    // every shard now holds at most the target file count
+    assert(new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).forall(d =>
+        d.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) <= 1))
+    // the law that makes compaction safe: identical serve results
+    assert(serve() == beforeRows)
+    // idempotent: nothing left over the threshold
+    assert(Dedup.compactIndex(spark, path, maxFilesPerShard = 1)._1 == 0)
+  }
+
   test("linearScoreColumns is the mean hashed-bucket weight") {
     // Weight of a token = (hex4(md5 tok) % 64) % 7 - 3: recompute in plain
     // Scala and compare — the operator must be exactly this arithmetic.

@@ -118,6 +118,48 @@ class PartitionPruningSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
+  test("indexedBandScreen plan: band index streamed through a " +
+      "BroadcastHashJoin with dynamic partition pruning on the shard key") {
+    import spark.implicits._
+    import graft.data.Dedup
+    // the near-dup serve must keep the cell serve's exact plan contract:
+    // index never below a shuffle, batch broadcast builds the join, and
+    // the bucket-shard directory key carries a dynamicpruning expression
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text")
+    val corpus = docs.where($"doc_id" < 480)
+    val batch = docs.where($"doc_id" >= 480)
+    val dir = Files.createTempDirectory("graft_band_plan").toString + "/bands"
+    Dedup.writeBandIndex(Dedup.bandRows(corpus, "doc_id", "text", 12, 4, 3),
+      "doc_id", cap = 256, dir)
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = Dedup.indexedBandScreen(
+        Dedup.bandRows(batch, "doc_id", "text", 12, 4, 3),
+        spark.read.parquet(dir), "doc_id")
+      val plan = served.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      val indexShuffled = served.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.exists(_.collectLeaves().exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.get("Location").exists(_.contains("graft_band_plan"))
+        case _ => false
+      })
+      assert(!indexShuffled, "the stored band index must never sit below a shuffle")
+      val idxScan = served.queryExecution.sparkPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("Location").exists(_.contains("graft_band_plan")) =>
+            f.metadata.getOrElse("PartitionFilters", "")
+        }
+      assert(idxScan.nonEmpty, "no file scan over the stored band index found")
+      assert(idxScan.get.contains("dynamicpruning"),
+        s"shard key carries no dynamic pruning: ${idxScan.get}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
+
   test("ivfTopKFittedPruned: pruned-read result == unpruned, plan prunes") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.sf)

@@ -601,6 +601,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idxPath).count() == 4)
   }
 
+  test("band screen stream: the stored band index is the cross-batch " +
+      "near-dup state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_band_stream")
+    val idxPath = base.resolve("index").toString
+    val outPath = base.resolve("verdicts").toString
+    val textA = "the quick brown fox jumps over the lazy dog again"
+    val textB = "completely unrelated novel content about something else"
+    val (k, b, r) = (6, 3, 2)
+    graft.data.Dedup.writeBandIndex(
+      graft.data.Dedup.bandRows(Seq((1L, textA)).toDF("doc_id", "text"),
+        "doc_id", "text", k, b, r),
+      "doc_id", cap = 64, idxPath)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = IndexStreams.bandScreenStream(docs, idxPath, outPath,
+      k, b, r, cap = 64, maintain = true, base.resolve("ckpt").toString)
+    try {
+      // batch 0: a copy of the stored doc collides in every band; an
+      // unseen text collides nowhere
+      input.addData((10L, textA), (11L, textB))
+      q.processAllAvailable()
+      // batch 1: textB was FIRST SEEN in batch 0 — its bands were
+      // appended, so a later copy flags through the INDEX alone (the
+      // cross-batch first-seen law, near-dup edition)
+      input.addData((12L, textB))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outPath)
+      .select($"doc_id", $"n_bands", $"n_hit_bands", $"n_candidates",
+        $"is_near_dup_candidate", $"batch_id")
+      .as[(Long, Long, Long, Long, Boolean, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, b.toLong, b.toLong, 1L, true, 0L),
+      (11L, b.toLong, 0L, 0L, false, 0L),
+      (12L, b.toLong, b.toLong, 1L, true, 1L)))
+    // the index grew by exactly the novel (band, bucket, ref) rows:
+    // corpus 3 + batch-0 docs 2×3 + batch-1 doc 3
+    assert(spark.read.parquet(idxPath).count() == 12)
+  }
+
+  test("screenStream compactEvery: maintained index stays within the " +
+      "per-shard file bound without changing verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_compact_s")
+    val idxPath = base.resolve("index").toString
+    val outPath = base.resolve("verdicts").toString
+    graft.data.Dedup.writeCellIndex(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 2,
+      idxPath)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = IndexStreams.screenStream(docs, idxPath, outPath,
+      cellWords = 2, maintain = true, base.resolve("ckpt").toString,
+      compactEvery = 1, maxFilesPerShard = 1)
+    try {
+      input.addData((10L, "a b x y")); q.processAllAvailable()
+      input.addData((11L, "x y q r")); q.processAllAvailable()
+      input.addData((12L, "q r s t")); q.processAllAvailable()
+    } finally q.stop()
+    // verdicts are the cell stream's usual cross-batch set
+    val out = spark.read.parquet(outPath)
+      .select($"doc_id", $"n_dup_cells")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((10L, 1L), (11L, 1L), (12L, 1L)))
+    // after 3 append+compact cycles no shard directory exceeds the bound
+    // (without compaction the [x y]/[q r] shards would hold 2+ files)
+    val shardDirs = new java.io.File(idxPath).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    assert(shardDirs.forall(d => d.listFiles().count(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")) <= 1))
+    // index content unchanged by compaction: seed 2 + one novel cell per
+    // batch ([x y], [q r], [s t]), all distinct
+    assert(spark.read.parquet(idxPath).count() == 5)
+  }
+
   test("streaming curation fate: timed-out keeper cells evict; live cells re-arm") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
