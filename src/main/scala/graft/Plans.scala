@@ -34,7 +34,7 @@ object Plans {
     "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
     "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3",
     "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
-    "data_dedup_band_index_serve")
+    "data_dedup_band_index_serve", "data_bpe_bytes")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -427,6 +427,14 @@ object Plans {
       |  side is the batch's band rows — the 100 TB index streams, never
       |  shuffles, never recomputes corpus signatures (the hot-bucket cap
       |  applied AT BUILD bounds every serve's per-bucket fan-out).
+      |- **data_bpe_bytes** — the byte-level trainer keeps the
+      |  bpe_train/bpe_pretok plan shape: ONE corpus scan into the
+      |  pretoken-frequency HashAggregate; the byte-unicode w0 split
+      |  (hex of the UTF-8 encoding indexed into the 256-entry literal)
+      |  is a map-only projection over the VOCAB-sized word table; each
+      |  round is one hash aggregate + one map-only merge with a 1-row
+      |  `orderBy().limit(1)` driver pull. Rounds scale with vocabulary,
+      |  never the corpus.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

@@ -874,21 +874,25 @@ object TrainQueries {
     * the VOCAB-sized input table; rounds are persisted so round k reads
     * round k-1's cache, not the whole chain. The driver-side state is
     * `rounds` merge rows. */
+  /** The default (character) base alphabet: one symbol per char. */
+  private[graft] def charSyms(word: Column): Column =
+    when(length(word) >= 1,
+      transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+
   private[graft] def trainMergeRounds(words: DataFrame,
                                       rounds: Int = BpeTrainRounds,
-                                      specials: Seq[String] = Nil)
+                                      specials: Seq[String] = Nil,
+                                      split: Column => Column = charSyms)
       : (DataFrame, Seq[BpeMerge]) = {
-    val charSplit = expr(
-      """CASE WHEN length(word) >= 1
-        |  THEN transform(sequence(1, length(word)),
-        |                 i -> substring(word, i, 1))
-        |  ELSE cast(array() AS array<string>) END""".stripMargin)
+    val base = split(col("word"))
     // a SPECIAL token enters the loop as ONE atomic symbol: never
-    // char-split, so no merge can form across or inside it — the
+    // split, so no merge can form across or inside it — the
     // reserved-token contract every production tokenizer keeps
-    val syms = if (specials.isEmpty) charSplit
+    val syms = if (specials.isEmpty) base
       else when(col("word").isInCollection(specials), array(col("word")))
-        .otherwise(charSplit)
+        .otherwise(base)
     var wf = words
       .withColumn("syms", syms)
       .persist()
@@ -997,6 +1001,52 @@ object TrainQueries {
       .dumpOrdered("step")
   }
 
+  /** The BYTE-LEVEL BPE model (VERDICT r10 #4): same pretokenization and
+    * special-token reservation as [[bpePretokTrainedWords]], but the base
+    * alphabet is the 256 BYTES of each pretoken's UTF-8 encoding mapped
+    * through the GPT-2 byte↔unicode table
+    * ([[TextAnalysis.byteSyms]]) — so ANY input (CJK, emoji, control
+    * bytes) decomposes losslessly into known atoms and the trainer can
+    * never meet an out-of-alphabet symbol. On this ASCII corpus the
+    * visible difference is the mapped space prefix ('Ġ' = the
+    * byte-unicode image of 0x20); on a multilingual crawl it is the
+    * whole point. Same count→merge→re-pair loop, same single corpus
+    * scan, rounds scale with vocabulary. */
+  private[graft] def bpeByteTrainedWords(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    val docs = Tables.documentsHot(spark, dir)
+    Tables.memoBy(spark, s"bpebytes:$dir") {
+      trainMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+      val base = docs
+        .select(explode(concat(TextAnalysis.bpePretokens(col("text")),
+          array(lit(BpeSpecialToken)))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val (wf, merges) = trainMergeRounds(base,
+        specials = Seq(BpeSpecialToken), split = TextAnalysis.byteSyms)
+      trainMemo.put((spark, s"bytes:$dir"), merges)
+      wf
+    }
+  }
+
+  private def bpeByteMerges(spark: SparkSession, dir: String): Seq[BpeMerge] = {
+    bpeByteTrainedWords(spark, dir)
+    trainMemo.get((spark, s"bytes:$dir"))
+  }
+
+  /** The merge list learned over the BYTE-mapped pretokenized corpus —
+    * differs from `data_bpe_pretok`'s exactly in the base alphabet (the
+    * byte-unicode images; ' the' trains as 'Ġthe'). The oracle replays
+    * the identical regex split, the hex-pair byte mapping through the
+    * same 256-entry table, the special-token reservation, and all
+    * [[BpeTrainRounds]] rounds — [[bpeRoundCtes]] reused verbatim. */
+  private def bpeBytes(spark: SparkSession, dir: String): DataFrame = {
+    val m = bpeByteMerges(spark, dir)
+    import spark.implicits._
+    m.map(x => (x.step.toLong, x.lhs, x.rhs, x.lhs + x.rhs, x.cnt))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .dumpOrdered("step")
+  }
+
   /** Corpus encode with the TRAINED merges — replaces `data_bpe_encode`'s
     * ad-hoc fragment vocabulary with the real BPE contract: a word's
     * encoding is its final symbol sequence after replaying the learned
@@ -1094,6 +1144,41 @@ object TrainQueries {
         |         ELSE list_transform(range(1, length(word) + 1),
         |                i -> substr(word, CAST(i AS INTEGER), 1)) END AS syms
         |  FROM wd)""".stripMargin +:
+      (1 to BpeTrainRounds).map(bpeRoundCtes)).mkString(",\n")
+  }
+
+  /** The BYTE-LEVEL twin of [[bpePretokCtes]]: same pretoken frequencies
+    * and special-token reservation, but w0's symbols are the UTF-8
+    * bytes of each pretoken mapped through the [[TextAnalysis.ByteUnicode]]
+    * table — replayed portably as 2-char slices of `hex(encode(word))`
+    * (uppercase on both engines) indexed into the same 256-entry list
+    * literal. [[bpeRoundCtes]] reused verbatim: the trainers can only
+    * diverge in the base alphabet under test. */
+  private def bpeBytesCtes: String = {
+    val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
+    val bu = TextAnalysis.ByteUnicode
+      .map(s => "'" + s.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    (s"""wd AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(list_append(
+        |          regexp_extract_all(lower(text), '$pat', 0),
+        |          '$BpeSpecialToken')) AS word
+        |        FROM documents) z
+        |  GROUP BY word),
+        |bu AS (SELECT $bu AS t),
+        |w0 AS (
+        |  SELECT word, freq,
+        |    CASE WHEN word = '$BpeSpecialToken' THEN [word]
+        |         ELSE list_transform(range(0, octet_length(encode(word))),
+        |           i -> t[(strpos('0123456789ABCDEF',
+        |                     substr(hex(encode(word)),
+        |                            CAST(2 * i + 1 AS BIGINT), 1)) - 1) * 16
+        |                  + strpos('0123456789ABCDEF',
+        |                     substr(hex(encode(word)),
+        |                            CAST(2 * i + 2 AS BIGINT), 1))]) END
+        |      AS syms
+        |  FROM wd CROSS JOIN bu)""".stripMargin +:
       (1 to BpeTrainRounds).map(bpeRoundCtes)).mkString(",\n")
   }
 
@@ -1312,6 +1397,15 @@ object TrainQueries {
 
     "data_bpe_pretok" -> Q(bpePretok, Some(
       s"""WITH $bpePretokCtes
+         |SELECT * FROM (
+         |${(1 to BpeTrainRounds).map(k =>
+             s"  SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs, " +
+               s"a || b AS merged, cnt AS pair_count FROM t$k")
+             .mkString("\n  UNION ALL\n")}
+         |) u ORDER BY step""".stripMargin)),
+
+    "data_bpe_bytes" -> Q(bpeBytes, Some(
+      s"""WITH $bpeBytesCtes
          |SELECT * FROM (
          |${(1 to BpeTrainRounds).map(k =>
              s"  SELECT CAST($k AS BIGINT) AS step, a AS lhs, b AS rhs, " +

@@ -42,6 +42,42 @@ object TextAnalysis {
   def bpePretokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(BpePretokPattern), lit(0))
 
+  /** GPT-2's byte↔unicode table (Radford et al. 2019 reference code,
+    * `bytes_to_unicode`): every byte 0..255 maps to a PRINTABLE unicode
+    * char — the 188 printable latin-1 bytes (33–126, 161–172, 174–255)
+    * to themselves, the rest to consecutive code points from 256 up —
+    * so byte-level BPE can treat arbitrary binary (any UTF-8 text) as a
+    * string of visible atomic symbols. Bijective by construction: the
+    * inverse recovers the exact byte sequence, which is what makes the
+    * byte-level trainer LOSSLESS on any input (CJK, emoji, control
+    * bytes) where a char-level alphabet would admit unseen atoms. */
+  val ByteUnicode: IndexedSeq[String] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 to 255).map { b =>
+      if (printable(b)) new String(Character.toChars(b))
+      else { val c = new String(Character.toChars(256 + n)); n += 1; c }
+    }
+  }
+
+  /** Byte-level base symbols of a string: its UTF-8 bytes, each mapped
+    * through [[ByteUnicode]] — the w0 alphabet of a GPT-2-style
+    * byte-level BPE trainer. Portable to the oracle: both engines hex
+    * the UTF-8 encoding (uppercase on both) and index the same table,
+    * so the symbols agree byte for byte. Pure column expressions over
+    * the vocab-sized word table — the per-element encode+hex is cheap
+    * at word lengths and never touches the corpus. */
+  def byteSyms(word: Column): Column = {
+    val tbl = array(ByteUnicode.map(lit): _*)
+    val h = hex(encode(word, "UTF-8"))
+    when(length(h) >= 2,
+      transform(sequence(lit(1), (length(h) / 2).cast("int")),
+        i => element_at(tbl,
+          conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Word n-gram shingles, empty array when fewer than n words. Routes
     * through the one-pass compiled [[graft.functions.WordShingles]]
     * expression — the HOF form below is the semantic definition and

@@ -102,6 +102,83 @@ object BpeTrainProps extends Properties("BpeTrain") {
       row.getString(0) == row.getString(1)
     }
 
+  // arbitrary UNICODE strings — CJK, emoji (surrogate pairs), accents,
+  // control bytes: the inputs a char-level alphabet mishandles and the
+  // byte-level trainer exists for
+  private val unicodeText: Gen[String] = Gen.listOf(Gen.frequency[String](
+    4 -> Gen.alphaLowerChar.map(_.toString),
+    2 -> Gen.const(" "),
+    2 -> Gen.oneOf("\u00e9", "\u00fc", "\u00df", "\u00f1"),
+    2 -> Gen.oneOf("\u4e2d", "\u6587", "\u65e5", "\u672c"),
+    1 -> Gen.oneOf("\ud83d\ude00", "\ud83c\udf89"),
+    1 -> Gen.oneOf("\u0000", "\u0007", "\u001b")
+  )).map(_.mkString)
+
+  property("byteSyms is LOSSLESS on arbitrary Unicode: every symbol is a " +
+      "known atom and the inverse map recovers the exact UTF-8 bytes") =
+    forAll(unicodeText) { text =>
+      import spark.implicits._
+      val T = graft.data.TextAnalysis
+      val syms = Seq(Tuple1(text)).toDF("word")
+        .select(T.byteSyms($"word").as("s")).as[Seq[String]].head()
+      val inverse = T.ByteUnicode.zipWithIndex.toMap
+      val allKnown = syms.forall(inverse.contains)
+      val recovered = syms.map(inverse(_).toByte).toArray
+      allKnown &&
+        syms.length == text.getBytes("UTF-8").length &&
+        java.util.Arrays.equals(recovered, text.getBytes("UTF-8"))
+    }
+
+  property("byte-level training on Unicode words equals the reference " +
+      "trainer over byte-mapped symbols") =
+    forAll(Gen.choose(1, 5).flatMap(k => Gen.listOfN(k,
+        Gen.zip(unicodeText.suchThat(_.nonEmpty), Gen.choose(1L, 5L))))
+      .map(_.groupBy(_._1).map { case (w, fs) => w -> fs.map(_._2).sum })) {
+      words =>
+        import spark.implicits._
+        val T = graft.data.TextAnalysis
+        val wordsDf = words.toSeq.toDF("word", "freq")
+        val (wf, merges) =
+          TrainQueries.trainMergeRounds(wordsDf, Rounds, split = T.byteSyms)
+        val gotSyms = wf.select($"word", $"syms")
+          .as[(String, Seq[String])].collect().toMap
+        wf.unpersist()
+        // reference: byte-map each word first, then the same refTrain
+        // loop over pre-split symbols
+        def byteMap(w: String): Vector[String] =
+          w.getBytes("UTF-8").toVector.map(b => T.ByteUnicode(b & 0xFF))
+        var tbl: Map[String, (Long, Vector[String])] =
+          words.map { case (w, f) => w -> (f, byteMap(w)) }
+        val wantMerges = Seq.newBuilder[(String, String, Long)]
+        def applyMerge(syms: Vector[String], a: String, b: String) = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = a + b
+            else out += s
+          }
+          out.toVector
+        }
+        for (_ <- 1 to Rounds) {
+          val counts =
+            scala.collection.mutable.Map.empty[(String, String), Long]
+          tbl.values.foreach { case (f, syms) =>
+            syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+              counts(p) = counts.getOrElse(p, 0L) + f
+            }
+          }
+          if (counts.nonEmpty) {
+            val ((a, b), c) = counts.toSeq
+              .minBy { case ((x, y), n) => (-n, x, y) }
+            wantMerges += ((a, b, c))
+            tbl = tbl.map { case (w, (f, s)) => w -> (f, applyMerge(s, a, b)) }
+          }
+        }
+        merges.map(m => (m.lhs, m.rhs, m.cnt)) == wantMerges.result() &&
+          gotSyms.view.mapValues(_.toVector).toMap ==
+            tbl.map { case (w, (_, s)) => w -> s }
+    }
+
   property("special token stays atomic through pretok training") =
     forAll(corpus) { words =>
       import spark.implicits._
