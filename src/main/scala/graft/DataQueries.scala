@@ -66,13 +66,14 @@ object DataQueries {
     * iteration): assignment against centroid table `prev` (squared L2,
     * ties to lower cell), per-coordinate quantized-long mean, empty-cell
     * carry-over → centroid table `out`. */
-  private def duckKmeansRound(prev: String, out: String): String =
+  private def duckKmeansRound(prev: String, out: String,
+                              src: String = "embeddings"): String =
     s"""a_$out AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${duckSqDist("e.embedding", "c.cvec")}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN $prev c) x WHERE rn = 1),
+       |    FROM $src e CROSS JOIN $prev c) x WHERE rn = 1),
        |s_$out AS (
        |  SELECT cell, pos,
        |    CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000)
@@ -1013,6 +1014,55 @@ object DataQueries {
   private def embedPca1(spark: SparkSession, dir: String): DataFrame =
     Similarity.pc1Scores(Tables.embeddingsHot(spark, dir), rounds = 3)
       .dumpOrdered("vec_id")
+
+  /** The ingest-batch window of the VECTOR corpus — same fixed
+    * [[SnapshotId]]/[[BatchEnd]] slice discipline as the document-side
+    * index fixtures: the batch stays bounded while the corpus grows
+    * with the scale factor. */
+  private def ivfBatchVecs(e: DataFrame): DataFrame =
+    e.where(col("vec_id") >= SnapshotId && col("vec_id") < BatchEnd)
+  private def ivfCorpusVecs(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < SnapshotId || col("vec_id") >= BatchEnd)
+
+  /** Maintained IVF index, built once per (process, dir) — the
+    * [[cellIndexPath]] lifecycle for the ANN family
+    * ([[Similarity.writeIvfIndex]]): centroids fitted on the CORPUS
+    * slice only, assignment written partitionBy(cell) with the stored
+    * model artifacts, then the ingest batch APPENDED with the stored
+    * centroids (no refit) — so every serve below runs against the
+    * post-maintenance index. */
+  private val builtIvfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexPath(spark: SparkSession, dir: String): String =
+    builtIvfIndexes.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(idxRoot,
+        "ivf_" + new java.io.File(dir).getName).getAbsolutePath
+      val e = Tables.embeddingsHot(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.writeIvfIndex(ivfCorpusVecs(e), kCells = 8, rounds = 2, p)
+      Similarity.appendIvfIndex(ivfBatchVecs(e), p)
+      p
+    })
+
+  /** Serve-after-append (VERDICT r10 #5): queries served from the
+    * maintained, APPENDED index must hash-equal a from-scratch
+    * recompute — the oracle fits the same deterministic k-means on the
+    * corpus slice only (the stored centroids), then assigns and scores
+    * corpus∪batch. Assignment is per-row and order-free, which is
+    * exactly why frozen-centroid ingest is sound. */
+  private def simIvfAppend(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfIndexServe(queriesOf(spark, dir),
+        ivfIndexPath(spark, dir), k = 3, nprobe = 2)
+      .dumpOrdered("q_id", "rnk")
+
+  /** The retrain signal ([[Similarity.ivfDrift]]): per-cell growth of
+    * the maintained index since build. Both sides replay the same
+    * counts (Spark from the partition column only — a metadata-cost
+    * audit; the oracle from the assignment replay). */
+  private def simIvfDrift(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfDrift(spark, ivfIndexPath(spark, dir))
+      .dumpOrdered("cell")
 
   /** OPQ rotation memo: the Householder vector is a bounded model
     * artifact derived from a multi-round power iteration — collect it
@@ -4529,12 +4579,82 @@ object DataQueries {
        |FROM j GROUP BY method, k_at ORDER BY method""".stripMargin
   }
 
+  /** Shared CTE prefix of the maintained-IVF oracles: corpus slice,
+    * seed, the two k-means rounds fitted on the CORPUS ONLY (= the
+    * stored centroids), and the frozen-centroid assignment of
+    * corpus∪batch. */
+  private lazy val duckIvfIndexCtes: String =
+    s"""ec AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE vec_id < $SnapshotId OR vec_id >= $BatchEnd),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM (SELECT vec_id, embedding FROM ec
+       |        ORDER BY vec_id LIMIT 8) s),
+       |${duckKmeansRound("c0", "c1", "ec")},
+       |${duckKmeansRound("c1", "c2", "ec")},
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckSqDist("e.embedding", "c.cvec")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) x WHERE rn = 1)""".stripMargin
+
+  private lazy val duckIvfAppendSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       |  WHERE vec_id < 10),
+       |$duckIvfIndexCtes,
+       |probes AS (
+       |  SELECT q_id, q_vec, cell FROM (
+       |    SELECT q.q_id, q.q_vec, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${duckSqDist("q.q_vec", "c.cvec")}, c.cell) AS rn
+       |    FROM q CROSS JOIN c2 c) x WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.q_id, a.cell, a.vec_id,
+       |    ${duckDot("p.q_vec", "a.embedding")} /
+       |      (sqrt(${duckDot("p.q_vec", "p.q_vec")}) *
+       |       sqrt(${duckDot("a.embedding", "a.embedding")})) AS cos_sim
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  WHERE p.q_id <> a.vec_id),
+       |r AS (
+       |  SELECT q_id, cell, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, cell, rnk, vec_id AS neighbor_id, cos_sim FROM r
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  private lazy val duckIvfDriftSql: String =
+    s"""WITH $duckIvfIndexCtes,
+       |j AS (
+       |  SELECT cell,
+       |    CAST(count(*) FILTER (WHERE vec_id < $SnapshotId
+       |                             OR vec_id >= $BatchEnd) AS BIGINT)
+       |      AS n_build,
+       |    CAST(count(*) AS BIGINT) AS n_now
+       |  FROM assign GROUP BY cell),
+       |t AS (SELECT sum(n_now) AS tt, count(*) AS kk FROM j)
+       |SELECT cell, n_build, n_now, n_now - n_build AS n_added,
+       |  CAST(n_now AS DOUBLE) / CAST(greatest(n_build, 1) AS DOUBLE)
+       |    AS growth,
+       |  CAST(n_now AS DOUBLE) / CAST(tt AS DOUBLE) AS share_now,
+       |  CAST(n_now AS DOUBLE) / CAST(greatest(n_build, 1) AS DOUBLE) >= 2.0
+       |    AND CAST(n_now AS DOUBLE) * CAST(kk AS DOUBLE)
+       |          > CAST(tt AS DOUBLE)
+       |    AS needs_retrain
+       |FROM j CROSS JOIN t ORDER BY cell""".stripMargin
+
   val defs: Seq[(String, Q)] =
     baseDefs :+
       ("data_sim_recall" -> Q(simRecall, Some(recallOracle))) :+
       // identical output contract to the unpruned fitted IVF -> same oracle
       ("data_sim_ivf_pruned" -> Q(simIvfPruned,
-        baseDefs.toMap.apply("data_sim_ivf_fitted").oracle))
+        baseDefs.toMap.apply("data_sim_ivf_fitted").oracle)) :+
+      ("data_sim_ivf_append" -> Q(simIvfAppend, Some(duckIvfAppendSql))) :+
+      ("data_sim_ivf_drift" -> Q(simIvfDrift, Some(duckIvfDriftSql)))
 
   /** Pair queries may legitimately be empty on tiny scale factors. */
   val mayBeEmpty: Set[String] =

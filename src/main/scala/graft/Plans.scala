@@ -34,7 +34,8 @@ object Plans {
     "data_unigram_encode", "data_unigram_em", "data_graph_triangles",
     "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3",
     "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
-    "data_dedup_band_index_serve", "data_bpe_bytes")
+    "data_dedup_band_index_serve", "data_bpe_bytes",
+    "data_sim_ivf_append")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -435,6 +436,15 @@ object Plans {
       |  round is one hash aggregate + one map-only merge with a 1-row
       |  `orderBy().limit(1)` driver pull. Rounds scale with vocabulary,
       |  never the corpus.
+      |- **data_sim_ivf_append** — the MAINTAINED-IVF serve: centroids
+      |  come from the stored `_centroids` artifact (bounded broadcast),
+      |  the probe read carries the literal cell-IN in `PartitionFilters`
+      |  (planning-time directory prune over the appended layout), and
+      |  scoring joins the broadcast probe set into the pruned scan —
+      |  ingest appended with frozen centroids is invisible to the plan
+      |  AND the result (serve-after-append hash-equals the from-scratch
+      |  recompute). The drift audit reads ONLY the `cell` partition
+      |  column — zero data columns, metadata-cost retrain signal.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

@@ -237,10 +237,23 @@ object Similarity {
                           rounds: Int, k: Int, nprobe: Int, outDir: String,
                           qId: String = "q_id", qVec: String = "q_vec",
                           cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
     val cents = fitCentroids(corpus, kCells, rounds, cId, cVec)
     assignCellsBroadcast(corpus, cents, cVec)
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    servePrunedFrom(queries, cents, outDir, k, nprobe, qId, qVec, cId, cVec)
+  }
+
+  /** The query-time half of the at-rest IVF serve, against any
+    * `partitionBy(cell)` directory and any centroid table: route each
+    * query to its `nprobe` cells, collect the bounded probe-cell set,
+    * read the directory with a literal IN over the partition column
+    * (planning-time pruning — the filter lands in `PartitionFilters`,
+    * not a post-scan Filter), and score only the probed cells. */
+  private def servePrunedFrom(queries: DataFrame, cents: DataFrame,
+                              outDir: String, k: Int, nprobe: Int,
+                              qId: String, qVec: String,
+                              cId: String, cVec: String): DataFrame = {
+    val spark = queries.sparkSession
     val routed = queries.crossJoin(broadcast(cents))
       .withColumn("d2", fastSqDist(queries)(col(qVec), col("cvec")))
     val wA = Window.partitionBy(col(qId)).orderBy(col("d2"), col("cell"))
@@ -249,19 +262,114 @@ object Similarity {
       .select(col(qId), col(qVec), col("cell"))
     val probeCells: Seq[Long] = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    // literal IN over the partition column -> planning-time pruning (the
-    // filter lands in PartitionFilters, not a post-scan Filter)
     val pruned = spark.read.parquet(outDir)
       .where(col("cell").isin(probeCells: _*))
       .withColumn("cell", col("cell").cast("long"))
     val inCell = pruned.join(broadcast(probes), Seq("cell"))
       .where(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosineFast(corpus)(col(qVec), col(cVec)))
+      .withColumn("cos_sim", cosineFast(queries)(col(qVec), col(cVec)))
     val wTop = Window.partitionBy(col(qId)).orderBy(col("cos_sim").desc, col(cId))
     inCell.withColumn("rnk", row_number().over(wTop).cast("long"))
       .where(col("rnk") <= k)
       .select(col(qId), col("cell"), col("rnk"), col(cId).as("neighbor_id"),
         col("cos_sim"))
+  }
+
+  /** Build the MAINTAINED IVF index ONCE — the dedup-index lifecycle for
+    * the ANN family: the fitted centroids, the assigned corpus written
+    * `partitionBy(cell)`, and the build-time cell sizes (the drift
+    * baseline) all persist under one directory. The model artifacts live
+    * in underscore-prefixed subdirectories (`_centroids`, `_cellsizes`)
+    * that every corpus scan's file listing ignores, so the index is
+    * self-contained: serve and append need no session state.
+    *
+    * Scale: fitting shuffles O(k × dim) aggregates per round; assignment
+    * is the map-only literal-centroid fold; the write is the one-time
+    * ingest cost. The baseline sizes are one count aggregate over the
+    * partition column only (zero data columns read). */
+  def writeIvfIndex(corpus: DataFrame, kCells: Int, rounds: Int, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = fitCentroids(corpus, kCells, rounds, idCol, vecCol)
+    assignCellsBroadcast(corpus, cents, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+    spark.read.parquet(path).groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_build"))
+      .write.mode("overwrite").parquet(s"$path/_cellsizes")
+  }
+
+  /** MAINTAIN the stored IVF index: assign an ingest batch with the
+    * STORED centroids — no refit, so every existing cell directory and
+    * every already-served result stays valid — and append into the
+    * partition layout. The production contract of every IVF engine:
+    * ingest is cheap (map-only assignment against a bounded model),
+    * and the quantizer retrains only when [[ivfDrift]] says the data
+    * moved. Serving after an append is hash-identical to recomputing
+    * the assignment of corpus∪batch from scratch with the same
+    * centroids (the append query's differential), because assignment
+    * is per-row and order-free. */
+  def appendIvfIndex(batch: DataFrame, path: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/_centroids")
+    assignCellsBroadcast(batch, cents, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Serve queries from the MAINTAINED index (the read-back of
+    * [[writeIvfIndex]] + any [[appendIvfIndex]]s): centroids come from
+    * the stored `_centroids` artifact, the probe read is the usual
+    * planning-time cell prune. The 100 TB side is only ever read
+    * through pruned directories — never refit, never shuffled. */
+  def ivfIndexServe(queries: DataFrame, indexPath: String, k: Int,
+                    nprobe: Int, qId: String = "q_id",
+                    qVec: String = "q_vec", cId: String = "vec_id",
+                    cVec: String = "embedding"): DataFrame = {
+    val cents = queries.sparkSession.read.parquet(s"$indexPath/_centroids")
+    servePrunedFrom(queries, cents, indexPath, k, nprobe, qId, qVec, cId, cVec)
+  }
+
+  /** The RETRAIN SIGNAL of the maintained index: per-cell growth since
+    * build. Appends assign against frozen centroids, so a drifting
+    * data distribution shows up exactly here — cells absorbing a
+    * disproportionate share of new vectors stop being balanced probe
+    * units (probe cost is per-cell) and the quantizer should refit.
+    * Output per cell: build size, current size, added count, growth
+    * ratio, current share, and `needs_retrain` (growth ≥ `growthTau`
+    * while holding more than its uniform share — a cell that doubled
+    * from 3 vectors is noise; a cell that doubled while holding 2× the
+    * uniform share is the signal).
+    *
+    * Scale: both sides are counts over the `cell` PARTITION column —
+    * zero data columns read (parquet answers from footers), so the
+    * audit costs metadata, not a corpus scan. */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+               growthTau: Double = 2.0): DataFrame = {
+    val build = spark.read.parquet(s"$path/_cellsizes")
+    val now = spark.read.parquet(path)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_now"))
+    val joined = build.join(now, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+    val total = joined.agg(sum(col("n_now")).as("__t"),
+      count(lit(1)).as("__k"))
+    joined.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_build"), col("n_now"),
+        (col("n_now") - col("n_build")).as("n_added"),
+        (col("n_now").cast("double") /
+          greatest(col("n_build"), lit(1L)).cast("double")).as("growth"),
+        (col("n_now").cast("double") / col("__t").cast("double"))
+          .as("share_now"),
+        ((col("n_now").cast("double") /
+            greatest(col("n_build"), lit(1L)).cast("double")) >= growthTau &&
+          col("n_now").cast("double") * col("__k").cast("double")
+            > col("__t").cast("double")).as("needs_retrain"))
   }
 
   /** Norm-scaled int8 quantization of a float vector: each coordinate

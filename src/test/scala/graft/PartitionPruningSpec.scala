@@ -160,6 +160,70 @@ class PartitionPruningSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
   }
 
+  test("maintained IVF index: serve-after-append equals a from-scratch " +
+      "recompute with the stored centroids, probe read still prunes") {
+    import spark.implicits._
+    import graft.data.Similarity
+    val all = Tables.embeddings(spark, TestSpark.sf)
+      .select($"vec_id", $"embedding")
+    val corpus = all.where($"vec_id" < 480)
+    val batch = all.where($"vec_id" >= 480)
+    val dir = Files.createTempDirectory("graft_ivf_idx").toString + "/at"
+    Similarity.writeIvfIndex(corpus, kCells = 4, rounds = 1, dir)
+    // model artifacts persist under hidden subdirs the corpus scan skips
+    assert(new java.io.File(s"$dir/_centroids").exists())
+    assert(new java.io.File(s"$dir/_cellsizes").exists())
+    val nBuild = spark.read.parquet(dir).count()
+    Similarity.appendIvfIndex(batch, dir)
+    assert(spark.read.parquet(dir).count() == nBuild + batch.count())
+    val q = all.where($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val served = Similarity.ivfIndexServe(q, dir, k = 3, nprobe = 2)
+    val got = served.orderBy("q_id", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // from-scratch recompute with the SAME (stored) centroids: fit on
+    // the corpus slice, assign corpus∪batch, score the probed cells —
+    // frozen-centroid ingest must be invisible to the result
+    val cents = spark.read.parquet(s"$dir/_centroids")
+    val assigned = Similarity.assignCellsBroadcast(all, cents)
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("d2", Similarity.sqDist($"q_vec", $"cvec"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"d2", $"cell")
+    val probes = routed.withColumn("rn", row_number().over(wA))
+      .where($"rn" <= 2).select($"q_id", $"q_vec", $"cell")
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    val want = assigned.join(broadcast(probes), Seq("cell"))
+      .where($"q_id" =!= $"vec_id")
+      .withColumn("cos_sim", Similarity.cosine($"q_vec", $"embedding"))
+      .withColumn("rnk", row_number().over(wT).cast("long"))
+      .where($"rnk" <= 3)
+      .select($"q_id", $"cell", $"rnk", $"vec_id", $"cos_sim")
+      .orderBy("q_id", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // the probe scan prunes: fewer cell directories listed than exist
+    val scan = served.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("graft_ivf_idx")) =>
+          (f.selectedPartitions.partitionCount,
+            f.metadata.getOrElse("PartitionFilters", ""))
+      }
+    assert(scan.nonEmpty, "no file scan over the maintained index found")
+    val nCells = spark.read.parquet(dir).select($"cell").distinct().count()
+    assert(scan.get._1 < nCells && scan.get._2.contains("cell"),
+      s"expected a pruned probe read, got $scan of $nCells cells")
+    // drift accounting: the appended batch is exactly the added mass,
+    // and n_now == n_build + n_added per cell
+    val drift = Similarity.ivfDrift(spark, dir)
+    val rows = drift.select($"n_build", $"n_now", $"n_added")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._3).sum == batch.count())
+    assert(rows.forall(r => r._2 == r._1 + r._3))
+  }
+
   test("ivfTopKFittedPruned: pruned-read result == unpruned, plan prunes") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.sf)
