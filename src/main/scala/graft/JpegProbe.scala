@@ -89,6 +89,44 @@ object JpegProbe {
       s"max_luma_err=${r2.get(1)} " +
       f"max_drift_r=${r2.getDouble(2)}%.3f g=${r2.getDouble(3)}%.3f " +
       f"b=${r2.getDouble(4)}%.3f docs=${r2.getLong(5)}")
+
+    // timed phase decomposition of the gray query (the 3.3× row): how
+    // much of the wall clock is pixels / +encode / +decode / +folds
+    def base = Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull && length(col("text")) >= W)
+      .select(col("doc_id"), px.as("px"))
+    def timed(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      df.count() // warm
+      val t0 = System.nanoTime()
+      df.count()
+      println(f"[jpegprobe-time] $label%-14s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    timed("pixels") {
+      base.select(aggregate(col("px"), lit(0L), (a, x) => a + x).as("s"))
+        .where(col("s") > Long.MinValue)
+    }
+    timed("encode") {
+      base.select(octet_length(
+          jpeg_encode_gray(col("px"), W, quality)).as("n"))
+        .where(col("n") > 0)
+    }
+    timed("enc+decode") {
+      base.select(media_decode_jpeg(
+          jpeg_encode_gray(col("px"), W, quality)).getField("n_values").as("n"))
+        .where(col("n") > 0)
+    }
+    timed("full-folds") {
+      base.select(col("px"),
+          media_decode_jpeg(jpeg_encode_gray(col("px"), W, quality)).as("m"))
+        .select(
+          (abs(col("m.sum_val").cast("double") / col("m.n_values")
+            - aggregate(col("px"), lit(0L), (a, x) => a + x).cast("double")
+              / size(col("px"))) <= 2.0).as("a"),
+          (aggregate(zip_with(col("m.pixels"), col("px"),
+            (d, s) => abs(d - s)),
+            lit(0), (a, x) => greatest(a, x)) <= 64).as("b"))
+        .where(col("a") || col("b"))
+    }
     spark.stop()
   }
 }

@@ -305,12 +305,13 @@ object MediaQueries {
     * are codegen'd expressions in one projection; no shuffle. */
   private def mmPngRgbDecode(spark: SparkSession, dir: String): DataFrame = {
     MediaFunctions.register(spark)
+    graft.functions.TextPixelFunctions.register(spark)
     import MediaFunctions.{media_decode_rgb, png_encode_pal, png_encode_rgb}
-    val codes = Multimodal.textCodes(col("text"), 64)
-    val packed = transform(codes, c =>
-      pmod(c, lit(256)) * 65536 + pmod(c * 3 + 7, lit(256)) * 256 +
-        pmod(c * 5 + 11, lit(256)))
-    val px = slice(packed, lit(1), floor(size(packed) / W).cast("int") * W)
+    // compiled packed-pixel build (bit-parity with the HOF form
+    // pinned in MediaProps) — the interpreted transform chain was the
+    // image family's measured scan hot spot
+    val px = graft.functions.TextPixelFunctions
+      .text_rgb_pixels(col("text"), 64, W)
     Tables.documents(spark, dir)
       .where(col("text").isNotNull && length(col("text")) >= W)
       .select(col("doc_id"),
@@ -353,24 +354,20 @@ object MediaQueries {
   private def mmJpegDecode(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.JpegFunctions.register(spark)
     import graft.functions.JpegFunctions._
-    val px = Multimodal.fullRowPixels(col("text"))
+    // the FUSED roundtrip (encode → decode → bands, one compiled pass;
+    // JpegCodecSpec pins boolean parity with the composed
+    // encode→decode→HOF-folds chain): the interpreted folds, not the
+    // codec, were the measured 3.3×-row hot spot
     Tables.documents(spark, dir)
       .where(col("text").isNotNull && length(col("text")) >= W)
-      .select(col("doc_id"), px.as("px"))
-      .select(col("doc_id"), col("px"),
-        // ONE decode per row: stats and pixels ride the same struct
-        media_decode_jpeg(
-          jpeg_encode_gray(col("px"), W, JpegQuality)).as("m"))
+      .select(col("doc_id"), jpeg_roundtrip_gray(
+        Multimodal.fullRowPixels(col("text")), W, JpegQuality,
+        JpegPixTol, JpegMeanTol).as("m"))
       .select(col("doc_id"), col("m.format").as("format"),
         col("m.valid").as("valid"), col("m.width").as("width"),
         col("m.height").as("height"), col("m.n_values").as("n_values"),
-        (abs(col("m.sum_val").cast("double") / col("m.n_values")
-          - aggregate(col("px"), lit(0L), (a, x) => a + x).cast("double")
-            / size(col("px"))) <= JpegMeanTol).as("mean_within_tol"),
-        (aggregate(zip_with(col("m.pixels"), col("px"),
-          (d, s) => abs(d - s)),
-          lit(0), (a, x) => greatest(a, x)) <= JpegPixTol)
-          .as("pixels_within_tol"))
+        col("m.mean_within_tol").as("mean_within_tol"),
+        col("m.pixels_within_tol").as("pixels_within_tol"))
       .dumpOrdered("doc_id")
   }
 
@@ -402,40 +399,23 @@ object MediaQueries {
     * expressions in one projection; no shuffle. */
   private def mmJpegRgbDecode(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.JpegFunctions.register(spark)
-    import graft.functions.JpegFunctions._
-    def ch(c: Column, s: Int): Column =
-      (if (s == 0) c else shiftright(c, s)).bitwiseAND(lit(255))
-    // integer ITU-R 601 luma approximation; /1000 truncates (positive)
-    def luma(c: Column): Column =
-      ((ch(c, 16) * 299 + ch(c, 8) * 587 + ch(c, 0) * 114) / 1000)
-        .cast("int")
-    def meanTolOf(sumCol: Column, shift: Int): Column =
-      abs(sumCol.cast("double") / col("m.n_pixels")
-        - aggregate(col("px"), lit(0L),
-            (a, x) => a + ch(x, shift).cast("long")).cast("double")
-          / size(col("px"))) <= JpegRgbMeanTol
-    val codes = Multimodal.textCodes(col("text"), 64)
-    val packed = transform(codes, c =>
-      pmod(c, lit(256)) * 65536 + pmod(c * 3 + 7, lit(256)) * 256 +
-        pmod(c * 5 + 11, lit(256)))
-    val px = slice(packed, lit(1), floor(size(packed) / W).cast("int") * W)
+    graft.functions.TextPixelFunctions.register(spark)
+    import graft.functions.JpegFunctions.jpeg_roundtrip_rgb
+    import graft.functions.TextPixelFunctions.text_rgb_pixels
+    // fused like the gray twin (JpegCodecSpec pins boolean parity with
+    // the composed encode→decode→per-channel-fold chain)
     Tables.documents(spark, dir)
       .where(col("text").isNotNull && length(col("text")) >= W)
-      .select(col("doc_id"), px.as("px"))
-      .select(col("doc_id"), col("px"),
-        // ONE decode per row: channel sums and pixels ride one struct
-        media_decode_jpeg_rgb(
-          jpeg_encode_rgb(col("px"), W, JpegQuality)).as("m"))
+      .select(col("doc_id"), jpeg_roundtrip_rgb(
+        text_rgb_pixels(col("text"), 64, W), W, JpegQuality,
+        JpegRgbLumaTol, JpegRgbMeanTol).as("m"))
       .select(col("doc_id"), col("m.format").as("format"),
         col("m.valid").as("valid"), col("m.width").as("width"),
         col("m.height").as("height"), col("m.n_pixels").as("n_pixels"),
-        meanTolOf(col("m.sum_r"), 16).as("mean_r_within_tol"),
-        meanTolOf(col("m.sum_g"), 8).as("mean_g_within_tol"),
-        meanTolOf(col("m.sum_b"), 0).as("mean_b_within_tol"),
-        (aggregate(zip_with(col("m.pixels"), col("px"),
-          (d, s) => abs(luma(d) - luma(s))),
-          lit(0), (a, x) => greatest(a, x)) <= JpegRgbLumaTol)
-          .as("luma_within_tol"))
+        col("m.mean_r_within_tol").as("mean_r_within_tol"),
+        col("m.mean_g_within_tol").as("mean_g_within_tol"),
+        col("m.mean_b_within_tol").as("mean_b_within_tol"),
+        col("m.luma_within_tol").as("luma_within_tol"))
       .dumpOrdered("doc_id")
   }
 

@@ -56,7 +56,8 @@ object ScaleBench {
     "data_unigram_em3", "data_sim_opq", "data_dedup_index_append",
     "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
     "data_dedup_band_index_serve", "data_dedup_band_index_append",
-    "data_bpe_bytes", "data_sim_ivf_append", "data_sim_ivf_drift")
+    "data_bpe_bytes", "data_sim_ivf_append", "data_sim_ivf_drift",
+    "data_mixture_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -276,6 +276,54 @@ object TrainQueries {
       .dumpOrdered("source")
   }
 
+  /** Temperature mixing APPLIED (VERDICT r10 #7 — the composed planning
+    * query the per-source floor amortizes into): the
+    * [[mixtureTemperature]] arithmetic computes each source's sampling
+    * rate, then the CORPUS is deterministically sampled against it
+    * (per-doc md5 fraction vs rate — the `data_split_assign` hash-gate
+    * convention) and the realized counts come back per source. The
+    * standalone rate query's cost was 95% fixed per-job floor (0.46 s
+    * flat across three decades, 20-row output); here the corpus scan
+    * dominates and the floor disappears into it.
+    *
+    * Scale: ONE corpus scan (source + one md5 per doc), the rate table
+    * broadcast into it, one map-side-combinable per-source aggregate.
+    * Exactness: rates are long/long divisions of exact integers, the
+    * hash fraction is a 16-bit integer over 2¹⁶ — both sides compare
+    * identical doubles, so the sampled set is bit-stable. */
+  private def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.memoBy(spark, s"mixtemp:$dir") {
+      Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_temp",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    }
+    val tot = t.agg(sum(col("w_temp")).as("sum_w"))
+    val rates = t.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_temp"),
+        expr(s"($MixTempBudget * w_temp) div sum_w").as("alloc_docs"))
+      .withColumn("sample_rate",
+        least(lit(1.0),
+          col("alloc_docs").cast("double") / col("n_docs").cast("double")))
+    val hf = TextAnalysis.hashBucket(
+      concat(lit("mixsamp|"), col("doc_id").cast("string")), 65536)
+      .cast("double") / 65536.0
+    val realized = Tables.documents(spark, dir)
+      .select(col("source"), hf.as("hf"))
+      .join(broadcast(rates.select(col("source"), col("sample_rate"))),
+        Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("hf") < col("sample_rate"), 1L).otherwise(0L))
+        .as("n_sampled"))
+    rates.join(realized, Seq("source"))
+      .select(col("source"), col("n_docs"), col("w_temp"),
+        col("alloc_docs"), col("sample_rate"), col("n_sampled"),
+        (col("n_sampled").cast("double") / col("n_docs").cast("double"))
+          .as("realized_rate"))
+      .dumpOrdered("source")
+  }
+
   // -- shard content manifest ------------------------------------------
 
   /** Reproducibility manifest per training shard (same md5 shard rule as
@@ -1459,6 +1507,36 @@ object TrainQueries {
          |  least(1.0, CAST(($MixTempBudget * w_temp) // sum_w AS DOUBLE)
          |    / CAST(n_docs AS DOUBLE)) AS sample_rate
          |FROM t, s ORDER BY source""".stripMargin)),
+
+    "data_mixture_sample" -> Q(mixtureSample, Some(
+      s"""WITH t AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS w_temp
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT CAST(sum(w_temp) AS BIGINT) AS sum_w FROM t),
+         |r AS (
+         |  SELECT source, n_docs, w_temp,
+         |    ($MixTempBudget * w_temp) // sum_w AS alloc_docs,
+         |    least(1.0, CAST(($MixTempBudget * w_temp) // sum_w AS DOUBLE)
+         |      / CAST(n_docs AS DOUBLE)) AS sample_rate
+         |  FROM t, s),
+         |d AS (
+         |  SELECT source,
+         |    CAST(${duckBucket(
+                 "'mixsamp|' || CAST(doc_id AS VARCHAR)", 65536)} AS DOUBLE)
+         |      / 65536.0 AS hf
+         |  FROM documents),
+         |g AS (
+         |  SELECT d.source,
+         |    CAST(sum(CASE WHEN d.hf < r.sample_rate THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_sampled
+         |  FROM d JOIN r USING (source) GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.w_temp, r.alloc_docs, r.sample_rate,
+         |  g.n_sampled,
+         |  CAST(g.n_sampled AS DOUBLE) / CAST(r.n_docs AS DOUBLE)
+         |    AS realized_rate
+         |FROM r JOIN g USING (source) ORDER BY source""".stripMargin)),
 
     "data_cube_stats" -> Q(cubeStats, Some(
       s"""WITH d AS (

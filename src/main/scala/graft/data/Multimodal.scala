@@ -79,8 +79,21 @@ object Multimodal {
     transform(textCodes(text, maxN), c => pmod(c, lit(256)))
 
   /** [[grayPixels]] truncated to full [[BmpWidth]] rows — the encoders'
-    * `height = n / width` tail-drop rule, applied up front. */
+    * `height = n / width` tail-drop rule, applied up front. Routes
+    * through the compiled one-pass [[graft.functions.TextGrayPixels]]
+    * (this projection runs on every image-query scan; the interpreted
+    * ascii/transform chain was the JPEG query's measured hot spot —
+    * 2.3 of 3.6 s at sf10); [[fullRowPixelsHof]] is the semantic
+    * definition and parity reference. */
   def fullRowPixels(text: Column, maxN: Int = 64): Column = {
+    graft.functions.TextPixelFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.TextPixelFunctions.text_gray_pixels(text, maxN, BmpWidth)
+  }
+
+  /** Composable-HOF form of [[fullRowPixels]] — kept as the parity
+    * reference (MediaProps asserts bit-identical output). */
+  def fullRowPixelsHof(text: Column, maxN: Int = 64): Column = {
     val p = grayPixels(text, maxN)
     slice(p, lit(1), floor(size(p) / BmpWidth).cast("int") * BmpWidth)
   }

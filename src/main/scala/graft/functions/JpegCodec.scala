@@ -245,6 +245,129 @@ object JpegCodecImpl {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(packed)))
   }
 
+  /** [[roundtripGray]] output schema: the decode stats plus the two
+    * tolerance booleans — everything the differential needs, nothing
+    * it doesn't (the decoded pixel array never materializes into a
+    * row). */
+  val RoundtripSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_values", LongType, nullable = false),
+    StructField("mean_within_tol", BooleanType, nullable = false),
+    StructField("pixels_within_tol", BooleanType, nullable = false)))
+
+  /** FUSED gray roundtrip: encode → decode → tolerance bands in one
+    * compiled pass — the whole `data_mm_jpeg_decode` row body. The
+    * composed form (jpeg_encode_gray → media_decode_jpeg → two
+    * interpreted HOF folds over the struct) is the semantic definition
+    * and parity reference (JpegCodecSpec asserts identical booleans);
+    * this exists because the folds, not the codec, were the measured
+    * hot spot (interpreted zip_with+aggregate over 500k rows: 2.0 of
+    * the query's 3.6 s at sf10). Same per-thread ImageIO codecs, one
+    * encode + one decode per row, error folds as primitive loops.
+    *
+    * Boolean arithmetic replicates the composed form exactly:
+    * mean band on |sumDec/n − sumSrc/len| (double division both
+    * sides), pixel band on the max absolute per-pixel error (ints). */
+  def roundtripGray(pixels: ArrayData, width: Int, quality: Int,
+                    pixTol: Int, meanTol: Double): InternalRow = {
+    if (pixels == null) return null
+    val bytes = encodeGray(pixels, width, quality)
+    if (bytes == null) return null
+    val img = readImage(bytes)
+    if (img == null || img.getRaster.getNumBands != 1)
+      return new GenericInternalRow(Array[Any](
+        FmtJpeg, false, null, null, 0L, false, false))
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val n = w.toLong * h
+    val srcN = pixels.numElements()
+    var sumDec = 0L; var sumSrc = 0L; var maxErr = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = raster.getSample(x, y, 0)
+        val i = y * w + x
+        sumDec += d
+        if (i < srcN) {
+          val s = pixels.getInt(i) & 0xFF
+          val e = math.abs(d - s)
+          if (e > maxErr) maxErr = e
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < srcN) { sumSrc += pixels.getInt(i); i += 1 }
+    val meanOk = n > 0 && srcN > 0 &&
+      math.abs(sumDec.toDouble / n - sumSrc.toDouble / srcN) <= meanTol
+    new GenericInternalRow(Array[Any](
+      FmtJpeg, true, w, h, n, meanOk, maxErr <= pixTol))
+  }
+
+  /** [[roundtripRgb]] output schema: per-channel decode stats plus the
+    * four tolerance booleans of the color differential. */
+  val RoundtripRgbSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("valid", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("mean_r_within_tol", BooleanType, nullable = false),
+    StructField("mean_g_within_tol", BooleanType, nullable = false),
+    StructField("mean_b_within_tol", BooleanType, nullable = false),
+    StructField("luma_within_tol", BooleanType, nullable = false)))
+
+  /** FUSED color roundtrip — the `data_mm_jpeg_rgb_decode` row body:
+    * encode (YCbCr, 4:2:0) → decode → per-channel mean bands + the
+    * per-pixel LUMA band, one compiled pass, same contract rationale as
+    * [[roundtripGray]]. Luma is the integer ITU-R 601 approximation
+    * `(299r + 587g + 114b) / 1000` (truncating division — positive
+    * domain, identical to the composed form's double-div-then-int-cast). */
+  def roundtripRgb(pixels: ArrayData, width: Int, quality: Int,
+                   lumaTol: Int, meanTol: Double): InternalRow = {
+    if (pixels == null) return null
+    val bytes = encodeRgb(pixels, width, quality)
+    if (bytes == null) return null
+    val img = readImage(bytes)
+    if (img == null)
+      return new GenericInternalRow(Array[Any](
+        FmtJpeg, false, null, null, 0L, false, false, false, false))
+    val w = img.getWidth; val h = img.getHeight
+    val packed = img.getRGB(0, 0, w, h, null, 0, w)
+    val n = w.toLong * h
+    val srcN = pixels.numElements()
+    var dr = 0L; var dg = 0L; var db = 0L
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var maxLumaErr = 0
+    var i = 0
+    while (i < packed.length) {
+      val p = packed(i)
+      val r = (p >>> 16) & 0xFF; val g = (p >>> 8) & 0xFF; val b = p & 0xFF
+      dr += r; dg += g; db += b
+      if (i < srcN) {
+        val s = pixels.getInt(i)
+        val r2 = (s >>> 16) & 0xFF; val g2 = (s >>> 8) & 0xFF
+        val b2 = s & 0xFF
+        sr += r2; sg += g2; sb += b2
+        val e = math.abs((r * 299 + g * 587 + b * 114) / 1000 -
+          (r2 * 299 + g2 * 587 + b2 * 114) / 1000)
+        if (e > maxLumaErr) maxLumaErr = e
+      }
+      i += 1
+    }
+    def meanOk(dec: Long, src: Long): Boolean = n > 0 && srcN > 0 &&
+      math.abs(dec.toDouble / n - src.toDouble / srcN) <= meanTol
+    new GenericInternalRow(Array[Any](
+      FmtJpeg, true, w, h, n,
+      meanOk(dr, sr), meanOk(dg, sg), meanOk(db, sb),
+      maxLumaErr <= lumaTol))
+  }
+
 }
 
 /** `jpeg_encode_gray(pixels array<int>)` → binary baseline grayscale
@@ -325,6 +448,57 @@ case class MediaDecodeJpegRgb(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `jpeg_roundtrip_gray(pixels)` → the fused encode→decode→bands struct
+  * ([[JpegCodecImpl.roundtripGray]]). Null for fewer pixels than one
+  * row (the encode contract). */
+case class JpegRoundtripGray(child: Expression, width: Int, quality: Int,
+                             pixTol: Int, meanTol: Double)
+    extends UnaryExpression {
+  require(width > 0 && quality >= 1 && quality <= 100 && pixTol >= 0 &&
+    meanTol >= 0, s"bad args ($width, $quality, $pixTol, $meanTol)")
+  override def nullable: Boolean = true
+  override def dataType: DataType = JpegCodecImpl.RoundtripSchema
+  override def prettyName: String = "jpeg_roundtrip_gray"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegCodecImpl.roundtripGray(input.asInstanceOf[ArrayData], width,
+      quality, pixTol, meanTol)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.JpegCodecImpl.roundtripGray(
+         |  $c, $width, $quality, $pixTol, $meanTol);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegRoundtripGray =
+    copy(child = newChild)
+}
+
+/** `jpeg_roundtrip_rgb(pixels)` → the fused color roundtrip struct
+  * ([[JpegCodecImpl.roundtripRgb]]) over packed 0xRRGGBB pixels. */
+case class JpegRoundtripRgb(child: Expression, width: Int, quality: Int,
+                            lumaTol: Int, meanTol: Double)
+    extends UnaryExpression {
+  require(width > 0 && quality >= 1 && quality <= 100 && lumaTol >= 0 &&
+    meanTol >= 0, s"bad args ($width, $quality, $lumaTol, $meanTol)")
+  override def nullable: Boolean = true
+  override def dataType: DataType = JpegCodecImpl.RoundtripRgbSchema
+  override def prettyName: String = "jpeg_roundtrip_rgb"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegCodecImpl.roundtripRgb(input.asInstanceOf[ArrayData], width,
+      quality, lumaTol, meanTol)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.JpegCodecImpl.roundtripRgb(
+         |  $c, $width, $quality, $lumaTol, $meanTol);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegRoundtripRgb =
+    copy(child = newChild)
+}
+
 
 object JpegFunctions {
 
@@ -365,6 +539,32 @@ object JpegFunctions {
         s"media_decode_jpeg_rgb(payload): expected 1 argument, got ${exprs.length}")
       MediaDecodeJpegRgb(exprs.head)
     })
+    def dblLit(e: Expression, fn: String): Double = e match {
+      case org.apache.spark.sql.catalyst.expressions
+          .Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a double literal, got $other")
+    }
+    put("jpeg_roundtrip_gray", exprs => {
+      if (exprs.length != 5) throw new IllegalArgumentException(
+        s"jpeg_roundtrip_gray(pixels, width, quality, pixTol, meanTol): " +
+          s"expected 5 arguments, got ${exprs.length}")
+      JpegRoundtripGray(exprs.head,
+        intLit(exprs(1), "jpeg_roundtrip_gray"),
+        intLit(exprs(2), "jpeg_roundtrip_gray"),
+        intLit(exprs(3), "jpeg_roundtrip_gray"),
+        dblLit(exprs(4), "jpeg_roundtrip_gray"))
+    })
+    put("jpeg_roundtrip_rgb", exprs => {
+      if (exprs.length != 5) throw new IllegalArgumentException(
+        s"jpeg_roundtrip_rgb(pixels, width, quality, lumaTol, meanTol): " +
+          s"expected 5 arguments, got ${exprs.length}")
+      JpegRoundtripRgb(exprs.head,
+        intLit(exprs(1), "jpeg_roundtrip_rgb"),
+        intLit(exprs(2), "jpeg_roundtrip_rgb"),
+        intLit(exprs(3), "jpeg_roundtrip_rgb"),
+        dblLit(exprs(4), "jpeg_roundtrip_rgb"))
+    })
   }
 
   def jpeg_encode_gray(pixels: Column, width: Int, quality: Int): Column =
@@ -379,4 +579,18 @@ object JpegFunctions {
       org.apache.spark.sql.functions.lit(quality))
   def media_decode_jpeg_rgb(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("media_decode_jpeg_rgb", payload)
+  def jpeg_roundtrip_gray(pixels: Column, width: Int, quality: Int,
+                          pixTol: Int, meanTol: Double): Column =
+    org.apache.spark.sql.functions.call_function("jpeg_roundtrip_gray",
+      pixels, org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(quality),
+      org.apache.spark.sql.functions.lit(pixTol),
+      org.apache.spark.sql.functions.lit(meanTol))
+  def jpeg_roundtrip_rgb(pixels: Column, width: Int, quality: Int,
+                         lumaTol: Int, meanTol: Double): Column =
+    org.apache.spark.sql.functions.call_function("jpeg_roundtrip_rgb",
+      pixels, org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(quality),
+      org.apache.spark.sql.functions.lit(lumaTol),
+      org.apache.spark.sql.functions.lit(meanTol))
 }

@@ -345,4 +345,124 @@ class MediaCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("compiled text pixels == HOF forms on awkward inputs " +
+      "(unicode, surrogate pairs, empty, null, sub-row)") {
+    graft.functions.TextPixelFunctions.register(spark)
+    import graft.functions.TextPixelFunctions.text_rgb_pixels
+    val W = Multimodal.BmpWidth
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog and more words here",
+      "short", "",
+      "caf\u00e9 na\u00efve \u4e2d\u6587\u6587\u672c \ud83d\ude00\ud83c\udf89 mixed content and tail",
+      "exactly seven!!", "x" * 100)
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // gray: the shipped fullRowPixels (compiled) vs the HOF definition
+    // (NULL text is excluded from parity ON PURPOSE: Spark's least()
+    // skips nulls, so the HOF accidentally emits maxN NULL pixels there
+    // \u2014 every consumer filters isNotNull first, and the compiled form
+    // pins the sane empty array instead, asserted below)
+    val gray = df.select($"id",
+        Multimodal.fullRowPixels($"text").as("got"),
+        Multimodal.fullRowPixelsHof($"text").as("want"))
+      .as[(Long, Seq[Int], Seq[Int])].collect().toSeq
+    gray.foreach { case (id, got, want) =>
+      assert(got == want, s"gray mismatch on row $id: $got vs $want")
+    }
+    val nullRow = Seq((0L, null.asInstanceOf[String])).toDF("id", "text")
+    assert(nullRow.select(Multimodal.fullRowPixels($"text").as("p"))
+      .as[Seq[Int]].head() == Seq.empty)
+    assert(nullRow.select(text_rgb_pixels($"text", 64, W).as("p"))
+      .as[Seq[Int]].head() == Seq.empty)
+    // rgb: compiled packed build vs the HOF packed build
+    val codes = Multimodal.textCodes($"text", 64)
+    val packed = transform(codes, c =>
+      pmod(c, lit(256)) * 65536 + pmod(c * 3 + 7, lit(256)) * 256 +
+        pmod(c * 5 + 11, lit(256)))
+    val pxHof = slice(packed, lit(1),
+      floor(size(packed) / W).cast("int") * W)
+    val rgb = df.select($"id",
+        text_rgb_pixels($"text", 64, W).as("got"), pxHof.as("want"))
+      .as[(Long, Seq[Int], Seq[Int])].collect().toSeq
+    rgb.foreach { case (id, got, want) =>
+      assert(got == want, s"rgb mismatch on row $id: $got vs $want")
+    }
+  }
+
+  test("fused JPEG roundtrips == the composed encode/decode/fold chains") {
+    graft.functions.JpegFunctions.register(spark)
+    import graft.functions.JpegFunctions._
+    val W = 7
+    // crafted pixel rows: smooth (in band), noise (still in band at the
+    // published tols), plus a sub-row input (null struct on both paths)
+    val smooth = (0 until 35).map(i => 100 + i % 8)
+    val noise = (0 until 35).map(i => (i * 53 + 11) % 256)
+    val tiny = Seq(1, 2, 3)
+    val df = Seq((1L, smooth), (2L, noise), (3L, tiny))
+      .toDF("id", "px")
+    val fused = df.select($"id", jpeg_roundtrip_gray($"px", W,
+        MediaQueries.JpegQuality, MediaQueries.JpegPixTol,
+        MediaQueries.JpegMeanTol).as("m"))
+      .select($"id", $"m.valid", $"m.n_values",
+        $"m.mean_within_tol", $"m.pixels_within_tol")
+      .as[(Long, Option[Boolean], Option[Long], Option[Boolean], Option[Boolean])]
+      .collect().toSeq.sortBy(_._1)
+    val composed = df.select($"id", $"px",
+        media_decode_jpeg(jpeg_encode_gray($"px", W,
+          MediaQueries.JpegQuality)).as("m"))
+      .select($"id", $"m.valid", $"m.n_values",
+        (abs($"m.sum_val".cast("double") / $"m.n_values"
+          - aggregate($"px", lit(0L), (a, x) => a + x).cast("double")
+            / size($"px")) <= MediaQueries.JpegMeanTol)
+          .as("mean_ok"),
+        (aggregate(zip_with($"m.pixels", $"px", (d, s) => abs(d - s)),
+          lit(0), (a, x) => greatest(a, x)) <= MediaQueries.JpegPixTol)
+          .as("pix_ok"))
+      .as[(Long, Option[Boolean], Option[Long], Option[Boolean], Option[Boolean])]
+      .collect().toSeq.sortBy(_._1)
+    assert(fused == composed)
+    assert(fused.find(_._1 == 3L).get._2.isEmpty) // sub-row: null on both
+    // a pixel band violation must FLIP the boolean, not just never fire:
+    // tolerance 0 fails on lossy noise while geometry stays valid
+    val strict = df.where($"id" === 2L).select(jpeg_roundtrip_gray($"px",
+        W, MediaQueries.JpegQuality, 0, 0.0).as("m"))
+      .select($"m.valid", $"m.mean_within_tol", $"m.pixels_within_tol")
+      .as[(Boolean, Boolean, Boolean)].head()
+    assert(strict._1 && !strict._3)
+
+    // color twin
+    val rgbPx = (0 until 35).map { i =>
+      val c = (i * 53 + 11) % 256
+      (c << 16) | (((c * 3 + 7) % 256) << 8) | ((c * 5 + 11) % 256)
+    }
+    val dfc = Seq((1L, rgbPx)).toDF("id", "px")
+    def ch(c: org.apache.spark.sql.Column, s: Int) =
+      (if (s == 0) c else shiftright(c, s)).bitwiseAND(lit(255))
+    def luma(c: org.apache.spark.sql.Column) =
+      ((ch(c, 16) * 299 + ch(c, 8) * 587 + ch(c, 0) * 114) / 1000)
+        .cast("int")
+    def meanTolOf(sumCol: org.apache.spark.sql.Column, shift: Int) =
+      abs(sumCol.cast("double") / $"m.n_pixels"
+        - aggregate($"px", lit(0L), (a, x) => a + ch(x, shift).cast("long"))
+            .cast("double") / size($"px")) <= MediaQueries.JpegRgbMeanTol
+    val fusedC = dfc.select(jpeg_roundtrip_rgb($"px", W,
+        MediaQueries.JpegQuality, MediaQueries.JpegRgbLumaTol,
+        MediaQueries.JpegRgbMeanTol).as("m"))
+      .select($"m.valid", $"m.n_pixels", $"m.mean_r_within_tol",
+        $"m.mean_g_within_tol", $"m.mean_b_within_tol",
+        $"m.luma_within_tol")
+      .as[(Boolean, Long, Boolean, Boolean, Boolean, Boolean)].head()
+    val composedC = dfc.select($"px",
+        media_decode_jpeg_rgb(jpeg_encode_rgb($"px", W,
+          MediaQueries.JpegQuality)).as("m"))
+      .select($"m.valid", $"m.n_pixels",
+        meanTolOf($"m.sum_r", 16), meanTolOf($"m.sum_g", 8),
+        meanTolOf($"m.sum_b", 0),
+        (aggregate(zip_with($"m.pixels", $"px",
+          (d, s) => abs(luma(d) - luma(s))),
+          lit(0), (a, x) => greatest(a, x)) <= MediaQueries.JpegRgbLumaTol))
+      .as[(Boolean, Long, Boolean, Boolean, Boolean, Boolean)].head()
+    assert(fusedC == composedC)
+  }
 }

@@ -51,7 +51,8 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_unigram_em3", "data_sim_opq", "data_dedup_index_append",
           "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
           "data_dedup_band_index_serve", "data_dedup_band_index_append",
-          "data_bpe_bytes", "data_sim_ivf_append", "data_sim_ivf_drift"]
+          "data_bpe_bytes", "data_sim_ivf_append", "data_sim_ivf_drift",
+          "data_mixture_sample"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
