@@ -127,6 +127,41 @@ object JpegProbe {
             lit(0), (a, x) => greatest(a, x)) <= 64).as("b"))
         .where(col("a") || col("b"))
     }
+
+    // fused-path decomposition (what the shipped queries actually run):
+    // scan+pixels / +encode / full fused roundtrip, gray and color
+    graft.functions.TextPixelFunctions.register(spark)
+    import graft.functions.TextPixelFunctions._
+    def docs = Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull && length(col("text")) >= W)
+    timed("g:pixels") {
+      docs.select(size(text_gray_pixels(col("text"), 64, W)).as("n"))
+        .where(col("n") >= 0)
+    }
+    timed("g:encode") {
+      docs.select(octet_length(jpeg_encode_gray(
+          text_gray_pixels(col("text"), 64, W), W, quality)).as("n"))
+        .where(col("n") > 0)
+    }
+    timed("g:fused") {
+      docs.select(jpeg_roundtrip_gray(text_gray_pixels(col("text"), 64, W),
+          W, quality, 64, 2.0).getField("valid").as("v"))
+        .where(col("v"))
+    }
+    timed("c:pixels") {
+      docs.select(size(text_rgb_pixels(col("text"), 64, W)).as("n"))
+        .where(col("n") >= 0)
+    }
+    timed("c:encode") {
+      docs.select(octet_length(jpeg_encode_rgb(
+          text_rgb_pixels(col("text"), 64, W), W, quality)).as("n"))
+        .where(col("n") > 0)
+    }
+    timed("c:fused") {
+      docs.select(jpeg_roundtrip_rgb(text_rgb_pixels(col("text"), 64, W),
+          W, quality, 64, 12.0).getField("valid").as("v"))
+        .where(col("v"))
+    }
     spark.stop()
   }
 }

@@ -35,7 +35,7 @@ object Plans {
     "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3",
     "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
     "data_dedup_band_index_serve", "data_bpe_bytes",
-    "data_sim_ivf_append")
+    "data_sim_ivf_append", "data_mixture_sample")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -408,18 +408,19 @@ object Plans {
       |- **data_scd2_history** — lead() and row_number() share ONE
       |  (user_id) partitioning: a single exchange + sort feeds both
       |  windows; partition size is one entity's change history.
-      |- **data_mm_jpeg_decode** — the lossy-codec gray roundtrip: the
-      |  `px` source-pixel list evaluates ONCE in its own Project
-      |  (multi-consumer non-cheap projection — CollapseProject refuses
-      |  to duplicate it), and the single `media_decode_jpeg` struct
-      |  carries stats AND pixels so the mean/pixel tolerance folds ride
-      |  one ImageIO read per row. Map-only to the dump sort — no
-      |  shuffle, no UDF (compiled expressions with per-thread codecs).
-      |- **data_mm_jpeg_rgb_decode** — the color twin: same one-Project
-      |  shape with the packed-0xRRGGBB pixel list shared by the three
-      |  per-channel mean folds and the luma band; encode, decode and
-      |  the folds are per-row CPU inside the projection, never plan
-      |  structure. Map-only to the dump sort.
+      |- **data_mm_jpeg_decode** — the lossy-codec gray roundtrip, FUSED:
+      |  one Project evaluates `jpeg_roundtrip_gray(text_gray_pixels(…))`
+      |  — compiled pixel build, one encode, one decode, tolerance bands
+      |  as primitive loops (boolean parity with the composed
+      |  encode→decode→HOF-fold chain pinned in MediaCodecSpec). The
+      |  whole body is ONE WholeStageCodegen span over the scan — no
+      |  shuffle, no UDF, no interpreted HOF (the folds were the
+      |  measured 3.3×-row hot spot, not the codec).
+      |- **data_mm_jpeg_rgb_decode** — the color twin: one Project with
+      |  `jpeg_roundtrip_rgb(text_rgb_pixels(…))` — per-channel mean
+      |  bands + the per-pixel LUMA band (what 4:2:0 subsampling
+      |  actually preserves) inside the fused pass. Map-only to the
+      |  dump sort.
       |- **data_dedup_band_index_serve** — the maintained NEAR-dup serve:
       |  the stored band index's scan carries `PartitionFilters: [...
       |  dynamicpruningexpression(shard IN ...)]` on the bucket-shard
@@ -445,6 +446,13 @@ object Plans {
       |  AND the result (serve-after-append hash-equals the from-scratch
       |  recompute). The drift audit reads ONLY the `cell` partition
       |  column — zero data columns, metadata-cost retrain signal.
+      |- **data_mixture_sample** — temperature mixing APPLIED: the
+      |  source-count aggregate is memoized (one corpus scan), the rate
+      |  table enters the gated second scan through a
+      |  `BroadcastExchange`, the realized counts are one
+      |  map-side-combinable per-source aggregate, and every other
+      |  relation in the plan is source-cardinality-sized. Two corpus
+      |  scans total, no window, no corpus shuffle.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

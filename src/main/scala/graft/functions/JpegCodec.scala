@@ -68,11 +68,15 @@ object JpegCodecImpl {
     if (height == 0) return null
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
+    // TYPE_BYTE_GRAY's raster is one contiguous row-major byte[]: fill
+    // it directly instead of paying the per-pixel SampleModel dispatch
+    // of setSample (this encode runs once per corpus row)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var i = 0
     val n = width * height
     while (i < n) {
-      raster.setSample(i % width, i / width, 0, pixels.getInt(i) & 0xFF)
+      data(i) = (pixels.getInt(i) & 0xFF).toByte
       i += 1
     }
     val writer = writerTl.get()
@@ -188,11 +192,21 @@ object JpegCodecImpl {
     if (height == 0) return null
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // TYPE_3BYTE_BGR's raster is one contiguous row-major [b,g,r] byte
+    // array in sRGB: fill it directly — setRGB routes every pixel
+    // through ColorModel.getDataElements, a measured per-pixel tax on
+    // a once-per-corpus-row encode
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     val n = width * height
-    val packed = new Array[Int](n)
     var i = 0
-    while (i < n) { packed(i) = pixels.getInt(i) & 0xFFFFFF; i += 1 }
-    img.setRGB(0, 0, width, height, packed, 0, width)
+    while (i < n) {
+      val p = pixels.getInt(i)
+      data(3 * i) = (p & 0xFF).toByte
+      data(3 * i + 1) = ((p >>> 8) & 0xFF).toByte
+      data(3 * i + 2) = ((p >>> 16) & 0xFF).toByte
+      i += 1
+    }
     val writer = writerTl.get()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -212,12 +226,57 @@ object JpegCodecImpl {
     bos.toByteArray
   }
 
+  /** Packed 0xRRGGBB pixels of a decoded image. Fast paths read the
+    * raster's contiguous byte buffer directly (TYPE_3BYTE_BGR — the
+    * type ImageIO decodes color JPEGs to — and TYPE_BYTE_GRAY, gray
+    * replicated across channels, the [[MediaCodecImpl.decodeRgb]]
+    * contract); anything else falls back to `getRGB` bulk, whose
+    * per-pixel ColorModel conversion was the measured decode tax. */
+  private def packedRgbOf(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val n = w * h
+    val buf = img.getRaster.getDataBuffer
+    img.getType match {
+      case java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+          if buf.isInstanceOf[java.awt.image.DataBufferByte] &&
+            buf.asInstanceOf[java.awt.image.DataBufferByte]
+              .getData.length == 3 * n =>
+        val d = buf.asInstanceOf[java.awt.image.DataBufferByte].getData
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((d(3 * i + 2) & 0xFF) << 16) |
+            ((d(3 * i + 1) & 0xFF) << 8) | (d(3 * i) & 0xFF)
+          i += 1
+        }
+        out
+      case java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          if buf.isInstanceOf[java.awt.image.DataBufferByte] &&
+            buf.asInstanceOf[java.awt.image.DataBufferByte]
+              .getData.length == n =>
+        val d = buf.asInstanceOf[java.awt.image.DataBufferByte].getData
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val v = d(i) & 0xFF
+          out(i) = (v << 16) | (v << 8) | v
+          i += 1
+        }
+        out
+      case _ =>
+        val out = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < out.length) { out(i) = out(i) & 0xFFFFFF; i += 1 }
+        out
+    }
+  }
+
   /** Color decode → [[RgbSchema]] per-channel stats + packed pixels, or
     * invalid — corrupt payloads never crash the scan. Pixels come back
-    * through `getRGB` bulk (the image's color model → packed sRGB), so
-    * a grayscale JPEG decodes with its gray value replicated across
-    * channels — the [[MediaCodecImpl.decodeRgb]] replicate contract —
-    * and a 3-band YCbCr image converts band-order-independently. */
+    * as packed sRGB ([[packedRgbOf]]), so a grayscale JPEG decodes with
+    * its gray value replicated across channels — the
+    * [[MediaCodecImpl.decodeRgb]] replicate contract — and a 3-band
+    * YCbCr image converts band-order-independently. */
   def decodeRgb(bytes: Array[Byte]): InternalRow = {
     if (bytes == null) return null
     if (!isJpeg(bytes))
@@ -228,7 +287,7 @@ object JpegCodecImpl {
       return new GenericInternalRow(Array[Any](
         FmtJpeg, false, null, null, 0L, null, null, null, null))
     val w = img.getWidth; val h = img.getHeight
-    val packed = img.getRGB(0, 0, w, h, null, 0, w)
+    val packed = packedRgbOf(img)
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0
     while (i < packed.length) {
@@ -236,7 +295,6 @@ object JpegCodecImpl {
       sr += (p >>> 16) & 0xFF
       sg += (p >>> 8) & 0xFF
       sb += p & 0xFF
-      packed(i) = p & 0xFFFFFF // strip alpha: the stored-pixel contract
       i += 1
     }
     val n = w.toLong * h
@@ -285,21 +343,42 @@ object JpegCodecImpl {
     val n = w.toLong * h
     val srcN = pixels.numElements()
     var sumDec = 0L; var sumSrc = 0L; var maxErr = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val d = raster.getSample(x, y, 0)
-        val i = y * w + x
+    // fast path: a decoded gray JPEG is TYPE_BYTE_GRAY with one
+    // contiguous row-major byte[] — walk it directly; anything else
+    // falls back to the per-pixel SampleModel accessor
+    val buf = raster.getDataBuffer
+    val direct = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY &&
+      buf.isInstanceOf[java.awt.image.DataBufferByte] &&
+      buf.asInstanceOf[java.awt.image.DataBufferByte].getData.length == w * h
+    if (direct) {
+      val data = buf.asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      while (i < data.length) {
+        val d = data(i) & 0xFF
         sumDec += d
         if (i < srcN) {
-          val s = pixels.getInt(i) & 0xFF
-          val e = math.abs(d - s)
+          val e = math.abs(d - (pixels.getInt(i) & 0xFF))
           if (e > maxErr) maxErr = e
         }
-        x += 1
+        i += 1
       }
-      y += 1
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val d = raster.getSample(x, y, 0)
+          val i = y * w + x
+          sumDec += d
+          if (i < srcN) {
+            val s = pixels.getInt(i) & 0xFF
+            val e = math.abs(d - s)
+            if (e > maxErr) maxErr = e
+          }
+          x += 1
+        }
+        y += 1
+      }
     }
     var i = 0
     while (i < srcN) { sumSrc += pixels.getInt(i); i += 1 }
@@ -338,7 +417,7 @@ object JpegCodecImpl {
       return new GenericInternalRow(Array[Any](
         FmtJpeg, false, null, null, 0L, false, false, false, false))
     val w = img.getWidth; val h = img.getHeight
-    val packed = img.getRGB(0, 0, w, h, null, 0, w)
+    val packed = packedRgbOf(img)
     val n = w.toLong * h
     val srcN = pixels.numElements()
     var dr = 0L; var dg = 0L; var db = 0L
