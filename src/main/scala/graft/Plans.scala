@@ -35,7 +35,7 @@ object Plans {
     "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3",
     "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
     "data_dedup_band_index_serve", "data_bpe_bytes",
-    "data_sim_ivf_append", "data_mixture_sample")
+    "data_sim_ivf_append", "data_mixture_sample", "data_bpe_oov_encode")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -453,6 +453,19 @@ object Plans {
       |  map-side-combinable per-source aggregate, and every other
       |  relation in the plan is source-cardinality-sized. Two corpus
       |  scans total, no window, no corpus shuffle.
+      |- **data_bpe_oov_encode** — serving a SHIPPED tokenizer on new
+      |  data: the trained word table and the OOV merge-replay table are
+      |  BOTH vocab-sized (the unseen-word table is a map-side-combinable
+      |  distinct over pretokens, never corpus-sized; its 8 merge folds
+      |  are map-only on that bounded table), union'd into one model
+      |  relation that enters the (doc, pretoken) explode through an
+      |  EXPLICIT `BroadcastExchange` — the union's size estimate is
+      |  planner-opaque, and without the hint the static planner chose a
+      |  SortMergeJoin that shuffled+sorted the corpus-sized explode
+      |  (measured 61 → 15 s at sf10); one per-doc xor-checksum
+      |  aggregate (single-long state — the collect_list text form
+      |  OOM'd the probe heap). Two corpus scans at encode time (the
+      |  unseen-word distinct + the encode join), both linear.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

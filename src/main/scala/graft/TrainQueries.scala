@@ -1120,6 +1120,132 @@ object TrainQueries {
       .dumpOrderedTail("doc_id")
   }
 
+  /** Order-SENSITIVE per-(position, encoding) hash for the byte-encode
+    * checksums: the 52-bit md5 prefix of `<wpos>:<joined syms>`, xor'd
+    * per doc (the [[shardManifest]] convention). Position is baked into
+    * each hash, so any dropped, added, re-ordered or re-segmented
+    * pretoken flips the doc's xor; differential strength equals dumping
+    * the full encoded text. Chosen over `collect_list`-assembled text
+    * DELIBERATELY: a document-text payload in the aggregation buffer is
+    * a per-group memory liability (measured OOM at sf10 under the probe
+    * heap — 65k groups × ~120 multi-KB buffers per task), while the
+    * xor's state is ONE long, map-side-combinable at any scale. */
+  private def h52Of(wpos: Column, syms: Column): Column =
+    conv(substring(md5(concat(wpos.cast("string"), lit(":"),
+      array_join(syms, "|"))), 1, 13), 16, 10).cast("long")
+
+  /** Corpus encode with the BYTE-trained merges — the serving path of
+    * [[bpeByteTrainedWords]], the `data_bpe_train_encode` shape over
+    * the other base alphabet: each pretoken's encoding is its final
+    * byte-unicode symbol sequence after the learned merges, joined from
+    * the vocab-sized trained table. One (doc, pretoken) explode, one
+    * hash join, one per-doc aggregate — no per-word re-derivation, no
+    * corpus rescan at encode time; any UTF-8 pretoken is encodable by
+    * construction (the byte alphabet's lossless-fallback guarantee).
+    * Content proof rides the [[encXor]] checksum (see its scaladoc for
+    * why not collect_list text). */
+  private def bpeBytesEncode(spark: SparkSession, dir: String): DataFrame = {
+    val wf = bpeByteTrainedWords(spark, dir).select(col("word"), col("syms"))
+    Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.bpePretokens(col("text")))
+          .as(Seq("wpos", "word")))
+      .join(broadcast(wf), Seq("word"))
+      .select(col("doc_id"), size(col("syms")).as("n_syms"),
+        h52Of(col("wpos"), col("syms")).as("__h52"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(col("n_syms")).as("n_subtokens"),
+        expr("bit_xor(__h52)").as("enc_xor"))
+      .select(col("doc_id"), col("n_pretokens"), col("n_subtokens"),
+        (col("n_subtokens").cast("double") / col("n_pretokens").cast("double"))
+          .as("subtok_per_pretok"),
+        col("enc_xor"))
+      .dumpOrderedTail("doc_id")
+  }
+
+  /** Training-slice boundary for the OOV-encode fixture: the tokenizer
+    * trains on documents below this id and then encodes the WHOLE
+    * corpus — the shipped-tokenizer premise, where serving data always
+    * contains pretokens training never saw. 20 docs cover 43 of the
+    * synthetic corpus's 61 distinct pretokens (measured at sf0.01), so
+    * the differential exercises the merge-replay fallback on the other
+    * 18 NON-vacuously; the bounded slice also keeps the trained-model
+    * premise at scale (the corpus grows, the shipped tokenizer does
+    * not). */
+  private val OovTrainEnd = 20L
+
+  /** [[bpeByteTrainedWords]] fitted on the TRAINING SLICE only. */
+  private[graft] def bpeByteSliceTrainedWords(spark: SparkSession,
+                                              dir: String): DataFrame = {
+    val docs = Tables.documentsHot(spark, dir)
+    Tables.memoBy(spark, s"bpebytesslice:$dir") {
+      trainMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+      val base = docs.where(col("doc_id") < OovTrainEnd)
+        .select(explode(concat(TextAnalysis.bpePretokens(col("text")),
+          array(lit(BpeSpecialToken)))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val (wf, merges) = trainMergeRounds(base,
+        specials = Seq(BpeSpecialToken), split = TextAnalysis.byteSyms)
+      trainMemo.put((spark, s"bytesslice:$dir"), merges)
+      wf
+    }
+  }
+
+  /** Encode NEW data with a SHIPPED tokenizer — the serving reality the
+    * plain train-encode join cannot express: pretokens the training
+    * slice never saw have no row in the trained word table, and a real
+    * tokenizer encodes them anyway by BYTE-splitting and replaying the
+    * learned merge list in rank order (classic BPE inference — possible
+    * at all because the byte alphabet makes any UTF-8 pretoken
+    * decomposable; a char alphabet would hit unknown atoms). Seen
+    * pretokens serve from the vocab-sized trained table as before; the
+    * UNSEEN ones are a distinct-word table (vocab-bounded, not
+    * corpus-bounded) that gets the [[mergeApply]] fold once per learned
+    * merge. Every pretoken of every document is encoded — the
+    * total-function law `n_pretokens = |pretokens|`, which the inner
+    * join alone would silently break.
+    *
+    * Scale: one (doc, pretoken) explode, one distinct over unseen words
+    * + 8 map-only merge folds on that bounded table, one hash join of
+    * the union'd model, one per-doc aggregate. The corpus is scanned
+    * once for training (slice) and once for encoding. */
+  private def bpeBytesOovEncode(spark: SparkSession, dir: String): DataFrame = {
+    val wf = bpeByteSliceTrainedWords(spark, dir)
+      .select(col("word"), col("syms"))
+    val merges = trainMemo.get((spark, s"bytesslice:$dir"))
+    val pretoks = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.bpePretokens(col("text")))
+          .as(Seq("wpos", "word")))
+    val oovSyms = merges.foldLeft(TextAnalysis.byteSyms(col("word")))(
+      (c, m) => mergeApply(c, m.lhs, m.rhs))
+    val oov = pretoks.select(col("word")).distinct()
+      .join(wf.select(col("word")), Seq("word"), "left_anti")
+      .select(col("word"), oovSyms.as("syms"), lit(true).as("is_oov"))
+    // broadcast EXPLICITLY: the model is vocab-sized by construction,
+    // but the union's size estimate (trained memo ∪ the fold-heavy oov
+    // projection) is unknown to the planner — without the hint it
+    // planned a SortMergeJoin that shuffled AND sorted the corpus-sized
+    // pretoken explode (measured 61 s vs 2.5 s at sf10)
+    val model = broadcast(
+      wf.withColumn("is_oov", lit(false)).unionByName(oov))
+    pretoks.join(model, Seq("word"))
+      .select(col("doc_id"), col("is_oov"), size(col("syms")).as("n_syms"),
+        h52Of(col("wpos"), col("syms")).as("__h52"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(when(col("is_oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("n_syms")).as("n_subtokens"),
+        expr("bit_xor(__h52)").as("enc_xor"))
+      .select(col("doc_id"), col("n_pretokens"), col("n_oov"),
+        col("n_subtokens"),
+        (col("n_subtokens").cast("double") / col("n_pretokens").cast("double"))
+          .as("subtok_per_pretok"),
+        col("enc_xor"))
+      .dumpOrderedTail("doc_id")
+  }
+
   /** Round-k oracle CTE block: pair counts over w{k-1}, the argmax
     * t{k}, and w{k} = the merge applied POSITIONALLY — matches at i where
     * (syms[i], syms[i+1]) = (a, b), keeping alternate positions within
@@ -1202,7 +1328,23 @@ object TrainQueries {
     * (uppercase on both engines) indexed into the same 256-entry list
     * literal. [[bpeRoundCtes]] reused verbatim: the trainers can only
     * diverge in the base alphabet under test. */
-  private def bpeBytesCtes: String = {
+  /** The portable byte→symbol expression over a word column `w`. */
+  private def duckByteSyms(w: String): String = {
+    val bu = TextAnalysis.ByteUnicode
+      .map(s => "'" + s.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""list_transform(range(0, octet_length(encode($w))),
+       |           i -> ($bu)[(strpos('0123456789ABCDEF',
+       |                     substr(hex(encode($w)),
+       |                            CAST(2 * i + 1 AS BIGINT), 1)) - 1) * 16
+       |                  + strpos('0123456789ABCDEF',
+       |                     substr(hex(encode($w)),
+       |                            CAST(2 * i + 2 AS BIGINT), 1))])""".stripMargin
+  }
+
+  private def bpeBytesCtes: String = bpeBytesCtesWhere("")
+
+  private def bpeBytesCtesWhere(where: String): String = {
     val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
     val bu = TextAnalysis.ByteUnicode
       .map(s => "'" + s.replace("'", "''") + "'")
@@ -1212,7 +1354,7 @@ object TrainQueries {
         |  FROM (SELECT unnest(list_append(
         |          regexp_extract_all(lower(text), '$pat', 0),
         |          '$BpeSpecialToken')) AS word
-        |        FROM documents) z
+        |        FROM documents $where) z
         |  GROUP BY word),
         |bu AS (SELECT $bu AS t),
         |w0 AS (
@@ -1229,6 +1371,34 @@ object TrainQueries {
         |  FROM wd CROSS JOIN bu)""".stripMargin +:
       (1 to BpeTrainRounds).map(bpeRoundCtes)).mkString(",\n")
   }
+
+  /** DuckDB twin of [[h52Of]] (the [[shardManifest]] hex-prefix trick). */
+  private def duckH52(wpos: String, syms: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 14), i ->
+       |      (strpos('0123456789abcdef',
+       |         substr(md5(CAST($wpos AS VARCHAR) || ':' ||
+       |                    array_to_string($syms, '|')), i, 1)) - 1)
+       |      * 16 ** (13 - i))) AS BIGINT)""".stripMargin
+
+  /** Positional replay of learned merge t`k` over symbol table `prev`
+    * (the APPLY half of [[bpeRoundCtes]] — no counting, no freq — for
+    * encoding words the trainer never saw). */
+  private def bpeApplyCte(k: Int, prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT word,
+       |    list_transform(
+       |      list_filter(range(1, len(syms) + 1),
+       |                  i -> NOT list_contains(mp, i - 1)),
+       |      i -> CASE WHEN list_contains(mp, i) THEN syms[i] || syms[i + 1]
+       |                ELSE syms[i] END) AS syms
+       |  FROM (
+       |    SELECT word, syms,
+       |      list_filter(range(1, len(syms)), i ->
+       |        syms[i] = a AND syms[i + 1] = b AND
+       |        (i - list_max(list_filter(range(1, i + 1), j ->
+       |           j = 1 OR NOT (syms[j - 1] = a AND syms[j] = b)))) % 2 = 0)
+       |        AS mp
+       |    FROM $prev LEFT JOIN t$k ON TRUE) z)""".stripMargin
 
   // -- CUBE stats -------------------------------------------------------
 
@@ -1477,6 +1647,60 @@ object TrainQueries {
          |  string_agg(array_to_string(syms, '|'), ' ' ORDER BY wpos)
          |    AS encoded
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "data_bpe_bytes_encode" -> Q(bpeBytesEncode, Some {
+      val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
+      s"""WITH $bpeBytesCtes,
+         |wp AS (
+         |  SELECT doc_id, unnest(range(0, len(w))) AS wpos, w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(lower(text), '$pat', 0) AS w
+         |        FROM documents) q),
+         |ww AS (SELECT doc_id, wpos, w[wpos + 1] AS word FROM wp),
+         |j AS (
+         |  SELECT ww.doc_id, ww.wpos, f.syms,
+         |    ${duckH52("ww.wpos", "f.syms")} AS h52
+         |  FROM ww JOIN w$BpeTrainRounds f USING (word))
+         |SELECT doc_id, count(*) AS n_pretokens,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_subtokens,
+         |  CAST(sum(len(syms)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS subtok_per_pretok,
+         |  CAST(bit_xor(h52) AS BIGINT) AS enc_xor
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }),
+
+    "data_bpe_oov_encode" -> Q(bpeBytesOovEncode, Some {
+      val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
+      val applyChain = (1 to BpeTrainRounds)
+        .map(k => bpeApplyCte(k, s"o${k - 1}", s"o$k")).mkString(",\n")
+      s"""WITH ${bpeBytesCtesWhere(s"WHERE doc_id < $OovTrainEnd")},
+         |wp AS (
+         |  SELECT doc_id, unnest(range(0, len(w))) AS wpos, w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(lower(text), '$pat', 0) AS w
+         |        FROM documents) q),
+         |ww AS (SELECT doc_id, wpos, w[wpos + 1] AS word FROM wp),
+         |uw AS (SELECT DISTINCT word FROM ww
+         |       WHERE word NOT IN (SELECT word FROM wd)),
+         |o0 AS (SELECT word, ${duckByteSyms("word")} AS syms FROM uw),
+         |$applyChain,
+         |model AS (
+         |  SELECT word, syms, false AS is_oov FROM w$BpeTrainRounds
+         |  UNION ALL
+         |  SELECT word, syms, true AS is_oov FROM o$BpeTrainRounds),
+         |j AS (
+         |  SELECT ww.doc_id, ww.wpos, m.syms, m.is_oov,
+         |    ${duckH52("ww.wpos", "m.syms")} AS h52
+         |  FROM ww JOIN model m USING (word))
+         |SELECT doc_id, count(*) AS n_pretokens,
+         |  CAST(sum(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_subtokens,
+         |  CAST(sum(len(syms)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS subtok_per_pretok,
+         |  CAST(bit_xor(h52) AS BIGINT) AS enc_xor
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }),
 
     "data_pack_sequences" -> Q(packSequences, Some(
       s"""WITH d AS (

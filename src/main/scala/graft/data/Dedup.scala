@@ -468,9 +468,16 @@ object Dedup {
     * directory's bytes — never a whole-index shuffle.
     *
     * Returns (shardsCompacted, filesBefore, filesAfter) across the
-    * shards it touched (untouched shards excluded). */
+    * shards it touched (untouched shards excluded).
+    *
+    * `partitionCol` names the directory key — `shard` for the dedup
+    * indexes, `cell` for the maintained IVF layout
+    * ([[Similarity.appendIvfIndex]] grows cell directories the same
+    * way); underscore-prefixed model subdirectories (`_centroids`,
+    * `_cellsizes`) are never partition dirs and are left untouched. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxFilesPerShard: Int, targetFilesPerShard: Int = 1): (Int, Int, Int) = {
+      maxFilesPerShard: Int, targetFilesPerShard: Int = 1,
+      partitionCol: String = "shard"): (Int, Int, Int) = {
     require(maxFilesPerShard >= 1 && targetFilesPerShard >= 1,
       "file bounds must be positive")
     val conf = spark.sessionState.newHadoopConf()
@@ -482,7 +489,8 @@ object Dedup {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getPath)
     val shardDirs = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
       .map(_.getPath)
     var done = 0; var before = 0; var after = 0
     shardDirs.foreach { dir =>

@@ -34,17 +34,18 @@ import graft.data.Dedup
   */
 object IndexStreams {
 
-  /** Per-batch compaction knob shared by both streams: every append adds
-    * files into the touched shard directories without bound, so a
+  /** Per-batch compaction knob shared by the streams: every append adds
+    * files into the touched partition directories without bound, so a
     * maintained stream compacts its own index every `compactEvery`
     * batches ([[graft.data.Dedup.compactIndex]]) — safe HERE precisely
     * because foreachBatch is the index's single writer (the compaction
     * contract) and batches serialize. 0 disables. */
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batchId: Long, compactEvery: Int,
-      maxFilesPerShard: Int): Unit =
+      maxFilesPerShard: Int, partitionCol: String = "shard"): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      Dedup.compactIndex(spark, indexPath, maxFilesPerShard): Unit
+      Dedup.compactIndex(spark, indexPath, maxFilesPerShard,
+        partitionCol = partitionCol): Unit
     }
 
   def screenStream(docs: DataFrame, indexPath: String, outPath: String,
@@ -128,6 +129,64 @@ object IndexStreams {
         if (maintain) {
           Dedup.appendBandIndex(bands, "doc_id", cap, indexPath)
           maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard)
+        }
+        ()
+      }
+      .start()
+
+  /** The SEMANTIC-dup gate at ingest — streaming SemDeDup served from
+    * the MAINTAINED IVF index ([[graft.data.Similarity.writeIvfIndex]]
+    * lifecycle): every micro-batch of (vec_id, embedding) rows is
+    * routed through the stored centroids to its probed cells, its
+    * nearest STORED neighbor's cosine decides the `is_semantic_dup`
+    * verdict (`tau` = the SemDeDup threshold), and under `maintain` the
+    * batch is appended with the frozen centroids — so a near-identical
+    * embedding arriving in any LATER batch flags against this one (the
+    * cross-batch first-seen law, embedding edition). Completes the
+    * at-ingest gate trio: exact cells ([[screenStream]]), MinHash bands
+    * ([[bandScreenStream]]), embeddings (here) — all with the same
+    * architecture: the durable index IS the cross-batch state,
+    * foreachBatch re-plans per batch to see appended cell files,
+    * verdicts overwrite their batch-id partition so at-least-once
+    * replays converge (a replayed batch's vectors are already indexed
+    * under their OWN ids, which the serve's self-id exclusion ignores —
+    * verdicts are replay-stable), and appends stay map-only against the
+    * bounded stored model.
+    *
+    * Scale: per batch, one bounded centroid broadcast + a
+    * partition-pruned probe read of only the cells the batch routes to
+    * + the batch-bounded append. Nothing accumulates in memory; the
+    * retrain decision stays with [[graft.data.Similarity.ivfDrift]]. */
+  def vectorIngestStream(vecs: DataFrame, indexPath: String, outPath: String,
+                         nprobe: Int, tau: Double, maintain: Boolean,
+                         checkpoint: String, compactEvery: Int = 0,
+                         maxFilesPerShard: Int = 4): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true)
+        val q = b.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_vec"))
+        val top = graft.data.Similarity.ivfIndexServe(
+            q, indexPath, k = 1, nprobe = nprobe)
+          .where(col("rnk") === 1)
+          .select(col("q_id").as("vec_id"), col("neighbor_id"),
+            col("cos_sim"))
+        b.select(col("vec_id"))
+          .join(top, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
+            coalesce(col("cos_sim") >= tau, lit(false))
+              .as("is_semantic_dup"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+        if (maintain) {
+          graft.data.Similarity.appendIvfIndex(
+            b.select(col("vec_id"), col("embedding")), indexPath)
+          maybeCompact(spark, indexPath, id, compactEvery,
+            maxFilesPerShard, partitionCol = "cell")
         }
         ()
       }

@@ -222,6 +222,18 @@ class PartitionPruningSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(rows.map(_._3).sum == batch.count())
     assert(rows.forall(r => r._2 == r._1 + r._3))
+    // compaction works on the cell-partitioned layout too (the append
+    // above left 2 files in every touched cell dir): files collapse,
+    // the model artifacts survive, and the serve is bit-identical
+    val (nComp, fb, fa) = graft.data.Dedup.compactIndex(
+      spark, dir, maxFilesPerShard = 1, partitionCol = "cell")
+    assert(nComp > 0 && fb > fa, s"no cell compaction: $nComp, $fb -> $fa")
+    assert(new java.io.File(s"$dir/_centroids").exists())
+    assert(new java.io.File(s"$dir/_cellsizes").exists())
+    val got2 = Similarity.ivfIndexServe(q, dir, k = 3, nprobe = 2)
+      .orderBy("q_id", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got2 == got, "serve must be identical after cell compaction")
   }
 
   test("ivfTopKFittedPruned: pruned-read result == unpruned, plan prunes") {

@@ -683,6 +683,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idxPath).count() == 5)
   }
 
+  test("vector ingest stream: the maintained IVF index is the cross-batch " +
+      "semantic-dup state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_vec_stream")
+    val idxPath = base.resolve("index").toString
+    val outPath = base.resolve("verdicts").toString
+    // corpus: two well-separated directions
+    val vA = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val vC = Seq(0.0f, 0.0f, 1.0f, 0.0f) // unseen direction
+    graft.data.Similarity.writeIvfIndex(
+      Seq((1L, vA), (2L, vB)).toDF("vec_id", "embedding"),
+      kCells = 2, rounds = 1, idxPath)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val q = IndexStreams.vectorIngestStream(vecs, idxPath, outPath,
+      nprobe = 2, tau = 0.95, maintain = true,
+      base.resolve("ckpt").toString)
+    try {
+      // batch 0: a copy of a stored vector flags; an unseen direction
+      // does not (its nearest stored neighbor is orthogonal)
+      input.addData((10L, vA), (11L, vC))
+      q.processAllAvailable()
+      // batch 1: vC was FIRST SEEN in batch 0 — appended with frozen
+      // centroids, so a later near-copy flags through the INDEX alone
+      input.addData((12L, vC))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outPath)
+      .select($"vec_id", $"neighbor_id", $"is_semantic_dup", $"batch_id")
+      .as[(Long, Option[Long], Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._3, r._4)) == Seq(
+      (10L, true, 0L), (11L, false, 0L), (12L, true, 1L)))
+    assert(out.find(_._1 == 10L).get._2.contains(1L)) // matched doc A
+    assert(out.find(_._1 == 12L).get._2.contains(11L)) // matched batch-0 vC
+    // the appended batches live in the index: 2 corpus + 3 streamed
+    assert(spark.read.parquet(idxPath).count() == 5)
+  }
+
   test("streaming curation fate: timed-out keeper cells evict; live cells re-arm") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
