@@ -309,14 +309,31 @@ object Similarity {
     * moved. Serving after an append is hash-identical to recomputing
     * the assignment of corpus∪batch from scratch with the same
     * centroids (the append query's differential), because assignment
-    * is per-row and order-free. */
+    * is per-row and order-free.
+    *
+    * IDEMPOTENT like the dedup appends ([[Dedup.appendCellIndex]]'s
+    * law): vectors whose id the index already holds are skipped, so an
+    * at-least-once replay (the streaming ingest gate) cannot duplicate
+    * index rows — duplicates would surface twice in every later top-k
+    * and inflate [[ivfDrift]]. Same bounded-build discipline: already-
+    * stored ids come from the streamed `index ⋈ broadcast(batch (cell,
+    * id))` join — assignment is deterministic, so a replayed vector
+    * lands in the SAME cell and the cell key keeps the probe
+    * partition-prunable; both join builds are batch-bounded and the
+    * index never shuffles. */
   def appendIvfIndex(batch: DataFrame, path: String,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$path/_centroids")
-    assignCellsBroadcast(batch, cents, vecCol)
+    val assigned = assignCellsBroadcast(batch, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
+    val idx = spark.read.parquet(path)
+    val stored = idx.join(
+        broadcast(assigned.select(col("cell"), col(idCol)).distinct()),
+        Seq("cell", idCol))
+      .select(col("cell"), col(idCol))
+    assigned.join(broadcast(stored), Seq("cell", idCol), "left_anti")
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 

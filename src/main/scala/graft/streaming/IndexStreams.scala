@@ -148,10 +148,14 @@ object IndexStreams {
     * architecture: the durable index IS the cross-batch state,
     * foreachBatch re-plans per batch to see appended cell files,
     * verdicts overwrite their batch-id partition so at-least-once
-    * replays converge (a replayed batch's vectors are already indexed
-    * under their OWN ids, which the serve's self-id exclusion ignores —
-    * verdicts are replay-stable), and appends stay map-only against the
-    * bounded stored model.
+    * replays converge by REPLACEMENT (the [[screenStream]] contract: a
+    * replay after a committed append re-screens against the appended
+    * index — a vector's own stored row is invisible through the serve's
+    * self-id exclusion, though an intra-batch near-dup PAIR both flag
+    * on replay where only the later id flagged first time; one
+    * self-consistent verdict set per batch, never contradictory
+    * duplicates), and appends stay map-only against the bounded stored
+    * model.
     *
     * Scale: per batch, one bounded centroid broadcast + a
     * partition-pruned probe read of only the cells the batch routes to

@@ -176,6 +176,11 @@ class PartitionPruningSpec extends AnyFunSuite {
     val nBuild = spark.read.parquet(dir).count()
     Similarity.appendIvfIndex(batch, dir)
     assert(spark.read.parquet(dir).count() == nBuild + batch.count())
+    // idempotent like the dedup appends: an at-least-once replay of the
+    // same batch must not duplicate index rows
+    Similarity.appendIvfIndex(batch, dir)
+    assert(spark.read.parquet(dir).count() == nBuild + batch.count(),
+      "re-append must be a no-op")
     val q = all.where($"vec_id" < 2)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
     val served = Similarity.ivfIndexServe(q, dir, k = 3, nprobe = 2)
