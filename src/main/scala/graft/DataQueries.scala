@@ -2457,10 +2457,7 @@ object DataQueries {
   private def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (tf, idf) = tfidfModel(spark, dir)
-    val queries = docs.where(col("doc_id") < 3)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
-          .as("term"))
+    val queries = tfidfQueries(docs)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(queries), Seq("term"))
@@ -2472,6 +2469,100 @@ object DataQueries {
       .where(col("rnk") <= TfIdfK)
       .dumpOrdered("query_id", "rnk")
   }
+
+  /** The tfidf_topk query set — the first three documents' leading
+    * distinct terms — shared by the recompute form and the maintained
+    * index serves. */
+  private def tfidfQueries(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
+          .as("term"))
+
+  /** Maintained retrieval index, built once per (process, dir) — the
+    * index-lifecycle pattern for the SEARCH family
+    * ([[Indexing.writePostingsIndex]]): term-sharded postings + stored
+    * df/corpus-size artifacts, built from the CORPUS slice (the
+    * [[SnapshotId]] ingest-window convention). */
+  private val builtPostingsIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def postingsIndexPath(spark: SparkSession, dir: String): String =
+    builtPostingsIndexes.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(idxRoot,
+        "post_" + new java.io.File(dir).getName).getAbsolutePath
+      Indexing.writePostingsIndex(
+        corpusDocs(Tables.documentsHot(spark, dir)), "doc_id", "text", p)
+      p
+    })
+
+  /** TF-IDF retrieval served from the STORED index — identical integer
+    * scores to a recompute over the corpus slice (the oracle), but the
+    * postings are a partition-pruned broadcast-join scan of the
+    * persisted artifact and idf comes from the stored dictionary — no
+    * corpus pass at query time. */
+  private def searchIndexServe(spark: SparkSession, dir: String): DataFrame =
+    Indexing.postingsIndexServe(
+        tfidfQueries(Tables.documentsHot(spark, dir)),
+        postingsIndexPath(spark, dir), TfIdfK, TfIdfScale)
+      .dumpOrdered("query_id", "rnk")
+
+  /** Retrieval-index MAINTENANCE: a private index copy absorbs the
+    * ingest batch ([[Indexing.appendPostingsIndex]] — novel postings
+    * appended, df and n_docs updated by EXACT increments), and the
+    * serve-after-append must be INTEGER-identical to the from-scratch
+    * recompute over corpus∪batch (the existing tfidf_topk oracle over
+    * all documents) — scores depend on df and N, so one wrong increment
+    * anywhere flips an idf and fails the hash. */
+  private def searchIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsHot(spark, dir)
+    val path = new java.io.File(idxRoot, "postappend_" +
+      new java.io.File(dir).getName).getAbsolutePath
+    Tables.memoBy(spark, s"postidxappend:$dir") {
+      Indexing.writePostingsIndex(corpusDocs(docs), "doc_id", "text", path)
+      Indexing.appendPostingsIndex(batchDocs(docs), "doc_id", "text", path)
+      // the append is complete before any serve plans against the path;
+      // a 1-row marker keeps the build inside the memo discipline
+      spark.range(1).toDF("done")
+    }
+    Indexing.postingsIndexServe(tfidfQueries(docs), path, TfIdfK, TfIdfScale)
+      .dumpOrdered("query_id", "rnk")
+  }
+
+  /** The tfidf_topk oracle, parameterized by the CORPUS filter (empty =
+    * all documents): queries always come from the full table (docs 0–2
+    * sit outside the ingest window), the tf/df/N model from the
+    * filtered slice — so one SQL serves the recompute query, the
+    * maintained-index serve (corpus slice) and the post-append serve
+    * (no filter). */
+  private def duckTfidfTopkSql(corpusWhere: String): String =
+    s"""WITH dc AS (SELECT doc_id, text FROM documents $corpusWhere),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckWords) AS term FROM dc),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM dc),
+       |idf AS (
+       |  SELECT term, ($TfIdfScale * (n_docs + 1)) // (df + 1) AS idf_scaled
+       |  FROM dfreq CROSS JOIN n),
+       |q AS (
+       |  SELECT doc_id AS query_id,
+       |    unnest(list_distinct(($duckWords)[1:4])) AS term
+       |  FROM documents WHERE doc_id < 3),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(sum(tf.tf * idf.idf_scaled) AS BIGINT) AS score,
+       |    count(*) AS n_terms
+       |  FROM tf JOIN q USING (term) JOIN idf USING (term)
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id)
+       |    AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, doc_id, score, n_terms, rnk FROM r
+       |WHERE rnk <= $TfIdfK ORDER BY query_id, rnk""".stripMargin
 
   /** lcm(1..TfIdfK), DERIVED so the exactness guarantee (`MrrLcm div
     * rank` exact for every rank ≤ K) survives a TfIdfK change. */
@@ -3808,33 +3899,17 @@ object DataQueries {
          |FROM b GROUP BY source, bin
          |ORDER BY source, bin""".stripMargin)),
 
-    "data_tfidf_topk" -> Q(tfidfTopK, Some(
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest($duckWords) AS term FROM documents),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |n AS (SELECT count(*) AS n_docs FROM documents),
-         |idf AS (
-         |  SELECT term, ($TfIdfScale * (n_docs + 1)) // (df + 1) AS idf_scaled
-         |  FROM dfreq CROSS JOIN n),
-         |q AS (
-         |  SELECT doc_id AS query_id,
-         |    unnest(list_distinct(($duckWords)[1:4])) AS term
-         |  FROM documents WHERE doc_id < 3),
-         |scored AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |    CAST(sum(tf.tf * idf.idf_scaled) AS BIGINT) AS score,
-         |    count(*) AS n_terms
-         |  FROM tf JOIN q USING (term) JOIN idf USING (term)
-         |  GROUP BY 1, 2),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (
-         |      PARTITION BY query_id ORDER BY score DESC, doc_id)
-         |    AS BIGINT) AS rnk
-         |  FROM scored)
-         |SELECT query_id, doc_id, score, n_terms, rnk FROM r
-         |WHERE rnk <= $TfIdfK ORDER BY query_id, rnk""".stripMargin)),
+    "data_tfidf_topk" -> Q(tfidfTopK, Some(duckTfidfTopkSql(""))),
+
+    // maintained retrieval index: the serve recomputes nothing (the
+    // oracle replays tf-idf over the CORPUS slice the index was built
+    // from); the append must be integer-identical to the full-corpus
+    // recompute — the unfiltered tfidf_topk oracle
+    "data_search_index_serve" -> Q(searchIndexServe, Some(duckTfidfTopkSql(
+      s"WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd"))),
+
+    "data_search_index_append" -> Q(searchIndexAppend,
+      Some(duckTfidfTopkSql(""))),
 
     "data_tfidf_selfmrr" -> Q(tfidfSelfMrr, Some(
       s"""WITH toks AS (

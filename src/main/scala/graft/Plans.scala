@@ -35,7 +35,8 @@ object Plans {
     "data_corpus_diff", "data_mm_png_rgb_decode", "data_unigram_em3",
     "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
     "data_dedup_band_index_serve", "data_bpe_bytes",
-    "data_sim_ivf_append", "data_mixture_sample", "data_bpe_oov_encode")
+    "data_sim_ivf_append", "data_mixture_sample", "data_bpe_oov_encode",
+    "data_search_index_serve")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -466,6 +467,17 @@ object Plans {
       |  aggregate (single-long state — the collect_list text form
       |  OOM'd the probe heap). Two corpus scans at encode time (the
       |  unseen-word distinct + the encode join), both linear.
+      |- **data_search_index_serve** — the maintained RETRIEVAL serve:
+      |  the stored term-sharded postings scan carries
+      |  `PartitionFilters: [... dynamicpruningexpression(shard IN …)]`
+      |  and streams through a `BroadcastHashJoin` whose build side is
+      |  the query-term set; the idf side is the stored `_df` dictionary
+      |  joined to the SAME broadcast terms and crossed with the 1-row
+      |  `_stats` artifact — vocabulary-sized streams, never a corpus
+      |  pass, integer-exact fixed-point scores; per-query top-k through
+      |  `WindowGroupLimit`. The append twin must stay INTEGER-identical
+      |  to the full recompute — df and N enter every idf, so the
+      |  increment arithmetic is what the hash checks.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

@@ -331,4 +331,152 @@ object Indexing {
             (lit(256L) - col("n_hit")).cast("int")))
           .otherwise(col("raw_est")))
       .drop("s_hit")
+
+  // ---------------------------------------------------------------------
+  // MAINTAINED retrieval (TF-IDF postings) index — the write/serve/append
+  // lifecycle of the dedup cell index and the IVF index, for the search
+  // family: postings persist partitioned by TERM SHARD (first hex nibble
+  // of md5(term) — [[Dedup.cellShard]]), the document-frequency table and
+  // the corpus size persist as model artifacts (`_df`, `_stats`) in
+  // hidden subdirectories, and incremental ingest appends novel postings
+  // while updating the artifacts by EXACT increments — so query serving
+  // never recomputes corpus postings and never rescans the index to
+  // refresh idf.
+
+  /** (doc_id, term, tf) postings of a corpus — one map-side-combinable
+    * aggregate over the exploded tokens (the TF-IDF index's row unit;
+    * the POSITIONAL [[postings]] above serves the phrase family). */
+  def tfPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Shard key of a term (the bucket-hash convention of every
+    * maintained index here). */
+  def termShard(term: Column): Column = Dedup.cellShard(md5(term))
+
+  /** Build the maintained retrieval index ONCE: sharded postings + the
+    * df/corpus-size model artifacts. `repartition(shard)` keeps each
+    * shard directory one writer's output ([[Dedup.writeCellIndex]]'s
+    * layout discipline). */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+                         path: String): Unit = {
+    val spark = docs.sparkSession
+    val tf = tfPostings(docs, idCol, textCol)
+    tf.withColumn("shard", termShard(col("term")))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/_df")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** MAINTAIN the stored retrieval index: append an ingest batch's
+    * NOVEL (term, doc) postings and update the model artifacts by the
+    * exact increments the novel set implies — df rises by each term's
+    * novel-doc count, n_docs by the count of docs contributing any
+    * novel posting — so serving after an append is INTEGER-identical
+    * to a from-scratch recompute over corpus∪batch (the append query's
+    * differential pins the increment arithmetic, not just the
+    * postings).
+    *
+    * Idempotent like every append here: already-stored (shard, term,
+    * doc) rows are skipped via the streamed `index ⋈ broadcast(batch)`
+    * join (both builds batch-bounded, the index never shuffles), and a
+    * FULL replay therefore increments nothing. Artifacts update by
+    * read → localCheckpoint (sever the path reference — the
+    * [[graft.data.Dedup]] refreshByPath lesson) → overwrite; they are
+    * vocabulary-sized, the scale of a dictionary rewrite, never a
+    * corpus pass.
+    *
+    * Preconditions, stated plainly: ingest batches carry NEW doc ids
+    * (the crawl contract — a re-crawled id with changed text would
+    * re-count in n_docs; re-crawls go through a delete+insert
+    * compaction, not this append), and postings land BEFORE artifacts
+    * in the maintainer's single-writer window. A crash between the two
+    * leaves the artifacts stale — the replay's novel set is then empty
+    * and increments nothing — so the repair is
+    * [[rebuildPostingsArtifacts]] (one index scan), not a replay. */
+  def appendPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
+                          path: String): Unit = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(path)
+    val bt = tfPostings(batch, idCol, textCol)
+      .withColumn("shard", termShard(col("term")))
+    val stored = idx.join(
+        broadcast(bt.select(col("shard"), col("term"), col("doc_id"))),
+        Seq("shard", "term", "doc_id"))
+      .select(col("shard"), col("term"), col("doc_id"))
+    val novel = bt.join(broadcast(stored), Seq("shard", "term", "doc_id"),
+        "left_anti")
+      .localCheckpoint(true) // consumed 3× below AND the write mutates path
+    novel
+      .select(col("doc_id"), col("term"), col("tf"), col("shard"))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(path)
+    val dfInc = novel.groupBy(col("term")).agg(count(lit(1)).as("df_inc"))
+    val dfNew = spark.read.parquet(s"$path/_df")
+      .join(dfInc, Seq("term"), "full")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_inc"), lit(0L)))
+          .as("df"))
+      .localCheckpoint(true)
+    dfNew.write.mode("overwrite").parquet(s"$path/_df")
+    val nNew = novel.select(col("doc_id")).distinct().count()
+    val stats = spark.read.parquet(s"$path/_stats")
+      .select((col("n_docs") + lit(nNew)).as("n_docs"))
+      .localCheckpoint(true)
+    stats.write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Disaster-recovery rebuild of the retrieval index's model artifacts
+    * FROM the postings (one full index scan — the cost of a crash
+    * between an append's postings and artifacts, never the steady
+    * state). */
+  def rebuildPostingsArtifacts(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Unit = {
+    val idx = spark.read.parquet(path)
+    idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true).write.mode("overwrite").parquet(s"$path/_df")
+    idx.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true).write.mode("overwrite")
+      .parquet(s"$path/_stats")
+  }
+
+  /** Serve a query set from the STORED retrieval index: TF-IDF top-k
+    * with the same integer-exact scoring as the recompute form
+    * (fixed-point idf `(SCALE·(N+1)) div (df+1)` — floor division,
+    * bit-identical across engines).
+    *
+    * The scale shape of every maintained serve here: query terms are
+    * broadcast into the postings scan (the index STREAMS through a
+    * BroadcastHashJoin and the term-shard directory key prunes), the
+    * idf side is the stored dictionary joined to the same broadcast
+    * term set (vocabulary-sized stream, never the corpus), and the
+    * per-query top-k goes through WindowGroupLimit bounded heaps. */
+  def postingsIndexServe(queries: DataFrame, indexPath: String, k: Int,
+                         idfScale: Long): DataFrame = {
+    val spark = queries.sparkSession
+    val qs = queries.withColumn("shard", termShard(col("term")))
+    val nDocs = spark.read.parquet(s"$indexPath/_stats")
+    val idfq = spark.read.parquet(s"$indexPath/_df")
+      .join(broadcast(qs.select(col("term")).distinct()), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        expr(s"($idfScale * (n_docs + 1)) div (df + 1)").as("idf_scaled"))
+    val hits = spark.read.parquet(indexPath)
+      .join(broadcast(qs), Seq("shard", "term"))
+      .join(broadcast(idfq), Seq("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    hits.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("idf_scaled")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
 }

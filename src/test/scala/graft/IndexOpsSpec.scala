@@ -162,4 +162,60 @@ class IndexOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long)].collect()
     assert(m.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
   }
+
+  test("maintained postings index: idempotent append, exact df/N increments, " +
+      "artifact rebuild repairs a stale crash state") {
+    import graft.data.Indexing
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha epsilon"), (11L, "zeta zeta beta"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_post_idx")
+      .resolve("postings").toString
+    Indexing.writePostingsIndex(corpus, "doc_id", "text", path)
+    // layout + artifacts
+    assert(spark.read.parquet(path).columns.toSet ==
+      Set("doc_id", "term", "tf", "shard"))
+    assert(spark.read.parquet(s"$path/_stats")
+      .as[Long].head() == 2L)
+    val df0 = spark.read.parquet(s"$path/_df")
+      .as[(String, Long)].collect().toMap
+    assert(df0 == Map("alpha" -> 2L, "beta" -> 1L, "gamma" -> 1L,
+      "delta" -> 1L))
+    Indexing.appendPostingsIndex(batch, "doc_id", "text", path)
+    val df1 = spark.read.parquet(s"$path/_df")
+      .as[(String, Long)].collect().toMap
+    // exact increments: alpha +1 (doc 10), beta +1 (doc 11), epsilon
+    // and zeta enter at 1 (zeta's tf=2 is ONE doc)
+    assert(df1 == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L,
+      "delta" -> 1L, "epsilon" -> 1L, "zeta" -> 1L))
+    assert(spark.read.parquet(s"$path/_stats").as[Long].head() == 4L)
+    val n1 = spark.read.parquet(path).count()
+    // idempotent: a full replay appends nothing and increments nothing
+    Indexing.appendPostingsIndex(batch, "doc_id", "text", path)
+    assert(spark.read.parquet(path).count() == n1)
+    assert(spark.read.parquet(s"$path/_stats").as[Long].head() == 4L)
+    assert(spark.read.parquet(s"$path/_df")
+      .as[(String, Long)].collect().toMap == df1)
+    // crash repair: clobber the artifacts, rebuild from the postings
+    Seq(("bogus", 999L)).toDF("term", "df")
+      .write.mode("overwrite").parquet(s"$path/_df")
+    Indexing.rebuildPostingsArtifacts(spark, path)
+    assert(spark.read.parquet(s"$path/_df")
+      .as[(String, Long)].collect().toMap == df1)
+    assert(spark.read.parquet(s"$path/_stats").as[Long].head() == 4L)
+    // serve equals the integer tf-idf definition computed by hand:
+    // score(q="alpha") over 4 docs, idf = (1e6 * 5) div (df + 1)
+    val q = Seq((0L, "alpha"), (0L, "zeta")).toDF("query_id", "term")
+    val got = Indexing.postingsIndexServe(q, path, k = 10, idfScale = 1000000L)
+      .orderBy("rnk").select($"doc_id", $"score", $"n_terms")
+      .as[(Long, Long, Long)].collect().toSeq
+    val idfAlpha = 1000000L * 5 / 4  // df(alpha)=3
+    val idfZeta = 1000000L * 5 / 2   // df(zeta)=1
+    val want = Seq(
+      (11L, 2 * idfZeta, 1L),             // zeta tf=2
+      (1L, idfAlpha, 1L), (2L, idfAlpha, 1L), (10L, idfAlpha, 1L))
+      .sortBy(r => (-r._2, r._1))
+    assert(got == want)
+  }
 }
