@@ -195,4 +195,47 @@ object IndexStreams {
         ()
       }
       .start()
+
+  /** Streaming RETRIEVAL-index ingest — the maintenance side of the
+    * fourth index family ([[graft.data.Indexing.writePostingsIndex]]
+    * lifecycle): every micro-batch of documents lands in the
+    * term-sharded postings with the df/N artifacts updated by exact
+    * increments ([[graft.data.Indexing.appendPostingsIndex]] —
+    * idempotent, so at-least-once replays add and increment nothing),
+    * and a per-batch ingest receipt (docs and postings indexed so far —
+    * read from the artifacts, a 1-row pull) overwrites its batch-id
+    * partition. Any query served between batches sees every PREVIOUS
+    * batch with recompute-identical integer scores — the law
+    * StreamingSpec pins by serving after each batch.
+    *
+    * Same architecture as the three gates: the durable index IS the
+    * cross-batch state; foreachBatch serializes the appends (the
+    * single-writer window the artifact updates and `compactEvery`
+    * require). */
+  def postingsIngestStream(docs: DataFrame, indexPath: String,
+                           outPath: String, maintain: Boolean,
+                           checkpoint: String, compactEvery: Int = 0,
+                           maxFilesPerShard: Int = 4): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true)
+        if (maintain) {
+          graft.data.Indexing.appendPostingsIndex(b, "doc_id", "text",
+            indexPath)
+          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard)
+        }
+        val nDocs = spark.read.parquet(s"$indexPath/_stats")
+          .head().getLong(0)
+        b.sparkSession.range(1).toDF("one")
+          .select(lit(b.count()).as("batch_docs"),
+            lit(nDocs).as("indexed_docs"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+        ()
+      }
+      .start()
 }
