@@ -30,7 +30,7 @@ object CompactProbe {
     Dedup.writeCellIndex(docs.where(col("doc_id") >= 1000), "doc_id", "text",
       4, dir)
 
-    // N appends, each a distinct 100-doc window: every append writes new
+    // N appends, each a distinct 40-doc window: every append writes new
     // files into the shard directories its novel cells hash to
     (0 until appends).foreach { i =>
       val lo = i * 40L

@@ -2535,14 +2535,18 @@ object DataQueries {
     * filtered slice — so one SQL serves the recompute query, the
     * maintained-index serve (corpus slice) and the post-append serve
     * (no filter). */
-  private def duckTfidfTopkSql(corpusWhere: String): String =
+  private def duckTfidfTopkSql(corpusWhere: String,
+                               nNonNull: Boolean = false): String = {
+    // the maintained index's membership is "docs with non-null text"
+    // (writePostingsIndex's contract); the recompute query counts all
+    val nPred = if (nNonNull) "WHERE text IS NOT NULL" else ""
     s"""WITH dc AS (SELECT doc_id, text FROM documents $corpusWhere),
        |toks AS (
        |  SELECT doc_id, unnest($duckWords) AS term FROM dc),
        |tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |n AS (SELECT count(*) AS n_docs FROM dc),
+       |n AS (SELECT count(*) AS n_docs FROM dc $nPred),
        |idf AS (
        |  SELECT term, ($TfIdfScale * (n_docs + 1)) // (df + 1) AS idf_scaled
        |  FROM dfreq CROSS JOIN n),
@@ -2563,6 +2567,7 @@ object DataQueries {
        |  FROM scored)
        |SELECT query_id, doc_id, score, n_terms, rnk FROM r
        |WHERE rnk <= $TfIdfK ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** lcm(1..TfIdfK), DERIVED so the exactness guarantee (`MrrLcm div
     * rank` exact for every rank ≤ K) survives a TfIdfK change. */
@@ -3906,10 +3911,11 @@ object DataQueries {
     // from); the append must be integer-identical to the full-corpus
     // recompute — the unfiltered tfidf_topk oracle
     "data_search_index_serve" -> Q(searchIndexServe, Some(duckTfidfTopkSql(
-      s"WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd"))),
+      s"WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd",
+      nNonNull = true))),
 
     "data_search_index_append" -> Q(searchIndexAppend,
-      Some(duckTfidfTopkSql(""))),
+      Some(duckTfidfTopkSql("", nNonNull = true))),
 
     "data_tfidf_selfmrr" -> Q(tfidfSelfMrr, Some(
       s"""WITH toks AS (

@@ -253,18 +253,24 @@ object TrainQueries {
     * Scale: one map-side-combinable count per source, a 1-row weight-sum
     * broadcast back (crossJoin-of-aggregates, the W1 pattern) — the
     * corpus is scanned once. */
-  private def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
-    // memoBy, not a bare persist(): both the crossJoin left side and the
-    // 1-row weight sum read `t`, and repeated builds (bench reps) must
-    // not leak a fresh cached copy per invocation — memoBy re-arms one
-    // shared entry across builds (cleared by Verify/CLEARCACHE).
-    val t = Tables.memoBy(spark, s"mixtemp:$dir") {
+  /** Per-source counts + temperature weights, memo-shared by the rate
+    * query and the applied-sampling query — ONE definition so the two
+    * can never diverge while reading one cache entry. */
+  private def mixTempTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoBy(spark, s"mixtemp:$dir") {
       Tables.documents(spark, dir)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("w_temp",
           floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
     }
+
+  private def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    // memoBy, not a bare persist(): both the crossJoin left side and the
+    // 1-row weight sum read `t`, and repeated builds (bench reps) must
+    // not leak a fresh cached copy per invocation — memoBy re-arms one
+    // shared entry across builds (cleared by Verify/CLEARCACHE).
+    val t = mixTempTable(spark, dir)
     val tot = t.agg(sum(col("w_temp")).as("sum_w"))
     t.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("w_temp"),
@@ -292,13 +298,7 @@ object TrainQueries {
     * hash fraction is a 16-bit integer over 2¹⁶ — both sides compare
     * identical doubles, so the sampled set is bit-stable. */
   private def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.memoBy(spark, s"mixtemp:$dir") {
-      Tables.documents(spark, dir)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("w_temp",
-          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
-    }
+    val t = mixTempTable(spark, dir)
     val tot = t.agg(sum(col("w_temp")).as("sum_w"))
     val rates = t.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("w_temp"),

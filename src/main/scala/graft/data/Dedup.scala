@@ -415,12 +415,14 @@ object Dedup {
     * shuffles, and the write touches only the shard directories holding
     * novel rows. Idempotent: re-appending the same batch adds nothing.
     *
-    * The build-time hot-bucket cap is enforced on APPENDS too: a batch
-    * row landing in a bucket the stored index already holds at `cap`
-    * distinct refs is dropped (the bucket is saturated —
-    * non-discriminative), so the per-bucket serve fan-out bound
-    * survives maintenance. Bucket sizes come from the same streamed
-    * join, so the check costs no extra index pass. */
+    * The build-time hot-bucket cap is enforced on APPENDS against the
+    * POST-append size: a bucket whose stored refs plus this batch's
+    * novel refs would exceed `cap` takes NONE of them (the
+    * [[capHotBuckets]] drop-the-bucket semantics — so neither a
+    * saturated stored bucket nor a brand-new degenerate bucket arriving
+    * in one bursty batch can break the serve's batch × cap fan-out
+    * bound). Bucket sizes come from the same streamed join, so the
+    * check costs no extra index pass. */
   def appendBandIndex(batchBands: DataFrame, idCol: String, cap: Int,
                       indexPath: String): Unit = {
     val spark = batchBands.sparkSession
@@ -436,10 +438,14 @@ object Dedup {
       .select(col("shard"), col("band"), col("bucket"), col("ref_id"))
     val known = stored.groupBy(col("shard"), col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n"))
-    bd.join(broadcast(stored), Seq("shard", "band", "bucket", "ref_id"),
-        "left_anti")
+    val novel = bd.join(broadcast(stored),
+      Seq("shard", "band", "bucket", "ref_id"), "left_anti")
+    val novelCounts = novel.groupBy(col("shard"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__nb"))
+    novel
       .join(broadcast(known), Seq("shard", "band", "bucket"), "left")
-      .where(coalesce(col("__n"), lit(0L)) < cap)
+      .join(broadcast(novelCounts), Seq("shard", "band", "bucket"))
+      .where(coalesce(col("__n"), lit(0L)) + col("__nb") <= cap)
       .select(col("ref_id"), col("band"), col("bucket"), col("shard"))
       .repartition(col("shard"))
       .write.mode("append").partitionBy("shard").parquet(indexPath)
@@ -457,15 +463,20 @@ object Dedup {
     *
     * Mechanics: each oversized shard is read, rewritten into a
     * temp subdirectory (underscore-prefixed — hidden from any
-    * concurrent scan's file listing), then swapped in: new files
-    * renamed into the shard directory before the old files are deleted
-    * (renames are metadata operations on HDFS-like stores). A reader
-    * planned mid-swap can see the union — duplicate rows, not missing
-    * ones — so compaction runs in the maintainer's single-writer window
-    * like the appends themselves; a crash mid-swap is repaired by
-    * re-running (rewrite is idempotent on content). At 100 TB this is
-    * the same per-shard job with more shards, each bounded by its own
-    * directory's bytes — never a whole-index shuffle.
+    * concurrent scan's file listing), then swapped in under a
+    * TWO-MARKER protocol: a `_swap_pending` marker (listing the
+    * pre-compaction files) guards the renames, then an atomic flip to
+    * `_cleanup_pending` commits, then the old files are deleted. A
+    * crash anywhere is repaired by the NEXT run before it reads the
+    * directory — mid-rename rolls BACK (old files are provably intact;
+    * everything the swap marker doesn't list is dropped), mid-deletion
+    * rolls FORWARD (finish deleting the listed old files) — so an
+    * interrupted swap can never bake duplicate rows into a later
+    * rewrite. A reader planned mid-swap can see the union — duplicate
+    * rows, not missing ones — so compaction runs in the maintainer's
+    * single-writer window like the appends themselves. At 100 TB this
+    * is the same per-shard job with more shards, each bounded by its
+    * own directory's bytes — never a whole-index shuffle.
     *
     * Returns (shardsCompacted, filesBefore, filesAfter) across the
     * shards it touched (untouched shards excluded).
@@ -494,6 +505,41 @@ object Dedup {
       .map(_.getPath)
     var done = 0; var before = 0; var after = 0
     shardDirs.foreach { dir =>
+      // CRASH REPAIR first (two-marker protocol, see below): an
+      // interrupted swap must roll back or roll forward BEFORE this run
+      // reads the directory, or leftover compact files would double the
+      // rows a re-compaction then bakes in permanently.
+      val swapMarker = new org.apache.hadoop.fs.Path(dir, "_swap_pending")
+      val cleanMarker = new org.apache.hadoop.fs.Path(dir, "_cleanup_pending")
+      def readNames(m: org.apache.hadoop.fs.Path): Set[String] = {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in).getLines().toSet
+        finally in.close()
+      }
+      if (fs.exists(swapMarker)) {
+        // crashed mid-rename: the old files are ALL intact (deletion
+        // only happens under the cleanup marker), so ROLL BACK — drop
+        // every data file the marker does not list (the partial fresh
+        // set) and the tmp dir
+        val keep = readNames(swapMarker)
+        dataFiles(dir).filterNot(f => keep(f.getName))
+          .foreach(f => fs.delete(f, false))
+        fs.delete(new org.apache.hadoop.fs.Path(dir, "_compacting"), true)
+        // a crash BETWEEN writing the cleanup marker and removing this
+        // one leaves both; the swap marker wins (old files are intact,
+        // roll back) and the stale cleanup marker must go WITH it — a
+        // later cleanup pass after this rollback would delete the old
+        // files, i.e. everything
+        fs.delete(cleanMarker, false)
+        fs.delete(swapMarker, false)
+      } else if (fs.exists(cleanMarker)) {
+        // crashed mid-deletion: the fresh set is complete — ROLL
+        // FORWARD by finishing the deletion of the listed old files
+        readNames(cleanMarker)
+          .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n),
+            false))
+        fs.delete(cleanMarker, false)
+      }
       val old = dataFiles(dir)
       if (old.length > maxFilesPerShard) {
         val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
@@ -504,6 +550,16 @@ object Dedup {
           .coalesce(targetFilesPerShard)
           .write.mode("overwrite").parquet(tmp.toString)
         val fresh = dataFiles(tmp)
+        def writeMarker(m: org.apache.hadoop.fs.Path,
+                        names: Seq[String]): Unit = {
+          val out = fs.create(m, true)
+          try out.write(names.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+        }
+        // swap phase: marker lists the files that must SURVIVE a
+        // rollback (the pre-compaction state) — a crash during the
+        // renames rolls back to it on the next run
+        writeMarker(swapMarker, old.map(_.getName).toSeq)
         fresh.foreach { f =>
           // compact- prefix: can never collide with a live part- file
           val dst = new org.apache.hadoop.fs.Path(dir,
@@ -511,7 +567,12 @@ object Dedup {
           if (!fs.rename(f, dst))
             throw new java.io.IOException(s"compact rename failed: $f -> $dst")
         }
+        // commit point: atomically flip to the cleanup phase (rename is
+        // the atomic primitive) — from here a crash rolls FORWARD
+        writeMarker(cleanMarker, old.map(_.getName).toSeq)
+        fs.delete(swapMarker, false)
         old.foreach(f => fs.delete(f, false))
+        fs.delete(cleanMarker, false)
         fs.delete(tmp, true)
         done += 1; before += old.length; after += fresh.length
       }

@@ -369,7 +369,16 @@ object Indexing {
     spark.read.parquet(path)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/_df")
-    docs.agg(count(lit(1)).as("n_docs"))
+    // index MEMBERSHIP is "documents with non-NULL text": a NULL-text
+    // row yields no postings (the explode-path convention), so it
+    // cannot be counted idempotently by an append — excluding it here
+    // keeps build, append increments AND rebuildPostingsArtifacts on
+    // the same N (every non-null doc has ≥ 1 posting; even the empty
+    // string tokenizes to one empty term, so "docs with postings" IS
+    // "docs with non-null text"). Coalesce upstream if null docs must
+    // count.
+    docs.where(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
       .write.mode("overwrite").parquet(s"$path/_stats")
   }
 

@@ -113,7 +113,13 @@ object Multimodal {
     val samples = transform(codes, c => (pmod(c, lit(128)) - 64) * 256)
     val fullRows = fullRowPixels(col(textCol), maxN)
     df.select(col(idCol),
-      when(col(idCol) % 10 === 3, col(textCol).cast("binary"))
+      // NULL text → NULL payload, pinned EXPLICITLY: the branch
+      // expressions disagree on null (textCodes' least() null-skip
+      // yields maxN null codes on the WAV side; the compiled pixel
+      // build yields the empty array on the BMP side), so without this
+      // guard the null behavior would depend on doc_id parity
+      when(col(textCol).isNull, lit(null).cast("binary"))
+        .when(col(idCol) % 10 === 3, col(textCol).cast("binary"))
         .when(col(idCol) % 2 === 0, wav_encode(samples, WavRate))
         .otherwise(bmp_encode(fullRows, BmpWidth)).as("payload"))
   }

@@ -430,13 +430,21 @@ object JpegCodecImpl {
       dr += r; dg += g; db += b
       if (i < srcN) {
         val s = pixels.getInt(i)
-        val r2 = (s >>> 16) & 0xFF; val g2 = (s >>> 8) & 0xFF
-        val b2 = s & 0xFF
-        sr += r2; sg += g2; sb += b2
         val e = math.abs((r * 299 + g * 587 + b * 114) / 1000 -
-          (r2 * 299 + g2 * 587 + b2 * 114) / 1000)
+          ((((s >>> 16) & 0xFF) * 299 + ((s >>> 8) & 0xFF) * 587 +
+            (s & 0xFF) * 114) / 1000))
         if (e > maxLumaErr) maxLumaErr = e
       }
+      i += 1
+    }
+    // source sums over ALL srcN pixels (the composed form folds the
+    // whole px array) — summing only the decoded-count prefix would
+    // deflate the source mean whenever the input is not a whole number
+    // of rows, the exact divergence the gray path's separate loop avoids
+    i = 0
+    while (i < srcN) {
+      val s = pixels.getInt(i)
+      sr += (s >>> 16) & 0xFF; sg += (s >>> 8) & 0xFF; sb += s & 0xFF
       i += 1
     }
     def meanOk(dec: Long, src: Long): Boolean = n > 0 && srcN > 0 &&

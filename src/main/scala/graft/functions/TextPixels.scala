@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * ((3cp+7)%256)·256 + (5cp+11)%256, truncated to full `width` rows.
   * NULL text yields the EMPTY array — deliberately NOT the HOF form's
   * accident (Spark's `least` skips nulls, so `least(length(NULL),
-  * maxN)` = maxN and the HOF emits maxN NULL pixels); every consumer
-  * filters `text IS NOT NULL` before the projection, and zero pixels
+  * maxN)` = maxN and the HOF emits maxN NULL pixels); consumers either
+  * filter `text IS NOT NULL` before the projection (the image queries)
+  * or pin the null case explicitly ([[graft.data.Multimodal
+  * .packRealMedia]] maps NULL text to a NULL payload), and zero pixels
   * is the only sane image for no text.
   */
 object TextPixelsImpl {

@@ -768,6 +768,52 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Dedup.compactIndex(spark, path, maxFilesPerShard = 1)._1 == 0)
   }
 
+  test("compactIndex crash repair: mid-rename rolls back (no duplicate " +
+      "rows baked in), mid-deletion rolls forward") {
+    import graft.data.Dedup
+    val corpus = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_crash")
+      .resolve("cells").toString
+    Dedup.writeCellIndex(corpus, "doc_id", "text", 2, path)
+    Dedup.appendCellIndex(Dedup.cellHashes(
+      Seq((10L, "p q r s")).toDF("doc_id", "text"), "doc_id", "text", 2), path)
+    val trueRows = spark.read.parquet(path).count()
+    val shardDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    val d = shardDirs.find(_.listFiles().exists(f =>
+      f.isFile && f.getName.startsWith("part-"))).get
+    def dataFiles() = d.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // --- simulate a crash DURING the renames: a duplicate compact file
+    // is already in, the swap marker lists the pre-compaction files
+    val orig = dataFiles()
+    val src = orig.head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(d, "compact-crashdup.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(d, "_swap_pending").toPath,
+      orig.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    // a duplicated file means duplicated rows right now
+    assert(spark.read.parquet(path).count() > trueRows)
+    Dedup.compactIndex(spark, path, maxFilesPerShard = 1)
+    // the repair rolled the partial swap BACK before compacting, so the
+    // duplicate rows were NOT baked into the rewrite
+    assert(spark.read.parquet(path).count() == trueRows)
+    assert(!new java.io.File(d, "_swap_pending").exists())
+    // --- simulate a crash DURING the deletions: the cleanup marker
+    // lists an old file whose deletion never finished (its rows are
+    // duplicated by the completed compact files)
+    val committed = dataFiles().head
+    val stale = new java.io.File(d, "part-staleold.parquet")
+    java.nio.file.Files.copy(committed.toPath, stale.toPath)
+    java.nio.file.Files.write(new java.io.File(d, "_cleanup_pending").toPath,
+      "part-staleold.parquet".getBytes("UTF-8"))
+    assert(spark.read.parquet(path).count() > trueRows)
+    Dedup.compactIndex(spark, path, maxFilesPerShard = 1)
+    assert(!stale.exists(), "roll-forward must finish the deletion")
+    assert(spark.read.parquet(path).count() == trueRows)
+    assert(!new java.io.File(d, "_cleanup_pending").exists())
+  }
+
   test("linearScoreColumns is the mean hashed-bucket weight") {
     // Weight of a token = (hex4(md5 tok) % 64) % 7 - 3: recompute in plain
     // Scala and compare — the operator must be exactly this arithmetic.
