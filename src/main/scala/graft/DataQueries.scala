@@ -1438,13 +1438,13 @@ object DataQueries {
       // the "before" verdicts against the mutated index; checkpointing
       // severs the lineage, freezing the pre-append result.
       val b = Dedup.indexedCellScreen(
-        batchCells, spark.read.parquet(path), "doc_id")
+        batchCells, Dedup.readIndex(spark, path), "doc_id")
         .localCheckpoint(true)
       Dedup.appendCellIndex(batchCells, path)
       b
     }
     val after = Dedup.indexedCellScreen(
-      batchCells, spark.read.parquet(path), "doc_id")
+      batchCells, Dedup.readIndex(spark, path), "doc_id")
     before
       .select(col("doc_id"), col("n_cells"),
         col("n_dup_cells").as("n_dup_before"))
@@ -1464,7 +1464,7 @@ object DataQueries {
     * orientation). The oracle is shared with the incremental screen: same
     * semantics, differential-checked through a different physical path. */
   private def dedupIndexServe(spark: SparkSession, dir: String): DataFrame = {
-    val idx = spark.read.parquet(cellIndexPath(spark, dir))
+    val idx = Dedup.readIndex(spark, cellIndexPath(spark, dir))
     val batchCells = Dedup.cellHashes(
       batchDocs(Tables.documentsHot(spark, dir)),
       "doc_id", "text", ScreenCell)
@@ -1502,7 +1502,7 @@ object DataQueries {
     * stored artifact holds exactly the corpus's band rows and the
     * pruned broadcast serve counts them right. */
   private def dedupBandIndexServe(spark: SparkSession, dir: String): DataFrame = {
-    val idx = spark.read.parquet(bandIndexPath(spark, dir))
+    val idx = Dedup.readIndex(spark, bandIndexPath(spark, dir))
     val batchBands = Dedup.bandRows(
       batchDocs(Tables.documentsHot(spark, dir)), "doc_id", "text",
       K, Bands, R)
@@ -1532,13 +1532,13 @@ object DataQueries {
           "doc_id", "text", K, Bands, R),
         "doc_id", HotBucketCap, path)
       val b = Dedup.indexedBandScreen(
-        batchBands, spark.read.parquet(path), "doc_id")
+        batchBands, Dedup.readIndex(spark, path), "doc_id")
         .localCheckpoint(true)
       Dedup.appendBandIndex(batchBands, "doc_id", HotBucketCap, path)
       b
     }
     val after = Dedup.indexedBandScreen(
-      batchBands, spark.read.parquet(path), "doc_id")
+      batchBands, Dedup.readIndex(spark, path), "doc_id")
     before
       .select(col("doc_id"), col("n_bands"),
         col("n_hit_bands").as("n_hit_before"))

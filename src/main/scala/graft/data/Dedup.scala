@@ -243,10 +243,13 @@ object Dedup {
     conv(substring(h, 1, 1), 16, 10).cast("int")
 
   /** Build the maintained corpus cell-hash index ONCE: distinct cell
-    * hashes written as parquet partitioned by [[cellShard]]. This is the
-    * production shape [[incrementalCellScreen]]'s scaladoc promises — the
-    * index is a persisted table a crawl pipeline maintains across
-    * batches, not a per-batch recompute of the whole corpus.
+    * hashes written as parquet partitioned by [[cellShard]], published
+    * under an [[IndexManifest]] snapshot (every maintained index here
+    * is manifest-pinned — readers plan from the committed file list,
+    * never a directory listing). This is the production shape
+    * [[incrementalCellScreen]]'s scaladoc promises — the index is a
+    * persisted table a crawl pipeline maintains across batches, not a
+    * per-batch recompute of the whole corpus.
     *
     * `repartition(shard)` before the partitioned write: without it every
     * task writes a file into every shard directory (tasks × shards tiny
@@ -255,12 +258,22 @@ object Dedup {
     * (`repartition(n, shard)`); appending a new batch's novel hashes is
     * a partitioned INSERT into the same directories. */
   def writeCellIndex(corpus: DataFrame, idCol: String, textCol: String,
-      cellWords: Int, path: String): Unit =
+      cellWords: Int, path: String): Unit = {
     cellHashes(corpus, idCol, textCol, cellWords)
       .select(col("cell_hash")).distinct()
       .withColumn("shard", cellShard(col("cell_hash")))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    IndexManifest.commitListing(corpus.sparkSession, path): Unit
+  }
+
+  /** The pinned read of a maintained index — every serve below goes
+    * through this ([[IndexManifest.readData]]): the file set is the
+    * current manifest's, so a concurrent append/compaction is invisible
+    * until its single commit. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    IndexManifest.readData(spark, path)
 
   /** MAINTAIN the stored index: append an ingest batch's NOVEL cell
     * hashes — batch distinct cells anti-joined against the index — as a
@@ -277,12 +290,18 @@ object Dedup {
     * BATCH), and the novel set is `batch ANTI broadcast(hits)` — both
     * joins build only batch-bounded sides, the index never shuffles,
     * and the write touches only the shard directories holding novel
-    * hashes. Reading and appending the same directory is safe: the
-    * scan's file listing is fixed at planning, before any new file
-    * lands. */
+    * hashes.
+    *
+    * Mutation protocol ([[IndexManifest]]): reconcile (crash repair) →
+    * novelty against the PINNED pre-state → append files → one atomic
+    * manifest commit. A reader planned at any point sees exactly the
+    * pre- or post-state; a crash before the commit leaves invisible
+    * orphans the next reconcile removes (and the replay, whose novelty
+    * check reads the pinned pre-state, re-appends them correctly). */
   def appendCellIndex(batchCells: DataFrame, indexPath: String): Unit = {
     val spark = batchCells.sparkSession
-    val idx = spark.read.parquet(indexPath)
+    IndexManifest.reconcile(spark, indexPath)
+    val idx = IndexManifest.readData(spark, indexPath)
     val bd = batchCells.select(col("cell_hash")).distinct()
       .withColumn("shard", cellShard(col("cell_hash")))
     val hits = idx.join(broadcast(bd), Seq("shard", "cell_hash"))
@@ -290,6 +309,7 @@ object Dedup {
     bd.join(broadcast(hits), Seq("shard", "cell_hash"), "left_anti")
       .repartition(col("shard"))
       .write.mode("append").partitionBy("shard").parquet(indexPath)
+    IndexManifest.commitListing(spark, indexPath): Unit
   }
 
   /** Serve an ingest batch against the STORED index (the read-back of
@@ -354,27 +374,57 @@ object Dedup {
     * band rows KEEP the owning document id: a serve needs to report
     * which corpus documents collide, not just that something does.
     *
-    * The hot-bucket guard runs AT BUILD ([[capHotBuckets]] on
+    * The hot-bucket guard runs AT BUILD ([[capHotBuckets]]' rule on
     * (band, bucket) at distinct-doc granularity): a degenerate bucket —
     * every sub-shingle-length document shares the empty-signature
     * bucket — would otherwise fan every future batch doc out to a
     * constant fraction of the corpus at serve time. Dropping it at
     * build bounds EVERY later serve and append; non-discriminative
     * buckets carry no similarity signal by definition (the
-    * [[capHotBuckets]] recall argument).
+    * [[capHotBuckets]] recall argument). The dropped buckets persist
+    * as a TOMBSTONE artifact (`capped` — bounded: one row per
+    * degenerate bucket), so the build's drop decision is durable:
+    * [[appendBandIndex]] refuses their rows forever, instead of
+    * silently re-admitting a dropped bucket once its stored count
+    * reads as zero.
     *
     * Same layout discipline as [[writeCellIndex]]: `repartition(shard)`
     * so each shard directory is one writer's output; production widens
-    * the shard universe via [[cellShard]]'s nibble count. */
+    * the shard universe via [[cellShard]]'s nibble count. Published
+    * under one [[IndexManifest]] commit (data + tombstones together). */
   def writeBandIndex(bands: DataFrame, idCol: String, cap: Int,
-                     path: String): Unit =
-    capHotBuckets(
-        bands.select(col(idCol).as("ref_id"), col("band"), col("bucket"))
-          .distinct(),
-        Seq("band", "bucket"), cap)
+                     path: String): Unit = {
+    require(cap > 1, s"cap must exceed 1, got $cap")
+    val spark = bands.sparkSession
+    val rows = bands
+      .select(col(idCol).as("ref_id"), col("band"), col("bucket"))
+      .distinct()
+    // bounded (one row per degenerate bucket); eager so the anti-join
+    // below and the artifact write share one materialization
+    val capped = rows.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .where(col("_bucket_n") > cap)
+      .select(col("band"), col("bucket"))
+      .localCheckpoint(true)
+    rows.join(broadcast(capped), Seq("band", "bucket"), "left_anti")
       .withColumn("shard", cellShard(col("bucket")))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val ptr = IndexManifest.writeArtifact(spark, path, "capped", capped)
+    IndexManifest.commit(spark, path,
+      IndexManifest.listDataFiles(spark, path), Map(ptr)): Unit
+  }
+
+  /** The stored tombstone set of a band index — empty for legacy
+    * (pre-manifest) fixtures. Bounded; broadcast by every consumer. */
+  def cappedBuckets(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    IndexManifest.load(spark, path).flatMap(_.artifacts.get("capped")) match {
+      case Some(_) => IndexManifest.readArtifact(spark, path, "capped")
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Int, String)].toDF("band", "bucket")
+    }
 
   /** Serve an ingest batch's NEAR-dup screen from the STORED band index
     * (the read-back of [[writeBandIndex]]): per batch document —
@@ -415,21 +465,32 @@ object Dedup {
     * shuffles, and the write touches only the shard directories holding
     * novel rows. Idempotent: re-appending the same batch adds nothing.
     *
-    * The build-time hot-bucket cap is enforced on APPENDS against the
-    * POST-append size: a bucket whose stored refs plus this batch's
-    * novel refs would exceed `cap` takes NONE of them (the
-    * [[capHotBuckets]] drop-the-bucket semantics — so neither a
-    * saturated stored bucket nor a brand-new degenerate bucket arriving
-    * in one bursty batch can break the serve's batch × cap fan-out
-    * bound). Bucket sizes come from the same streamed join, so the
-    * check costs no extra index pass. */
+    * The build-time hot-bucket cap is enforced on APPENDS two ways:
+    * rows in a TOMBSTONED bucket (dropped at build, or by an earlier
+    * append — the `capped` artifact) are refused outright, and a
+    * surviving bucket whose stored refs plus this batch's novel refs
+    * would exceed `cap` takes NONE of them (the [[capHotBuckets]]
+    * drop-the-bucket semantics — so neither a saturated stored bucket
+    * nor a brand-new degenerate bucket arriving in one bursty batch
+    * can break the serve's batch × cap fan-out bound). A rejected
+    * bucket with ZERO stored refs is added to the tombstones — the
+    * drop decision is durable in both directions, never silently
+    * un-made by a later small batch. Bucket sizes come from the same
+    * streamed join, so the checks cost no extra index pass.
+    *
+    * Same [[IndexManifest]] mutation protocol as [[appendCellIndex]]:
+    * reconcile → pinned pre-state → append + tombstone version → one
+    * atomic commit publishing both. */
   def appendBandIndex(batchBands: DataFrame, idCol: String, cap: Int,
                       indexPath: String): Unit = {
     val spark = batchBands.sparkSession
-    val idx = spark.read.parquet(indexPath)
+    IndexManifest.reconcile(spark, indexPath)
+    val idx = IndexManifest.readData(spark, indexPath)
+    val tombs = cappedBuckets(spark, indexPath)
     val bd = batchBands
       .select(col(idCol).as("ref_id"), col("band"), col("bucket"))
       .distinct()
+      .join(broadcast(tombs), Seq("band", "bucket"), "left_anti")
       .withColumn("shard", cellShard(col("bucket")))
     val stored = idx.join(
         broadcast(bd.select(col("shard"), col("band"), col("bucket"))
@@ -442,13 +503,31 @@ object Dedup {
       Seq("shard", "band", "bucket", "ref_id"), "left_anti")
     val novelCounts = novel.groupBy(col("shard"), col("band"), col("bucket"))
       .agg(count(lit(1)).as("__nb"))
-    novel
+    val judged = novel
       .join(broadcast(known), Seq("shard", "band", "bucket"), "left")
       .join(broadcast(novelCounts), Seq("shard", "band", "bucket"))
+    judged
       .where(coalesce(col("__n"), lit(0L)) + col("__nb") <= cap)
       .select(col("ref_id"), col("band"), col("bucket"), col("shard"))
       .repartition(col("shard"))
       .write.mode("append").partitionBy("shard").parquet(indexPath)
+    // a rejected bucket nothing is stored for is degenerate BY THIS
+    // BATCH alone — tombstone it so it stays dropped (bounded set,
+    // eager so isEmpty and the artifact write share one evaluation)
+    val newTombs = judged
+      .where(coalesce(col("__n"), lit(0L)) === 0L && col("__nb") > cap)
+      .select(col("band"), col("bucket")).distinct()
+      .localCheckpoint(true)
+    if (newTombs.isEmpty) {
+      IndexManifest.commitListing(spark, indexPath): Unit
+    } else {
+      val ptr = IndexManifest.writeArtifact(spark, indexPath, "capped",
+        tombs.unionByName(newTombs))
+      IndexManifest.commit(spark, indexPath,
+        IndexManifest.listDataFiles(spark, indexPath),
+        IndexManifest.load(spark, indexPath)
+          .map(_.artifacts).getOrElse(Map.empty) + ptr): Unit
+    }
   }
 
   /** COMPACT a maintained shard-partitioned index: every
@@ -461,22 +540,23 @@ object Dedup {
     * therefore every serve plan: partition pruning, broadcast
     * orientation, schema — the spec pins serve-identical-before/after).
     *
-    * Mechanics: each oversized shard is read, rewritten into a
-    * temp subdirectory (underscore-prefixed — hidden from any
-    * concurrent scan's file listing), then swapped in under a
-    * TWO-MARKER protocol: a `_swap_pending` marker (listing the
-    * pre-compaction files) guards the renames, then an atomic flip to
-    * `_cleanup_pending` commits, then the old files are deleted. A
-    * crash anywhere is repaired by the NEXT run before it reads the
-    * directory — mid-rename rolls BACK (old files are provably intact;
-    * everything the swap marker doesn't list is dropped), mid-deletion
-    * rolls FORWARD (finish deleting the listed old files) — so an
-    * interrupted swap can never bake duplicate rows into a later
-    * rewrite. A reader planned mid-swap can see the union — duplicate
-    * rows, not missing ones — so compaction runs in the maintainer's
-    * single-writer window like the appends themselves. At 100 TB this
-    * is the same per-shard job with more shards, each bounded by its
-    * own directory's bytes — never a whole-index shuffle.
+    * Mechanics under [[IndexManifest]]: reconcile (drop any crashed
+    * mutation's orphans), rewrite each oversized shard into a hidden
+    * `_compacting` temp, rename the fresh files in (`compact-` prefix —
+    * invisible to every reader, because readers plan from the manifest,
+    * not the directory), then publish ONE manifest commit that lists
+    * the fresh files and drops the old, and only then delete the old
+    * files. A reader planned at ANY point sees exactly the
+    * pre-manifest or post-manifest file set — never the union that the
+    * round-11 marker protocol still allowed mid-swap. A crash before
+    * the commit leaves invisible orphans (next reconcile removes them;
+    * the old state is untouched); a crash after it leaves superseded
+    * old files as orphans (same repair). Retention is zero — see the
+    * [[IndexManifest]] concurrency contract.
+    *
+    * At 100 TB this is the same per-shard job with more shards, each
+    * bounded by its own directory's bytes — never a whole-index
+    * shuffle.
     *
     * Returns (shardsCompacted, filesBefore, filesAfter) across the
     * shards it touched (untouched shards excluded).
@@ -484,99 +564,57 @@ object Dedup {
     * `partitionCol` names the directory key — `shard` for the dedup
     * indexes, `cell` for the maintained IVF layout
     * ([[Similarity.appendIvfIndex]] grows cell directories the same
-    * way); underscore-prefixed model subdirectories (`_centroids`,
-    * `_cellsizes`) are never partition dirs and are left untouched. */
+    * way); underscore-prefixed subdirectories (manifests, artifacts)
+    * are never partition dirs and are left untouched. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerShard: Int, targetFilesPerShard: Int = 1,
       partitionCol: String = "shard"): (Int, Int, Int) = {
     require(maxFilesPerShard >= 1 && targetFilesPerShard >= 1,
       "file bounds must be positive")
+    val snap = IndexManifest.reconcile(spark, path)
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    def dataFiles(dir: org.apache.hadoop.fs.Path) =
-      fs.listStatus(dir).filter { st =>
+    val byDir = snap.dataFiles.groupBy(_.takeWhile(_ != '/'))
+      .filter { case (d, fls) =>
+        d.startsWith(s"$partitionCol=") && fls.length > maxFilesPerShard }
+    if (byDir.isEmpty) return (0, 0, 0)
+    var done = 0; var before = 0; var after = 0
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    byDir.toSeq.sortBy(_._1).foreach { case (dirName, files) =>
+      val dir = new org.apache.hadoop.fs.Path(root, dirName)
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
+      fs.delete(tmp, true)
+      // read exactly the manifest's files for this shard (schema =
+      // payload columns only; the partition value is the directory key)
+      spark.read.parquet(files.map(f =>
+          new org.apache.hadoop.fs.Path(root, f).toString): _*)
+        .coalesce(targetFilesPerShard)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val fresh = fs.listStatus(tmp).filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getPath)
-    val shardDirs = fs.listStatus(root)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$partitionCol="))
-      .map(_.getPath)
-    var done = 0; var before = 0; var after = 0
-    shardDirs.foreach { dir =>
-      // CRASH REPAIR first (two-marker protocol, see below): an
-      // interrupted swap must roll back or roll forward BEFORE this run
-      // reads the directory, or leftover compact files would double the
-      // rows a re-compaction then bakes in permanently.
-      val swapMarker = new org.apache.hadoop.fs.Path(dir, "_swap_pending")
-      val cleanMarker = new org.apache.hadoop.fs.Path(dir, "_cleanup_pending")
-      def readNames(m: org.apache.hadoop.fs.Path): Set[String] = {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in).getLines().toSet
-        finally in.close()
+      fresh.foreach { f =>
+        // compact- prefix + the writer uuid in the part name: unique,
+        // never colliding with a live part- file
+        val dst = new org.apache.hadoop.fs.Path(dir,
+          s"compact-${f.getName.stripPrefix("part-")}")
+        if (!fs.rename(f, dst))
+          throw new java.io.IOException(s"compact rename failed: $f -> $dst")
+        added += s"$dirName/${dst.getName}"
       }
-      if (fs.exists(swapMarker)) {
-        // crashed mid-rename: the old files are ALL intact (deletion
-        // only happens under the cleanup marker), so ROLL BACK — drop
-        // every data file the marker does not list (the partial fresh
-        // set) and the tmp dir
-        val keep = readNames(swapMarker)
-        dataFiles(dir).filterNot(f => keep(f.getName))
-          .foreach(f => fs.delete(f, false))
-        fs.delete(new org.apache.hadoop.fs.Path(dir, "_compacting"), true)
-        // a crash BETWEEN writing the cleanup marker and removing this
-        // one leaves both; the swap marker wins (old files are intact,
-        // roll back) and the stale cleanup marker must go WITH it — a
-        // later cleanup pass after this rollback would delete the old
-        // files, i.e. everything
-        fs.delete(cleanMarker, false)
-        fs.delete(swapMarker, false)
-      } else if (fs.exists(cleanMarker)) {
-        // crashed mid-deletion: the fresh set is complete — ROLL
-        // FORWARD by finishing the deletion of the listed old files
-        readNames(cleanMarker)
-          .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n),
-            false))
-        fs.delete(cleanMarker, false)
-      }
-      val old = dataFiles(dir)
-      if (old.length > maxFilesPerShard) {
-        val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
-        fs.delete(tmp, true)
-        // read the one shard directory (schema = payload columns only;
-        // `shard` is the directory key) and rewrite it small
-        spark.read.parquet(dir.toString)
-          .coalesce(targetFilesPerShard)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val fresh = dataFiles(tmp)
-        def writeMarker(m: org.apache.hadoop.fs.Path,
-                        names: Seq[String]): Unit = {
-          val out = fs.create(m, true)
-          try out.write(names.mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-        }
-        // swap phase: marker lists the files that must SURVIVE a
-        // rollback (the pre-compaction state) — a crash during the
-        // renames rolls back to it on the next run
-        writeMarker(swapMarker, old.map(_.getName).toSeq)
-        fresh.foreach { f =>
-          // compact- prefix: can never collide with a live part- file
-          val dst = new org.apache.hadoop.fs.Path(dir,
-            s"compact-${f.getName.stripPrefix("part-")}")
-          if (!fs.rename(f, dst))
-            throw new java.io.IOException(s"compact rename failed: $f -> $dst")
-        }
-        // commit point: atomically flip to the cleanup phase (rename is
-        // the atomic primitive) — from here a crash rolls FORWARD
-        writeMarker(cleanMarker, old.map(_.getName).toSeq)
-        fs.delete(swapMarker, false)
-        old.foreach(f => fs.delete(f, false))
-        fs.delete(cleanMarker, false)
-        fs.delete(tmp, true)
-        done += 1; before += old.length; after += fresh.length
-      }
+      fs.delete(tmp, true)
+      removed ++= files
+      done += 1; before += files.length; after += fresh.length
     }
+    // the single commit point: fresh files become visible and old files
+    // stop being referenced ATOMICALLY
+    IndexManifest.commit(spark, path,
+      snap.dataFiles.diff(removed) ++ added, snap.artifacts)
+    removed.foreach(rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
     (done, before, after)
   }
 

@@ -356,9 +356,10 @@ object Indexing {
   def termShard(term: Column): Column = Dedup.cellShard(md5(term))
 
   /** Build the maintained retrieval index ONCE: sharded postings + the
-    * df/corpus-size model artifacts. `repartition(shard)` keeps each
-    * shard directory one writer's output ([[Dedup.writeCellIndex]]'s
-    * layout discipline). */
+    * df/corpus-size model artifacts, published under one
+    * [[IndexManifest]] commit. `repartition(shard)` keeps each shard
+    * directory one writer's output ([[Dedup.writeCellIndex]]'s layout
+    * discipline). */
   def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
                          path: String): Unit = {
     val spark = docs.sparkSession
@@ -366,9 +367,9 @@ object Indexing {
     tf.withColumn("shard", termShard(col("term")))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    spark.read.parquet(path)
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/_df")
+    val aDf = IndexManifest.writeArtifact(spark, path, "df",
+      spark.read.parquet(path)
+        .groupBy(col("term")).agg(count(lit(1)).as("df")))
     // index MEMBERSHIP is "documents with non-NULL text": a NULL-text
     // row yields no postings (the explode-path convention), so it
     // cannot be counted idempotently by an append — excluding it here
@@ -377,10 +378,23 @@ object Indexing {
     // string tokenizes to one empty term, so "docs with postings" IS
     // "docs with non-null text"). Coalesce upstream if null docs must
     // count.
-    docs.where(col(textCol).isNotNull)
-      .agg(count(lit(1)).as("n_docs"))
-      .write.mode("overwrite").parquet(s"$path/_stats")
+    val aStats = IndexManifest.writeArtifact(spark, path, "stats",
+      docs.where(col(textCol).isNotNull)
+        .agg(count(lit(1)).as("n_docs")))
+    IndexManifest.commit(spark, path,
+      IndexManifest.listDataFiles(spark, path), Map(aDf, aStats)): Unit
   }
+
+  /** Manifest-pinned reads of the retrieval index's model artifacts
+    * (legacy `_df`/`_stats` directories as the pre-manifest fallback). */
+  def readPostingsDf(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    IndexManifest.readArtifact(spark, path, "df", legacyDir = Some("_df"))
+
+  def readPostingsStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    IndexManifest.readArtifact(spark, path, "stats",
+      legacyDir = Some("_stats"))
 
   /** MAINTAIN the stored retrieval index: append an ingest batch's
     * NOVEL (term, doc) postings and update the model artifacts by the
@@ -395,23 +409,30 @@ object Indexing {
     * doc) rows are skipped via the streamed `index ⋈ broadcast(batch)`
     * join (both builds batch-bounded, the index never shuffles), and a
     * FULL replay therefore increments nothing. Artifacts update by
-    * read → localCheckpoint (sever the path reference — the
-    * [[graft.data.Dedup]] refreshByPath lesson) → overwrite; they are
-    * vocabulary-sized, the scale of a dictionary rewrite, never a
-    * corpus pass.
+    * reading the pinned current version and writing a NEW version
+    * directory (never an in-place overwrite — no refreshByPath hazard);
+    * they are vocabulary-sized, the scale of a dictionary rewrite,
+    * never a corpus pass.
     *
-    * Preconditions, stated plainly: ingest batches carry NEW doc ids
+    * ATOMICITY ([[IndexManifest]]): the appended postings and both
+    * artifact versions become visible in ONE manifest commit. The
+    * round-11 failure mode — a crash between the postings append and
+    * the artifact rewrites leaving df/N silently stale forever — is
+    * structurally gone: a crash before the commit leaves every new
+    * file an invisible orphan (next reconcile deletes them; the
+    * replay's novelty check reads the pinned PRE-state and re-appends
+    * correctly), and after the commit postings and artifacts are
+    * already consistent.
+    *
+    * Precondition, stated plainly: ingest batches carry NEW doc ids
     * (the crawl contract — a re-crawled id with changed text would
     * re-count in n_docs; re-crawls go through a delete+insert
-    * compaction, not this append), and postings land BEFORE artifacts
-    * in the maintainer's single-writer window. A crash between the two
-    * leaves the artifacts stale — the replay's novel set is then empty
-    * and increments nothing — so the repair is
-    * [[rebuildPostingsArtifacts]] (one index scan), not a replay. */
+    * compaction, not this append). */
   def appendPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
                           path: String): Unit = {
     val spark = batch.sparkSession
-    val idx = spark.read.parquet(path)
+    IndexManifest.reconcile(spark, path)
+    val idx = IndexManifest.readData(spark, path)
     val bt = tfPostings(batch, idCol, textCol)
       .withColumn("shard", termShard(col("term")))
     val stored = idx.join(
@@ -420,39 +441,42 @@ object Indexing {
       .select(col("shard"), col("term"), col("doc_id"))
     val novel = bt.join(broadcast(stored), Seq("shard", "term", "doc_id"),
         "left_anti")
-      .localCheckpoint(true) // consumed 3× below AND the write mutates path
+      .localCheckpoint(true) // consumed 3× below
     novel
       .select(col("doc_id"), col("term"), col("tf"), col("shard"))
       .repartition(col("shard"))
       .write.mode("append").partitionBy("shard").parquet(path)
     val dfInc = novel.groupBy(col("term")).agg(count(lit(1)).as("df_inc"))
-    val dfNew = spark.read.parquet(s"$path/_df")
-      .join(dfInc, Seq("term"), "full")
-      .select(col("term"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("df_inc"), lit(0L)))
-          .as("df"))
-      .localCheckpoint(true)
-    dfNew.write.mode("overwrite").parquet(s"$path/_df")
+    val aDf = IndexManifest.writeArtifact(spark, path, "df",
+      readPostingsDf(spark, path)
+        .join(dfInc, Seq("term"), "full")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("df_inc"), lit(0L)))
+            .as("df")))
     val nNew = novel.select(col("doc_id")).distinct().count()
-    val stats = spark.read.parquet(s"$path/_stats")
-      .select((col("n_docs") + lit(nNew)).as("n_docs"))
-      .localCheckpoint(true)
-    stats.write.mode("overwrite").parquet(s"$path/_stats")
+    val aStats = IndexManifest.writeArtifact(spark, path, "stats",
+      readPostingsStats(spark, path)
+        .select((col("n_docs") + lit(nNew)).as("n_docs")))
+    IndexManifest.commit(spark, path,
+      IndexManifest.listDataFiles(spark, path), Map(aDf, aStats)): Unit
   }
 
-  /** Disaster-recovery rebuild of the retrieval index's model artifacts
-    * FROM the postings (one full index scan — the cost of a crash
-    * between an append's postings and artifacts, never the steady
-    * state). */
+  /** Rebuild of the retrieval index's model artifacts FROM the postings
+    * (one full index scan). With manifest-atomic appends this is no
+    * longer crash REPAIR — it exists for adopting an externally-built
+    * postings directory, and as the differential's independent
+    * derivation of df/N. */
   def rebuildPostingsArtifacts(spark: org.apache.spark.sql.SparkSession,
                                path: String): Unit = {
-    val idx = spark.read.parquet(path)
-    idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .localCheckpoint(true).write.mode("overwrite").parquet(s"$path/_df")
-    idx.select(col("doc_id")).distinct()
-      .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint(true).write.mode("overwrite")
-      .parquet(s"$path/_stats")
+    val snap = IndexManifest.reconcile(spark, path)
+    val idx = IndexManifest.readData(spark, path)
+    val aDf = IndexManifest.writeArtifact(spark, path, "df",
+      idx.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val aStats = IndexManifest.writeArtifact(spark, path, "stats",
+      idx.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs")))
+    IndexManifest.commit(spark, path, snap.dataFiles,
+      snap.artifacts + aDf + aStats): Unit
   }
 
   /** Serve a query set from the STORED retrieval index: TF-IDF top-k
@@ -465,18 +489,26 @@ object Indexing {
     * BroadcastHashJoin and the term-shard directory key prunes), the
     * idf side is the stored dictionary joined to the same broadcast
     * term set (vocabulary-sized stream, never the corpus), and the
-    * per-query top-k goes through WindowGroupLimit bounded heaps. */
+    * per-query top-k goes through WindowGroupLimit bounded heaps.
+    * Index and artifacts are manifest-pinned — one consistent
+    * (postings, df, N) snapshot even mid-append.
+    *
+    * `queries` rows are deduplicated on (query_id, term) first: the
+    * scoring sum counts each posting once per QUERY TERM, so a caller
+    * passing repeated terms would otherwise double-count silently
+    * (vocabulary-sized distinct — negligible against the scan). */
   def postingsIndexServe(queries: DataFrame, indexPath: String, k: Int,
                          idfScale: Long): DataFrame = {
     val spark = queries.sparkSession
-    val qs = queries.withColumn("shard", termShard(col("term")))
-    val nDocs = spark.read.parquet(s"$indexPath/_stats")
-    val idfq = spark.read.parquet(s"$indexPath/_df")
+    val qs = queries.select(col("query_id"), col("term")).distinct()
+      .withColumn("shard", termShard(col("term")))
+    val nDocs = readPostingsStats(spark, indexPath)
+    val idfq = readPostingsDf(spark, indexPath)
       .join(broadcast(qs.select(col("term")).distinct()), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"),
         expr(s"($idfScale * (n_docs + 1)) div (df + 1)").as("idf_scaled"))
-    val hits = spark.read.parquet(indexPath)
+    val hits = IndexManifest.readData(spark, indexPath)
       .join(broadcast(qs), Seq("shard", "term"))
       .join(broadcast(idfq), Seq("term"))
     val w = org.apache.spark.sql.expressions.Window

@@ -262,7 +262,11 @@ object Similarity {
       .select(col(qId), col(qVec), col("cell"))
     val probeCells: Seq[Long] = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val pruned = spark.read.parquet(outDir)
+    // manifest-pinned when the directory is a maintained index (falls
+    // back to the directory listing for one-shot layouts): a serve
+    // planned during an append/retrain/compaction sees exactly the
+    // committed pre- or post-state, never a half-mutated union
+    val pruned = IndexManifest.readData(spark, outDir)
       .where(col("cell").isin(probeCells: _*))
       .withColumn("cell", col("cell").cast("long"))
     val inCell = pruned.join(broadcast(probes), Seq("cell"))
@@ -279,9 +283,11 @@ object Similarity {
     * the ANN family: the fitted centroids, the assigned corpus written
     * `partitionBy(cell)`, and the build-time cell sizes (the drift
     * baseline) all persist under one directory. The model artifacts live
-    * in underscore-prefixed subdirectories (`_centroids`, `_cellsizes`)
-    * that every corpus scan's file listing ignores, so the index is
-    * self-contained: serve and append need no session state.
+    * as versioned [[IndexManifest]] artifacts (`centroids`,
+    * `cellsizes`) published in the same atomic commit as the data
+    * listing, so the index is self-contained: serve and append need no
+    * session state, and no reader can ever pair one version's
+    * centroids with another version's cells.
     *
     * Scale: fitting shuffles O(k × dim) aggregates per round; assignment
     * is the map-only literal-centroid fold; the write is the one-time
@@ -294,10 +300,13 @@ object Similarity {
     assignCellsBroadcast(corpus, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    cents.write.mode("overwrite").parquet(s"$path/_centroids")
-    spark.read.parquet(path).groupBy(col("cell").cast("long").as("cell"))
+    val aCents = IndexManifest.writeArtifact(spark, path, "centroids", cents)
+    val sizes = spark.read.parquet(path)
+      .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_build"))
-      .write.mode("overwrite").parquet(s"$path/_cellsizes")
+    val aSizes = IndexManifest.writeArtifact(spark, path, "cellsizes", sizes)
+    IndexManifest.commit(spark, path,
+      IndexManifest.listDataFiles(spark, path), Map(aCents, aSizes)): Unit
   }
 
   /** MAINTAIN the stored IVF index: assign an ingest batch with the
@@ -325,17 +334,27 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$path/_centroids")
+    IndexManifest.reconcile(spark, path)
+    val cents = readIvfCentroids(spark, path)
     val assigned = assignCellsBroadcast(batch, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
-    val idx = spark.read.parquet(path)
+    val idx = IndexManifest.readData(spark, path)
     val stored = idx.join(
         broadcast(assigned.select(col("cell"), col(idCol)).distinct()),
         Seq("cell", idCol))
       .select(col("cell"), col(idCol))
     assigned.join(broadcast(stored), Seq("cell", idCol), "left_anti")
       .write.mode("append").partitionBy("cell").parquet(path)
+    IndexManifest.commitListing(spark, path): Unit
   }
+
+  /** The stored coarse quantizer of a maintained IVF index —
+    * manifest-pinned, with the pre-manifest `_centroids` directory as
+    * the legacy fallback. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    IndexManifest.readArtifact(spark, path, "centroids",
+      legacyDir = Some("_centroids"))
 
   /** Serve queries from the MAINTAINED index (the read-back of
     * [[writeIvfIndex]] + any [[appendIvfIndex]]s): centroids come from
@@ -346,7 +365,7 @@ object Similarity {
                     nprobe: Int, qId: String = "q_id",
                     qVec: String = "q_vec", cId: String = "vec_id",
                     cVec: String = "embedding"): DataFrame = {
-    val cents = queries.sparkSession.read.parquet(s"$indexPath/_centroids")
+    val cents = readIvfCentroids(queries.sparkSession, indexPath)
     servePrunedFrom(queries, cents, indexPath, k, nprobe, qId, qVec, cId, cVec)
   }
 
@@ -366,8 +385,9 @@ object Similarity {
     * audit costs metadata, not a corpus scan. */
   def ivfDrift(spark: org.apache.spark.sql.SparkSession, path: String,
                growthTau: Double = 2.0): DataFrame = {
-    val build = spark.read.parquet(s"$path/_cellsizes")
-    val now = spark.read.parquet(path)
+    val build = IndexManifest.readArtifact(spark, path, "cellsizes",
+      legacyDir = Some("_cellsizes"))
+    val now = IndexManifest.readData(spark, path)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_now"))
     val joined = build.join(now, Seq("cell"), "full")
@@ -387,6 +407,65 @@ object Similarity {
             greatest(col("n_build"), lit(1L)).cast("double")) >= growthTau &&
           col("n_now").cast("double") * col("__k").cast("double")
             > col("__t").cast("double")).as("needs_retrain"))
+  }
+
+  /** ANSWER the retrain signal ([[ivfDrift]]): refit the coarse
+    * quantizer over everything the index currently holds (corpus ∪ all
+    * appends — the PINNED manifest read), re-assign every vector, and
+    * swap the new generation in with ONE atomic manifest commit — the
+    * missing lifecycle step that turns a drifted index back into a
+    * balanced one without ever interrupting serving.
+    *
+    * Result law (the `data_sim_ivf_retrain` oracle): serving after a
+    * retrain is hash-identical to a FROM-SCRATCH
+    * [[writeIvfIndex]]+serve over the same rows — [[fitCentroids]]
+    * seeds by lowest id and aggregates in order-free quantized longs,
+    * so the fit depends only on the row SET, not on which generation's
+    * files or order it was read from.
+    *
+    * Availability law (spec'd through `preCommitHook`, a test seam
+    * that runs right before the commit): every serve planned DURING
+    * the rebuild — after the v2 files are fully written — still
+    * returns the v1 results, because v2 becomes visible only at the
+    * commit. v1's files are deleted after the commit (zero retention,
+    * the [[IndexManifest]] contract).
+    *
+    * Scale: one pinned corpus read feeds the k-means rounds (shuffles
+    * O(k × dim) per round) and the map-only re-assignment; the rewrite
+    * is the same one-time cost as the original build, run only when
+    * drift says so; serves meanwhile touch only pruned v1 cells. The
+    * new baseline `cellsizes` come from a footer-only count of the v2
+    * files. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, kCells: Int, rounds: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      preCommitHook: () => Unit = () => ()): Unit = {
+    val snap = IndexManifest.reconcile(spark, path)
+    val rows = IndexManifest.readData(spark, path)
+      .select(col(idCol), col(vecCol))
+    val cents = fitCentroids(rows, kCells, rounds, idCol, vecCol)
+    assignCellsBroadcast(rows, cents, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+    // the v2 generation = everything the write added beyond the pinned
+    // v1 listing (single-writer window, reconciled above)
+    val after = IndexManifest.listDataFiles(spark, path)
+    val v1 = snap.dataFiles.toSet
+    val v2Files = after.filterNot(v1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val sizes = spark.read.option("basePath", root.toString)
+      .parquet(v2Files.map(f =>
+        new org.apache.hadoop.fs.Path(root, f).toString): _*)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_build"))
+    val aCents = IndexManifest.writeArtifact(spark, path, "centroids", cents)
+    val aSizes = IndexManifest.writeArtifact(spark, path, "cellsizes", sizes)
+    preCommitHook()
+    IndexManifest.commit(spark, path, v2Files, Map(aCents, aSizes))
+    snap.dataFiles.foreach(rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
   }
 
   /** Norm-scaled int8 quantization of a float vector: each coordinate

@@ -68,7 +68,7 @@ object IndexStreams {
         val shards = cells
           .select(Dedup.cellShard(col("cell_hash")).as("shard"))
           .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-        val idx = spark.read.parquet(indexPath)
+        val idx = Dedup.readIndex(spark, indexPath)
           .where(col("shard").isin(shards: _*))
         val screened = Dedup.indexedCellScreen(cells, idx, "doc_id")
         // verdicts land OVERWRITING this batch id's partition, not
@@ -119,7 +119,7 @@ object IndexStreams {
           .select(Dedup.cellShard(col("bucket")).as("shard"))
           .distinct().collect().map(row => Integer.valueOf(row.getInt(0)))
           .toSeq
-        val idx = spark.read.parquet(indexPath)
+        val idx = Dedup.readIndex(spark, indexPath)
           .where(col("shard").isin(shards: _*))
         Dedup.indexedBandScreen(bands, idx, "doc_id")
           .withColumn("batch_id", lit(id))
@@ -172,23 +172,40 @@ object IndexStreams {
         val b = batch.toDF().localCheckpoint(true)
         val q = b.select(col("vec_id").as("q_id"),
           col("embedding").as("q_vec"))
+        // the serve plan PINS the pre-append manifest at construction
+        // (IndexManifest.readData), so the verdict write below — which
+        // runs after the append — still screens against the pre-batch
+        // index: one self-consistent verdict set per batch
         val top = graft.data.Similarity.ivfIndexServe(
             q, indexPath, k = 1, nprobe = nprobe)
           .where(col("rnk") === 1)
           .select(col("q_id").as("vec_id"), col("neighbor_id"),
             col("cos_sim"))
-        b.select(col("vec_id"))
+        val verdicts = b.select(col("vec_id"))
           .join(top, Seq("vec_id"), "left")
           .select(col("vec_id"), col("neighbor_id"), col("cos_sim"),
             coalesce(col("cos_sim") >= tau, lit(false))
               .as("is_semantic_dup"))
+        if (maintain) {
+          graft.data.Similarity.appendIvfIndex(
+            b.select(col("vec_id"), col("embedding")), indexPath)
+        }
+        // the RETRAIN SIGNAL rides the batch receipt: post-append drift
+        // (footer-only counts over the partition column) — the
+        // operational bell [[graft.data.Similarity.retrainIvfIndex]]
+        // answers. Computed after the append so a skewed batch flips
+        // the receipt ON THE BATCH THAT CAUSED IT.
+        val needsRetrain = graft.data.Similarity.ivfDrift(spark, indexPath)
+          .where(col("needs_retrain")).count()
+        verdicts
+          .withColumn("n_cells_need_retrain", lit(needsRetrain))
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
+        // compaction LAST: it deletes superseded files the pinned
+        // verdict plan above may still reference
         if (maintain) {
-          graft.data.Similarity.appendIvfIndex(
-            b.select(col("vec_id"), col("embedding")), indexPath)
           maybeCompact(spark, indexPath, id, compactEvery,
             maxFilesPerShard, partitionCol = "cell")
         }
@@ -226,7 +243,7 @@ object IndexStreams {
             indexPath)
           maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard)
         }
-        val nDocs = spark.read.parquet(s"$indexPath/_stats")
+        val nDocs = graft.data.Indexing.readPostingsStats(spark, indexPath)
           .head().getLong(0)
         b.sparkSession.range(1).toDF("one")
           .select(lit(b.count()).as("batch_docs"),

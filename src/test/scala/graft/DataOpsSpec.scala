@@ -768,50 +768,53 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Dedup.compactIndex(spark, path, maxFilesPerShard = 1)._1 == 0)
   }
 
-  test("compactIndex crash repair: mid-rename rolls back (no duplicate " +
-      "rows baked in), mid-deletion rolls forward") {
-    import graft.data.Dedup
+  test("manifest snapshot isolation: a reader sees exactly the pre- or " +
+      "post-state of any mutation, never the union; reconcile removes " +
+      "crash orphans") {
+    import graft.data.{Dedup, IndexManifest}
     val corpus = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
     val path = java.nio.file.Files.createTempDirectory("graft_idx_crash")
       .resolve("cells").toString
     Dedup.writeCellIndex(corpus, "doc_id", "text", 2, path)
     Dedup.appendCellIndex(Dedup.cellHashes(
       Seq((10L, "p q r s")).toDF("doc_id", "text"), "doc_id", "text", 2), path)
-    val trueRows = spark.read.parquet(path).count()
-    val shardDirs = new java.io.File(path).listFiles()
+    val trueRows = IndexManifest.readData(spark, path).count()
+    val d = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith("shard="))
-    val d = shardDirs.find(_.listFiles().exists(f =>
-      f.isFile && f.getName.startsWith("part-"))).get
-    def dataFiles() = d.listFiles().filter(f => f.isFile &&
-      !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    // --- simulate a crash DURING the renames: a duplicate compact file
-    // is already in, the swap marker lists the pre-compaction files
-    val orig = dataFiles()
-    val src = orig.head
-    java.nio.file.Files.copy(src.toPath,
-      new java.io.File(d, "compact-crashdup.parquet").toPath)
-    java.nio.file.Files.write(new java.io.File(d, "_swap_pending").toPath,
-      orig.map(_.getName).mkString("\n").getBytes("UTF-8"))
-    // a duplicated file means duplicated rows right now
+      .find(_.listFiles().exists(f =>
+        f.isFile && f.getName.startsWith("part-"))).get
+    // --- crash DURING a compaction rewrite (before the commit): a fresh
+    // compact- file is physically in the directory, but no manifest
+    // lists it — every pinned read still sees exactly the pre-state
+    val src = d.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    val orphan = new java.io.File(d, "compact-crashdup.parquet")
+    java.nio.file.Files.copy(src.toPath, orphan.toPath)
+    // the DIRECTORY holds duplicate rows; the PINNED read does not
     assert(spark.read.parquet(path).count() > trueRows)
+    assert(IndexManifest.readData(spark, path).count() == trueRows)
+    // the next mutation reconciles the orphan away before doing its work
     Dedup.compactIndex(spark, path, maxFilesPerShard = 1)
-    // the repair rolled the partial swap BACK before compacting, so the
-    // duplicate rows were NOT baked into the rewrite
+    assert(!orphan.exists(), "reconcile must remove the crash orphan")
     assert(spark.read.parquet(path).count() == trueRows)
-    assert(!new java.io.File(d, "_swap_pending").exists())
-    // --- simulate a crash DURING the deletions: the cleanup marker
-    // lists an old file whose deletion never finished (its rows are
-    // duplicated by the completed compact files)
-    val committed = dataFiles().head
+    assert(IndexManifest.readData(spark, path).count() == trueRows)
+    // --- crash AFTER a commit, mid-deletion: a superseded old file is
+    // still physically present but unreferenced — same repair
+    val committed = d.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
     val stale = new java.io.File(d, "part-staleold.parquet")
     java.nio.file.Files.copy(committed.toPath, stale.toPath)
-    java.nio.file.Files.write(new java.io.File(d, "_cleanup_pending").toPath,
-      "part-staleold.parquet".getBytes("UTF-8"))
     assert(spark.read.parquet(path).count() > trueRows)
-    Dedup.compactIndex(spark, path, maxFilesPerShard = 1)
-    assert(!stale.exists(), "roll-forward must finish the deletion")
-    assert(spark.read.parquet(path).count() == trueRows)
-    assert(!new java.io.File(d, "_cleanup_pending").exists())
+    assert(IndexManifest.readData(spark, path).count() == trueRows,
+      "a pinned reader must never see the union")
+    // an APPEND also runs the repair — and its novelty check, reading
+    // the pinned pre-state, stays correct in the same pass
+    Dedup.appendCellIndex(Dedup.cellHashes(
+      Seq((11L, "t u v w")).toDF("doc_id", "text"), "doc_id", "text", 2), path)
+    assert(!stale.exists(), "the append's reconcile must finish the cleanup")
+    val afterAppend = IndexManifest.readData(spark, path).count()
+    assert(afterAppend > trueRows) // the new batch's novel cells landed
+    assert(spark.read.parquet(path).count() == afterAppend)
   }
 
   test("linearScoreColumns is the mean hashed-bucket weight") {

@@ -164,8 +164,8 @@ class IndexOpsSpec extends AnyFunSuite {
   }
 
   test("maintained postings index: idempotent append, exact df/N increments, " +
-      "artifact rebuild repairs a stale crash state") {
-    import graft.data.Indexing
+      "artifact rebuild repairs a corrupted dictionary") {
+    import graft.data.{Indexing, IndexManifest}
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
       .toDF("doc_id", "text")
     val batch = Seq((10L, "alpha epsilon"), (11L, "zeta zeta beta"))
@@ -173,37 +173,42 @@ class IndexOpsSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graft_post_idx")
       .resolve("postings").toString
     Indexing.writePostingsIndex(corpus, "doc_id", "text", path)
-    // layout + artifacts
-    assert(spark.read.parquet(path).columns.toSet ==
+    // layout + artifacts (manifest-pinned reads)
+    assert(IndexManifest.readData(spark, path).columns.toSet ==
       Set("doc_id", "term", "tf", "shard"))
-    assert(spark.read.parquet(s"$path/_stats")
-      .as[Long].head() == 2L)
-    val df0 = spark.read.parquet(s"$path/_df")
+    assert(Indexing.readPostingsStats(spark, path).as[Long].head() == 2L)
+    val df0 = Indexing.readPostingsDf(spark, path)
       .as[(String, Long)].collect().toMap
     assert(df0 == Map("alpha" -> 2L, "beta" -> 1L, "gamma" -> 1L,
       "delta" -> 1L))
     Indexing.appendPostingsIndex(batch, "doc_id", "text", path)
-    val df1 = spark.read.parquet(s"$path/_df")
+    val df1 = Indexing.readPostingsDf(spark, path)
       .as[(String, Long)].collect().toMap
     // exact increments: alpha +1 (doc 10), beta +1 (doc 11), epsilon
     // and zeta enter at 1 (zeta's tf=2 is ONE doc)
     assert(df1 == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L,
       "delta" -> 1L, "epsilon" -> 1L, "zeta" -> 1L))
-    assert(spark.read.parquet(s"$path/_stats").as[Long].head() == 4L)
-    val n1 = spark.read.parquet(path).count()
+    assert(Indexing.readPostingsStats(spark, path).as[Long].head() == 4L)
+    val n1 = IndexManifest.readData(spark, path).count()
     // idempotent: a full replay appends nothing and increments nothing
     Indexing.appendPostingsIndex(batch, "doc_id", "text", path)
-    assert(spark.read.parquet(path).count() == n1)
-    assert(spark.read.parquet(s"$path/_stats").as[Long].head() == 4L)
-    assert(spark.read.parquet(s"$path/_df")
+    assert(IndexManifest.readData(spark, path).count() == n1)
+    assert(Indexing.readPostingsStats(spark, path).as[Long].head() == 4L)
+    assert(Indexing.readPostingsDf(spark, path)
       .as[(String, Long)].collect().toMap == df1)
-    // crash repair: clobber the artifacts, rebuild from the postings
-    Seq(("bogus", 999L)).toDF("term", "df")
-      .write.mode("overwrite").parquet(s"$path/_df")
+    // repair: COMMIT a corrupted dictionary version (an adopted index
+    // with wrong artifacts), rebuild re-derives df/N from the postings
+    val bogus = IndexManifest.writeArtifact(spark, path, "df",
+      Seq(("bogus", 999L)).toDF("term", "df"))
+    val snap = IndexManifest.load(spark, path).get
+    IndexManifest.commit(spark, path, snap.dataFiles,
+      snap.artifacts + bogus)
+    assert(Indexing.readPostingsDf(spark, path)
+      .as[(String, Long)].collect().toMap == Map("bogus" -> 999L))
     Indexing.rebuildPostingsArtifacts(spark, path)
-    assert(spark.read.parquet(s"$path/_df")
+    assert(Indexing.readPostingsDf(spark, path)
       .as[(String, Long)].collect().toMap == df1)
-    assert(spark.read.parquet(s"$path/_stats").as[Long].head() == 4L)
+    assert(Indexing.readPostingsStats(spark, path).as[Long].head() == 4L)
     // serve equals the integer tf-idf definition computed by hand:
     // score(q="alpha") over 4 docs, idf = (1e6 * 5) div (df + 1)
     val q = Seq((0L, "alpha"), (0L, "zeta")).toDF("query_id", "term")

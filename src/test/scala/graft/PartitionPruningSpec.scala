@@ -92,7 +92,7 @@ class PartitionPruningSpec extends AnyFunSuite {
     try {
     val served = Dedup.indexedCellScreen(
       Dedup.cellHashes(batch, "doc_id", "text", 2),
-      spark.read.parquet(dir), "doc_id")
+      Dedup.readIndex(spark, dir), "doc_id")
     val plan = served.queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the real never-shuffle-the-index contract: no ShuffleExchange may
@@ -137,7 +137,7 @@ class PartitionPruningSpec extends AnyFunSuite {
     try {
       val served = Dedup.indexedBandScreen(
         Dedup.bandRows(batch, "doc_id", "text", 12, 4, 3),
-        spark.read.parquet(dir), "doc_id")
+        Dedup.readIndex(spark, dir), "doc_id")
       val plan = served.queryExecution.sparkPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan)
       val indexShuffled = served.queryExecution.sparkPlan.collect {
@@ -170,9 +170,11 @@ class PartitionPruningSpec extends AnyFunSuite {
     val batch = all.where($"vec_id" >= 480)
     val dir = Files.createTempDirectory("graft_ivf_idx").toString + "/at"
     Similarity.writeIvfIndex(corpus, kCells = 4, rounds = 1, dir)
-    // model artifacts persist under hidden subdirs the corpus scan skips
-    assert(new java.io.File(s"$dir/_centroids").exists())
-    assert(new java.io.File(s"$dir/_cellsizes").exists())
+    // model artifacts persist as versioned, manifest-pinned subdirs the
+    // corpus scan skips
+    assert(Similarity.readIvfCentroids(spark, dir).count() == 4L)
+    assert(graft.data.IndexManifest.readArtifact(spark, dir, "cellsizes")
+      .count() > 0L)
     val nBuild = spark.read.parquet(dir).count()
     Similarity.appendIvfIndex(batch, dir)
     assert(spark.read.parquet(dir).count() == nBuild + batch.count())
@@ -189,7 +191,7 @@ class PartitionPruningSpec extends AnyFunSuite {
     // from-scratch recompute with the SAME (stored) centroids: fit on
     // the corpus slice, assign corpus∪batch, score the probed cells —
     // frozen-centroid ingest must be invisible to the result
-    val cents = spark.read.parquet(s"$dir/_centroids")
+    val cents = Similarity.readIvfCentroids(spark, dir)
     val assigned = Similarity.assignCellsBroadcast(all, cents)
     val routed = q.crossJoin(broadcast(cents))
       .withColumn("d2", Similarity.sqDist($"q_vec", $"cvec"))
@@ -233,8 +235,9 @@ class PartitionPruningSpec extends AnyFunSuite {
     val (nComp, fb, fa) = graft.data.Dedup.compactIndex(
       spark, dir, maxFilesPerShard = 1, partitionCol = "cell")
     assert(nComp > 0 && fb > fa, s"no cell compaction: $nComp, $fb -> $fa")
-    assert(new java.io.File(s"$dir/_centroids").exists())
-    assert(new java.io.File(s"$dir/_cellsizes").exists())
+    assert(Similarity.readIvfCentroids(spark, dir).count() == 4L)
+    assert(graft.data.IndexManifest.readArtifact(spark, dir, "cellsizes")
+      .count() > 0L)
     val got2 = Similarity.ivfIndexServe(q, dir, k = 3, nprobe = 2)
       .orderBy("q_id", "rnk")
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
