@@ -36,7 +36,8 @@ object Plans {
     "data_mm_jpeg_decode", "data_mm_jpeg_rgb_decode",
     "data_dedup_band_index_serve", "data_bpe_bytes",
     "data_sim_ivf_append", "data_mixture_sample", "data_bpe_oov_encode",
-    "data_search_index_serve")
+    "data_search_index_serve", "data_sim_ivf_retrain",
+    "data_dedup_semantic_index_serve", "data_pack_tokenized")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -478,6 +479,34 @@ object Plans {
       |  `WindowGroupLimit`. The append twin must stay INTEGER-identical
       |  to the full recompute — df and N enter every idf, so the
       |  increment arithmetic is what the hash checks.
+      |- **data_sim_ivf_retrain** — serve AFTER the retrain lifecycle
+      |  (refit over the pinned index read, re-assign, atomic manifest
+      |  swap): the plan must be indistinguishable from the maintained
+      |  serve — stored-centroid broadcast, literal cell-IN in
+      |  `PartitionFilters` over the NEW generation's files, no trace of
+      |  the build in the serving plan (the rebuild is an offline step,
+      |  not a query-time cost). Result hash-equals the from-scratch
+      |  fitted recompute — a retrain is indistinguishable from having
+      |  built fresh.
+      |- **data_dedup_semantic_index_serve** — SemDeDup served from the
+      |  stored IVF index: batch assigned map-only against the
+      |  stored-centroid literals, the index scan pruned to the batch's
+      |  probed cells (literal cell-IN in `PartitionFilters`) and
+      |  STREAMED through a `BroadcastHashJoin` of the bounded batch —
+      |  the corpus-side embedding table never shuffles and is never
+      |  re-clustered at serve time (the per-run k-means refit of
+      |  `data_dedup_semantic` is gone; candidates are bounded by
+      |  batch × cell population).
+      |- **data_pack_tokenized** — tokenized shards at rest: the id'd
+      |  vocabulary table is vocab-sized end to end (symbol explode +
+      |  one join + one re-aggregate, all bounded), the corpus pays one
+      |  pretoken explode into a `BroadcastExchange` of that vocabulary,
+      |  and the per-doc/per-bin assemblies partition by bucket — the
+      |  running-offset window never sees more than one bucket's docs,
+      |  and `collect_list` payloads are bounded by document length and
+      |  the bin's token budget (sequences must materialize somewhere;
+      |  that is what a training shard IS). The manifest side is a scan
+      |  of the written artifact + one per-shard hash aggregate.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

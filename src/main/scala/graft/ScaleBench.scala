@@ -58,7 +58,10 @@ object ScaleBench {
     "data_dedup_band_index_serve", "data_dedup_band_index_append",
     "data_bpe_bytes", "data_sim_ivf_append", "data_sim_ivf_drift",
     "data_mixture_sample", "data_bpe_bytes_encode", "data_bpe_oov_encode",
-    "data_search_index_serve", "data_search_index_append")
+    "data_search_index_serve", "data_search_index_append",
+    // round-12 additions: IVF retrain, maintained semantic-dedup serve
+    "data_sim_ivf_retrain", "data_dedup_semantic_index_serve",
+    "data_dedup_semantic_index_append", "data_pack_tokenized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1220,7 +1220,15 @@ object TrainQueries {
           .as(Seq("wpos", "word")))
     val oovSyms = merges.foldLeft(TextAnalysis.byteSyms(col("word")))(
       (c, m) => mergeApply(c, m.lhs, m.rhs))
-    val oov = pretoks.select(col("word")).distinct()
+    // the corpus-distinct pretoken table is VOCAB-sized after the
+    // distinct and feeds only the OOV derivation — memo-persist it
+    // (the mixTempTable discipline) so warm runs pay ONE corpus scan
+    // (the encode join), not a second one for the distinct (VERDICT
+    // r11 #7: measured 14.8 -> ~9 s warm at sf10)
+    val distinctWords = Tables.memoBy(spark, s"bpeoovwords:$dir") {
+      pretoks.select(col("word")).distinct()
+    }
+    val oov = distinctWords
       .join(wf.select(col("word")), Seq("word"), "left_anti")
       .select(col("word"), oovSyms.as("syms"), lit(true).as("is_oov"))
     // broadcast EXPLICITLY: the model is vocab-sized by construction,
@@ -1244,6 +1252,118 @@ object TrainQueries {
           .as("subtok_per_pretok"),
         col("enc_xor"))
       .dumpOrderedTail("doc_id")
+  }
+
+  /** Tokenized training shards AT REST (VERDICT r11 #4 — the pipeline's
+    * actual deliverable): packed token-ID sequences materialized as a
+    * shard-partitioned parquet artifact, verified through a per-shard
+    * manifest computed from the READ-BACK of the written files (counts
+    * + an order-sensitive checksum per sequence, xor'd per shard — the
+    * `data_shard_manifest` convention over token ids).
+    *
+    * Pipeline: byte-BPE encode to REAL ids (each distinct final symbol
+    * of the trained table gets `row_number` over the engine-binary
+    * string order — deterministic, both engines enumerate identically),
+    * per-document flat id sequence in (pretoken, symbol) order, then
+    * the `data_pack_plan` binning (bucket = doc_id % buckets, running
+    * token offset div bin size) and one artifact row per (shard, bin).
+    *
+    * Scale: the id assignment and the per-word id table are
+    * VOCAB-sized (symbol explode + one join + one re-aggregate); the
+    * corpus pays one pretoken explode, one broadcast join against the
+    * id'd vocabulary, and the per-doc/per-bin assemblies whose
+    * `collect_list` payloads are bounded by document length and the
+    * bin's token budget respectively (the `data_pack_sequences`
+    * precedent — sequences must materialize somewhere; that is what a
+    * training shard IS). The write is `repartition(shard)` +
+    * `partitionBy(shard)`, one writer per directory, the maintained-
+    * index layout discipline. */
+  private[graft] def writeTokenizedShards(spark: SparkSession, dir: String,
+                                          path: String): Unit = {
+    val wf = bpeByteTrainedWords(spark, dir).select(col("word"), col("syms"))
+    // vocabulary ids: bounded relation, so the single-partition
+    // row_number window is the fitCentroids-seed pattern, not a scale
+    // hazard
+    val vocab = wf.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("sym"))).cast("long"))
+    val wfIds = wf
+      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(vocab, Seq("sym"))
+      .groupBy(col("word"))
+      .agg(array_sort(collect_list(struct(col("spos"), col("tid"))))
+        .as("st"))
+      .select(col("word"), transform(col("st"), _.getField("tid")).as("tids"))
+    val docToks = Tables.documentsHot(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.bpePretokens(col("text")))
+          .as(Seq("wpos", "word")))
+      .join(broadcast(wfIds), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("wpos"), col("tids"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        flatten(transform(col("ps"), _.getField("tids"))).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("bucket", col("doc_id") % PackBuckets)
+    docToks
+      .withColumn("bin",
+        expr(s"coalesce(sum(n_tok) over (partition by bucket order by" +
+          s" doc_id rows between unbounded preceding and 1 preceding), 0L)" +
+          s" div $PackBin"))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        array_sort(collect_list(struct(col("doc_id"), col("toks"))))
+          .as("ds"))
+      .select(col("bucket").as("shard"), col("bin"), col("n_docs"),
+        col("n_tokens"),
+        flatten(transform(col("ds"), _.getField("toks"))).as("token_ids"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
+  /** The reproducibility manifest of a tokenized-shard artifact,
+    * computed from the files at rest: per shard — sequence/doc/token
+    * counts and the xor of each sequence's position-baked 52-bit hash
+    * (md5 of `bin:comma-joined ids` — any dropped, reordered, or
+    * re-segmented token flips its shard's xor). */
+  private[graft] def shardTokenManifest(spark: SparkSession,
+                                        path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("n_tokens"),
+        conv(substring(md5(concat(col("bin").cast("string"), lit(":"),
+          array_join(transform(col("token_ids"), _.cast("string")), ","))),
+          1, 13), 16, 10).cast("long").as("h52"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("bit_xor(h52)").as("xor_checksum"))
+
+  private val builtPackShards =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val packRoot: java.io.File = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_packtok_${java.util.UUID.randomUUID().toString.take(8)}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+    }))
+    root
+  }
+
+  private def packTokenized(spark: SparkSession, dir: String): DataFrame = {
+    val path = builtPackShards.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(packRoot,
+        new java.io.File(dir).getName).getAbsolutePath
+      writeTokenizedShards(spark, dir, p)
+      p
+    })
+    shardTokenManifest(spark, path).dumpOrderedTail("shard")
   }
 
   /** Round-k oracle CTE block: pair counts over w{k-1}, the argmax
@@ -1667,6 +1787,62 @@ object TrainQueries {
          |    AS subtok_per_pretok,
          |  CAST(bit_xor(h52) AS BIGINT) AS enc_xor
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }),
+
+    "data_pack_tokenized" -> Q(packTokenized, Some {
+      val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
+      s"""WITH $bpeBytesCtes,
+         |vb AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+         |           AS tid
+         |  FROM (SELECT DISTINCT unnest(syms) AS sym
+         |        FROM w$BpeTrainRounds)),
+         |wsp AS (
+         |  SELECT word, unnest(range(0, len(syms))) AS spos, syms
+         |  FROM w$BpeTrainRounds),
+         |wt AS (
+         |  SELECT wsp.word, list(vb.tid ORDER BY wsp.spos) AS tids
+         |  FROM wsp JOIN vb ON vb.sym = wsp.syms[spos + 1]
+         |  GROUP BY wsp.word),
+         |wp AS (
+         |  SELECT doc_id, unnest(range(0, len(w))) AS wpos, w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(lower(text), '$pat', 0) AS w
+         |        FROM documents) q),
+         |ww AS (SELECT doc_id, wpos, w[wpos + 1] AS word FROM wp),
+         |dt AS (
+         |  SELECT ww.doc_id,
+         |    flatten(list(wt.tids ORDER BY ww.wpos)) AS toks
+         |  FROM ww JOIN wt USING (word) GROUP BY ww.doc_id),
+         |d AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+         |         doc_id % $PackBuckets AS bucket
+         |  FROM dt),
+         |p AS (
+         |  SELECT doc_id, toks, n_tok, bucket,
+         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d),
+         |sq AS (
+         |  SELECT bucket, bin, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    flatten(list(toks ORDER BY doc_id)) AS token_ids
+         |  FROM p GROUP BY bucket, bin),
+         |h AS (
+         |  SELECT bucket, bin, n_docs, n_tokens,
+         |    CAST(list_sum(list_transform(range(1, 14), i ->
+         |      (strpos('0123456789abcdef',
+         |         substr(md5(CAST(bin AS VARCHAR) || ':' ||
+         |                    array_to_string(list_transform(token_ids,
+         |                      x -> CAST(x AS VARCHAR)), ',')), i, 1)) - 1)
+         |      * 16 ** (13 - i))) AS BIGINT) AS h52
+         |  FROM sq)
+         |SELECT CAST(bucket AS BIGINT) AS shard, count(*) AS n_seqs,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(bit_xor(h52) AS BIGINT) AS xor_checksum
+         |FROM h GROUP BY bucket ORDER BY shard""".stripMargin
     }),
 
     "data_bpe_oov_encode" -> Q(bpeBytesOovEncode, Some {

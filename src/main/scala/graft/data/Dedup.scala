@@ -682,6 +682,63 @@ object Dedup {
         coalesce(col("max_prior_sim") >= tau, lit(false)).as("is_semantic_dup"))
   }
 
+  /** SemDeDup SERVED from the maintained IVF index — the incremental
+    * form of [[semanticDedup]], closing the same recompute-per-run gap
+    * the cell/band serves closed for exact/near dedup: the stored
+    * centroids ([[Similarity.writeIvfIndex]]'s artifact) assign the
+    * ingest batch map-only, and each batch vector compares ONLY
+    * against the stored vectors of its own cell, read through a
+    * planning-time-pruned scan of the cell directories the batch
+    * actually routes to. Per batch vector: its cell, how many stored
+    * same-cell candidates it met, the highest cosine among them
+    * (NULL when the cell holds nothing), and the `tau` verdict.
+    *
+    * Scale: centroid pull and batch are bounded (the batch is
+    * localCheckpoint'ed — it feeds the probed-cell pull and the join);
+    * the index side streams through a BroadcastHashJoin of the batch
+    * and never shuffles ([[indexedCellScreen]]'s orientation); output
+    * is bounded by batch × cell population, which [[semanticDedup]]'s
+    * corpus-sized-k contract keeps at batch × targetCellSize. Pair
+    * [[Similarity.appendIvfIndex]] behind it for the cross-batch
+    * first-seen law (a near-copy in a later batch flags against this
+    * one) — the `data_dedup_semantic_index_append` differential. */
+  def semanticIndexScreen(batch: DataFrame, indexPath: String, tau: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorFunctions.register(batch.sparkSession)
+    import graft.functions.VectorFunctions.vec_dot
+    val spark = batch.sparkSession
+    val cents = Similarity.readIvfCentroids(spark, indexPath)
+    val assigned = Similarity.assignCellsBroadcast(batch, cents, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("_bnorm"))
+      .localCheckpoint(true)
+    val probeCells: Seq[Long] = assigned.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val idx = IndexManifest.readData(spark, indexPath)
+      .where(col("cell").isin(probeCells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val b = assigned.select(col("cell"), col(idCol).as("_bid"),
+      col(vecCol).as("_bvec"), col("_bnorm"))
+    val prior = idx.join(broadcast(b), Seq("cell"))
+      .where(col(idCol) =!= col("_bid"))
+      .select(col("_bid"),
+        (vec_dot(col(vecCol), col("_bvec")) /
+          (sqrt(vec_dot(col(vecCol), col(vecCol))) * col("_bnorm")))
+          .as("_cos"))
+      .groupBy(col("_bid"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(col("_cos")).as("max_stored_sim"))
+      .withColumnRenamed("_bid", idCol)
+    assigned.select(col(idCol), col("cell"))
+      .join(prior, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("max_stored_sim"),
+        coalesce(col("max_stored_sim") >= tau, lit(false))
+          .as("is_semantic_dup"))
+  }
+
   /** [[semanticDedup]] with the cell count sized to the CORPUS — the
     * production entry point. SemDeDup's within-cell pairwise cosine is
     * quadratic in cell size, so a CONSTANT kCells turns linear corpus

@@ -244,6 +244,44 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(got2 == got, "serve must be identical after cell compaction")
   }
 
+  test("retrainIvfIndex: serve-after-retrain equals a fresh build; v1 " +
+      "serves during the v2 build; drift baseline resets") {
+    import spark.implicits._
+    import graft.data.{IndexManifest, Similarity}
+    val all = Tables.embeddings(spark, TestSpark.sf)
+      .select($"vec_id", $"embedding")
+    val corpus = all.where($"vec_id" < 480)
+    val batch = all.where($"vec_id" >= 480)
+    val dir = Files.createTempDirectory("graft_ivf_retrain").toString + "/at"
+    Similarity.writeIvfIndex(corpus, kCells = 4, rounds = 1, dir)
+    Similarity.appendIvfIndex(batch, dir)
+    val q = all.where($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    def serve(p: String) = Similarity.ivfIndexServe(q, p, k = 3, nprobe = 2)
+      .orderBy("q_id", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val v1 = serve(dir)
+    // availability law: a serve planned DURING the rebuild — after the
+    // v2 files are fully written, right before the commit — still
+    // returns v1 (the commit is the only visibility point)
+    var during: Seq[(Long, Long, Long, Long, Double)] = null
+    Similarity.retrainIvfIndex(spark, dir, kCells = 4, rounds = 1,
+      preCommitHook = () => { during = serve(dir) })
+    assert(during == v1, "a serve during the v2 build must still see v1")
+    // result law: indistinguishable from a fresh build over the same rows
+    val fresh = Files.createTempDirectory("graft_ivf_fresh").toString + "/at"
+    Similarity.writeIvfIndex(all, kCells = 4, rounds = 1, fresh)
+    assert(serve(dir) == serve(fresh))
+    // the old generation is gone (no row inflation), baseline is reset
+    assert(IndexManifest.readData(spark, dir).count() == all.count())
+    assert(spark.read.parquet(dir).count() == all.count())
+    val drift = Similarity.ivfDrift(spark, dir)
+      .select($"n_build", $"n_now", $"needs_retrain")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(drift.nonEmpty && drift.forall(r => r._1 == r._2 && !r._3),
+      s"retrain must reset the drift baseline: $drift")
+  }
+
   test("ivfTopKFittedPruned: pruned-read result == unpruned, plan prunes") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.sf)

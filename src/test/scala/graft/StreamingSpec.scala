@@ -722,6 +722,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.find(_._1 == 12L).get._2.contains(11L)) // matched batch-0 vC
     // the appended batches live in the index: 2 corpus + 3 streamed
     assert(spark.read.parquet(idxPath).count() == 5)
+    // every receipt row carries the post-append retrain signal, and the
+    // last batch's value agrees with a fresh drift audit of the index
+    val finalNeeds = graft.data.Similarity.ivfDrift(spark, idxPath)
+      .where($"needs_retrain").count()
+    val sig = spark.read.parquet(outPath)
+      .select($"batch_id", $"n_cells_need_retrain")
+      .as[(Long, Long)].collect().toSeq
+    assert(sig.filter(_._1 == 1L).forall(_._2 == finalNeeds))
+  }
+
+  test("vector ingest receipts: the retrain signal flips when a skewed " +
+      "batch lands, and retrainIvfIndex clears it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_vec_drift")
+    val idxPath = base.resolve("index").toString
+    val outPath = base.resolve("verdicts").toString
+    // balanced 2-cell build (ids alternate so the lowest-id seeds span
+    // both directions): two vectors per cell
+    val vA = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val vA2 = Seq(0.9f, 0.1f, 0.0f, 0.0f)
+    val vB = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val vB2 = Seq(0.1f, 0.9f, 0.0f, 0.0f)
+    val vC = Seq(0.0f, 0.0f, 1.0f, 0.0f) // unseen direction -> one cell
+    graft.data.Similarity.writeIvfIndex(
+      Seq((1L, vA), (2L, vB), (3L, vA2), (4L, vB2))
+        .toDF("vec_id", "embedding"),
+      kCells = 2, rounds = 1, idxPath)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = IndexStreams.vectorIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), idxPath, outPath,
+      nprobe = 2, tau = 0.95, maintain = true,
+      base.resolve("ckpt").toString)
+    try {
+      // batch 0: one vector into a 2-vector cell -> growth 1.5 < 2,
+      // the signal stays quiet
+      input.addData((10L, vB2))
+      q.processAllAvailable()
+      // batch 1: three vectors of an unseen direction pile into ONE
+      // cell -> growth >= 2 at an over-uniform share -> the bell rings
+      input.addData((11L, vC), (12L, vC), (13L, vC))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sig = spark.read.parquet(outPath)
+      .select($"batch_id", $"n_cells_need_retrain")
+      .as[(Long, Long)].collect().toSeq.distinct.sorted
+    assert(sig == Seq((0L, 0L), (1L, 1L)),
+      s"the receipt must flip on the skewed batch: $sig")
+    // answering the bell resets it
+    graft.data.Similarity.retrainIvfIndex(spark, idxPath,
+      kCells = 2, rounds = 1)
+    assert(graft.data.Similarity.ivfDrift(spark, idxPath)
+      .where($"needs_retrain").count() == 0L)
   }
 
   test("postings ingest stream: queries served between batches see every " +

@@ -24,6 +24,41 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(build() == a) // pure function of ids: bit-stable across runs
   }
 
+  test("tokenized shards reproduce bit-identically under re-ingestion; " +
+      "accounting ties out against the encode") {
+    val p1 = java.nio.file.Files.createTempDirectory("graft_packtok_a")
+      .resolve("shards").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft_packtok_b")
+      .resolve("shards").toString
+    TrainQueries.writeTokenizedShards(spark, TestSpark.sf, p1)
+    TrainQueries.writeTokenizedShards(spark, TestSpark.sf, p2)
+    def rows(p: String) = spark.read.parquet(p)
+      .select($"shard".cast("long"), $"bin", $"n_docs", $"n_tokens",
+        $"token_ids")
+      .as[(Long, Long, Long, Long, Seq[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val a = rows(p1)
+    // two independent ingestions produce identical shard CONTENT —
+    // sequences, ids, order, accounting — the reproducibility contract
+    // a training-shard artifact must satisfy
+    assert(a.nonEmpty && a == rows(p2))
+    // manifests agree too (same checksum law both reads)
+    def manifest(p: String) = TrainQueries.shardTokenManifest(spark, p)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest(p1) == manifest(p2))
+    // per-sequence accounting: token_ids length == n_tokens; every id
+    // is a positive vocab id; bins are packed in doc order
+    assert(a.forall(r => r._5.length == r._4 && r._5.forall(_ >= 1L)))
+    // totals tie out against the independent byte-BPE encode query
+    val encTotal = Registry.byName("data_bpe_bytes_encode")
+      .build(spark, TestSpark.sf)
+      .agg(org.apache.spark.sql.functions.sum($"n_subtokens"))
+      .as[Long].head()
+    assert(a.map(_._4).sum == encTotal,
+      "packed token mass must equal the encode's subtoken mass")
+  }
+
   test("data_epoch_shuffle: contiguous ranks per (epoch, shard), epochs differ") {
     val rows = Registry.byName("data_epoch_shuffle")
       .build(spark, TestSpark.sf)

@@ -53,7 +53,9 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_dedup_band_index_serve", "data_dedup_band_index_append",
           "data_bpe_bytes", "data_sim_ivf_append", "data_sim_ivf_drift",
           "data_mixture_sample", "data_bpe_bytes_encode", "data_bpe_oov_encode",
-          "data_search_index_serve", "data_search_index_append"]
+          "data_search_index_serve", "data_search_index_append",
+          "data_sim_ivf_retrain", "data_dedup_semantic_index_serve",
+          "data_dedup_semantic_index_append", "data_pack_tokenized"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
