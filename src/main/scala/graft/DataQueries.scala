@@ -1644,6 +1644,43 @@ object DataQueries {
       .dumpOrderedTail("doc_id")
   }
 
+  /** The tombstone-law differential's cap (VERDICT r11 #5): aggressive
+    * enough that the sf0.01 corpus already DROPS buckets at build (58,
+    * of which the batch touches 4) and the batch itself carries
+    * degenerate buckets (8) that the first append must tombstone. */
+  private val TombCap = 1
+
+  /** Durable hot-bucket drops (VERDICT r11 #5): a private band index
+    * built at [[TombCap]], then the batch appended TWICE — the replay
+    * is exactly the re-entry attack the tombstones exist for: a
+    * build-dropped bucket's stored count reads 0, so a pre-tombstone
+    * append would re-admit up to cap refs of a bucket the build
+    * deliberately judged non-discriminative (and a replayed batch
+    * would re-attempt the buckets the first append rejected). The
+    * serve after both appends must hash-match the oracle's SINGLE
+    * append replay with the full cap semantics — tombstoned buckets
+    * contribute nothing, ever, to any generation. */
+  private def dedupBandTombstone(spark: SparkSession, dir: String): DataFrame = {
+    val batchBands = Dedup.bandRows(
+      batchDocs(Tables.documentsHot(spark, dir)), "doc_id", "text",
+      K, Bands, R)
+    val path = new java.io.File(idxRoot, "bandtomb_" +
+      new java.io.File(dir).getName).getAbsolutePath
+    Tables.memoBy(spark, s"bandtomb:$dir") {
+      Dedup.writeBandIndex(
+        Dedup.bandRows(corpusDocs(Tables.documentsHot(spark, dir)),
+          "doc_id", "text", K, Bands, R),
+        "doc_id", TombCap, path)
+      Dedup.appendBandIndex(batchBands, "doc_id", TombCap, path)
+      // the replay: tombstones + idempotence must make this a no-op
+      Dedup.appendBandIndex(batchBands, "doc_id", TombCap, path)
+      spark.range(1).toDF("done")
+    }
+    Dedup.indexedBandScreen(batchBands, Dedup.readIndex(spark, path),
+        "doc_id")
+      .dumpOrderedTail("doc_id")
+  }
+
   /** Membership / edit rates of the two synthetic snapshots (percent). */
   private val DiffKeep = 90
   private val DiffEdit = 20
@@ -4821,6 +4858,64 @@ object DataQueries {
        |    AS needs_retrain
        |FROM j CROSS JOIN t ORDER BY cell""".stripMargin
 
+  /** The tombstone differential's oracle: full cap semantics replayed —
+    * build drops (> cap distinct refs), tombstone honor on the append,
+    * post-append cap on the survivors — then the standard band serve
+    * against kept ∪ accepted. The Spark side appends TWICE; the oracle
+    * replays ONCE: equality IS the proof that tombstones + idempotence
+    * make the replay a no-op. */
+  private lazy val duckBandTombstoneSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, $duckShingles AS sh FROM documents),
+       |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+       |bb AS (
+       |  SELECT doc_id, band,
+       |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|'))
+       |      AS bucket
+       |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS band
+       |        FROM sig)),
+       |corp AS (SELECT DISTINCT band, bucket, doc_id AS ref_id FROM bb
+       |         WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd),
+       |sz AS (SELECT band, bucket, count(*) AS n FROM corp GROUP BY 1, 2),
+       |dropd AS (SELECT band, bucket FROM sz WHERE n > $TombCap),
+       |kept AS (
+       |  SELECT c.band, c.bucket, c.ref_id FROM corp c
+       |  LEFT JOIN dropd d ON d.band = c.band AND d.bucket = c.bucket
+       |  WHERE d.band IS NULL),
+       |b AS (SELECT DISTINCT band, bucket, doc_id FROM bb
+       |      WHERE doc_id >= $SnapshotId AND doc_id < $BatchEnd),
+       |ba AS (
+       |  SELECT b.band, b.bucket, b.doc_id FROM b
+       |  LEFT JOIN dropd d ON d.band = b.band AND d.bucket = b.bucket
+       |  WHERE d.band IS NULL),
+       |nov AS (
+       |  SELECT ba.band, ba.bucket, ba.doc_id FROM ba
+       |  LEFT JOIN kept k ON k.band = ba.band AND k.bucket = ba.bucket
+       |    AND k.ref_id = ba.doc_id
+       |  WHERE k.ref_id IS NULL),
+       |novc AS (SELECT band, bucket, count(*) AS nb FROM nov GROUP BY 1, 2),
+       |keptc AS (SELECT band, bucket, count(*) AS ns FROM kept GROUP BY 1, 2),
+       |acc AS (
+       |  SELECT nov.band, nov.bucket, nov.doc_id AS ref_id
+       |  FROM nov JOIN novc ON novc.band = nov.band AND novc.bucket = nov.bucket
+       |  LEFT JOIN keptc ON keptc.band = nov.band AND keptc.bucket = nov.bucket
+       |  WHERE COALESCE(keptc.ns, 0) + novc.nb <= $TombCap),
+       |aft AS (
+       |  SELECT band, bucket, ref_id FROM kept
+       |  UNION
+       |  SELECT band, bucket, ref_id FROM acc),
+       |tot AS (SELECT doc_id, count(*) AS n_bands FROM b GROUP BY doc_id),
+       |h AS (
+       |  SELECT b.doc_id, count(DISTINCT b.band) AS n_hit_bands,
+       |    count(DISTINCT a.ref_id) AS n_candidates
+       |  FROM b JOIN aft a ON a.band = b.band AND a.bucket = b.bucket
+       |  GROUP BY b.doc_id)
+       |SELECT t.doc_id, t.n_bands,
+       |  COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+       |  COALESCE(h.n_candidates, 0) AS n_candidates,
+       |  COALESCE(h.n_hit_bands, 0) > 0 AS is_near_dup_candidate
+       |FROM tot t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Shared CTE suffix of the semantic-serve oracles: the batch and
     * corpus slices of the frozen-centroid assignment. */
   private lazy val duckSemSliceCtes: String =
@@ -4883,7 +4978,9 @@ object DataQueries {
       ("data_dedup_semantic_index_serve" ->
         Q(dedupSemanticIndexServe, Some(duckSemServeSql))) :+
       ("data_dedup_semantic_index_append" ->
-        Q(dedupSemanticIndexAppend, Some(duckSemAppendSql)))
+        Q(dedupSemanticIndexAppend, Some(duckSemAppendSql))) :+
+      ("data_dedup_band_tombstone" ->
+        Q(dedupBandTombstone, Some(duckBandTombstoneSql)))
 
   /** Pair queries may legitimately be empty on tiny scale factors. */
   val mayBeEmpty: Set[String] =

@@ -61,7 +61,8 @@ object ScaleBench {
     "data_search_index_serve", "data_search_index_append",
     // round-12 additions: IVF retrain, maintained semantic-dedup serve
     "data_sim_ivf_retrain", "data_dedup_semantic_index_serve",
-    "data_dedup_semantic_index_append", "data_pack_tokenized")
+    "data_dedup_semantic_index_append", "data_pack_tokenized",
+    "data_dedup_band_tombstone")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

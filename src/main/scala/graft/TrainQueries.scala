@@ -1280,6 +1280,29 @@ object TrainQueries {
     * index layout discipline. */
   private[graft] def writeTokenizedShards(spark: SparkSession, dir: String,
                                           path: String): Unit = {
+    // The assemblies below are collect_list aggregations whose per-GROUP
+    // payload is bounded (a document / a bin) but whose per-TASK hash-mode
+    // buffer is not: ObjectHashAggregate holds every in-flight group's
+    // boxed entries until the fallback threshold, and the sessions here
+    // RAISE that threshold to 65536 for the tiny argmax aggregates —
+    // 65k docs × ~120 boxed entries per scan partition OOM'd the sf10
+    // probe. Pin a small threshold for THIS write so the aggregation
+    // goes sort-based (spillable external sort — memory bounded by the
+    // sorter's pages, not by group count) after a few hundred groups;
+    // the one-time shard write trades a sort for bounded memory, which
+    // is exactly the trade a 100 TB ingest must make.
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevFallback = spark.conf.getOption(fallbackKey)
+    spark.conf.set(fallbackKey, "512")
+    try writeTokenizedShardsInner(spark, dir, path)
+    finally prevFallback match {
+      case Some(v) => spark.conf.set(fallbackKey, v)
+      case None => spark.conf.unset(fallbackKey)
+    }
+  }
+
+  private def writeTokenizedShardsInner(spark: SparkSession, dir: String,
+                                        path: String): Unit = {
     val wf = bpeByteTrainedWords(spark, dir).select(col("word"), col("syms"))
     // vocabulary ids: bounded relation, so the single-partition
     // row_number window is the fitCentroids-seed pattern, not a scale

@@ -300,10 +300,15 @@ object Dedup {
     * check reads the pinned pre-state, re-appends them correctly). */
   def appendCellIndex(batchCells: DataFrame, indexPath: String): Unit = {
     val spark = batchCells.sparkSession
-    IndexManifest.reconcile(spark, indexPath)
-    val idx = IndexManifest.readData(spark, indexPath)
+    val snap = IndexManifest.reconcile(spark, indexPath)
     val bd = batchCells.select(col("cell_hash")).distinct()
       .withColumn("shard", cellShard(col("cell_hash")))
+    // an index with zero data files (legal: a fully-capped band build's
+    // sibling case) has nothing to read — type the empty relation off
+    // the batch instead of asking parquet to infer a schema from nothing
+    val idx =
+      if (snap.dataFiles.isEmpty) bd.limit(0)
+      else IndexManifest.readData(spark, indexPath)
     val hits = idx.join(broadcast(bd), Seq("shard", "cell_hash"))
       .select(col("shard"), col("cell_hash"))
     bd.join(broadcast(hits), Seq("shard", "cell_hash"), "left_anti")
@@ -394,7 +399,11 @@ object Dedup {
     * under one [[IndexManifest]] commit (data + tombstones together). */
   def writeBandIndex(bands: DataFrame, idCol: String, cap: Int,
                      path: String): Unit = {
-    require(cap > 1, s"cap must exceed 1, got $cap")
+    // cap = 1 is legal here (keep only singleton buckets — the most
+    // aggressive discriminativeness rule, used by the tombstone
+    // differential); capHotBuckets' cap > 1 guard protects the
+    // CANDIDATE-JOIN use, where cap = 1 would yield no pairs at all
+    require(cap >= 1, s"cap must be positive, got $cap")
     val spark = bands.sparkSession
     val rows = bands
       .select(col(idCol).as("ref_id"), col("band"), col("bucket"))
@@ -484,14 +493,20 @@ object Dedup {
   def appendBandIndex(batchBands: DataFrame, idCol: String, cap: Int,
                       indexPath: String): Unit = {
     val spark = batchBands.sparkSession
-    IndexManifest.reconcile(spark, indexPath)
-    val idx = IndexManifest.readData(spark, indexPath)
+    val snap = IndexManifest.reconcile(spark, indexPath)
     val tombs = cappedBuckets(spark, indexPath)
     val bd = batchBands
       .select(col(idCol).as("ref_id"), col("band"), col("bucket"))
       .distinct()
       .join(broadcast(tombs), Seq("band", "bucket"), "left_anti")
       .withColumn("shard", cellShard(col("bucket")))
+    // a fully-capped build stores ZERO rows (every bucket tombstoned) —
+    // type the empty pre-state off the batch, don't infer from nothing
+    val idx =
+      if (snap.dataFiles.isEmpty)
+        bd.select(col("ref_id"), col("band"), col("bucket"), col("shard"))
+          .limit(0)
+      else IndexManifest.readData(spark, indexPath)
     val stored = idx.join(
         broadcast(bd.select(col("shard"), col("band"), col("bucket"))
           .distinct()),
@@ -731,7 +746,10 @@ object Dedup {
         max(col("_cos")).as("max_stored_sim"))
       .withColumnRenamed("_bid", idCol)
     assigned.select(col(idCol), col("cell"))
-      .join(prior, Seq(idCol), "left")
+      // explicit hint: `prior` is batch-bounded by construction, but it
+      // hangs off a checkpointed relation with no size statistics, so
+      // the planner would SMJ two batch-sized tables
+      .join(broadcast(prior), Seq(idCol), "left")
       .select(col(idCol), col("cell"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("max_stored_sim"),

@@ -710,6 +710,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(path).listFiles()
         .exists(_.getName.startsWith("shard=")),
       "a bucket above the cap must not be stored")
+    // the dropped buckets persist as TOMBSTONES: a later SMALL batch
+    // into a build-dropped bucket (stored count 0, novel 1 <= cap)
+    // would have been silently re-admitted pre-tombstone — it must be
+    // refused forever
+    Dedup.appendBandIndex(
+      Dedup.bandRows(Seq((9L, "a b c d e f")).toDF("doc_id", "text"),
+        "doc_id", "text", k, b, r),
+      "doc_id", cap = 2, path)
+    assert(!new java.io.File(path).listFiles()
+        .exists(_.getName.startsWith("shard=")),
+      "an append must honor the build's tombstones")
+    // and a NEW degenerate bucket arriving in one bursty append is
+    // tombstoned too: replaying a smaller slice of it later cannot
+    // sneak it back in
+    Dedup.appendBandIndex(
+      Dedup.bandRows(Seq((20L, "q r s t u v"), (21L, "q r s t u v"),
+        (22L, "q r s t u v")).toDF("doc_id", "text"),
+        "doc_id", "text", k, b, r),
+      "doc_id", cap = 2, path)
+    Dedup.appendBandIndex(
+      Dedup.bandRows(Seq((23L, "q r s t u v")).toDF("doc_id", "text"),
+        "doc_id", "text", k, b, r),
+      "doc_id", cap = 2, path)
+    assert(!new java.io.File(path).listFiles()
+        .exists(_.getName.startsWith("shard=")),
+      "an append-created degenerate bucket must tombstone as well")
     // rebuild under a loose cap, then append two more refs per bucket:
     // the first fills the bucket TO the cap universe (stored count 3 < 4),
     // the second finds it saturated and drops

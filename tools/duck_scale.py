@@ -55,7 +55,8 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_mixture_sample", "data_bpe_bytes_encode", "data_bpe_oov_encode",
           "data_search_index_serve", "data_search_index_append",
           "data_sim_ivf_retrain", "data_dedup_semantic_index_serve",
-          "data_dedup_semantic_index_append", "data_pack_tokenized"]
+          "data_dedup_semantic_index_append", "data_pack_tokenized",
+          "data_dedup_band_tombstone"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
