@@ -160,11 +160,21 @@ object IndexStreams {
     * Scale: per batch, one bounded centroid broadcast + a
     * partition-pruned probe read of only the cells the batch routes to
     * + the batch-bounded append. Nothing accumulates in memory; the
-    * retrain decision stays with [[graft.data.Similarity.ivfDrift]]. */
+    * retrain signal ([[graft.data.Similarity.ivfDrift]]) rides every
+    * batch receipt, and with `retrainRounds > 0` the gate ANSWERS it:
+    * when the post-append audit flags any cell, the batch closes with
+    * [[graft.data.Similarity.retrainIvfIndex]] (same cell count as the
+    * stored quantizer, `retrainRounds` k-means rounds) — safe exactly
+    * because foreachBatch is the index's single writer, and
+    * serving-invisible because the swap is one atomic manifest commit
+    * (concurrent serves keep the old generation until it lands). The
+    * receipt still reports the PRE-retrain count, so the batch that
+    * caused the drift is the batch whose receipt shows it. */
   def vectorIngestStream(vecs: DataFrame, indexPath: String, outPath: String,
                          nprobe: Int, tau: Double, maintain: Boolean,
                          checkpoint: String, compactEvery: Int = 0,
-                         maxFilesPerShard: Int = 4): StreamingQuery =
+                         maxFilesPerShard: Int = 4,
+                         retrainRounds: Int = 0): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
@@ -203,11 +213,19 @@ object IndexStreams {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
-        // compaction LAST: it deletes superseded files the pinned
-        // verdict plan above may still reference
+        // generation changes LAST: retrain and compaction delete
+        // superseded files the pinned verdict plan above may still
+        // reference, so they run only after the verdicts are on disk
         if (maintain) {
-          maybeCompact(spark, indexPath, id, compactEvery,
-            maxFilesPerShard, partitionCol = "cell")
+          if (retrainRounds > 0 && needsRetrain > 0) {
+            val kCells = graft.data.Similarity
+              .readIvfCentroids(spark, indexPath).count().toInt
+            graft.data.Similarity.retrainIvfIndex(spark, indexPath,
+              kCells = kCells, rounds = retrainRounds)
+          } else {
+            maybeCompact(spark, indexPath, id, compactEvery,
+              maxFilesPerShard, partitionCol = "cell")
+          }
         }
         ()
       }

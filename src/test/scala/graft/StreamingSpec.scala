@@ -733,7 +733,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("vector ingest receipts: the retrain signal flips when a skewed " +
-      "batch lands, and retrainIvfIndex clears it") {
+      "batch lands, and the gate's auto-retrain answers it in-stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.IndexStreams
@@ -755,7 +755,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = IndexStreams.vectorIngestStream(
       input.toDF().toDF("vec_id", "embedding"), idxPath, outPath,
       nprobe = 2, tau = 0.95, maintain = true,
-      base.resolve("ckpt").toString)
+      base.resolve("ckpt").toString, retrainRounds = 1)
     try {
       // batch 0: one vector into a 2-vector cell -> growth 1.5 < 2,
       // the signal stays quiet
@@ -766,16 +766,29 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((11L, vC), (12L, vC), (13L, vC))
       q.processAllAvailable()
     } finally q.stop()
+    // the receipt reports the PRE-retrain audit: the skewed batch is
+    // the batch whose receipt shows the drift it caused
     val sig = spark.read.parquet(outPath)
       .select($"batch_id", $"n_cells_need_retrain")
       .as[(Long, Long)].collect().toSeq.distinct.sorted
     assert(sig == Seq((0L, 0L), (1L, 1L)),
       s"the receipt must flip on the skewed batch: $sig")
-    // answering the bell resets it
-    graft.data.Similarity.retrainIvfIndex(spark, idxPath,
-      kCells = 2, rounds = 1)
+    // ... and the gate ANSWERED the bell before closing the batch: the
+    // index is already retrained (fresh baseline, no flagged cells, all
+    // eight vectors in the new generation) with no manual step
     assert(graft.data.Similarity.ivfDrift(spark, idxPath)
       .where($"needs_retrain").count() == 0L)
+    val drift = graft.data.Similarity.ivfDrift(spark, idxPath)
+      .select($"n_build", $"n_now").as[(Long, Long)].collect().toSeq
+    assert(drift.forall(r => r._1 == r._2) && drift.map(_._2).sum == 8L)
+    // serving runs against the retrained generation
+    val served = graft.data.Similarity.ivfIndexServe(
+      Seq((100L, vC)).toDF("vec_id", "embedding")
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+      idxPath, k = 1, nprobe = 1)
+      .select($"neighbor_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(served.length == 1 && served.head._2 > 0.99,
+      s"the vC cluster must serve from the retrained index: ${served.toSeq}")
   }
 
   test("postings ingest stream: queries served between batches see every " +
