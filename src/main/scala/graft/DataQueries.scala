@@ -1565,6 +1565,39 @@ object DataQueries {
       .dumpOrderedTail("doc_id")
   }
 
+  /** TIME-TRAVEL serve (the retention half of the manifest layer): a
+    * private index copy is built (manifest v1), the batch's cells are
+    * APPENDED (v2 — the index now screens the batch as 100% duplicate),
+    * and the serve then runs pinned to v1 via
+    * [[graft.data.IndexManifest.readDataAt]]. The oracle is the
+    * corpus-only screen (`duckScreenSql`, shared with the incremental
+    * and current-serve paths): matching it proves the pinned read
+    * reconstructs EXACTLY the pre-append snapshot from a directory the
+    * append has since mutated — the "serve yesterday's index" /
+    * audit-a-past-verdict capability, and the differential behind the
+    * executing-reader-vs-deletion guarantee (retained versions are
+    * physically intact, not merely listed). */
+  private val asofIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def dedupIndexAsof(spark: SparkSession, dir: String): DataFrame = {
+    val batchCells = Dedup.cellHashes(
+      batchDocs(Tables.documentsHot(spark, dir)),
+      "doc_id", "text", ScreenCell)
+    val (path, pinned) = asofIndexes.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(idxRoot, "asof_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      Dedup.writeCellIndex(corpusDocs(Tables.documentsHot(spark, dir)),
+        "doc_id", "text", ScreenCell, p)
+      val v = graft.data.IndexManifest.load(spark, p).get.version
+      Dedup.appendCellIndex(batchCells, p)
+      (p, v)
+    })
+    Dedup.indexedCellScreen(batchCells,
+        graft.data.IndexManifest.readDataAt(spark, path, pinned), "doc_id")
+      .dumpOrderedTail("doc_id")
+  }
+
   /** Maintained NEAR-dup (band) index, built once per (process, dir) —
     * the [[cellIndexPath]] lifecycle for the MinHash LSH band index
     * ([[Dedup.writeBandIndex]]): the corpus's (band, bucket → ref_id)
@@ -4318,6 +4351,10 @@ object DataQueries {
     // shard-partitioned index where the incremental screen recomputes the
     // corpus cells — one oracle differential-checks both
     "data_dedup_index_serve" -> Q(dedupIndexServe, Some(duckScreenSql)),
+
+    // the serve pinned to the PRE-APPEND manifest version of a since-
+    // mutated index: time travel must reproduce the corpus-only screen
+    "data_dedup_index_asof" -> Q(dedupIndexAsof, Some(duckScreenSql)),
 
     "data_dedup_index_append" -> Q(dedupIndexAppend, Some(
       s"""WITH t AS (

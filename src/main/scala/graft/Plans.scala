@@ -16,7 +16,7 @@ object Plans {
     "data_asof_join", "data_sessionize", "data_chunk_dedup",
     "data_event_rolling", "data_tfidf_topk",
     "data_dedup_semantic", "data_sim_sq8_topk", "data_dedup_incremental",
-    "data_dedup_index_serve",
+    "data_dedup_index_serve", "data_dedup_index_asof",
     "data_sim_ivfpq", "data_chunk_cdc", "data_curation_gate",
     "data_sim_ivf_pruned", "data_mm_decode",
     "data_dedup_spans", "data_sketch_cms", "data_decontaminate_bloom",
@@ -167,6 +167,13 @@ object Plans {
       |  `BroadcastHashJoin` that STREAMS the index (build side = the
       |  broadcast batch cells, reused by the pruning subquery) — the
       |  100 TB side is never shuffled and never recomputed.
+      |- **data_dedup_index_asof** — the TIME-TRAVEL serve: identical
+      |  plan shape to `data_dedup_index_serve` (same scan node, same
+      |  streamed `BroadcastHashJoin`, same shard `PartitionFilters`,
+      |  `ReadSchema` = `cell_hash` only) — the manifest pin changes
+      |  WHICH files the scan lists (the pre-append version's), never
+      |  how the scan plans. Retention is what makes the old files
+      |  physically present to list.
       |- **data_sim_ivfpq** — the full IVF-PQ query shape: the encoded
       |  corpus (coarse cell + m codes) meets the per-query routing+ADC
       |  table through ONE `BroadcastExchange` equi-join on the coarse

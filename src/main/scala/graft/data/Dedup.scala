@@ -301,6 +301,7 @@ object Dedup {
   def appendCellIndex(batchCells: DataFrame, indexPath: String): Unit = {
     val spark = batchCells.sparkSession
     val snap = IndexManifest.reconcile(spark, indexPath)
+    val pre = IndexManifest.listDataFiles(spark, indexPath)
     val bd = batchCells.select(col("cell_hash")).distinct()
       .withColumn("shard", cellShard(col("cell_hash")))
     // an index with zero data files (legal: a fully-capped band build's
@@ -314,7 +315,9 @@ object Dedup {
     bd.join(broadcast(hits), Seq("shard", "cell_hash"), "left_anti")
       .repartition(col("shard"))
       .write.mode("append").partitionBy("shard").parquet(indexPath)
-    IndexManifest.commitListing(spark, indexPath): Unit
+    // delta commit (snapshot files + exactly what this append wrote):
+    // a listing commit would resurrect retained superseded files
+    IndexManifest.commitDelta(spark, indexPath, pre): Unit
   }
 
   /** Serve an ingest batch against the STORED index (the read-back of
@@ -494,6 +497,7 @@ object Dedup {
                       indexPath: String): Unit = {
     val spark = batchBands.sparkSession
     val snap = IndexManifest.reconcile(spark, indexPath)
+    val pre = IndexManifest.listDataFiles(spark, indexPath)
     val tombs = cappedBuckets(spark, indexPath)
     val bd = batchBands
       .select(col(idCol).as("ref_id"), col("band"), col("bucket"))
@@ -534,14 +538,11 @@ object Dedup {
       .select(col("band"), col("bucket")).distinct()
       .localCheckpoint(true)
     if (newTombs.isEmpty) {
-      IndexManifest.commitListing(spark, indexPath): Unit
+      IndexManifest.commitDelta(spark, indexPath, pre): Unit
     } else {
       val ptr = IndexManifest.writeArtifact(spark, indexPath, "capped",
         tombs.unionByName(newTombs))
-      IndexManifest.commit(spark, indexPath,
-        IndexManifest.listDataFiles(spark, indexPath),
-        IndexManifest.load(spark, indexPath)
-          .map(_.artifacts).getOrElse(Map.empty) + ptr): Unit
+      IndexManifest.commitDelta(spark, indexPath, pre, Map(ptr)): Unit
     }
   }
 
@@ -565,9 +566,13 @@ object Dedup {
     * pre-manifest or post-manifest file set — never the union that the
     * round-11 marker protocol still allowed mid-swap. A crash before
     * the commit leaves invisible orphans (next reconcile removes them;
-    * the old state is untouched); a crash after it leaves superseded
-    * old files as orphans (same repair). Retention is zero — see the
-    * [[IndexManifest]] concurrency contract.
+    * the old state is untouched); a crash after it leaves the
+    * superseded old files to the closing [[IndexManifest.vacuum]].
+    * `retainVersions` sets the retention window that vacuum keeps: the
+    * default 1 deletes superseded files immediately (the single-machine
+    * economy); ≥ 2 keeps the pre-compaction snapshot readable
+    * ([[IndexManifest.readDataAt]]) and guarantees a reader EXECUTING
+    * against it never races the deletion — the production posture.
     *
     * At 100 TB this is the same per-shard job with more shards, each
     * bounded by its own directory's bytes — never a whole-index
@@ -583,7 +588,8 @@ object Dedup {
     * are never partition dirs and are left untouched. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerShard: Int, targetFilesPerShard: Int = 1,
-      partitionCol: String = "shard"): (Int, Int, Int) = {
+      partitionCol: String = "shard",
+      retainVersions: Int = 1): (Int, Int, Int) = {
     require(maxFilesPerShard >= 1 && targetFilesPerShard >= 1,
       "file bounds must be positive")
     val snap = IndexManifest.reconcile(spark, path)
@@ -625,11 +631,11 @@ object Dedup {
       done += 1; before += files.length; after += fresh.length
     }
     // the single commit point: fresh files become visible and old files
-    // stop being referenced ATOMICALLY
+    // stop being referenced ATOMICALLY; physical deletion is vacuum's
+    // job, bounded by the retention window
     IndexManifest.commit(spark, path,
       snap.dataFiles.diff(removed) ++ added, snap.artifacts)
-    removed.foreach(rel =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
+    IndexManifest.vacuum(spark, path, retainVersions)
     (done, before, after)
   }
 

@@ -54,11 +54,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Concurrency contract (unchanged from the appends themselves): ONE
   * writer in the maintainer's window; any number of readers at any
-  * time. Retention is zero — a superseded file may be deleted while a
-  * reader pinned to an older manifest is still EXECUTING (planning is
-  * safe; execution races deletion) — production on object storage
-  * would add a retention window before physical deletion, exactly like
-  * table-format VACUUM, without changing any plan below.
+  * time. [[commit]] additionally detects a violated window: the
+  * version filename is claimed exactly once, so a second writer racing
+  * to the same version number fails loudly instead of silently losing
+  * its update.
+  *
+  * RETENTION is explicit, table-format style: a superseded file stays
+  * on disk — and its manifest stays readable ([[loadAt]]/[[readDataAt]],
+  * the time-travel read) — until [[vacuum]] prunes versions beyond a
+  * caller-chosen window. A reader pinned to any RETAINED manifest never
+  * races physical deletion, closing the execute-vs-delete hole the
+  * zero-retention posture left open; [[reconcile]] (crash repair)
+  * deletes only files referenced by NO retained manifest. Mutations
+  * that supersede files ([[graft.data.Dedup.compactIndex]],
+  * [[graft.data.Similarity.retrainIvfIndex]]) take a `retainVersions`
+  * knob and end with `vacuum(retainVersions)` — the default 1 keeps
+  * the old immediate-delete economy on a single machine; production
+  * sets it to cover the longest-running serve.
   *
   * Scale: a manifest holds one line per data file — at 100 TB with
   * ~1 GB files that is ~10⁵ lines per index, a single small object
@@ -106,15 +118,15 @@ object IndexManifest {
       }.sorted
   }
 
-  /** The current (highest-version) manifest, if any. */
-  def load(spark: SparkSession, path: String): Option[Snapshot] = {
-    val (fs, root) = fsOf(spark, path)
+  private def manifestFiles(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
     val dir = new Path(root, ManifestDir)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).toSeq
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
       .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
-    if (versions.isEmpty) return None
-    val (v, p) = versions.maxBy(_._1)
+      .sortBy(_._1)
+  }
+
+  private def parse(fs: FileSystem, v: Long, p: Path): Snapshot = {
     val in = fs.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -125,18 +137,55 @@ object IndexManifest {
       val cut = rest.indexOf(' ')
       rest.take(cut) -> rest.drop(cut + 1)
     }.toMap
-    Some(Snapshot(v, data, arts))
+    Snapshot(v, data, arts)
+  }
+
+  /** The RETAINED manifest versions, ascending — the time-travel
+    * horizon: [[loadAt]]/[[readDataAt]] can pin any of these until
+    * [[vacuum]] prunes them. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, path)
+    manifestFiles(fs, root).map(_._1)
+  }
+
+  /** The current (highest-version) manifest, if any. */
+  def load(spark: SparkSession, path: String): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, path)
+    manifestFiles(fs, root).lastOption.map { case (v, p) => parse(fs, v, p) }
+  }
+
+  /** A SPECIFIC retained manifest version — the time-travel load. None
+    * once [[vacuum]] has pruned it (or if it never existed). */
+  def loadAt(spark: SparkSession, path: String, version: Long): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, path)
+    manifestFiles(fs, root).find(_._1 == version)
+      .map { case (v, p) => parse(fs, v, p) }
   }
 
   /** Publish a snapshot as the next manifest version: write to a
     * dot-prefixed temp name, then rename into place — the atomic
-    * commit point of every mutation. Single-writer contract. */
+    * commit point of every mutation. Single-writer contract, ENFORCED
+    * at the claim: the destination version name must not exist (a
+    * local-filesystem rename would silently replace it — the
+    * lost-update a racing second writer must not be able to cause), so
+    * a violated writer window fails loudly here instead of corrupting
+    * the version history. */
   def commit(spark: SparkSession, path: String, dataFiles: Seq[String],
-             artifacts: Map[String, String]): Long = {
+             artifacts: Map[String, String]): Long =
+    commitAt(spark, path,
+      load(spark, path).map(_.version + 1).getOrElse(1L),
+      dataFiles, artifacts)
+
+  /** The claim itself, at an explicit version — the seam the
+    * concurrent-writer spec drives: a racing writer that computed the
+    * same `next` from a stale load must fail here, never silently
+    * replace the other's manifest. */
+  private[graft] def commitAt(spark: SparkSession, path: String, next: Long,
+                              dataFiles: Seq[String],
+                              artifacts: Map[String, String]): Long = {
     val (fs, root) = fsOf(spark, path)
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    val next = load(spark, path).map(_.version + 1).getOrElse(1L)
     val name = f"m$next%012d"
     val tmp = new Path(dir, s".$name.tmp")
     val out = fs.create(tmp, true)
@@ -147,15 +196,42 @@ object IndexManifest {
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val dst = new Path(dir, name)
+    if (fs.exists(dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"concurrent manifest writer detected: version $next at $dst " +
+          "already exists — the single-writer window was violated")
+    }
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"manifest commit failed: $tmp -> $dst")
     next
   }
 
+  /** [[commit]] of an APPEND-shaped mutation under retention: the next
+    * snapshot is the current snapshot's files plus exactly the files
+    * the mutation wrote (post-listing minus `preListing`, captured by
+    * the caller right before its write). A directory listing alone is
+    * NOT a valid post-state once superseded files are retained — it
+    * would resurrect files an earlier compaction/retrain dropped — so
+    * every append commits through this delta form. */
+  def commitDelta(spark: SparkSession, path: String,
+                  preListing: Seq[String],
+                  artifacts: Map[String, String] = Map.empty): Long = {
+    val snap = load(spark, path)
+    val pre = preListing.toSet
+    val added = listDataFiles(spark, path).filterNot(pre)
+    val prevArts = snap.map(_.artifacts).getOrElse(Map.empty)
+    commit(spark, path,
+      snap.map(_.dataFiles).getOrElse(Seq.empty) ++ added,
+      prevArts ++ artifacts)
+  }
+
   /** [[commit]] from the CURRENT directory listing, carrying the
     * previous manifest's artifact pointers (optionally overridden).
-    * Correct only after [[reconcile]] in the same single-writer window
-    * — the listing must hold no other mutation's orphans. */
+    * Correct only for BUILDS (the `mode("overwrite")` write wiped the
+    * directory, so the listing is exactly the build's output) — an
+    * append under retention must use [[commitDelta]] instead, because
+    * a listing would resurrect retained superseded files. */
   def commitListing(spark: SparkSession, path: String,
                     artifacts: Map[String, String] = Map.empty): Long = {
     val prev = load(spark, path).map(_.artifacts).getOrElse(Map.empty)
@@ -163,11 +239,14 @@ object IndexManifest {
   }
 
   /** Crash repair + one-time adoption, run at the START of every
-    * mutation: with a manifest present, delete every data file,
-    * artifact version directory, and leftover `_compacting` temp the
-    * manifest does not reference (debris of a crashed mutation — never
-    * visible to any reader, safe to drop). Without one, adopt the
-    * current listing as version 1 (pre-manifest index migration). */
+    * mutation: with manifests present, delete every data file,
+    * artifact version directory, and leftover `_compacting` temp that
+    * NO retained manifest references (debris of a crashed mutation —
+    * never committed, so never visible to any reader, safe to drop).
+    * Files a SUPERSEDED-but-retained manifest still references survive
+    * — they belong to the time-travel horizon until [[vacuum]] prunes
+    * it. Without a manifest, adopt the current listing as version 1
+    * (pre-manifest index migration). Returns the CURRENT snapshot. */
   def reconcile(spark: SparkSession, path: String): Snapshot =
     load(spark, path) match {
       case None =>
@@ -175,8 +254,10 @@ object IndexManifest {
         load(spark, path).get
       case Some(snap) =>
         val (fs, root) = fsOf(spark, path)
+        val retained = manifestFiles(fs, root)
+          .map { case (v, p) => parse(fs, v, p) }
         val listed = listDataFiles(spark, path)
-        val keep = snap.dataFiles.toSet
+        val keep = retained.flatMap(_.dataFiles).toSet
         listed.filterNot(keep).foreach { rel =>
           fs.delete(new Path(root, rel), false)
         }
@@ -187,11 +268,12 @@ object IndexManifest {
             val tmp = new Path(dir.getPath, "_compacting")
             if (fs.exists(tmp)) fs.delete(tmp, true): Unit
           }
-        // artifact versions the manifest does not point at (either a
-        // crashed mutation's uncommitted version, or a superseded one)
+        // artifact versions no retained manifest points at (a crashed
+        // mutation's uncommitted version; superseded versions past the
+        // retention window fall to vacuum)
         val artDir = new Path(root, ArtRoot)
         if (fs.exists(artDir)) {
-          val current = snap.artifacts.values.toSet
+          val current = retained.flatMap(_.artifacts.values).toSet
           fs.listStatus(artDir).toSeq.filter(_.isDirectory).foreach { fam =>
             fs.listStatus(fam.getPath).toSeq.filter(_.isDirectory)
               .foreach { v =>
@@ -202,6 +284,37 @@ object IndexManifest {
         }
         snap
     }
+
+  /** Prune the time-travel horizon to the newest `keepLast` manifests
+    * and physically delete everything only the pruned versions
+    * referenced — the explicit retention boundary (table-format
+    * VACUUM). Runs in the writer window. Deletion order is
+    * crash-shaped: manifests go first, so a crash mid-vacuum leaves the
+    * not-yet-deleted files as true orphans the next [[reconcile]]
+    * removes — never a manifest pointing at deleted files. Returns
+    * (manifests pruned, data files + artifact versions deleted). */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be positive, got $keepLast")
+    val (fs, root) = fsOf(spark, path)
+    val all = manifestFiles(fs, root)
+    if (all.length <= keepLast) return (0, 0)
+    val (pruned, kept) = all.splitAt(all.length - keepLast)
+    val keptSnaps = kept.map { case (v, p) => parse(fs, v, p) }
+    val prunedSnaps = pruned.map { case (v, p) => parse(fs, v, p) }
+    pruned.foreach { case (_, p) => fs.delete(p, false): Unit }
+    val keepData = keptSnaps.flatMap(_.dataFiles).toSet
+    val keepArts = keptSnaps.flatMap(_.artifacts.values).toSet
+    var removed = 0
+    prunedSnaps.flatMap(_.dataFiles).distinct.filterNot(keepData)
+      .foreach { rel =>
+        if (fs.delete(new Path(root, rel), false)) removed += 1
+      }
+    prunedSnaps.flatMap(_.artifacts.values).distinct.filterNot(keepArts)
+      .foreach { rel =>
+        if (fs.delete(new Path(root, rel), true)) removed += 1
+      }
+    (pruned.length, removed)
+  }
 
   /** The pinned data read: exactly the current manifest's files, with
     * the partition column recovered from the directory layout
@@ -217,6 +330,40 @@ object IndexManifest {
           .parquet(snap.dataFiles.map(f => new Path(root, f).toString): _*)
       case _ => spark.read.parquet(path)
     }
+
+  /** The TIME-TRAVEL data read: exactly the files a specific retained
+    * manifest listed — the snapshot a reader would have planned when
+    * that version was current. Same scan node, pruning, and broadcast
+    * shapes as [[readData]]; only the pinned version differs. Throws
+    * once [[vacuum]] has pruned the version (the horizon is explicit,
+    * not silently approximated). */
+  def readDataAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val snap = loadAt(spark, path, version).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"manifest version $version of $path is not retained " +
+          s"(available: ${versions(spark, path).mkString(", ")})"))
+    val (_, root) = fsOf(spark, path)
+    if (snap.dataFiles.isEmpty)
+      throw new java.util.NoSuchElementException(
+        s"manifest version $version of $path lists no data files")
+    spark.read.option("basePath", root.toString)
+      .parquet(snap.dataFiles.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** The time-travel artifact read — the model version the given
+    * manifest paired with its data files (a serve at version v must
+    * never mix v's data with a later model). */
+  def readArtifactAt(spark: SparkSession, path: String, name: String,
+                     version: Long): DataFrame = {
+    val snap = loadAt(spark, path, version).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"manifest version $version of $path is not retained"))
+    val rel = snap.artifacts.getOrElse(name,
+      throw new java.util.NoSuchElementException(
+        s"manifest version $version of $path carries no artifact '$name'"))
+    val (_, root) = fsOf(spark, path)
+    spark.read.parquet(new Path(root, rel).toString)
+  }
 
   /** Write the next version of a named artifact (a NEW directory —
     * never an in-place overwrite) and return its manifest pointer.

@@ -432,6 +432,7 @@ object Indexing {
                           path: String): Unit = {
     val spark = batch.sparkSession
     IndexManifest.reconcile(spark, path)
+    val pre = IndexManifest.listDataFiles(spark, path)
     val idx = IndexManifest.readData(spark, path)
     val bt = tfPostings(batch, idCol, textCol)
       .withColumn("shard", termShard(col("term")))
@@ -457,8 +458,7 @@ object Indexing {
     val aStats = IndexManifest.writeArtifact(spark, path, "stats",
       readPostingsStats(spark, path)
         .select((col("n_docs") + lit(nNew)).as("n_docs")))
-    IndexManifest.commit(spark, path,
-      IndexManifest.listDataFiles(spark, path), Map(aDf, aStats)): Unit
+    IndexManifest.commitDelta(spark, path, pre, Map(aDf, aStats)): Unit
   }
 
   /** Rebuild of the retrieval index's model artifacts FROM the postings

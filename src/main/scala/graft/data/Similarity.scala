@@ -335,6 +335,7 @@ object Similarity {
                      vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     IndexManifest.reconcile(spark, path)
+    val pre = IndexManifest.listDataFiles(spark, path)
     val cents = readIvfCentroids(spark, path)
     val assigned = assignCellsBroadcast(batch, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
@@ -345,7 +346,7 @@ object Similarity {
       .select(col("cell"), col(idCol))
     assigned.join(broadcast(stored), Seq("cell", idCol), "left_anti")
       .write.mode("append").partitionBy("cell").parquet(path)
-    IndexManifest.commitListing(spark, path): Unit
+    IndexManifest.commitDelta(spark, path, pre): Unit
   }
 
   /** The stored coarse quantizer of a maintained IVF index —
@@ -427,8 +428,12 @@ object Similarity {
     * that runs right before the commit): every serve planned DURING
     * the rebuild — after the v2 files are fully written — still
     * returns the v1 results, because v2 becomes visible only at the
-    * commit. v1's files are deleted after the commit (zero retention,
-    * the [[IndexManifest]] contract).
+    * commit. v1's files fall to the closing [[IndexManifest.vacuum]]:
+    * `retainVersions = 1` (default) deletes them immediately; ≥ 2
+    * keeps the pre-retrain generation readable
+    * ([[IndexManifest.readDataAt]] with its paired centroids via
+    * [[IndexManifest.readArtifactAt]]) so an executing serve never
+    * races the deletion.
     *
     * Scale: one pinned corpus read feeds the k-means rounds (shuffles
     * O(k × dim) per round) and the map-only re-assignment; the rewrite
@@ -440,21 +445,21 @@ object Similarity {
                       path: String, kCells: Int, rounds: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      preCommitHook: () => Unit = () => ()): Unit = {
-    val snap = IndexManifest.reconcile(spark, path)
+                      preCommitHook: () => Unit = () => (),
+                      retainVersions: Int = 1): Unit = {
+    IndexManifest.reconcile(spark, path)
+    // v2 = everything the write adds beyond the PRE-WRITE LISTING (not
+    // the snapshot: under retention the directory may also hold an
+    // older generation's superseded files, which are neither v1 nor v2)
+    val pre = IndexManifest.listDataFiles(spark, path).toSet
     val rows = IndexManifest.readData(spark, path)
       .select(col(idCol), col(vecCol))
     val cents = fitCentroids(rows, kCells, rounds, idCol, vecCol)
     assignCellsBroadcast(rows, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
-    // the v2 generation = everything the write added beyond the pinned
-    // v1 listing (single-writer window, reconciled above)
-    val after = IndexManifest.listDataFiles(spark, path)
-    val v1 = snap.dataFiles.toSet
-    val v2Files = after.filterNot(v1)
+    val v2Files = IndexManifest.listDataFiles(spark, path).filterNot(pre)
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val sizes = spark.read.option("basePath", root.toString)
       .parquet(v2Files.map(f =>
         new org.apache.hadoop.fs.Path(root, f).toString): _*)
@@ -464,8 +469,7 @@ object Similarity {
     val aSizes = IndexManifest.writeArtifact(spark, path, "cellsizes", sizes)
     preCommitHook()
     IndexManifest.commit(spark, path, v2Files, Map(aCents, aSizes))
-    snap.dataFiles.foreach(rel =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
+    IndexManifest.vacuum(spark, path, retainVersions): Unit
   }
 
   /** Norm-scaled int8 quantization of a float vector: each coordinate

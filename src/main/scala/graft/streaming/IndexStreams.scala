@@ -39,19 +39,27 @@ object IndexStreams {
     * maintained stream compacts its own index every `compactEvery`
     * batches ([[graft.data.Dedup.compactIndex]]) — safe HERE precisely
     * because foreachBatch is the index's single writer (the compaction
-    * contract) and batches serialize. 0 disables. */
+    * contract) and batches serialize. 0 disables.
+    *
+    * `retainVersions` is compaction's retention window
+    * ([[graft.data.IndexManifest.vacuum]]): a continuously-serving
+    * pipeline sets ≥ 2 so a serve EXECUTING against the pre-compaction
+    * snapshot never races the superseded files' deletion — the vacuum
+    * then trails the stream by that many manifest versions. */
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batchId: Long, compactEvery: Int,
-      maxFilesPerShard: Int, partitionCol: String = "shard"): Unit =
+      maxFilesPerShard: Int, partitionCol: String = "shard",
+      retainVersions: Int = 1): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       Dedup.compactIndex(spark, indexPath, maxFilesPerShard,
-        partitionCol = partitionCol): Unit
+        partitionCol = partitionCol, retainVersions = retainVersions): Unit
     }
 
   def screenStream(docs: DataFrame, indexPath: String, outPath: String,
                    cellWords: Int, maintain: Boolean,
                    checkpoint: String, compactEvery: Int = 0,
-                   maxFilesPerShard: Int = 4): StreamingQuery =
+                   maxFilesPerShard: Int = 4,
+                   retainVersions: Int = 1): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
@@ -84,7 +92,8 @@ object IndexStreams {
           .partitionBy("batch_id").parquet(outPath)
         if (maintain) {
           Dedup.appendCellIndex(cells, indexPath)
-          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard)
+          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard,
+            retainVersions = retainVersions)
         }
         ()
       }
@@ -107,7 +116,8 @@ object IndexStreams {
   def bandScreenStream(docs: DataFrame, indexPath: String, outPath: String,
                        k: Int, b: Int, r: Int, cap: Int, maintain: Boolean,
                        checkpoint: String, compactEvery: Int = 0,
-                       maxFilesPerShard: Int = 4): StreamingQuery =
+                       maxFilesPerShard: Int = 4,
+                       retainVersions: Int = 1): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
@@ -128,7 +138,8 @@ object IndexStreams {
           .partitionBy("batch_id").parquet(outPath)
         if (maintain) {
           Dedup.appendBandIndex(bands, "doc_id", cap, indexPath)
-          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard)
+          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard,
+            retainVersions = retainVersions)
         }
         ()
       }
@@ -174,7 +185,8 @@ object IndexStreams {
                          nprobe: Int, tau: Double, maintain: Boolean,
                          checkpoint: String, compactEvery: Int = 0,
                          maxFilesPerShard: Int = 4,
-                         retrainRounds: Int = 0): StreamingQuery =
+                         retrainRounds: Int = 0,
+                         retainVersions: Int = 1): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
@@ -221,10 +233,12 @@ object IndexStreams {
             val kCells = graft.data.Similarity
               .readIvfCentroids(spark, indexPath).count().toInt
             graft.data.Similarity.retrainIvfIndex(spark, indexPath,
-              kCells = kCells, rounds = retrainRounds)
+              kCells = kCells, rounds = retrainRounds,
+              retainVersions = retainVersions)
           } else {
             maybeCompact(spark, indexPath, id, compactEvery,
-              maxFilesPerShard, partitionCol = "cell")
+              maxFilesPerShard, partitionCol = "cell",
+              retainVersions = retainVersions)
           }
         }
         ()
@@ -250,7 +264,8 @@ object IndexStreams {
   def postingsIngestStream(docs: DataFrame, indexPath: String,
                            outPath: String, maintain: Boolean,
                            checkpoint: String, compactEvery: Int = 0,
-                           maxFilesPerShard: Int = 4): StreamingQuery =
+                           maxFilesPerShard: Int = 4,
+                           retainVersions: Int = 1): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
@@ -259,7 +274,8 @@ object IndexStreams {
         if (maintain) {
           graft.data.Indexing.appendPostingsIndex(b, "doc_id", "text",
             indexPath)
-          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard)
+          maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard,
+            retainVersions = retainVersions)
         }
         val nDocs = graft.data.Indexing.readPostingsStats(spark, indexPath)
           .head().getLong(0)

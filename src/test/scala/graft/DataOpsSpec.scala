@@ -843,6 +843,47 @@ class DataOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == afterAppend)
   }
 
+  test("retention: compactIndex(retainVersions=2) keeps the pre-compaction " +
+      "snapshot physically readable (time travel); the next vacuum " +
+      "boundary reclaims it") {
+    import graft.data.{Dedup, IndexManifest}
+    val corpus = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_retain")
+      .resolve("cells").toString
+    Dedup.writeCellIndex(corpus, "doc_id", "text", 2, path)
+    (0 until 3).foreach { i =>
+      Dedup.appendCellIndex(
+        Dedup.cellHashes(Seq((100L + i, s"w$i x$i y$i z$i"))
+          .toDF("doc_id", "text"), "doc_id", "text", 2), path)
+    }
+    val preVersion = IndexManifest.load(spark, path).get.version
+    val preRows = IndexManifest.readData(spark, path).count()
+    val preFiles = IndexManifest.load(spark, path).get.dataFiles
+    val (nShards, _, _) = Dedup.compactIndex(spark, path,
+      maxFilesPerShard = 1, retainVersions = 2)
+    assert(nShards > 0, "compaction must have rewritten something")
+    // the superseded files are still on disk: an executing reader pinned
+    // to the pre-compaction manifest cannot race a deletion
+    assert(preFiles.forall(f => new java.io.File(path, f).exists()),
+      "retainVersions=2 must keep every pre-compaction file")
+    // ... and the pre-compaction snapshot is reconstructable exactly
+    assert(IndexManifest.readDataAt(spark, path, preVersion).count() == preRows)
+    assert(IndexManifest.readData(spark, path).count() == preRows,
+      "compaction must not change the row set")
+    // the retention boundary: an explicit vacuum to the newest version
+    // reclaims the superseded files (what a later compaction's closing
+    // vacuum would also do once the window slides past them)
+    IndexManifest.vacuum(spark, path, keepLast = 1)
+    val kept = IndexManifest.load(spark, path).get.dataFiles.toSet
+    assert(preFiles.filterNot(kept).forall(f =>
+      !new java.io.File(path, f).exists()),
+      "vacuum past the window must delete the superseded files")
+    intercept[java.util.NoSuchElementException] {
+      IndexManifest.readDataAt(spark, path, preVersion)
+    }
+    assert(IndexManifest.readData(spark, path).count() == preRows)
+  }
+
   test("linearScoreColumns is the mean hashed-bucket weight") {
     // Weight of a token = (hex4(md5 tok) % 64) % 7 - 3: recompute in plain
     // Scala and compare — the operator must be exactly this arithmetic.

@@ -68,7 +68,9 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(!orphan.exists(), "orphan data file must be reconciled away")
     assert(!new java.io.File(p, "_art/model/v000001").exists(),
       "uncommitted artifact version must be reconciled away")
-    // a COMMITTED artifact survives reconcile; superseded versions go
+    // a COMMITTED artifact survives reconcile; a superseded version is
+    // RETAINED (its manifest is still on the time-travel horizon) until
+    // vacuum prunes that horizon
     val a1 = IndexManifest.writeArtifact(spark, p, "model",
       Seq((0L, 1L)).toDF("k", "n"))
     IndexManifest.commit(spark, p,
@@ -78,9 +80,12 @@ class IndexManifestSpec extends AnyFunSuite {
     IndexManifest.commit(spark, p,
       IndexManifest.load(spark, p).get.dataFiles, Map(a2))
     IndexManifest.reconcile(spark, p)
-    assert(!new java.io.File(p, s"_art/${a1._2.split('/').last}").exists
-      || !new java.io.File(p, a1._2).exists(),
-      "superseded artifact version must be garbage-collected")
+    assert(new java.io.File(p, a1._2).exists(),
+      "a superseded artifact a retained manifest references must survive " +
+        "reconcile — deletion is vacuum's job")
+    IndexManifest.vacuum(spark, p, keepLast = 1)
+    assert(!new java.io.File(p, a1._2).exists(),
+      "vacuum must garbage-collect the superseded artifact version")
     assert(IndexManifest.readArtifact(spark, p, "model")
       .as[(Long, Long)].head() == (0L, 2L))
   }
@@ -106,5 +111,111 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(IndexManifest.readArtifact(spark, p, "df",
         legacyDir = Some("_df"))
       .as[(String, Long)].head() == ("x", 2L))
+  }
+
+  test("time travel: readDataAt reconstructs each retained version " +
+      "exactly, data and artifacts paired; pruned versions throw") {
+    val p = freshIndex()
+    IndexManifest.reconcile(spark, p) // v1: 3 rows
+    val m1 = IndexManifest.writeArtifact(spark, p, "model",
+      Seq((1L, 3L)).toDF("gen", "n"))
+    IndexManifest.commit(spark, p,
+      IndexManifest.load(spark, p).get.dataFiles, Map(m1)) // v2
+    // an append-shaped mutation: new file + new model version, delta commit
+    val pre = IndexManifest.listDataFiles(spark, p)
+    Seq((99L, "z")).toDF("id", "v")
+      .withColumn("shard", org.apache.spark.sql.functions.lit(1))
+      .repartition(1)
+      .write.mode("append").partitionBy("shard").parquet(p)
+    val m2 = IndexManifest.writeArtifact(spark, p, "model",
+      Seq((2L, 4L)).toDF("gen", "n"))
+    IndexManifest.commitDelta(spark, p, pre, Map(m2)) // v3
+    assert(IndexManifest.versions(spark, p) == Seq(1L, 2L, 3L))
+    assert(IndexManifest.readDataAt(spark, p, 2L).count() == 3L)
+    assert(IndexManifest.readData(spark, p).count() == 4L)
+    // the artifact paired with v2 is gen 1 even though gen 2 is current
+    assert(IndexManifest.readArtifactAt(spark, p, "model", 2L)
+      .as[(Long, Long)].head() == (1L, 3L))
+    assert(IndexManifest.readArtifact(spark, p, "model")
+      .as[(Long, Long)].head() == (2L, 4L))
+    // vacuum to the newest 1: past versions become unavailable LOUDLY
+    IndexManifest.vacuum(spark, p, keepLast = 1)
+    assert(IndexManifest.versions(spark, p) == Seq(3L))
+    intercept[java.util.NoSuchElementException] {
+      IndexManifest.readDataAt(spark, p, 2L)
+    }
+    assert(IndexManifest.readData(spark, p).count() == 4L)
+  }
+
+  test("vacuum keeps every file a retained manifest references and " +
+      "deletes what only pruned manifests held; a compaction-style swap " +
+      "stays time-travel readable inside the window") {
+    val p = freshIndex()
+    val v1files = IndexManifest.listDataFiles(spark, p)
+    IndexManifest.commit(spark, p, v1files, Map.empty) // v1: all files
+    // a compaction-style v2: drop one file from the listing (rewrite
+    // elided — the retention math is the same)
+    val dropped = v1files.head
+    IndexManifest.commit(spark, p, v1files.drop(1), Map.empty) // v2
+    // retain 2: v1 (which still references the dropped file) survives,
+    // so the file must stay on disk and readDataAt(1) must see it
+    IndexManifest.vacuum(spark, p, keepLast = 2)
+    assert(new java.io.File(p, dropped).exists(),
+      "a file referenced by a retained manifest must survive vacuum")
+    assert(IndexManifest.readDataAt(spark, p, 1L).count() == 3L)
+    assert(IndexManifest.readData(spark, p).count() < 3L)
+    // reconcile (crash repair) must ALSO respect the retained horizon
+    IndexManifest.reconcile(spark, p)
+    assert(new java.io.File(p, dropped).exists(),
+      "reconcile must not delete files a retained manifest references")
+    // retain 1: the dropped file's last reference is pruned -> deleted
+    val (pruned, removed) = IndexManifest.vacuum(spark, p, keepLast = 1)
+    assert(pruned == 1 && removed == 1, s"($pruned, $removed)")
+    assert(!new java.io.File(p, dropped).exists(),
+      "vacuum must delete a file only pruned manifests referenced")
+    assert(IndexManifest.readData(spark, p).count() < 3L)
+  }
+
+  test("commit detects a violated single-writer window: the version " +
+      "name can be claimed only once, and the loser's state is intact") {
+    val p = freshIndex()
+    IndexManifest.reconcile(spark, p) // v1
+    // the race: two writers both load v1 and compute next = 2; the
+    // first claims it...
+    val winner = "D shard=0/winner.parquet"
+    java.nio.file.Files.write(
+      new java.io.File(p, "_manifests/m000000000002").toPath,
+      winner.getBytes("UTF-8"))
+    // ... and the second, committing the same stale next through the
+    // claim seam, must fail LOUDLY — never silently replace the winner
+    val ex = intercept[java.io.IOException] {
+      IndexManifest.commitAt(spark, p, 2L,
+        Seq("shard=0/loser.parquet"), Map.empty)
+    }
+    assert(ex.getMessage.contains("concurrent"),
+      s"must name the concurrent-writer violation: ${ex.getMessage}")
+    // the winner's manifest is untouched and no temp lingers
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(p, "_manifests/m000000000002").toPath),
+      "UTF-8") == winner)
+    val mdir = new java.io.File(p, "_manifests")
+    assert(mdir.listFiles().forall(f => !f.getName.endsWith(".tmp")))
+  }
+
+  test("crash mid-vacuum (manifest deleted, files not yet) leaves true " +
+      "orphans the next reconcile removes") {
+    val p = freshIndex()
+    val files = IndexManifest.listDataFiles(spark, p)
+    IndexManifest.commit(spark, p, files, Map.empty)       // v1: all
+    IndexManifest.commit(spark, p, files.drop(1), Map.empty) // v2: drops one
+    // simulate vacuum crashing AFTER pruning v1 but BEFORE deleting the
+    // file only v1 referenced
+    val m1 = new java.io.File(p, "_manifests/m000000000001")
+    assert(m1.delete())
+    assert(new java.io.File(p, files.head).exists())
+    IndexManifest.reconcile(spark, p)
+    assert(!new java.io.File(p, files.head).exists(),
+      "reconcile must remove the file no retained manifest references")
+    assert(IndexManifest.readData(spark, p).count() < 3L)
   }
 }
