@@ -37,7 +37,8 @@ object Plans {
     "data_dedup_band_index_serve", "data_bpe_bytes",
     "data_sim_ivf_append", "data_mixture_sample", "data_bpe_oov_encode",
     "data_search_index_serve", "data_sim_ivf_retrain",
-    "data_dedup_semantic_index_serve", "data_pack_tokenized")
+    "data_dedup_semantic_index_serve", "data_pack_tokenized",
+    "data_pack_tokenized_append")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -514,6 +515,16 @@ object Plans {
       |  the bin's token budget (sequences must materialize somewhere;
       |  that is what a training shard IS). The manifest side is a scan
       |  of the written artifact + one per-shard hash aggregate.
+      |- **data_pack_tokenized_append** — the maintained-shard lifecycle's
+      |  serve (the stored incrementally-maintained manifest artifact: one
+      |  bounded scan + the dump sort). The append inside the build memo
+      |  follows the maintained-index disciplines this file audits
+      |  elsewhere: novelty = stored `doc_ids` membership streamed against
+      |  a broadcast of the batch ids (batch-bounded output, index never
+      |  shuffled), continuation bins from a bin-column-only aggregate
+      |  broadcast into the batch's per-bucket running-offset window, and
+      |  the artifact increment computed from the READ-BACK of exactly the
+      |  files the commit publishes.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

@@ -62,7 +62,10 @@ object ScaleBench {
     // round-12 additions: IVF retrain, maintained semantic-dedup serve
     "data_sim_ivf_retrain", "data_dedup_semantic_index_serve",
     "data_dedup_semantic_index_append", "data_pack_tokenized",
-    "data_dedup_band_tombstone")
+    "data_dedup_band_tombstone",
+    // round-12 late additions: time-travel serve (retention), maintained
+    // tokenized-shard appends
+    "data_dedup_index_asof", "data_pack_tokenized_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1279,30 +1279,41 @@ object TrainQueries {
     * `partitionBy(shard)`, one writer per directory, the maintained-
     * index layout discipline. */
   private[graft] def writeTokenizedShards(spark: SparkSession, dir: String,
-                                          path: String): Unit = {
-    // The assemblies below are collect_list aggregations whose per-GROUP
-    // payload is bounded (a document / a bin) but whose per-TASK hash-mode
-    // buffer is not: ObjectHashAggregate holds every in-flight group's
-    // boxed entries until the fallback threshold, and the sessions here
-    // RAISE that threshold to 65536 for the tiny argmax aggregates —
-    // 65k docs × ~120 boxed entries per scan partition OOM'd the sf10
-    // probe. Pin a small threshold for THIS write so the aggregation
-    // goes sort-based (spillable external sort — memory bounded by the
-    // sorter's pages, not by group count) after a few hundred groups;
-    // the one-time shard write trades a sort for bounded memory, which
-    // is exactly the trade a 100 TB ingest must make.
+                                          path: String,
+                                          docWhere: Option[Column] = None): Unit =
+    withSortFallback(spark) { writeTokenizedShardsInner(spark, dir, path,
+      docWhere) }
+
+  /** The assemblies in the shard write/append are collect_list
+    * aggregations whose per-GROUP payload is bounded (a document / a
+    * bin) but whose per-TASK hash-mode buffer is not: ObjectHashAggregate
+    * holds every in-flight group's boxed entries until the fallback
+    * threshold, and the sessions here RAISE that threshold to 65536 for
+    * the tiny argmax aggregates — 65k docs × ~120 boxed entries per scan
+    * partition OOM'd the sf10 probe. Pin a small threshold for the shard
+    * mutations so the aggregation goes sort-based (spillable external
+    * sort — memory bounded by the sorter's pages, not by group count):
+    * the one-time write trades a sort for bounded memory, which is
+    * exactly the trade a 100 TB ingest must make. */
+  private def withSortFallback[A](spark: SparkSession)(body: => A): A = {
     val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prevFallback = spark.conf.getOption(fallbackKey)
     spark.conf.set(fallbackKey, "512")
-    try writeTokenizedShardsInner(spark, dir, path)
+    try body
     finally prevFallback match {
       case Some(v) => spark.conf.set(fallbackKey, v)
       case None => spark.conf.unset(fallbackKey)
     }
   }
 
-  private def writeTokenizedShardsInner(spark: SparkSession, dir: String,
-                                        path: String): Unit = {
+  /** Per-document flat token-id sequences under the FROZEN byte-BPE
+    * vocabulary of `dir` — the shared encode of the shard build and
+    * every later batch append (the frozen-centroid contract, tokenizer
+    * edition: appends never retrain or renumber the vocabulary, so
+    * stored shards stay valid). One pretoken explode, one broadcast
+    * join, one per-doc assembly. */
+  private def tokenizedDocs(spark: SparkSession, dir: String,
+                            docs: DataFrame): DataFrame = {
     val wf = bpeByteTrainedWords(spark, dir).select(col("word"), col("syms"))
     // vocabulary ids: bounded relation, so the single-partition
     // row_number window is the fitCentroids-seed pattern, not a scale
@@ -1317,7 +1328,7 @@ object TrainQueries {
       .agg(array_sort(collect_list(struct(col("spos"), col("tid"))))
         .as("st"))
       .select(col("word"), transform(col("st"), _.getField("tid")).as("tids"))
-    val docToks = Tables.documentsHot(spark, dir)
+    docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.bpePretokens(col("text")))
           .as(Seq("wpos", "word")))
@@ -1329,21 +1340,151 @@ object TrainQueries {
         flatten(transform(col("ps"), _.getField("tids"))).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("bucket", col("doc_id") % PackBuckets)
-    docToks
-      .withColumn("bin",
-        expr(s"coalesce(sum(n_tok) over (partition by bucket order by" +
-          s" doc_id rows between unbounded preceding and 1 preceding), 0L)" +
-          s" div $PackBin"))
+  }
+
+  /** Assemble (bucket, bin)-binned docs into shard rows. `binCol` is the
+    * caller's bin rule (build: running offset from 0; append:
+    * continuation past the stored max bin). The row keeps its member
+    * `doc_ids` — bounded by the bin's doc count — so appends can screen
+    * novelty against the artifact itself. */
+  private def assembleBins(binned: DataFrame): DataFrame =
+    binned
       .groupBy(col("bucket"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         array_sort(collect_list(struct(col("doc_id"), col("toks"))))
           .as("ds"))
       .select(col("bucket").as("shard"), col("bin"), col("n_docs"),
         col("n_tokens"),
+        transform(col("ds"), _.getField("doc_id")).as("doc_ids"),
         flatten(transform(col("ds"), _.getField("toks"))).as("token_ids"))
+
+  private def writeTokenizedShardsInner(spark: SparkSession, dir: String,
+                                        path: String,
+                                        docWhere: Option[Column]): Unit = {
+    val docs0 = Tables.documentsHot(spark, dir)
+    val docToks = tokenizedDocs(spark, dir,
+      docWhere.map(docs0.where).getOrElse(docs0))
+    assembleBins(docToks
+        .withColumn("bin",
+          expr(s"coalesce(sum(n_tok) over (partition by bucket order by" +
+            s" doc_id rows between unbounded preceding and 1 preceding), 0L)" +
+            s" div $PackBin")))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // publish under the manifest protocol with the reproducibility
+    // manifest as the model artifact, computed from the READ-BACK of
+    // the written files (the shard write's verification discipline)
+    val art = graft.data.IndexManifest.writeArtifact(spark, path, "manifest",
+      shardTokenManifest(spark, path))
+    graft.data.IndexManifest.commit(spark, path,
+      graft.data.IndexManifest.listDataFiles(spark, path), Map(art)): Unit
   }
+
+  /** MAINTAIN a tokenized-shard artifact: encode an ingest batch with
+    * the FROZEN vocabulary, pack its NOVEL documents into CONTINUATION
+    * bins (per shard: `max stored bin + 1` onward — stored bins are
+    * immutable training data, an append never rewrites or re-balances
+    * them), append into the shard layout, and update the
+    * reproducibility-manifest artifact by EXACT increments — counts
+    * add, and the shard checksum xors with the new sequences' hashes
+    * (xor is self-inverse and order-free: the incremented artifact is
+    * bit-identical to a recompute over the files at rest, the law the
+    * `data_pack_tokenized_append` oracle and TrainOpsSpec pin).
+    *
+    * Idempotent like every maintained append: already-stored doc ids
+    * are screened via the stored bins' `doc_ids` membership — the
+    * pinned index scan joins a broadcast of the batch ids (pruned to
+    * the batch's shard directories, output batch-bounded), so a full
+    * replay packs nothing and increments nothing.
+    *
+    * The increment itself is computed from the READ-BACK of the files
+    * this append wrote (post-listing minus pre — the same delta the
+    * commit publishes), not from the in-flight plan: what lands in the
+    * artifact is what a future reader will actually hash.
+    *
+    * Atomicity ([[graft.data.IndexManifest]]): new shard files and the
+    * new manifest-artifact version publish in ONE commit; a crash
+    * before it leaves invisible orphans (the replay re-packs them
+    * correctly against the pinned pre-state), and readers at any point
+    * see a consistent (shards, manifest) pair. */
+  private[graft] def appendTokenizedShards(spark: SparkSession, dir: String,
+                                           batch: DataFrame,
+                                           path: String): Unit =
+    withSortFallback(spark) {
+      val snap = graft.data.IndexManifest.reconcile(spark, path)
+      val pre = graft.data.IndexManifest.listDataFiles(spark, path)
+      val toks = tokenizedDocs(spark, dir, batch)
+      val idx =
+        if (snap.dataFiles.isEmpty) null
+        else graft.data.IndexManifest.readData(spark, path)
+      val batchIds = toks.select(col("bucket").cast("int").as("shard"),
+        col("doc_id"))
+      val known =
+        if (idx == null) batchIds.limit(0)
+        else idx.select(col("shard"), explode(col("doc_ids")).as("doc_id"))
+          .join(broadcast(batchIds), Seq("shard", "doc_id"))
+          .select(col("shard"), col("doc_id"))
+      val novel = toks.join(broadcast(known.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      // continuation bins: stored per-shard max bin is a bin-column-only
+      // aggregate over the pruned scan (metadata-cheap), broadcast into
+      // the batch's running-offset window
+      val maxBins =
+        if (idx == null)
+          spark.range(0).select(col("id").as("bucket"),
+            col("id").as("__maxbin"))
+        else idx.groupBy(col("shard").cast("long").as("bucket"))
+          .agg(max(col("bin")).as("__maxbin"))
+      val binned = novel
+        .join(broadcast(maxBins), Seq("bucket"), "left")
+        .withColumn("bin",
+          coalesce(col("__maxbin"), lit(-1L)) + lit(1L) +
+            expr(s"coalesce(sum(n_tok) over (partition by bucket order by" +
+              s" doc_id rows between unbounded preceding and 1 preceding)," +
+              s" 0L) div $PackBin"))
+        .drop("__maxbin")
+      assembleBins(binned)
+        .repartition(col("shard"))
+        .write.mode("append").partitionBy("shard").parquet(path)
+      // exact artifact increments from the read-back of what landed
+      val added = graft.data.IndexManifest.listDataFiles(spark, path)
+        .filterNot(pre.toSet)
+      val art: Map[String, String] =
+        if (added.isEmpty) Map.empty // full replay: nothing landed — the
+                                     // delta commit carries the previous
+                                     // artifact pointer unchanged
+        else {
+          val prevArt = readShardManifest(spark, path)
+          val root = new org.apache.hadoop.fs.Path(path)
+          val inc = shardManifestOf(
+            spark.read.option("basePath", root.toString)
+              .parquet(added.map(f =>
+                new org.apache.hadoop.fs.Path(root, f).toString): _*))
+          Map(graft.data.IndexManifest.writeArtifact(spark, path, "manifest",
+            prevArt.select(col("shard"), col("n_seqs"), col("n_docs"),
+                col("sum_tokens"), col("xor_checksum"))
+              .join(inc.select(col("shard"), col("n_seqs").as("__s"),
+                col("n_docs").as("__d"), col("sum_tokens").as("__t"),
+                col("xor_checksum").as("__x")), Seq("shard"), "full")
+              .select(col("shard"),
+                (coalesce(col("n_seqs"), lit(0L)) +
+                  coalesce(col("__s"), lit(0L))).as("n_seqs"),
+                (coalesce(col("n_docs"), lit(0L)) +
+                  coalesce(col("__d"), lit(0L))).as("n_docs"),
+                (coalesce(col("sum_tokens"), lit(0L)) +
+                  coalesce(col("__t"), lit(0L))).as("sum_tokens"),
+                expr("coalesce(xor_checksum, 0L) ^ coalesce(__x, 0L)")
+                  .as("xor_checksum"))))
+        }
+      graft.data.IndexManifest.commitDelta(spark, path, pre, art): Unit
+    }
+
+  /** The stored reproducibility manifest of a maintained tokenized-shard
+    * artifact (manifest-pinned; exact-incremented by
+    * [[appendTokenizedShards]]). */
+  private[graft] def readShardManifest(spark: SparkSession,
+                                       path: String): DataFrame =
+    graft.data.IndexManifest.readArtifact(spark, path, "manifest")
 
   /** The reproducibility manifest of a tokenized-shard artifact,
     * computed from the files at rest: per shard — sequence/doc/token
@@ -1352,7 +1493,13 @@ object TrainQueries {
     * re-segmented token flips its shard's xor). */
   private[graft] def shardTokenManifest(spark: SparkSession,
                                         path: String): DataFrame =
-    spark.read.parquet(path)
+    shardManifestOf(graft.data.IndexManifest.readData(spark, path))
+
+  /** The manifest fold over any set of shard rows — shared by the
+    * at-rest recompute ([[shardTokenManifest]]) and the append's
+    * read-back increment, so the two can only agree or loudly differ. */
+  private def shardManifestOf(rows: DataFrame): DataFrame =
+    rows
       .select(col("shard").cast("long").as("shard"), col("n_docs"),
         col("n_tokens"),
         conv(substring(md5(concat(col("bin").cast("string"), lit(":"),
@@ -1387,6 +1534,45 @@ object TrainQueries {
       p
     })
     shardTokenManifest(spark, path).dumpOrderedTail("shard")
+  }
+
+  /** The shard-maintenance lifecycle's fixed ingest window — the
+    * [[graft.DataQueries]] screen convention: the batch is the bounded
+    * id slice [400, 500), the corpus is everything else, so the batch
+    * stays one ingest increment while the corpus grows with the scale
+    * factor. */
+  private val PackSnapshotId = 400L
+  private val PackBatchEnd = 500L
+
+  private val builtPackAppends =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Maintained tokenized-shard lifecycle: corpus shards built once
+    * (frozen vocabulary, manifest-published), the ingest batch appended
+    * TWICE ([[appendTokenizedShards]] — the replay must pack nothing and
+    * increment nothing), and the serve reads the STORED incrementally-
+    * maintained manifest artifact. The oracle replays the incremental
+    * semantics from the text: corpus bins by running token offset,
+    * batch docs packed into CONTINUATION bins (per shard: max corpus
+    * bin + 1 onward), checksums over the union — so the differential
+    * proves the continuation-bin arithmetic, the frozen-vocab encode,
+    * the novelty screen (double append == single append), and the
+    * exact xor/count increments all at once. */
+  private def packTokenizedAppend(spark: SparkSession, dir: String): DataFrame = {
+    val path = builtPackAppends.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(packRoot, "append_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      writeTokenizedShards(spark, dir, p,
+        docWhere = Some(col("doc_id") < PackSnapshotId ||
+          col("doc_id") >= PackBatchEnd))
+      val batch = Tables.documentsHot(spark, dir)
+        .where(col("doc_id") >= PackSnapshotId &&
+          col("doc_id") < PackBatchEnd)
+      appendTokenizedShards(spark, dir, batch, p)
+      appendTokenizedShards(spark, dir, batch, p) // replay: a no-op
+      p
+    })
+    readShardManifest(spark, path).dumpOrdered("shard")
   }
 
   /** Round-k oracle CTE block: pair counts over w{k-1}, the argmax
@@ -1852,6 +2038,73 @@ object TrainQueries {
          |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |    flatten(list(toks ORDER BY doc_id)) AS token_ids
          |  FROM p GROUP BY bucket, bin),
+         |h AS (
+         |  SELECT bucket, bin, n_docs, n_tokens,
+         |    CAST(list_sum(list_transform(range(1, 14), i ->
+         |      (strpos('0123456789abcdef',
+         |         substr(md5(CAST(bin AS VARCHAR) || ':' ||
+         |                    array_to_string(list_transform(token_ids,
+         |                      x -> CAST(x AS VARCHAR)), ',')), i, 1)) - 1)
+         |      * 16 ** (13 - i))) AS BIGINT) AS h52
+         |  FROM sq)
+         |SELECT CAST(bucket AS BIGINT) AS shard, count(*) AS n_seqs,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(bit_xor(h52) AS BIGINT) AS xor_checksum
+         |FROM h GROUP BY bucket ORDER BY shard""".stripMargin
+    }),
+
+    "data_pack_tokenized_append" -> Q(packTokenizedAppend, Some {
+      val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
+      s"""WITH $bpeBytesCtes,
+         |vb AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+         |           AS tid
+         |  FROM (SELECT DISTINCT unnest(syms) AS sym
+         |        FROM w$BpeTrainRounds)),
+         |wsp AS (
+         |  SELECT word, unnest(range(0, len(syms))) AS spos, syms
+         |  FROM w$BpeTrainRounds),
+         |wt AS (
+         |  SELECT wsp.word, list(vb.tid ORDER BY wsp.spos) AS tids
+         |  FROM wsp JOIN vb ON vb.sym = wsp.syms[spos + 1]
+         |  GROUP BY wsp.word),
+         |wp AS (
+         |  SELECT doc_id, unnest(range(0, len(w))) AS wpos, w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(lower(text), '$pat', 0) AS w
+         |        FROM documents) q),
+         |ww AS (SELECT doc_id, wpos, w[wpos + 1] AS word FROM wp),
+         |dt AS (
+         |  SELECT ww.doc_id,
+         |    flatten(list(wt.tids ORDER BY ww.wpos)) AS toks
+         |  FROM ww JOIN wt USING (word) GROUP BY ww.doc_id),
+         |d AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+         |         doc_id % $PackBuckets AS bucket
+         |  FROM dt),
+         |pc AS (
+         |  SELECT doc_id, toks, n_tok, bucket,
+         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d
+         |  WHERE doc_id < $PackSnapshotId OR doc_id >= $PackBatchEnd),
+         |mb AS (SELECT bucket, max(bin) AS maxbin FROM pc GROUP BY bucket),
+         |pb AS (
+         |  SELECT d.doc_id, d.toks, d.n_tok, d.bucket,
+         |    COALESCE(mb.maxbin, -1) + 1 +
+         |    CAST(COALESCE(sum(d.n_tok) OVER (PARTITION BY d.bucket
+         |      ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d LEFT JOIN mb ON mb.bucket = d.bucket
+         |  WHERE d.doc_id >= $PackSnapshotId AND d.doc_id < $PackBatchEnd),
+         |pall AS (SELECT * FROM pc UNION ALL SELECT * FROM pb),
+         |sq AS (
+         |  SELECT bucket, bin, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    flatten(list(toks ORDER BY doc_id)) AS token_ids
+         |  FROM pall GROUP BY bucket, bin),
          |h AS (
          |  SELECT bucket, bin, n_docs, n_tokens,
          |    CAST(list_sum(list_transform(range(1, 14), i ->

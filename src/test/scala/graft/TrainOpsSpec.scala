@@ -59,6 +59,62 @@ class TrainOpsSpec extends AnyFunSuite {
       "packed token mass must equal the encode's subtoken mass")
   }
 
+  test("tokenized-shard appends: continuation bins, replay no-op, " +
+      "incremented manifest equals recompute, pre-append version " +
+      "time-travel readable") {
+    import org.apache.spark.sql.functions.col
+    import graft.data.IndexManifest
+    val p = java.nio.file.Files.createTempDirectory("graft_packtok_m")
+      .resolve("shards").toString
+    val sf = TestSpark.sf
+    // corpus = even ids, batch = odd ids: both nonempty at any SF, and
+    // every shard takes appends (bucket = id % 8 covers odds and evens)
+    TrainQueries.writeTokenizedShards(spark, sf, p,
+      docWhere = Some(col("doc_id") % 2 === 0))
+    val v1 = IndexManifest.load(spark, p).get.version
+    def bins() = IndexManifest.readData(spark, p)
+      .select(col("shard").cast("long"), col("bin"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    def manifestArt() = TrainQueries.readShardManifest(spark, p)
+      .orderBy("shard").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val binsBefore = bins()
+    val artBefore = manifestArt()
+    // build-time artifact equals the recompute over the files at rest
+    assert(artBefore == TrainQueries.shardTokenManifest(spark, p)
+      .orderBy("shard").as[(Long, Long, Long, Long, Long)].collect().toSeq)
+    val batch = Tables.documentsHot(spark, sf)
+      .where(col("doc_id") % 2 === 1)
+    TrainQueries.appendTokenizedShards(spark, sf, batch, p)
+    val binsAfter = bins()
+    assert(binsAfter.size > binsBefore.size, "the append must add bins")
+    // CONTINUATION law: stored bins are untouched, every new bin sits
+    // strictly past its shard's stored max — appends never rewrite or
+    // re-balance existing training data
+    val maxBefore = binsBefore.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    val newBins = binsAfter.diff(binsBefore)
+    assert(binsBefore.forall(binsAfter.contains))
+    assert(newBins.forall { case (s, b) =>
+      b > maxBefore.getOrElse(s, -1L) })
+    // the incremented artifact IS the recompute — one wrong count or a
+    // single flipped checksum bit fails this
+    val artAfter = manifestArt()
+    assert(artAfter == TrainQueries.shardTokenManifest(spark, p)
+      .orderBy("shard").as[(Long, Long, Long, Long, Long)].collect().toSeq)
+    assert(artAfter != artBefore)
+    // replay: packs nothing, increments nothing
+    TrainQueries.appendTokenizedShards(spark, sf, batch, p)
+    assert(bins() == binsAfter)
+    assert(manifestArt() == artAfter)
+    // time travel: the pre-append shard set is still exactly readable,
+    // paired with ITS manifest artifact version
+    assert(IndexManifest.readDataAt(spark, p, v1)
+      .select(col("shard").cast("long"), col("bin"))
+      .as[(Long, Long)].collect().toSeq.sorted == binsBefore)
+    assert(IndexManifest.readArtifactAt(spark, p, "manifest", v1)
+      .orderBy("shard").as[(Long, Long, Long, Long, Long)].collect()
+      .toSeq == artBefore)
+  }
+
   test("data_epoch_shuffle: contiguous ranks per (epoch, shard), epochs differ") {
     val rows = Registry.byName("data_epoch_shuffle")
       .build(spark, TestSpark.sf)

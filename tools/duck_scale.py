@@ -56,7 +56,10 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_search_index_serve", "data_search_index_append",
           "data_sim_ivf_retrain", "data_dedup_semantic_index_serve",
           "data_dedup_semantic_index_append", "data_pack_tokenized",
-          "data_dedup_band_tombstone"]
+          "data_dedup_band_tombstone",
+          # round-12 late additions: time-travel serve (retention),
+          # maintained tokenized-shard appends
+          "data_dedup_index_asof", "data_pack_tokenized_append"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
