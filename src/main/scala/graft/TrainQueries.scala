@@ -1454,12 +1454,19 @@ object TrainQueries {
                                      // delta commit carries the previous
                                      // artifact pointer unchanged
         else {
-          val prevArt = readShardManifest(spark, path)
           val root = new org.apache.hadoop.fs.Path(path)
           val inc = shardManifestOf(
             spark.read.option("basePath", root.toString)
               .parquet(added.map(f =>
                 new org.apache.hadoop.fs.Path(root, f).toString): _*))
+          // bootstrap: the FIRST append into an empty artifact (a
+          // stream starting from zero) has no stored manifest yet —
+          // the increment IS the manifest
+          val prevArt =
+            if (graft.data.IndexManifest.load(spark, path)
+                .exists(_.artifacts.contains("manifest")))
+              readShardManifest(spark, path)
+            else inc.limit(0)
           Map(graft.data.IndexManifest.writeArtifact(spark, path, "manifest",
             prevArt.select(col("shard"), col("n_seqs"), col("n_docs"),
                 col("sum_tokens"), col("xor_checksum"))

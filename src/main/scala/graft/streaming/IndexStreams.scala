@@ -261,6 +261,66 @@ object IndexStreams {
     * cross-batch state; foreachBatch serializes the appends (the
     * single-writer window the artifact updates and `compactEvery`
     * require). */
+  /** Streaming TOKENIZED-SHARD ingest — the FIFTH maintained artifact's
+    * gate ([[graft.TrainQueries.appendTokenizedShards]] lifecycle):
+    * every micro-batch of documents is encoded with the FROZEN
+    * vocabulary of `vocabDir`, its novel docs packed into CONTINUATION
+    * bins appended to the shard layout, and the reproducibility-manifest
+    * artifact incremented exactly — so the training-data deliverable
+    * itself is maintained at ingest, not rebuilt per run. A per-batch
+    * receipt (batch doc count + artifact-side sequence/doc/token totals,
+    * a shard-count-bounded pull) overwrites its batch-id partition.
+    *
+    * Same architecture as the four index gates: the durable artifact IS
+    * the cross-batch state; appends are idempotent (a re-delivered doc
+    * id packs nothing — the stored `doc_ids` novelty screen), so
+    * at-least-once replays converge; foreachBatch serializes the
+    * single-writer window; the artifact can start EMPTY (a stream
+    * bootstraps shards from zero — the first append's increment becomes
+    * the manifest). `compactEvery`/`maxFilesPerShard`/`retainVersions`
+    * bound per-shard file counts exactly as elsewhere — compaction
+    * rewrites files, never rows, so checksums are untouched. */
+  def shardIngestStream(docs: DataFrame, vocabDir: String,
+                        shardPath: String, outPath: String,
+                        maintain: Boolean, checkpoint: String,
+                        compactEvery: Int = 0, maxFilesPerShard: Int = 4,
+                        retainVersions: Int = 1): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true)
+        if (maintain) {
+          graft.TrainQueries.appendTokenizedShards(spark, vocabDir, b,
+            shardPath)
+          maybeCompact(spark, shardPath, id, compactEvery, maxFilesPerShard,
+            retainVersions = retainVersions)
+        }
+        // artifact totals (absent only while the artifact is still
+        // empty — pre-bootstrap, or an all-duplicate first batch)
+        val totals = graft.data.IndexManifest.load(spark, shardPath)
+          .filter(_.artifacts.contains("manifest"))
+          .map { _ =>
+            val r = graft.TrainQueries.readShardManifest(spark, shardPath)
+              .agg(coalesce(sum(col("n_seqs")), lit(0L)),
+                coalesce(sum(col("n_docs")), lit(0L)),
+                coalesce(sum(col("sum_tokens")), lit(0L)))
+              .head()
+            (r.getLong(0), r.getLong(1), r.getLong(2))
+          }.getOrElse((0L, 0L, 0L))
+        spark.range(1).toDF("one")
+          .select(lit(b.count()).as("batch_docs"),
+            lit(totals._1).as("indexed_seqs"),
+            lit(totals._2).as("indexed_docs"),
+            lit(totals._3).as("indexed_tokens"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+        ()
+      }
+      .start()
+
   def postingsIngestStream(docs: DataFrame, indexPath: String,
                            outPath: String, maintain: Boolean,
                            checkpoint: String, compactEvery: Int = 0,

@@ -838,6 +838,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(receipts == Seq((0L, 1L, 3L), (1L, 2L, 5L)))
   }
 
+  test("shard ingest stream: bootstraps the tokenized-shard artifact " +
+      "from zero, re-delivered docs pack nothing, and the incremented " +
+      "manifest equals a recompute over the files at rest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_shard_stream")
+    val shardPath = base.resolve("shards").toString
+    val outPath = base.resolve("receipts").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = IndexStreams.shardIngestStream(docs, TestSpark.sf, shardPath,
+      outPath, maintain = true, base.resolve("ckpt").toString)
+    try {
+      // batch 0 bootstraps the artifact from an empty directory
+      input.addData((9001L, "the quick brown fox"),
+        (9002L, "jumps over the lazy dog"))
+      q.processAllAvailable()
+      // batch 1 re-delivers doc 9001 (at-least-once) alongside a new doc:
+      // the replayed id must pack NOTHING
+      input.addData((9001L, "the quick brown fox"),
+        (9003L, "a third document arrives"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // exactly the three distinct docs landed, each once
+    val stored = spark.read.parquet(shardPath)
+      .select(org.apache.spark.sql.functions.explode($"doc_ids").as("d"))
+      .as[Long].collect().toSeq.sorted
+    assert(stored == Seq(9001L, 9002L, 9003L))
+    // the incrementally-maintained artifact equals the recompute
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("shard")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows(TrainQueries.readShardManifest(spark, shardPath)) ==
+      rows(TrainQueries.shardTokenManifest(spark, shardPath)))
+    // receipts: totals grow by the NOVEL docs only (2, then +1)
+    val receipts = spark.read.parquet(outPath)
+      .select($"batch_id", $"batch_docs", $"indexed_docs")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(receipts == Seq((0L, 2L, 2L), (1L, 2L, 3L)))
+  }
+
   test("streaming curation fate: timed-out keeper cells evict; live cells re-arm") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
