@@ -1414,9 +1414,17 @@ object TrainQueries {
       val snap = graft.data.IndexManifest.reconcile(spark, path)
       val pre = graft.data.IndexManifest.listDataFiles(spark, path)
       val toks = tokenizedDocs(spark, dir, batch)
+        .localCheckpoint(true) // consumed 3× below (ids, novel, shards)
+      // static literal-IN shard pruning (the streaming gates' rule: a
+      // derived batch relation carries no DPP-selective predicate, so
+      // prune at planning time) — the distinct-shard pull is bounded by
+      // the PackBuckets universe
+      val shards = toks.select(col("bucket").cast("int").as("shard"))
+        .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
       val idx =
         if (snap.dataFiles.isEmpty) null
         else graft.data.IndexManifest.readData(spark, path)
+          .where(col("shard").isin(shards: _*))
       val batchIds = toks.select(col("bucket").cast("int").as("shard"),
         col("doc_id"))
       val known =
