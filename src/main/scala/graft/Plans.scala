@@ -38,7 +38,7 @@ object Plans {
     "data_sim_ivf_append", "data_mixture_sample", "data_bpe_oov_encode",
     "data_search_index_serve", "data_sim_ivf_retrain",
     "data_dedup_semantic_index_serve", "data_pack_tokenized",
-    "data_pack_tokenized_append")
+    "data_pack_tokenized_append", "data_shard_tfrecord")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -525,6 +525,13 @@ object Plans {
       |  broadcast into the batch's per-bucket running-offset window, and
       |  the artifact increment computed from the READ-BACK of exactly the
       |  files the commit publishes.
+      |- **data_shard_tfrecord** — the wire-format roundtrip: one
+      |  compiled `tfrecord_frame` + `tfrecord_parse` call per stored
+      |  sequence inside whole-stage codegen (the JPEG fused-roundtrip
+      |  precedent — CRCs re-derived from the actual bytes, never
+      |  assumed), map-only over the pinned artifact scan, then one
+      |  per-shard hash aggregate. No join, no shuffle beyond the
+      |  aggregate.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

@@ -65,7 +65,8 @@ object ScaleBench {
     "data_dedup_band_tombstone",
     // round-12 late additions: time-travel serve (retention), maintained
     // tokenized-shard appends
-    "data_dedup_index_asof", "data_pack_tokenized_append")
+    "data_dedup_index_asof", "data_pack_tokenized_append",
+    "data_shard_tfrecord")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

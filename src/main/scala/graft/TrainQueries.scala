@@ -1541,14 +1541,57 @@ object TrainQueries {
     root
   }
 
-  private def packTokenized(spark: SparkSession, dir: String): DataFrame = {
-    val path = builtPackShards.computeIfAbsent(dir, _ => {
+  private def packShardsPath(spark: SparkSession, dir: String): String =
+    builtPackShards.computeIfAbsent(dir, _ => {
       val p = new java.io.File(packRoot,
         new java.io.File(dir).getName).getAbsolutePath
       writeTokenizedShards(spark, dir, p)
       p
     })
-    shardTokenManifest(spark, path).dumpOrderedTail("shard")
+
+  private def packTokenized(spark: SparkSession, dir: String): DataFrame =
+    shardTokenManifest(spark, packShardsPath(spark, dir))
+      .dumpOrderedTail("shard")
+
+  /** The shard artifact in the WIRE FORMAT training loaders read: every
+    * packed sequence framed as a TFRecord
+    * ([[graft.functions.TfRecordFrame]] — 8-byte LE length, masked
+    * CRC32C of the length, 4-byte-LE-uint32 token payload, masked
+    * CRC32C of the payload) and immediately re-parsed
+    * ([[graft.functions.TfRecordParse]]) in the same plan — the fused
+    * roundtrip discipline: the parse re-derives both CRCs from the
+    * bytes, so `n_crc_ok`/`n_roundtrip_ok` prove the writer's
+    * arithmetic, and the frame's full hex enters the per-shard xor'd
+    * hash, so the ORACLE (which re-implements CRC32C + the TFRecord
+    * mask in SQL from the polynomial) cross-checks every byte of every
+    * frame — lengths, both checksums, and payload order.
+    *
+    * Scale: map-only over the stored artifact (one compiled frame +
+    * parse call per sequence inside whole-stage codegen), then one
+    * per-shard hash aggregate — the `data_pack_tokenized` shape with a
+    * codec in the projection, exactly the JPEG-roundtrip precedent. */
+  private def shardTfrecord(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TfRecordFunctions.register(spark)
+    import graft.functions.TfRecordFunctions.{tfrecord_frame, tfrecord_parse}
+    val rows = graft.data.IndexManifest
+      .readData(spark, packShardsPath(spark, dir))
+      .select(col("shard").cast("long").as("shard"), col("bin"),
+        col("token_ids"))
+      .withColumn("framed", tfrecord_frame(col("token_ids")))
+      .withColumn("p", tfrecord_parse(col("framed")))
+    rows
+      .select(col("shard"),
+        length(col("framed")).cast("long").as("nb"),
+        (col("p.len_crc_ok") && col("p.data_crc_ok")).as("crc_ok"),
+        (col("p.ids") === col("token_ids")).as("rt_ok"),
+        conv(substring(md5(concat(col("bin").cast("string"), lit(":"),
+          lower(hex(col("framed"))))), 1, 13), 16, 10).cast("long").as("h52"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_records"), sum(col("nb")).as("n_bytes"),
+        sum(when(col("crc_ok"), 1L).otherwise(0L)).as("n_crc_ok"),
+        sum(when(col("rt_ok"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+        expr("bit_xor(h52)").as("frame_xor"))
+      .dumpOrdered("shard")
   }
 
   /** The shard-maintenance lifecycle's fixed ingest window — the
@@ -2067,6 +2110,102 @@ object TrainQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  CAST(bit_xor(h52) AS BIGINT) AS xor_checksum
          |FROM h GROUP BY bucket ORDER BY shard""".stripMargin
+    }),
+
+    "data_shard_tfrecord" -> Q(shardTfrecord, Some {
+      val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
+      // CRC32C (Castagnoli, reflected, poly 0x82F63B78 = 2197175160) +
+      // TFRecord's mask, from first principles in SQL: the 256-entry
+      // table is built by unrolling the 8 per-bit steps as CTEs, and
+      // each frame's checksum is a list_reduce fold over its bytes.
+      val crcStep = (k: Int) =>
+        s"c$k AS (SELECT i, xor(c >> 1, CASE WHEN c % 2 = 1 THEN " +
+          s"2197175160 ELSE 0 END) AS c FROM c${k - 1})"
+      val crcCtes = "c0 AS (SELECT i, CAST(i AS BIGINT) AS c " +
+        "FROM range(0, 256) t(i)),\n" +
+        (1 to 8).map(crcStep).mkString(",\n") +
+        ",\ncrctab AS (SELECT list(c ORDER BY i) AS tab FROM c8)"
+      def crcOf(bl: String) =
+        s"""xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), $bl),
+           |  (a, b) -> xor(a >> 8,
+           |    tab[CAST(xor(a, b) & 255 AS INT) + 1])), 4294967295)""".stripMargin
+      def maskOf(c: String) =
+        s"((((($c) >> 15) | ((($c) << 17) & 4294967295)) + 2726488792)" +
+          " & 4294967295)"
+      def leBytes(v: String, n: Int) =
+        s"list_transform(range(0, $n), j -> (($v) >> CAST(8 * j AS INT))" +
+          " & 255)"
+      s"""WITH $bpeBytesCtes,
+         |vb AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+         |           AS tid
+         |  FROM (SELECT DISTINCT unnest(syms) AS sym
+         |        FROM w$BpeTrainRounds)),
+         |wsp AS (
+         |  SELECT word, unnest(range(0, len(syms))) AS spos, syms
+         |  FROM w$BpeTrainRounds),
+         |wt AS (
+         |  SELECT wsp.word, list(vb.tid ORDER BY wsp.spos) AS tids
+         |  FROM wsp JOIN vb ON vb.sym = wsp.syms[spos + 1]
+         |  GROUP BY wsp.word),
+         |wp AS (
+         |  SELECT doc_id, unnest(range(0, len(w))) AS wpos, w
+         |  FROM (SELECT doc_id,
+         |          regexp_extract_all(lower(text), '$pat', 0) AS w
+         |        FROM documents) q),
+         |ww AS (SELECT doc_id, wpos, w[wpos + 1] AS word FROM wp),
+         |dt AS (
+         |  SELECT ww.doc_id,
+         |    flatten(list(wt.tids ORDER BY ww.wpos)) AS toks
+         |  FROM ww JOIN wt USING (word) GROUP BY ww.doc_id),
+         |d AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+         |         doc_id % $PackBuckets AS bucket
+         |  FROM dt),
+         |p AS (
+         |  SELECT doc_id, toks, n_tok, bucket,
+         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d),
+         |sq AS (
+         |  SELECT bucket, bin,
+         |    flatten(list(toks ORDER BY doc_id)) AS token_ids
+         |  FROM p GROUP BY bucket, bin),
+         |$crcCtes,
+         |fb AS (
+         |  SELECT bucket, bin,
+         |    CAST(4 * len(token_ids) AS BIGINT) AS plen,
+         |    ${leBytes("CAST(4 * len(token_ids) AS BIGINT)", 8)} AS lenb,
+         |    flatten(list_transform(token_ids, t ->
+         |      ${leBytes("t", 4)})) AS pay
+         |  FROM sq),
+         |fr AS (
+         |  SELECT bucket, bin, plen,
+         |    lenb || ${leBytes(maskOf(crcOf("lenb")), 4)} || pay ||
+         |      ${leBytes(maskOf(crcOf("pay")), 4)} AS framed
+         |  FROM fb, crctab),
+         |h AS (
+         |  SELECT bucket, bin, CAST(len(framed) AS BIGINT) AS nb,
+         |    md5(CAST(bin AS VARCHAR) || ':' ||
+         |      array_to_string(list_transform(framed, b ->
+         |        substr('0123456789abcdef', CAST(b // 16 AS INT) + 1, 1) ||
+         |        substr('0123456789abcdef', CAST(b % 16 AS INT) + 1, 1)),
+         |        '')) AS m
+         |  FROM fr),
+         |hh AS (
+         |  SELECT bucket, bin, nb,
+         |    CAST(list_sum(list_transform(range(1, 14), i ->
+         |      (strpos('0123456789abcdef', substr(m, i, 1)) - 1)
+         |      * 16 ** (13 - i))) AS BIGINT) AS h52
+         |  FROM h)
+         |SELECT CAST(bucket AS BIGINT) AS shard,
+         |  count(*) AS n_records,
+         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  count(*) AS n_crc_ok,
+         |  count(*) AS n_roundtrip_ok,
+         |  CAST(bit_xor(h52) AS BIGINT) AS frame_xor
+         |FROM hh GROUP BY bucket ORDER BY shard""".stripMargin
     }),
 
     "data_pack_tokenized_append" -> Q(packTokenizedAppend, Some {

@@ -187,7 +187,13 @@ object IndexManifest {
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val name = f"m$next%012d"
-    val tmp = new Path(dir, s".$name.tmp")
+    // writer-unique temp: with a SHARED temp name, a second writer's
+    // create(overwrite) could replace the first writer's bytes between
+    // its write and its rename — the one content swap the version-claim
+    // guard below cannot see. A crash's leftover temp is dot-prefixed
+    // (invisible to load) and swept by the next reconcile.
+    val tmp = new Path(dir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try {
       val body = (dataFiles.sorted.map(f => s"D $f") ++
@@ -268,6 +274,12 @@ object IndexManifest {
             val tmp = new Path(dir.getPath, "_compacting")
             if (fs.exists(tmp)) fs.delete(tmp, true): Unit
           }
+        // leftover manifest temps (crashed mid-commit — dot-prefixed,
+        // so never visible to load; sweep them here)
+        fs.listStatus(new Path(root, ManifestDir)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith(".") &&
+            st.getPath.getName.endsWith(".tmp"))
+          .foreach(st => fs.delete(st.getPath, false): Unit)
         // artifact versions no retained manifest points at (a crashed
         // mutation's uncommitted version; superseded versions past the
         // retention window fall to vacuum)

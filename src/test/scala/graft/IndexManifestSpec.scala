@@ -213,9 +213,13 @@ class IndexManifestSpec extends AnyFunSuite {
     val m1 = new java.io.File(p, "_manifests/m000000000001")
     assert(m1.delete())
     assert(new java.io.File(p, files.head).exists())
+    // ... and a crash mid-COMMIT leaves a writer-unique dot temp
+    val tmp = new java.io.File(p, "_manifests/.m000000000009.dead.tmp")
+    java.nio.file.Files.write(tmp.toPath, "D junk".getBytes("UTF-8"))
     IndexManifest.reconcile(spark, p)
     assert(!new java.io.File(p, files.head).exists(),
       "reconcile must remove the file no retained manifest references")
+    assert(!tmp.exists(), "reconcile must sweep crashed commit temps")
     assert(IndexManifest.readData(spark, p).count() < 3L)
   }
 }

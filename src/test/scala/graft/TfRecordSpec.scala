@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TfRecordCodecImpl, TfRecordFunctions}
+
+/** Laws of the TFRecord frame codec: the public check vector for
+  * CRC32C, the TFRecord mask, frame layout, the parse inverse, and
+  * malformed tolerance. */
+class TfRecordSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CRC32C check vector and TFRecord mask") {
+    // the Castagnoli check value: crc32c("123456789") = 0xE3069283
+    // (public test vector, e.g. RFC 3720 appendix B.4's polynomial)
+    val c = new java.util.zip.CRC32C()
+    c.update("123456789".getBytes("US-ASCII"))
+    assert(c.getValue == 0xE3069283L)
+    // the mask applied to that value, by the published formula
+    val bytes = "123456789".getBytes("US-ASCII")
+    val masked = TfRecordCodecImpl.maskedCrc(bytes, 0, bytes.length)
+    val crc = 0xE3069283L
+    assert(masked ==
+      ((((crc >>> 15) | ((crc << 17) & 0xffffffffL)) + 0xa282ead8L)
+        & 0xffffffffL))
+  }
+
+  test("frame layout: 8-byte LE length, masked length CRC, 4-byte LE " +
+      "ids, masked payload CRC") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val framed = TfRecordCodecImpl.frame(
+      new GenericArrayData(Array[Any](1L, 258L)))
+    assert(framed.length == 16 + 8)
+    // length = 8, little-endian
+    assert(framed.take(8).toSeq == Seq[Byte](8, 0, 0, 0, 0, 0, 0, 0))
+    // ids: 1 -> 01 00 00 00, 258 -> 02 01 00 00
+    assert(framed.slice(12, 20).toSeq ==
+      Seq[Byte](1, 0, 0, 0, 2, 1, 0, 0))
+    val parsed = TfRecordCodecImpl.parse(framed)
+    assert(parsed.getLong(0) == 2L && parsed.getBoolean(1) &&
+      parsed.getBoolean(2))
+  }
+
+  test("roundtrip property: parse(frame(ids)) recovers ids with both " +
+      "CRCs valid; a flipped byte is detected") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val ids = List.fill(rnd.nextInt(40))(
+        rnd.nextLong().abs % 0x100000000L)
+      val framed = TfRecordCodecImpl.frame(
+        new GenericArrayData(ids.toArray[Any]))
+      val p = TfRecordCodecImpl.parse(framed)
+      val back = (0 until p.getLong(0).toInt)
+        .map(i => p.getArray(3).getLong(i)).toList
+      assert(p.getBoolean(1) && p.getBoolean(2) && back == ids &&
+        framed.length == 16 + 4 * ids.length,
+        s"roundtrip failed for $ids")
+    }
+    // corrupt one payload byte: data CRC must catch it
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val framed = TfRecordCodecImpl.frame(
+      new GenericArrayData(Array[Any](7L, 9L)))
+    framed(13) = (framed(13) ^ 0x40).toByte
+    val p = TfRecordCodecImpl.parse(framed)
+    assert(p.getBoolean(1) && !p.getBoolean(2),
+      "a corrupted payload must fail the data CRC but not the length CRC")
+  }
+
+  test("malformed tolerance: short buffers, wrong lengths, ragged " +
+      "payloads yield the (-1, false, false, []) row, never a throw") {
+    assert(TfRecordCodecImpl.parse(null).getLong(0) == -1L)
+    assert(TfRecordCodecImpl.parse(Array.empty[Byte]).getLong(0) == -1L)
+    assert(TfRecordCodecImpl.parse(Array.fill[Byte](15)(0)).getLong(0) == -1L)
+    // length field inconsistent with the buffer
+    val bad = Array.fill[Byte](20)(0); bad(0) = 99
+    assert(TfRecordCodecImpl.parse(bad).getLong(0) == -1L)
+    // length not a multiple of 4
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ok = TfRecordCodecImpl.frame(new GenericArrayData(Array[Any](5L)))
+    val ragged = ok.take(8).toArray ++ ok.drop(8)
+    ragged(0) = 3 // 3-byte payload claim
+    assert(TfRecordCodecImpl.parse(
+      ragged.take(12) ++ Array[Byte](1, 2, 3) ++ Array.fill[Byte](4)(0))
+      .getLong(0) == -1L)
+  }
+
+  test("the registered SQL functions run inside a plan and agree with " +
+      "the direct impl") {
+    TfRecordFunctions.register(spark)
+    import graft.functions.TfRecordFunctions.{tfrecord_frame, tfrecord_parse}
+    val df = Seq((1L, Seq(3L, 1000000L)), (2L, Seq.empty[Long]))
+      .toDF("id", "ids")
+      .select($"id", tfrecord_parse(tfrecord_frame($"ids")).as("p"))
+      .select($"id", $"p.n_ids", $"p.len_crc_ok", $"p.data_crc_ok", $"p.ids")
+      .as[(Long, Long, Boolean, Boolean, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(df == Seq((1L, 2L, true, true, Seq(3L, 1000000L)),
+      (2L, 0L, true, true, Seq.empty)))
+  }
+}

@@ -59,7 +59,8 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_dedup_band_tombstone",
           # round-12 late additions: time-travel serve (retention),
           # maintained tokenized-shard appends
-          "data_dedup_index_asof", "data_pack_tokenized_append"]
+          "data_dedup_index_asof", "data_pack_tokenized_append",
+          "data_shard_tfrecord"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
