@@ -2692,6 +2692,32 @@ object DataQueries {
       .dumpOrdered("query_id", "rnk")
   }
 
+  /** TIME-TRAVEL serve for the retrieval family — the strongest asof
+    * law, because the scores depend on the ARTIFACTS: a private index
+    * copy absorbs the ingest batch (df and n_docs increment), then the
+    * serve pins the PRE-append manifest version
+    * ([[Indexing.postingsIndexServeAt]] — version v's postings paired
+    * with version v's df/N dictionary). Matching the corpus-only oracle
+    * proves the pairing: the post-append dictionary would flip idfs and
+    * fail the hash even over the correct old postings. */
+  private val asofPostings =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def searchIndexAsof(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsHot(spark, dir)
+    val (path, pinned) = asofPostings.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(idxRoot, "postasof_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      Indexing.writePostingsIndex(corpusDocs(docs), "doc_id", "text", p)
+      val v = graft.data.IndexManifest.load(spark, p).get.version
+      Indexing.appendPostingsIndex(batchDocs(docs), "doc_id", "text", p)
+      (p, v)
+    })
+    Indexing.postingsIndexServeAt(tfidfQueries(docs), path, pinned,
+        TfIdfK, TfIdfScale)
+      .dumpOrdered("query_id", "rnk")
+  }
+
   /** The tfidf_topk oracle, parameterized by the CORPUS filter (empty =
     * all documents): queries always come from the full table (docs 0–2
     * sit outside the ingest window), the tf/df/N model from the
@@ -4079,6 +4105,13 @@ object DataQueries {
 
     "data_search_index_append" -> Q(searchIndexAppend,
       Some(duckTfidfTopkSql("", nNonNull = true))),
+
+    // time travel with ARTIFACT pairing: the serve pinned to the
+    // pre-append version of a since-appended index must reproduce the
+    // corpus-only scores — version v's postings with version v's df/N
+    "data_search_index_asof" -> Q(searchIndexAsof, Some(duckTfidfTopkSql(
+      s"WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd",
+      nNonNull = true))),
 
     "data_tfidf_selfmrr" -> Q(tfidfSelfMrr, Some(
       s"""WITH toks AS (

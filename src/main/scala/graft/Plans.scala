@@ -38,7 +38,8 @@ object Plans {
     "data_sim_ivf_append", "data_mixture_sample", "data_bpe_oov_encode",
     "data_search_index_serve", "data_sim_ivf_retrain",
     "data_dedup_semantic_index_serve", "data_pack_tokenized",
-    "data_pack_tokenized_append", "data_shard_tfrecord")
+    "data_pack_tokenized_append", "data_shard_tfrecord",
+    "data_search_index_asof")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -525,6 +526,13 @@ object Plans {
       |  broadcast into the batch's per-bucket running-offset window, and
       |  the artifact increment computed from the READ-BACK of exactly the
       |  files the commit publishes.
+      |- **data_search_index_asof** — time travel with ARTIFACT pairing:
+      |  identical plan shape to `data_search_index_serve` (pruned
+      |  postings scan streamed through the query broadcast,
+      |  vocabulary-sized dictionary stream, WindowGroupLimit top-k) —
+      |  the pin selects version v's postings files AND version v's
+      |  df/N artifact directories together; a later dictionary would
+      |  flip idfs even over the correct old postings.
       |- **data_shard_tfrecord** — the wire-format roundtrip: one
       |  compiled `tfrecord_frame` + `tfrecord_parse` call per stored
       |  sequence inside whole-stage codegen (the JPEG fused-roundtrip

@@ -500,15 +500,39 @@ object Indexing {
   def postingsIndexServe(queries: DataFrame, indexPath: String, k: Int,
                          idfScale: Long): DataFrame = {
     val spark = queries.sparkSession
+    serveFrom(queries, k, idfScale,
+      IndexManifest.readData(spark, indexPath),
+      readPostingsDf(spark, indexPath),
+      readPostingsStats(spark, indexPath))
+  }
+
+  /** The TIME-TRAVEL serve: score against a specific RETAINED manifest
+    * version — its postings files paired with ITS df/N artifact
+    * versions ([[IndexManifest.readArtifactAt]]). The pairing is the
+    * point: idf depends on df and N, which every append increments, so
+    * mixing version v's postings with a later dictionary would produce
+    * scores no consistent index state ever had. Same plan shape as the
+    * current serve; only the pinned version differs. */
+  def postingsIndexServeAt(queries: DataFrame, indexPath: String,
+                           version: Long, k: Int, idfScale: Long): DataFrame = {
+    val spark = queries.sparkSession
+    serveFrom(queries, k, idfScale,
+      IndexManifest.readDataAt(spark, indexPath, version),
+      IndexManifest.readArtifactAt(spark, indexPath, "df", version),
+      IndexManifest.readArtifactAt(spark, indexPath, "stats", version))
+  }
+
+  private def serveFrom(queries: DataFrame, k: Int, idfScale: Long,
+                        idx: DataFrame, dfreq: DataFrame,
+                        stats: DataFrame): DataFrame = {
     val qs = queries.select(col("query_id"), col("term")).distinct()
       .withColumn("shard", termShard(col("term")))
-    val nDocs = readPostingsStats(spark, indexPath)
-    val idfq = readPostingsDf(spark, indexPath)
+    val idfq = dfreq
       .join(broadcast(qs.select(col("term")).distinct()), Seq("term"))
-      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(stats))
       .select(col("term"),
         expr(s"($idfScale * (n_docs + 1)) div (df + 1)").as("idf_scaled"))
-    val hits = IndexManifest.readData(spark, indexPath)
+    val hits = idx
       .join(broadcast(qs), Seq("shard", "term"))
       .join(broadcast(idfq), Seq("term"))
     val w = org.apache.spark.sql.expressions.Window

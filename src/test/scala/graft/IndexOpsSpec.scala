@@ -223,4 +223,38 @@ class IndexOpsSpec extends AnyFunSuite {
       .sortBy(r => (-r._2, r._1))
     assert(got == want)
   }
+
+  test("postings time travel pairs version v's postings with version " +
+      "v's dictionary: the pinned serve reproduces the pre-append " +
+      "scores exactly") {
+    import graft.data.{Indexing, IndexManifest}
+    val corpus = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_post_asof")
+      .resolve("postings").toString
+    Indexing.writePostingsIndex(corpus, "doc_id", "text", path)
+    val v1 = IndexManifest.load(spark, path).get.version
+    val q = Seq((0L, "alpha")).toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("rnk")
+      .select($"doc_id", $"score").as[(Long, Long)].collect().toSeq
+    val before = rows(Indexing.postingsIndexServe(q, path, 10, 1000000L))
+    // three appends of alpha-free docs: df(alpha) stays 2 while N grows
+    // 2 -> 5, so idf(alpha) = (1e6·(N+1)) div 3 MUST change (appending
+    // alpha docs would grow df and N in lockstep and leave it fixed —
+    // the vacuity guard below caught exactly that in a first draft)
+    (10L to 12L).foreach { id =>
+      Indexing.appendPostingsIndex(
+        Seq((id, "newterm other")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+    }
+    val now = rows(Indexing.postingsIndexServe(q, path, 10, 1000000L))
+    assert(now.map(_._1).toSet == Set(1L, 2L))
+    assert(now.find(_._1 == 1L).get._2 != before.head._2,
+      "the appends must have changed the current idf — otherwise the " +
+        "pairing law below would be vacuous")
+    // the pinned serve: v1 postings WITH v1's df/N — exactly the
+    // pre-append result, not current-dictionary scores over old files
+    assert(rows(Indexing.postingsIndexServeAt(q, path, v1, 10, 1000000L))
+      == before)
+  }
 }
