@@ -1094,6 +1094,37 @@ object DataQueries {
         ivfRetrainPath(spark, dir), k = 3, nprobe = 2)
       .dumpOrdered("q_id", "rnk")
 
+  /** TIME TRAVEL across a RETRAIN — the strongest artifact-pairing law
+    * of the manifest layer: the index is built, appended, and then
+    * RETRAINED with `retainVersions = 2` (the quantizer is REPLACED:
+    * new centroids, every vector re-assigned to new cell files), and
+    * the serve pins the retained PRE-retrain version. Matching the
+    * frozen-centroid corpus∪batch oracle (`data_sim_ivf_append`'s,
+    * verbatim) proves the pin routes with the OLD generation's
+    * centroids over the OLD generation's cells — the current quantizer
+    * would send queries to cells that did not exist under the old
+    * model: structurally wrong probes, not subtly wrong scores. */
+  private val builtAsofIvf =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def simIvfAsof(spark: SparkSession, dir: String): DataFrame = {
+    val (path, pinned) = builtAsofIvf.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(idxRoot,
+        "ivfasof_" + new java.io.File(dir).getName).getAbsolutePath
+      val e = Tables.embeddingsHot(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.writeIvfIndex(ivfCorpusVecs(e), kCells = 8, rounds = 2, p)
+      Similarity.appendIvfIndex(ivfBatchVecs(e), p)
+      val v = graft.data.IndexManifest.load(spark, p).get.version
+      Similarity.retrainIvfIndex(spark, p, kCells = 8, rounds = 2,
+        retainVersions = 2)
+      (p, v)
+    })
+    Similarity.ivfIndexServeAt(queriesOf(spark, dir), path, pinned,
+        k = 3, nprobe = 2)
+      .dumpOrdered("q_id", "rnk")
+  }
+
   /** Maintained SEMANTIC-dedup serve (VERDICT r11 #3): the SemDeDup
     * screen served from a stored corpus-slice IVF index
     * ([[Dedup.semanticIndexScreen]]) instead of refitting cells per
@@ -5045,6 +5076,10 @@ object DataQueries {
       // rows -> the fitted recompute's oracle, verbatim
       ("data_sim_ivf_retrain" -> Q(simIvfRetrain,
         baseDefs.toMap.apply("data_sim_ivf_fitted").oracle)) :+
+      // time travel ACROSS the retrain: the pinned pre-retrain serve
+      // must reproduce the frozen-centroid corpus∪batch result even
+      // though the current generation's quantizer and cells are new
+      ("data_sim_ivf_asof" -> Q(simIvfAsof, Some(duckIvfAppendSql))) :+
       ("data_dedup_semantic_index_serve" ->
         Q(dedupSemanticIndexServe, Some(duckSemServeSql))) :+
       ("data_dedup_semantic_index_append" ->

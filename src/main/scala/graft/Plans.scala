@@ -39,7 +39,7 @@ object Plans {
     "data_search_index_serve", "data_sim_ivf_retrain",
     "data_dedup_semantic_index_serve", "data_pack_tokenized",
     "data_pack_tokenized_append", "data_shard_tfrecord",
-    "data_search_index_asof")
+    "data_search_index_asof", "data_sim_ivf_asof")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -533,6 +533,14 @@ object Plans {
       |  the pin selects version v's postings files AND version v's
       |  df/N artifact directories together; a later dictionary would
       |  flip idfs even over the correct old postings.
+      |- **data_sim_ivf_asof** — time travel ACROSS a retrain: the
+      |  pinned serve routes with the OLD generation's centroid
+      |  artifact over the OLD generation's cell files (the current
+      |  quantizer's cells did not exist under the old model —
+      |  structurally wrong probes, not subtly wrong scores). Plan
+      |  shape identical to `data_sim_ivf_append`'s serve: bounded
+      |  centroid broadcast, literal-IN cell pruning on the pinned
+      |  file list, per-query WindowGroupLimit.
       |- **data_shard_tfrecord** — the wire-format roundtrip: one
       |  compiled `tfrecord_frame` + `tfrecord_parse` call per stored
       |  sequence inside whole-stage codegen (the JPEG fused-roundtrip

@@ -252,7 +252,8 @@ object Similarity {
   private def servePrunedFrom(queries: DataFrame, cents: DataFrame,
                               outDir: String, k: Int, nprobe: Int,
                               qId: String, qVec: String,
-                              cId: String, cVec: String): DataFrame = {
+                              cId: String, cVec: String,
+                              pinVersion: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
     val routed = queries.crossJoin(broadcast(cents))
       .withColumn("d2", fastSqDist(queries)(col(qVec), col("cvec")))
@@ -265,8 +266,14 @@ object Similarity {
     // manifest-pinned when the directory is a maintained index (falls
     // back to the directory listing for one-shot layouts): a serve
     // planned during an append/retrain/compaction sees exactly the
-    // committed pre- or post-state, never a half-mutated union
-    val pruned = IndexManifest.readData(spark, outDir)
+    // committed pre- or post-state, never a half-mutated union.
+    // `pinVersion` is the time-travel variant: a specific RETAINED
+    // version's file set instead of the current one.
+    val rows = pinVersion match {
+      case Some(v) => IndexManifest.readDataAt(spark, outDir, v)
+      case None => IndexManifest.readData(spark, outDir)
+    }
+    val pruned = rows
       .where(col("cell").isin(probeCells: _*))
       .withColumn("cell", col("cell").cast("long"))
     val inCell = pruned.join(broadcast(probes), Seq("cell"))
@@ -368,6 +375,24 @@ object Similarity {
                     cVec: String = "embedding"): DataFrame = {
     val cents = readIvfCentroids(queries.sparkSession, indexPath)
     servePrunedFrom(queries, cents, indexPath, k, nprobe, qId, qVec, cId, cVec)
+  }
+
+  /** The TIME-TRAVEL serve, vector edition — the strongest artifact-
+    * pairing case, because a RETRAIN replaces the model outright:
+    * serving a retained pre-retrain version must route with THAT
+    * version's centroids over THAT version's cell files
+    * ([[IndexManifest.readArtifactAt]] + [[IndexManifest.readDataAt]]).
+    * The current quantizer would route queries to cells that did not
+    * exist under the old generation — not subtly wrong scores,
+    * structurally wrong probes. Same plan shape as [[ivfIndexServe]]. */
+  def ivfIndexServeAt(queries: DataFrame, indexPath: String, version: Long,
+                      k: Int, nprobe: Int, qId: String = "q_id",
+                      qVec: String = "q_vec", cId: String = "vec_id",
+                      cVec: String = "embedding"): DataFrame = {
+    val cents = IndexManifest.readArtifactAt(queries.sparkSession,
+      indexPath, "centroids", version)
+    servePrunedFrom(queries, cents, indexPath, k, nprobe, qId, qVec, cId,
+      cVec, pinVersion = Some(version))
   }
 
   /** The RETRAIN SIGNAL of the maintained index: per-cell growth since

@@ -60,7 +60,8 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           # round-12 late additions: time-travel serve (retention),
           # maintained tokenized-shard appends
           "data_dedup_index_asof", "data_pack_tokenized_append",
-          "data_shard_tfrecord", "data_search_index_asof"]
+          "data_shard_tfrecord", "data_search_index_asof",
+          "data_sim_ivf_asof"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
