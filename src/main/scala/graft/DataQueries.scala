@@ -1649,6 +1649,35 @@ object DataQueries {
       p
     })
 
+  /** Shared oracle of the corpus-only band screen: the maintained-index
+    * serve AND the time-travel serve (pre-append pin of a since-
+    * appended index) must both return exactly this. */
+  private lazy val duckBandServeSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, $duckShingles AS sh FROM documents),
+       |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
+       |bb AS (
+       |  SELECT doc_id, band,
+       |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|'))
+       |      AS bucket
+       |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS band
+       |        FROM sig)),
+       |corp AS (SELECT DISTINCT band, bucket, doc_id AS ref_id FROM bb
+       |         WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd),
+       |b AS (SELECT doc_id, band, bucket FROM bb
+       |      WHERE doc_id >= $SnapshotId AND doc_id < $BatchEnd),
+       |tot AS (SELECT doc_id, count(*) AS n_bands FROM b GROUP BY doc_id),
+       |h AS (
+       |  SELECT b.doc_id, count(DISTINCT b.band) AS n_hit_bands,
+       |    count(DISTINCT c.ref_id) AS n_candidates
+       |  FROM b JOIN corp c ON b.band = c.band AND b.bucket = c.bucket
+       |  GROUP BY b.doc_id)
+       |SELECT t.doc_id, t.n_bands,
+       |  COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
+       |  COALESCE(h.n_candidates, 0) AS n_candidates,
+       |  COALESCE(h.n_hit_bands, 0) > 0 AS is_near_dup_candidate
+       |FROM tot t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** The maintained near-dup serve (VERDICT r10 #1): incremental
     * PARAPHRASE screening against the stored band index — per batch doc,
     * how many of its LSH bands collide with any stored corpus bucket and
@@ -1664,6 +1693,33 @@ object DataQueries {
       batchDocs(Tables.documentsHot(spark, dir)), "doc_id", "text",
       K, Bands, R)
     Dedup.indexedBandScreen(batchBands, idx, "doc_id")
+      .dumpOrderedTail("doc_id")
+  }
+
+  /** Band-family time travel ([[dedupIndexAsof]] one similarity notch
+    * over): private index, batch bands APPENDED (the index now reports
+    * every batch band colliding with itself), serve pinned to the
+    * pre-append version — must reproduce the corpus-only screen. */
+  private val asofBandIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def dedupBandIndexAsof(spark: SparkSession, dir: String): DataFrame = {
+    val batchBands = Dedup.bandRows(
+      batchDocs(Tables.documentsHot(spark, dir)), "doc_id", "text",
+      K, Bands, R)
+    val (path, pinned) = asofBandIndexes.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(idxRoot, "bandasof_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      Dedup.writeBandIndex(
+        Dedup.bandRows(corpusDocs(Tables.documentsHot(spark, dir)),
+          "doc_id", "text", K, Bands, R),
+        "doc_id", HotBucketCap, p)
+      val v = graft.data.IndexManifest.load(spark, p).get.version
+      Dedup.appendBandIndex(batchBands, "doc_id", HotBucketCap, p)
+      (p, v)
+    })
+    Dedup.indexedBandScreen(batchBands,
+        graft.data.IndexManifest.readDataAt(spark, path, pinned), "doc_id")
       .dumpOrderedTail("doc_id")
   }
 
@@ -4453,31 +4509,14 @@ object DataQueries {
          |  a.n_dup_after = b.n_cells AS is_fully_indexed
          |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
-    "data_dedup_band_index_serve" -> Q(dedupBandIndexServe, Some(
-      s"""WITH s AS (
-         |  SELECT doc_id, $duckShingles AS sh FROM documents),
-         |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
-         |bb AS (
-         |  SELECT doc_id, band,
-         |    md5(array_to_string(sig[(band*$R+1):(band*$R+$R)], '|'))
-         |      AS bucket
-         |  FROM (SELECT doc_id, sig, unnest(range(0, $Bands)) AS band
-         |        FROM sig)),
-         |corp AS (SELECT DISTINCT band, bucket, doc_id AS ref_id FROM bb
-         |         WHERE doc_id < $SnapshotId OR doc_id >= $BatchEnd),
-         |b AS (SELECT doc_id, band, bucket FROM bb
-         |      WHERE doc_id >= $SnapshotId AND doc_id < $BatchEnd),
-         |tot AS (SELECT doc_id, count(*) AS n_bands FROM b GROUP BY doc_id),
-         |h AS (
-         |  SELECT b.doc_id, count(DISTINCT b.band) AS n_hit_bands,
-         |    count(DISTINCT c.ref_id) AS n_candidates
-         |  FROM b JOIN corp c ON b.band = c.band AND b.bucket = c.bucket
-         |  GROUP BY b.doc_id)
-         |SELECT t.doc_id, t.n_bands,
-         |  COALESCE(h.n_hit_bands, 0) AS n_hit_bands,
-         |  COALESCE(h.n_candidates, 0) AS n_candidates,
-         |  COALESCE(h.n_hit_bands, 0) > 0 AS is_near_dup_candidate
-         |FROM tot t LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    "data_dedup_band_index_serve" -> Q(dedupBandIndexServe,
+      Some(duckBandServeSql)),
+
+    // the band family's time travel (data-only pin, like the cell
+    // asof): serve pinned to the pre-append version of a since-
+    // appended band index == the corpus-only band screen
+    "data_dedup_band_index_asof" -> Q(dedupBandIndexAsof,
+      Some(duckBandServeSql)),
 
     "data_dedup_band_index_append" -> Q(dedupBandIndexAppend, Some(
       s"""WITH s AS (

@@ -39,7 +39,8 @@ object Plans {
     "data_search_index_serve", "data_sim_ivf_retrain",
     "data_dedup_semantic_index_serve", "data_pack_tokenized",
     "data_pack_tokenized_append", "data_shard_tfrecord",
-    "data_search_index_asof", "data_sim_ivf_asof")
+    "data_search_index_asof", "data_sim_ivf_asof",
+    "data_dedup_band_index_asof")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -533,6 +534,11 @@ object Plans {
       |  the pin selects version v's postings files AND version v's
       |  df/N artifact directories together; a later dictionary would
       |  flip idfs even over the correct old postings.
+      |- **data_dedup_band_index_asof** — the band family's time travel
+      |  (data-only pin): same streamed-broadcast + shard-pruned plan
+      |  as `data_dedup_band_index_serve`, over the pre-append
+      |  version's file list. With this every maintained family
+      |  time-travels at the query level.
       |- **data_sim_ivf_asof** — time travel ACROSS a retrain: the
       |  pinned serve routes with the OLD generation's centroid
       |  artifact over the OLD generation's cell files (the current

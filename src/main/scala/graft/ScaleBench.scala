@@ -66,7 +66,8 @@ object ScaleBench {
     // round-12 late additions: time-travel serve (retention), maintained
     // tokenized-shard appends
     "data_dedup_index_asof", "data_pack_tokenized_append",
-    "data_shard_tfrecord", "data_search_index_asof", "data_sim_ivf_asof")
+    "data_shard_tfrecord", "data_search_index_asof", "data_sim_ivf_asof",
+    "data_dedup_band_index_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
