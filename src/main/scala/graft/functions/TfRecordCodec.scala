@@ -35,6 +35,16 @@ case class TfRecordFrame(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = false
   override def prettyName: String = "tfrecord_frame"
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tfrecord_frame expects array<bigint> token ids, got $other")
+    }
+
   override def eval(input: InternalRow): Any =
     TfRecordCodecImpl.frame(child.eval(input).asInstanceOf[ArrayData])
 
@@ -66,6 +76,16 @@ case class TfRecordParse(child: Expression) extends UnaryExpression {
       nullable = false)))
   override def nullable: Boolean = false
   override def prettyName: String = "tfrecord_parse"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tfrecord_parse expects a binary frame, got $other")
+    }
 
   override def eval(input: InternalRow): Any =
     TfRecordCodecImpl.parse(child.eval(input).asInstanceOf[Array[Byte]])
