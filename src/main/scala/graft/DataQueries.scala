@@ -173,6 +173,18 @@ object DataQueries {
        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach
        |         GROUP BY id)""".stripMargin
 
+  /** The components differential, shared by the per-run recompute and
+    * the maintained-index serve: min-reachable component per node over
+    * the full pair set, with sizes. */
+  private[graft] lazy val duckComponentsSql: String =
+    s"""WITH RECURSIVE
+       |$duckPairsCc,
+       |sz AS (SELECT component, count(*) AS component_size FROM comp
+       |       GROUP BY component)
+       |SELECT c.doc_id, c.component, s2.component_size
+       |FROM comp c JOIN sz s2 ON c.component = s2.component
+       |ORDER BY doc_id""".stripMargin
+
   /** Quality-score expression over a words-list column (mirror of
     * `TextAnalysis.qualityColumns`'s quality_score); shared by
     * `data_curate_topk` and `data_curation_e2e`. */
@@ -395,6 +407,47 @@ object DataQueries {
       .agg(count(lit(1)).as("component_size"))
     labels.join(sizes, Seq("component"))
       .select(col("id").as("doc_id"), col("component"), col("component_size"))
+      .dumpOrdered("doc_id")
+  }
+
+  /** MAINTAINED cluster index lifecycle — incremental transitive
+    * closure, the cluster-level member of the maintained-dedup family:
+    * the corpus pairs' components persist once
+    * ([[Dedup.writeComponentsIndex]] — immutable `(node, rep)` rows +
+    * the rep-forwarding artifact), the batch-touching pairs are
+    * absorbed TWICE ([[Dedup.appendComponentsEdges]] — new nodes enter
+    * labeled, merges update only the bounded forwarding table, and the
+    * replay must change nothing), and the serve resolves every stored
+    * rep through the forwarding broadcast. The oracle is
+    * `data_dedup_components`' recursive-CTE min-reachable replay over
+    * ALL pairs, verbatim — corpus pairs ∪ batch-touching pairs IS the
+    * full pair set, so serve-after-append must be row-identical to the
+    * from-scratch transitive closure (one missed merge, one stale
+    * forwarding target, or one double-absorbed edge flips it). */
+  private val builtCompIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dedupComponentsAppend(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = similarPairs(spark, dir).select(col("id_a"), col("id_b"))
+    def inCorpus(c: Column) = c < SnapshotId || c >= BatchEnd
+    val path = builtCompIndexes.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(idxRoot, "comp_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      Dedup.writeComponentsIndex(
+        pairs.where(inCorpus(col("id_a")) && inCorpus(col("id_b"))),
+        "id_a", "id_b", p)
+      val batchPairs = pairs
+        .where(!inCorpus(col("id_a")) || !inCorpus(col("id_b")))
+      Dedup.appendComponentsEdges(batchPairs, "id_a", "id_b", p)
+      Dedup.appendComponentsEdges(batchPairs, "id_a", "id_b", p) // replay
+      p
+    })
+    val serve = Dedup.componentsIndexServe(spark, path)
+    val sizes = serve.groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"))
+    serve.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"),
+        col("component_size"))
       .dumpOrdered("doc_id")
   }
 
@@ -3277,14 +3330,13 @@ object DataQueries {
          |FROM deg LEFT JOIN pn ON pn.k % 4294967296 = deg.v
          |ORDER BY doc_id""".stripMargin)),
 
-    "data_dedup_components" -> Q(dedupComponents, Some(
-      s"""WITH RECURSIVE
-         |$duckPairsCc,
-         |sz AS (SELECT component, count(*) AS component_size FROM comp
-         |       GROUP BY component)
-         |SELECT c.doc_id, c.component, s2.component_size
-         |FROM comp c JOIN sz s2 ON c.component = s2.component
-         |ORDER BY doc_id""".stripMargin)),
+    "data_dedup_components" -> Q(dedupComponents, Some(duckComponentsSql)),
+
+    // the MAINTAINED cluster index: corpus components at rest, batch
+    // edges absorbed incrementally (merges touch only the forwarding
+    // artifact), served == the from-scratch transitive closure
+    "data_dedup_components_append" -> Q(dedupComponentsAppend,
+      Some(duckComponentsSql)),
 
     "data_quality_propagate" -> Q(qualityPropagate, Some(
       s"""WITH RECURSIVE

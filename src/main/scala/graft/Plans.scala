@@ -40,7 +40,7 @@ object Plans {
     "data_dedup_semantic_index_serve", "data_pack_tokenized",
     "data_pack_tokenized_append", "data_shard_tfrecord",
     "data_search_index_asof", "data_sim_ivf_asof",
-    "data_dedup_band_index_asof")
+    "data_dedup_band_index_asof", "data_dedup_components_append")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -534,6 +534,14 @@ object Plans {
       |  the pin selects version v's postings files AND version v's
       |  df/N artifact directories together; a later dictionary would
       |  flip idfs even over the correct old postings.
+      |- **data_dedup_components_append** — the maintained CLUSTER index
+      |  serve: one streamed index scan map-joined against the broadcast
+      |  forwarding table (rep -> canonical, bounded by ever-superseded
+      |  reps), then a component-size aggregate. The append inside the
+      |  build memo is batch/artifact-bounded except one literal-IN
+      |  shard-pruned index probe; merges write ONLY a new forwarding
+      |  artifact version — stored rows are immutable, the incremental
+      |  transitive-closure design.
       |- **data_dedup_band_index_asof** — the band family's time travel
       |  (data-only pin): same streamed-broadcast + shard-pruned plan
       |  as `data_dedup_band_index_serve`, over the pre-append

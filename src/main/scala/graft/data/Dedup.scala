@@ -964,4 +964,161 @@ object Dedup {
     nodes.unpersist()
     labels
   }
+
+  // ------------------------------------------------- maintained components
+
+  /** Shard key of a node id in the MAINTAINED components index: id mod 16
+    * (ids are already uniform keys; the [[cellShard]] convention without
+    * the hash, so the oracle can replay it trivially). */
+  def nodeShard(id: Column): Column = pmod(id, lit(16L)).cast("int")
+
+  /** Build the MAINTAINED near-dup CLUSTER index ONCE — the cluster-level
+    * member of the maintained-dedup family (exact cells → bands →
+    * vectors → components): every node's component label (= min node id,
+    * the [[connectedComponentsStar]] contract) persists as
+    * `(node_id, rep)` partitioned by [[nodeShard]], under one
+    * [[IndexManifest]] commit together with the (initially empty)
+    * REP-FORWARDING artifact.
+    *
+    * The forwarding table is the design's load-bearing piece: DATA FILES
+    * ARE IMMUTABLE. When a later batch's edges merge stored clusters, no
+    * stored row is rewritten — the superseded representatives forward to
+    * the new canonical through the bounded artifact (one row per rep
+    * ever superseded — merges only ever shrink the rep universe), and
+    * every serve resolves `rep → canonical` through a broadcast of it.
+    * The table is kept FLAT (every target is a current canonical), so
+    * resolution is one join, never a chain walk. */
+  def writeComponentsIndex(edges: DataFrame, srcCol: String, dstCol: String,
+                           path: String): Unit = {
+    val spark = edges.sparkSession
+    connectedComponentsStar(edges, srcCol, dstCol)
+      .select(col("id").as("node_id"), col("component").as("rep"))
+      .withColumn("shard", nodeShard(col("node_id")))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val fw = IndexManifest.writeArtifact(spark, path, "forward",
+      spark.range(0).select(col("id").as("old_rep"),
+        col("id").as("canonical")))
+    IndexManifest.commit(spark, path,
+      IndexManifest.listDataFiles(spark, path), Map(fw)): Unit
+  }
+
+  /** The stored rep-forwarding table — bounded by the count of ever-
+    * superseded representatives; broadcast by every consumer. */
+  def readComponentsForward(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame =
+    IndexManifest.readArtifact(spark, path, "forward")
+
+  /** Every stored node's CURRENT component: `(id, component)` — the
+    * stored write-time rep resolved through the forwarding broadcast.
+    * Scale: one streamed scan of the index (map-only against the
+    * broadcast), no shuffle. */
+  def componentsIndexServe(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame = {
+    val fw = readComponentsForward(spark, path)
+    IndexManifest.readData(spark, path)
+      .join(broadcast(fw), col("rep") === col("old_rep"), "left")
+      .select(col("node_id").as("id"),
+        coalesce(col("canonical"), col("rep")).as("component"))
+  }
+
+  /** MAINTAIN the cluster index: absorb an ingest batch's near-dup
+    * EDGES — new nodes enter with their component's canonical label,
+    * and edges that connect EXISTING clusters merge them by updating
+    * the forwarding artifact only (stored rows never rewrite; the
+    * incremental transitive-closure step a per-run
+    * [[connectedComponentsStar]] recompute cannot give you).
+    *
+    * Mechanics, all batch- or artifact-bounded except one streamed
+    * pruned index scan:
+    *   1. touched = the batch edges' endpoints (bounded); their stored
+    *      labels come from `index ⋈ broadcast(touched)` with literal-IN
+    *      shard pruning, resolved through the forwarding broadcast.
+    *   2. The MERGE GRAPH maps every endpoint to its current canonical
+    *      (or itself when new) — a graph over ≤ 2·|batch edges| nodes —
+    *      and [[connectedComponentsStar]] on it yields each group's new
+    *      canonical (min over member canonicals and new ids, which is
+    *      exactly the from-scratch min: component minima are preserved
+    *      under union).
+    *   3. New nodes append into the shard layout labeled with their
+    *      group canonical; superseded canonicals gain forwarding rows,
+    *      and EXISTING forwarding entries whose target was superseded
+    *      re-point (the table stays flat).
+    *   4. One [[IndexManifest.commitDelta]] publishes the appended rows
+    *      and the new forwarding version atomically.
+    *
+    * Idempotent: a full replay finds every endpoint stored, every merge
+    * already applied (the merge graph degenerates to self-loops), and
+    * commits no new rows and an unchanged forwarding set — the law the
+    * `data_dedup_components_append` oracle pins by appending twice.
+    *
+    * Serve-equals-rebuild: after any append sequence,
+    * [[componentsIndexServe]] is row-identical to a from-scratch
+    * [[connectedComponentsStar]] over the UNION of all edges ever
+    * absorbed — the differential the oracle replays. */
+  def appendComponentsEdges(batchEdges: DataFrame, srcCol: String,
+                            dstCol: String, path: String): Unit = {
+    val spark = batchEdges.sparkSession
+    IndexManifest.reconcile(spark, path)
+    val pre = IndexManifest.listDataFiles(spark, path)
+    val be = batchEdges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .distinct().localCheckpoint(true)
+    val touched = be.select(explode(array(col("s"), col("d"))).as("node_id"))
+      .distinct().localCheckpoint(true)
+    val shards = touched.select(nodeShard(col("node_id")).as("shard"))
+      .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val idx = IndexManifest.readData(spark, path)
+      .where(col("shard").isin(shards: _*))
+    val fw = readComponentsForward(spark, path).localCheckpoint(true)
+    // stored endpooints' CURRENT canonical (forward-resolved)
+    val resolved = idx.join(broadcast(touched), Seq("node_id"))
+      .join(broadcast(fw), col("rep") === col("old_rep"), "left")
+      .select(col("node_id"),
+        coalesce(col("canonical"), col("rep")).as("cur"))
+      .localCheckpoint(true)
+    // the merge graph: endpoints mapped to canonical-or-self
+    def mapped(end: String) = be
+      .join(broadcast(resolved).withColumnRenamed("node_id", end)
+        .withColumnRenamed("cur", s"__c_$end"), Seq(end), "left")
+    val eg = mapped("s")
+      .join(broadcast(resolved).withColumnRenamed("node_id", "d")
+        .withColumnRenamed("cur", "__c_d"), Seq("d"), "left")
+      .select(coalesce(col("__c_s"), col("s")).as("gs"),
+        coalesce(col("__c_d"), col("d")).as("gd"))
+      .localCheckpoint(true)
+    // groups over the bounded merge graph (self-loops label themselves
+    // through the star contract); every merge-graph node gets a canonical
+    val groups = connectedComponentsStar(eg, "gs", "gd")
+      .select(col("id").as("g_node"), col("component").as("g_canon"))
+      .localCheckpoint(true)
+    // 3a. new nodes -> labeled with their group canonical
+    val newNodes = touched
+      .join(broadcast(resolved.select(col("node_id"))), Seq("node_id"),
+        "left_anti")
+    newNodes
+      .join(broadcast(groups), col("node_id") === col("g_node"), "left")
+      .select(col("node_id"),
+        coalesce(col("g_canon"), col("node_id")).as("rep"))
+      .withColumn("shard", nodeShard(col("node_id")))
+      .repartition(col("shard"))
+      .write.mode("append").partitionBy("shard").parquet(path)
+    // 3b. forwarding updates: superseded canonicals + re-pointed entries.
+    // All bounded tables; collected comparison decides the no-op case.
+    val superseded = resolved.select(col("cur").as("old_rep")).distinct()
+      .join(groups, col("old_rep") === col("g_node"))
+      .where(col("g_canon") =!= col("old_rep"))
+      .select(col("old_rep"), col("g_canon").as("canonical"))
+    val repointed = fw
+      .join(broadcast(groups), col("canonical") === col("g_node"), "left")
+      .select(col("old_rep"),
+        coalesce(col("g_canon"), col("canonical")).as("canonical"))
+    val newFw = repointed.unionByName(superseded).distinct()
+    val changed = newFw.exceptAll(fw).limit(1).count() > 0 ||
+      fw.exceptAll(newFw).limit(1).count() > 0
+    val arts =
+      if (!changed) Map.empty[String, String]
+      else Map(IndexManifest.writeArtifact(spark, path, "forward", newFw))
+    IndexManifest.commitDelta(spark, path, pre, arts): Unit
+  }
 }

@@ -843,6 +843,57 @@ class DataOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == afterAppend)
   }
 
+  test("maintained components: merges touch only the forwarding artifact, " +
+      "a new smaller id becomes the canonical, chains merge transitively, " +
+      "and replays change nothing") {
+    import graft.data.{Dedup, IndexManifest}
+    val path = java.nio.file.Files.createTempDirectory("graft_comp_idx")
+      .resolve("comp").toString
+    // corpus clusters: {10, 11} (rep 10) and {20, 21} (rep 20), {30} alone
+    Dedup.writeComponentsIndex(
+      Seq((10L, 11L), (20L, 21L), (30L, 30L)).toDF("a", "b"), "a", "b", path)
+    def serve() = Dedup.componentsIndexServe(spark, path)
+      .as[(Long, Long)].collect().toMap
+    assert(serve() == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L))
+    val dataFiles0 = IndexManifest.load(spark, path).get.dataFiles.toSet
+    // batch 1: a CHAIN through a new node — 11~40, 40~21 merges the two
+    // stored clusters and the new node transitively (canonical = 10)
+    Dedup.appendComponentsEdges(
+      Seq((11L, 40L), (40L, 21L)).toDF("a", "b"), "a", "b", path)
+    assert(serve() == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L,
+      30L -> 30L, 40L -> 10L))
+    // the merge REWROTE NOTHING: every original data file is still
+    // listed (only the new node's row was appended)
+    assert(dataFiles0.subsetOf(
+      IndexManifest.load(spark, path).get.dataFiles.toSet),
+      "a merge must never rewrite stored rows")
+    // forwarding is flat: 20 -> 10, no entry chains through another
+    val fw1 = Dedup.readComponentsForward(spark, path)
+      .as[(Long, Long)].collect().toMap
+    assert(fw1 == Map(20L -> 10L))
+    // batch 2: a NEW node with a SMALLER id than the canonical joins —
+    // it becomes the new canonical, and the old forwarding entry
+    // re-points (stays flat: 20 -> 5, not 20 -> 10 -> 5)
+    Dedup.appendComponentsEdges(
+      Seq((5L, 40L)).toDF("a", "b"), "a", "b", path)
+    assert(serve() == Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 20L -> 5L,
+      21L -> 5L, 30L -> 30L, 40L -> 5L))
+    assert(Dedup.readComponentsForward(spark, path)
+      .as[(Long, Long)].collect().toMap == Map(20L -> 5L, 10L -> 5L))
+    // replay of both batches: a no-op (same serve, same forwarding)
+    val v = IndexManifest.load(spark, path).get.version
+    Dedup.appendComponentsEdges(
+      Seq((11L, 40L), (40L, 21L), (5L, 40L)).toDF("a", "b"), "a", "b", path)
+    assert(serve() == Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 20L -> 5L,
+      21L -> 5L, 30L -> 30L, 40L -> 5L))
+    assert(Dedup.readComponentsForward(spark, path)
+      .as[(Long, Long)].collect().toMap == Map(20L -> 5L, 10L -> 5L))
+    assert(IndexManifest.load(spark, path).get.dataFiles.size ==
+      IndexManifest.loadAt(spark, path, v).get.dataFiles.size,
+      "a replay must append no data files")
+  }
+
   test("retention: compactIndex(retainVersions=2) keeps the pre-compaction " +
       "snapshot physically readable (time travel); the next vacuum " +
       "boundary reclaims it") {

@@ -61,7 +61,8 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           # maintained tokenized-shard appends
           "data_dedup_index_asof", "data_pack_tokenized_append",
           "data_shard_tfrecord", "data_search_index_asof",
-          "data_sim_ivf_asof", "data_dedup_band_index_asof"]
+          "data_sim_ivf_asof", "data_dedup_band_index_asof",
+          "data_dedup_components_append"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
