@@ -147,8 +147,10 @@ object DataQueries {
   /** Recursive-CTE chain shingles → signature → LSH buckets → candidate
     * pairs (est. Jaccard >= [[DupThreshold]]) → undirected edges →
     * min-reachable component per node; shared by `data_dedup_components`
-    * and `data_curation_e2e` so their group semantics cannot drift. */
-  private[graft] val duckPairsCc =
+    * and `data_curation_e2e` so their group semantics cannot drift.
+    * `pairsAnd` optionally restricts the pair set (the time-travel
+    * oracle's corpus-only replay) — delegated, never re-typed. */
+  private[graft] def duckPairsCcWhere(pairsAnd: String): String =
     s"""s AS (
        |  SELECT doc_id, $duckShingles AS sh FROM documents),
        |sig AS (SELECT doc_id, $duckSig AS sig FROM s),
@@ -163,7 +165,7 @@ object DataQueries {
        |  FROM bb a JOIN bb b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |  WHERE len(list_filter(range(1, ${K + 1}), p -> a.sig[p] = b.sig[p]))
-       |          / ${K}.0 >= $DupThreshold),
+       |          / ${K}.0 >= $DupThreshold$pairsAnd),
        |bi AS (SELECT id_a AS s, id_b AS d FROM pairs
        |       UNION ALL SELECT id_b, id_a FROM pairs),
        |reach(id, r) AS (
@@ -172,6 +174,8 @@ object DataQueries {
        |  SELECT e.d, reach.r FROM reach JOIN bi e ON reach.id = e.s),
        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach
        |         GROUP BY id)""".stripMargin
+
+  private[graft] val duckPairsCc = duckPairsCcWhere("")
 
   /** The components differential, shared by the per-run recompute and
     * the maintained-index serve: min-reachable component per node over
@@ -427,22 +431,27 @@ object DataQueries {
   private val builtCompIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def dedupComponentsAppend(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = similarPairs(spark, dir).select(col("id_a"), col("id_b"))
-    def inCorpus(c: Column) = c < SnapshotId || c >= BatchEnd
-    val path = builtCompIndexes.computeIfAbsent(dir, _ => {
+  private def compInCorpus(c: Column): Column =
+    c < SnapshotId || c >= BatchEnd
+
+  private def compAppendPath(spark: SparkSession, dir: String): String =
+    builtCompIndexes.computeIfAbsent(dir, _ => {
+      val pairs = similarPairs(spark, dir).select(col("id_a"), col("id_b"))
       val p = new java.io.File(idxRoot, "comp_" +
         new java.io.File(dir).getName).getAbsolutePath
       Dedup.writeComponentsIndex(
-        pairs.where(inCorpus(col("id_a")) && inCorpus(col("id_b"))),
+        pairs.where(compInCorpus(col("id_a")) && compInCorpus(col("id_b"))),
         "id_a", "id_b", p)
       val batchPairs = pairs
-        .where(!inCorpus(col("id_a")) || !inCorpus(col("id_b")))
+        .where(!compInCorpus(col("id_a")) || !compInCorpus(col("id_b")))
       Dedup.appendComponentsEdges(batchPairs, "id_a", "id_b", p)
       Dedup.appendComponentsEdges(batchPairs, "id_a", "id_b", p) // replay
       p
     })
-    val serve = Dedup.componentsIndexServe(spark, path)
+
+  /** (doc_id, component, component_size) from a components serve — the
+    * shared dump shape of every cluster-index differential. */
+  private def componentsWithSizes(serve: DataFrame): DataFrame = {
     val sizes = serve.groupBy(col("component"))
       .agg(count(lit(1)).as("component_size"))
     serve.join(sizes, Seq("component"))
@@ -450,6 +459,80 @@ object DataQueries {
         col("component_size"))
       .dumpOrdered("doc_id")
   }
+
+  private def dedupComponentsAppend(spark: SparkSession, dir: String): DataFrame =
+    componentsWithSizes(
+      Dedup.componentsIndexServe(spark, compAppendPath(spark, dir)))
+
+  /** Cluster-index TIME TRAVEL — artifact pairing at cluster
+    * granularity: corpus components built (v1), the batch's merging
+    * edges absorbed (v2, `retainVersions = 2` keeps v1 on the
+    * horizon), and the serve pinned to v1 through
+    * [[Dedup.componentsIndexServeAt]] — version 1's rows resolved with
+    * version 1's FORWARDING table. The oracle replays the closure over
+    * the CORPUS pairs only: matching it proves the pin reproduces the
+    * pre-merge components exactly — the current forwarding table knows
+    * merges that had not happened at v1 and would silently "predict"
+    * them into the pinned serve (the postings-df pairing law, cluster
+    * edition). */
+  private val builtCompAsof =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  private def dedupComponentsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val (path, pinned) = builtCompAsof.computeIfAbsent(dir, _ => {
+      val pairs = similarPairs(spark, dir).select(col("id_a"), col("id_b"))
+      val p = new java.io.File(idxRoot, "compasof_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      Dedup.writeComponentsIndex(
+        pairs.where(compInCorpus(col("id_a")) && compInCorpus(col("id_b"))),
+        "id_a", "id_b", p)
+      val v = graft.data.IndexManifest.load(spark, p).get.version
+      Dedup.appendComponentsEdges(
+        pairs.where(!compInCorpus(col("id_a")) ||
+          !compInCorpus(col("id_b"))),
+        "id_a", "id_b", p)
+      (p, v)
+    })
+    componentsWithSizes(Dedup.componentsIndexServeAt(spark, path, pinned))
+  }
+
+  /** Cluster-index COMPACTION (the forwarding FOLD): after the batch's
+    * merges, [[Dedup.compactComponentsIndex]] rewrites the affected
+    * shards with canonical reps and TRUNCATES the forwarding artifact —
+    * the bound on the one table every serve broadcasts. The oracle is
+    * the full-closure replay shared with the append query: folding must
+    * be invisible to the serve (bit-identical components), which is
+    * exactly what makes it safe to run inside a live gate. */
+  private val builtCompFold =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dedupComponentsCompact(spark: SparkSession, dir: String): DataFrame = {
+    val path = builtCompFold.computeIfAbsent(dir, _ => {
+      val pairs = similarPairs(spark, dir).select(col("id_a"), col("id_b"))
+      val p = new java.io.File(idxRoot, "compfold_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      Dedup.writeComponentsIndex(
+        pairs.where(compInCorpus(col("id_a")) && compInCorpus(col("id_b"))),
+        "id_a", "id_b", p)
+      Dedup.appendComponentsEdges(
+        pairs.where(!compInCorpus(col("id_a")) ||
+          !compInCorpus(col("id_b"))),
+        "id_a", "id_b", p)
+      Dedup.compactComponentsIndex(spark, p)
+      p
+    })
+    componentsWithSizes(Dedup.componentsIndexServe(spark, path))
+  }
+
+  /** The maintained component COUNT — the gate receipt's 1-row stats
+    * artifact (built once, exact-incremented by every append's bounded
+    * merge-graph arithmetic) against the oracle's full transitive-
+    * closure count: one wrong increment on any append and the totals
+    * diverge. */
+  private def dedupComponentsStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.readComponentsStats(spark, compAppendPath(spark, dir))
+      .select(col("n_components"))
+      .dumpOrdered("n_components")
 
   /** Quality floor shared with `data_curation_e2e`'s fate rule. */
   private val QualityFloor = 1.0
@@ -3337,6 +3420,37 @@ object DataQueries {
     // artifact), served == the from-scratch transitive closure
     "data_dedup_components_append" -> Q(dedupComponentsAppend,
       Some(duckComponentsSql)),
+
+    // cluster-index TIME TRAVEL: the serve pinned to the pre-merge
+    // version (data + forwarding artifact paired) must replay the
+    // corpus-only closure — the current forwarding table would
+    // "predict" merges into the past
+    "data_dedup_components_asof" -> Q(dedupComponentsAsof, Some {
+      val corpusOnly =
+        s"""
+           |    AND (a.doc_id < $SnapshotId OR a.doc_id >= $BatchEnd)
+           |    AND (b.doc_id < $SnapshotId OR b.doc_id >= $BatchEnd)""".stripMargin
+      s"""WITH RECURSIVE
+         |${duckPairsCcWhere(corpusOnly)},
+         |sz AS (SELECT component, count(*) AS component_size FROM comp
+         |       GROUP BY component)
+         |SELECT c.doc_id, c.component, s2.component_size
+         |FROM comp c JOIN sz s2 ON c.component = s2.component
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    // cluster-index COMPACTION: the forwarding fold must be invisible
+    // to the serve — same full-closure oracle as the append query
+    "data_dedup_components_compact" -> Q(dedupComponentsCompact,
+      Some(duckComponentsSql)),
+
+    // the exact-maintained component count (the sixth gate's receipt
+    // field) vs the closure's distinct-component count
+    "data_dedup_components_stats" -> Q(dedupComponentsStats, Some(
+      s"""WITH RECURSIVE
+         |$duckPairsCc
+         |SELECT CAST(count(DISTINCT component) AS BIGINT) AS n_components
+         |FROM comp""".stripMargin)),
 
     "data_quality_propagate" -> Q(qualityPropagate, Some(
       s"""WITH RECURSIVE

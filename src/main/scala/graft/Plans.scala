@@ -39,6 +39,8 @@ object Plans {
     "data_search_index_serve", "data_sim_ivf_retrain",
     "data_dedup_semantic_index_serve", "data_pack_tokenized",
     "data_pack_tokenized_append", "data_shard_tfrecord",
+    "data_dedup_components_asof", "data_dedup_components_compact",
+    "data_dedup_components_stats", "data_shard_tfrecord_files",
     "data_search_index_asof", "data_sim_ivf_asof",
     "data_dedup_band_index_asof", "data_dedup_components_append")
 
@@ -562,6 +564,28 @@ object Plans {
       |  assumed), map-only over the pinned artifact scan, then one
       |  per-shard hash aggregate. No join, no shuffle beyond the
       |  aggregate.
+      |- **data_dedup_components_asof / _compact / _stats** — the cluster
+      |  family's lifecycle completion. The asof serve is plan-identical
+      |  to `data_dedup_components_append`'s (streamed pinned scan ⋈
+      |  broadcast forwarding), with BOTH sides pinned to the pre-merge
+      |  manifest — version v's rows resolved with version v's
+      |  forwarding table (the current table would predict merges into
+      |  the past). The compact serve is the same plan over the FOLDED
+      |  index: canonical reps baked into the rewritten shard rows, the
+      |  broadcast side now an empty relation — folding bounds the one
+      |  table every serve ships to every executor. The stats query is
+      |  a 1-row artifact read (exact-incremented per append from
+      |  batch-bounded merge-graph counts) + the dump sort — the gate
+      |  receipt's component count costs no index scan at any size.
+      |- **data_shard_tfrecord_files** — the file-level differential: one
+      |  binaryFile scan of the `.tfrecord` artifact, `tfrecord_split` +
+      |  per-record `tfrecord_parse` as codegen projections behind a
+      |  posexplode (position = bin, the written order contract), one
+      |  shuffle join back to the stored parquet rows on (shard, bin) to
+      |  prove the payload survived the disk roundtrip, one per-shard
+      |  hash aggregate. Linear in artifact bytes; the write side
+      |  (`writeTfRecordShards`) is repartition(shard) + a streaming
+      |  per-task byte sink — no shard's bytes ever materialize.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

@@ -67,7 +67,12 @@ object ScaleBench {
     // tokenized-shard appends
     "data_dedup_index_asof", "data_pack_tokenized_append",
     "data_shard_tfrecord", "data_search_index_asof", "data_sim_ivf_asof",
-    "data_dedup_band_index_asof", "data_dedup_components_append")
+    "data_dedup_band_index_asof", "data_dedup_components_append",
+    // round-13 additions: cluster-index lifecycle completion (time
+    // travel, forwarding fold, exact component-count stats) + TFRecord
+    // files at rest
+    "data_dedup_components_asof", "data_dedup_components_compact",
+    "data_dedup_components_stats", "data_shard_tfrecord_files")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

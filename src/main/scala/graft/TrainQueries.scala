@@ -1409,10 +1409,9 @@ object TrainQueries {
     * see a consistent (shards, manifest) pair. */
   private[graft] def appendTokenizedShards(spark: SparkSession, dir: String,
                                            batch: DataFrame,
-                                           path: String): Unit =
+                                           path: String,
+                                           retainVersions: Int = 2): Unit =
     withSortFallback(spark) {
-      val snap = graft.data.IndexManifest.reconcile(spark, path)
-      val pre = graft.data.IndexManifest.listDataFiles(spark, path)
       val toks = tokenizedDocs(spark, dir, batch)
         .localCheckpoint(true) // consumed 3× below (ids, novel, shards)
       // static literal-IN shard pruning (the streaming gates' rule: a
@@ -1421,6 +1420,7 @@ object TrainQueries {
       // the PackBuckets universe
       val shards = toks.select(col("bucket").cast("int").as("shard"))
         .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+      val snap = graft.data.IndexManifest.reconcileAppend(spark, path)
       val idx =
         if (snap.dataFiles.isEmpty) null
         else graft.data.IndexManifest.readData(spark, path)
@@ -1451,12 +1451,11 @@ object TrainQueries {
               s" doc_id rows between unbounded preceding and 1 preceding)," +
               s" 0L) div $PackBin"))
         .drop("__maxbin")
-      assembleBins(binned)
-        .repartition(col("shard"))
-        .write.mode("append").partitionBy("shard").parquet(path)
-      // exact artifact increments from the read-back of what landed
-      val added = graft.data.IndexManifest.listDataFiles(spark, path)
-        .filterNot(pre.toSet)
+      // staged write: `added` is exactly this writer's files, known by
+      // construction — and the artifact increments below hash the
+      // READ-BACK of precisely those files
+      val added = graft.data.IndexManifest.stageAppend(
+        assembleBins(binned).repartition(col("shard")), path, "shard")
       val art: Map[String, String] =
         if (added.isEmpty) Map.empty // full replay: nothing landed — the
                                      // delta commit carries the previous
@@ -1491,7 +1490,8 @@ object TrainQueries {
                 expr("coalesce(xor_checksum, 0L) ^ coalesce(__x, 0L)")
                   .as("xor_checksum"))))
         }
-      graft.data.IndexManifest.commitDelta(spark, path, pre, art): Unit
+      graft.data.IndexManifest.commitAdded(spark, path, added, art,
+        retainVersions = retainVersions): Unit
     }
 
   /** The stored reproducibility manifest of a maintained tokenized-shard
@@ -1584,6 +1584,119 @@ object TrainQueries {
         length(col("framed")).cast("long").as("nb"),
         (col("p.len_crc_ok") && col("p.data_crc_ok")).as("crc_ok"),
         (col("p.ids") === col("token_ids")).as("rt_ok"),
+        conv(substring(md5(concat(col("bin").cast("string"), lit(":"),
+          lower(hex(col("framed"))))), 1, 13), 16, 10).cast("long").as("h52"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_records"), sum(col("nb")).as("n_bytes"),
+        sum(when(col("crc_ok"), 1L).otherwise(0L)).as("n_crc_ok"),
+        sum(when(col("rt_ok"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+        expr("bit_xor(h52)").as("frame_xor"))
+      .dumpOrdered("shard")
+  }
+
+  /** Write the tokenized-shard artifact AT REST in the wire format —
+    * real `.tfrecord` FILES a `tf.data.TFRecordDataset` can open, not
+    * just in-plan proof of the framing arithmetic: every packed
+    * sequence framed ([[graft.functions.TfRecordFrame]]) and streamed
+    * into one file per shard, records in ascending `bin` order (bins
+    * are contiguous from 0 per shard at build, so a record's position
+    * IS its bin — the read-back join key). The S4 BOM-sink precedent
+    * for bespoke byte-level output, distributed: `repartition(shard)`
+    * puts each shard wholly in one task, `sortWithinPartitions` makes
+    * shards contiguous runs, and the task streams frames straight to
+    * the filesystem — no shard's bytes ever materialize in memory, no
+    * driver involvement. The file set publishes under one
+    * [[graft.data.IndexManifest]] commit like every other maintained
+    * artifact. Production note: a shard beyond one file's worth rolls
+    * to `part-NNNNN-k` continuation files inside the same task — the
+    * layout and ordering contract is unchanged. */
+  private[graft] def writeTfRecordShards(spark: SparkSession,
+                                         srcPath: String,
+                                         outPath: String): Unit = {
+    graft.functions.TfRecordFunctions.register(spark)
+    import graft.functions.TfRecordFunctions.tfrecord_frame
+    val rows = graft.data.IndexManifest.readData(spark, srcPath)
+      .select(col("shard").cast("long").as("shard"), col("bin"),
+        tfrecord_frame(col("token_ids")).as("framed"))
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true): Unit
+    fs.mkdirs(root): Unit
+    val outUri = fs.makeQualified(root).toUri.toString
+    import spark.implicits._
+    rows.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("bin"))
+      .select(col("shard"), col("framed"))
+      .as[(Long, Array[Byte])]
+      .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+        val r = new org.apache.hadoop.fs.Path(outUri)
+        val efs = r.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tid = org.apache.spark.TaskContext.get().partitionId()
+        var cur = Long.MinValue
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        it.foreach { case (s, bytes) =>
+          if (s != cur) {
+            if (out != null) out.close()
+            val dir = new org.apache.hadoop.fs.Path(r, s"shard=$s")
+            efs.mkdirs(dir): Unit
+            out = efs.create(
+              new org.apache.hadoop.fs.Path(dir, f"part-$tid%05d.tfrecord"),
+              true)
+            cur = s
+          }
+          out.write(bytes)
+        }
+        if (out != null) out.close()
+      }
+    graft.data.IndexManifest.commitListing(spark, outPath): Unit
+  }
+
+  private val builtTfrFiles =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The FILE-level differential of [[shardTfrecord]] (the deliverable
+    * is the file, not the proof of the file's arithmetic): the packed
+    * shards land as real `.tfrecord` files ([[writeTfRecordShards]]),
+    * the query re-reads the RAW FILE BYTES, splits the record stream
+    * ([[graft.functions.TfRecordStreamSplit]] — lossless at the length
+    * headers), re-derives both CRCs per record, joins each record back
+    * to its stored parquet row by (shard, position=bin) to prove the
+    * payload survived the disk roundtrip, and aggregates the same
+    * (count, bytes, crc, roundtrip, xor) row the in-plan query emits —
+    * so it shares that query's polynomial-SQL oracle VERBATIM: the
+    * bytes on disk must hash-match what the oracle frames from the
+    * text. Scale: one binaryFile scan of the artifact, map-only
+    * split+parse in codegen, one broadcast-joinable parquet side, one
+    * hash aggregate. */
+  private def shardTfrecordFiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TfRecordFunctions.register(spark)
+    import graft.functions.TfRecordFunctions.{tfrecord_parse, tfrecord_split}
+    val src = packShardsPath(spark, dir)
+    val tfr = builtTfrFiles.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(packRoot, "tfr_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      writeTfRecordShards(spark, src, p)
+      p
+    })
+    val stored = graft.data.IndexManifest.readData(spark, src)
+      .select(col("shard").cast("long").as("shard"),
+        col("bin").cast("long").as("bin"), col("token_ids"))
+    val records = spark.read.format("binaryFile")
+      .load(s"$tfr/shard=*")
+      .select(
+        regexp_extract(col("path"), "shard=(\\d+)", 1).cast("long")
+          .as("shard"),
+        posexplode(tfrecord_split(col("content")))
+          .as(Seq("bin", "framed")))
+      .select(col("shard"), col("bin").cast("long").as("bin"),
+        col("framed"))
+      .withColumn("p", tfrecord_parse(col("framed")))
+    records.join(stored, Seq("shard", "bin"), "left")
+      .select(col("shard"),
+        length(col("framed")).cast("long").as("nb"),
+        (col("p.len_crc_ok") && col("p.data_crc_ok")).as("crc_ok"),
+        coalesce(col("p.ids") === col("token_ids"), lit(false)).as("rt_ok"),
         conv(substring(md5(concat(col("bin").cast("string"), lit(":"),
           lower(hex(col("framed"))))), 1, 13), 16, 10).cast("long").as("h52"))
       .groupBy(col("shard"))
@@ -2112,7 +2225,18 @@ object TrainQueries {
          |FROM h GROUP BY bucket ORDER BY shard""".stripMargin
     }),
 
-    "data_shard_tfrecord" -> Q(shardTfrecord, Some {
+    "data_shard_tfrecord" -> Q(shardTfrecord, Some(duckShardTfrecordSql)),
+
+    // the FILE-level differential shares the in-plan query's oracle
+    // VERBATIM: the bytes re-read from the .tfrecord files must
+    // aggregate to exactly what the oracle frames from the text
+    "data_shard_tfrecord_files" -> Q(shardTfrecordFiles,
+      Some(duckShardTfrecordSql)),
+  ) ++ defs2
+
+  /** Oracle of BOTH tfrecord queries ([[shardTfrecord]] in-plan,
+    * [[shardTfrecordFiles]] from the file bytes). */
+  private lazy val duckShardTfrecordSql: String = {
       val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
       // CRC32C (Castagnoli, reflected, poly 0x82F63B78 = 2197175160) +
       // TFRecord's mask, from first principles in SQL: the 256-entry
@@ -2206,8 +2330,9 @@ object TrainQueries {
          |  count(*) AS n_roundtrip_ok,
          |  CAST(bit_xor(h52) AS BIGINT) AS frame_xor
          |FROM hh GROUP BY bucket ORDER BY shard""".stripMargin
-    }),
+  }
 
+  private def defs2: Seq[(String, Q)] = Seq(
     "data_pack_tokenized_append" -> Q(packTokenizedAppend, Some {
       val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
       s"""WITH $bpeBytesCtes,

@@ -294,30 +294,50 @@ object Dedup {
     *
     * Mutation protocol ([[IndexManifest]]): reconcile (crash repair) →
     * novelty against the PINNED pre-state → append files → one atomic
-    * manifest commit. A reader planned at any point sees exactly the
-    * pre- or post-state; a crash before the commit leaves invisible
-    * orphans the next reconcile removes (and the replay, whose novelty
-    * check reads the pinned pre-state, re-appends them correctly). */
-  def appendCellIndex(batchCells: DataFrame, indexPath: String): Unit = {
+    * manifest commit, closing with the retention vacuum
+    * (`retainVersions`, default 2 — the pre-append version stays
+    * time-travel-readable). A reader planned at any point sees exactly
+    * the pre- or post-state; a crash before the commit leaves
+    * invisible orphans the next reconcile removes (and the replay,
+    * whose novelty check reads the pinned pre-state, re-appends them
+    * correctly — committing NOTHING when nothing is novel, the
+    * [[IndexManifest.commitDelta]] no-op skip).
+    *
+    * Filesystem cost: the batch's distinct shard set is a bounded
+    * driver pull (≤ the shard universe) feeding a literal-IN partition
+    * prune on the index read, the write stages under a writer-unique
+    * directory and moves files in ([[IndexManifest.stageAppend]] — the
+    * added set is known by construction), and the commit never lists a
+    * partition directory at all: an append performs ZERO
+    * O(index)-shaped filesystem walks. */
+  def appendCellIndex(batchCells: DataFrame, indexPath: String,
+                      retainVersions: Int = 2,
+                      preCommitHook: () => Unit = () => ()): Unit = {
     val spark = batchCells.sparkSession
-    val snap = IndexManifest.reconcile(spark, indexPath)
-    val pre = IndexManifest.listDataFiles(spark, indexPath)
     val bd = batchCells.select(col("cell_hash")).distinct()
       .withColumn("shard", cellShard(col("cell_hash")))
+      .localCheckpoint(true)
+    val shards = bd.select(col("shard")).distinct().collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val snap = IndexManifest.reconcileAppend(spark, indexPath)
     // an index with zero data files (legal: a fully-capped band build's
     // sibling case) has nothing to read — type the empty relation off
     // the batch instead of asking parquet to infer a schema from nothing
     val idx =
       if (snap.dataFiles.isEmpty) bd.limit(0)
       else IndexManifest.readData(spark, indexPath)
+        .where(col("shard").isin(shards: _*))
     val hits = idx.join(broadcast(bd), Seq("shard", "cell_hash"))
       .select(col("shard"), col("cell_hash"))
-    bd.join(broadcast(hits), Seq("shard", "cell_hash"), "left_anti")
-      .repartition(col("shard"))
-      .write.mode("append").partitionBy("shard").parquet(indexPath)
-    // delta commit (snapshot files + exactly what this append wrote):
-    // a listing commit would resurrect retained superseded files
-    IndexManifest.commitDelta(spark, indexPath, pre): Unit
+    // staged write: `added` is exactly this writer's files — a listing
+    // commit would resurrect retained superseded files, and a listing
+    // DIFF could mis-attribute a crashed or concurrent writer's output
+    val added = IndexManifest.stageAppend(
+      bd.join(broadcast(hits), Seq("shard", "cell_hash"), "left_anti")
+        .repartition(col("shard")),
+      indexPath, "shard")
+    IndexManifest.commitAdded(spark, indexPath, added,
+      retainVersions = retainVersions, preCommitHook = preCommitHook): Unit
   }
 
   /** Serve an ingest batch against the STORED index (the read-back of
@@ -492,18 +512,23 @@ object Dedup {
     *
     * Same [[IndexManifest]] mutation protocol as [[appendCellIndex]]:
     * reconcile → pinned pre-state → append + tombstone version → one
-    * atomic commit publishing both. */
+    * atomic commit publishing both, closing with the retention vacuum
+    * and paying only O(batch shards) listing calls (touched-dirs
+    * commit); a full replay commits nothing at all. */
   def appendBandIndex(batchBands: DataFrame, idCol: String, cap: Int,
-                      indexPath: String): Unit = {
+                      indexPath: String, retainVersions: Int = 2): Unit = {
     val spark = batchBands.sparkSession
-    val snap = IndexManifest.reconcile(spark, indexPath)
-    val pre = IndexManifest.listDataFiles(spark, indexPath)
     val tombs = cappedBuckets(spark, indexPath)
     val bd = batchBands
       .select(col(idCol).as("ref_id"), col("band"), col("bucket"))
       .distinct()
       .join(broadcast(tombs), Seq("band", "bucket"), "left_anti")
       .withColumn("shard", cellShard(col("bucket")))
+      .localCheckpoint(true)
+    // bounded (≤ the shard universe), feeding the literal-IN index prune
+    val shards = bd.select(col("shard")).distinct().collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val snap = IndexManifest.reconcileAppend(spark, indexPath)
     // a fully-capped build stores ZERO rows (every bucket tombstoned) —
     // type the empty pre-state off the batch, don't infer from nothing
     val idx =
@@ -511,6 +536,7 @@ object Dedup {
         bd.select(col("ref_id"), col("band"), col("bucket"), col("shard"))
           .limit(0)
       else IndexManifest.readData(spark, indexPath)
+        .where(col("shard").isin(shards: _*))
     val stored = idx.join(
         broadcast(bd.select(col("shard"), col("band"), col("bucket"))
           .distinct()),
@@ -525,11 +551,12 @@ object Dedup {
     val judged = novel
       .join(broadcast(known), Seq("shard", "band", "bucket"), "left")
       .join(broadcast(novelCounts), Seq("shard", "band", "bucket"))
-    judged
-      .where(coalesce(col("__n"), lit(0L)) + col("__nb") <= cap)
-      .select(col("ref_id"), col("band"), col("bucket"), col("shard"))
-      .repartition(col("shard"))
-      .write.mode("append").partitionBy("shard").parquet(indexPath)
+    val added = IndexManifest.stageAppend(
+      judged
+        .where(coalesce(col("__n"), lit(0L)) + col("__nb") <= cap)
+        .select(col("ref_id"), col("band"), col("bucket"), col("shard"))
+        .repartition(col("shard")),
+      indexPath, "shard")
     // a rejected bucket nothing is stored for is degenerate BY THIS
     // BATCH alone — tombstone it so it stays dropped (bounded set,
     // eager so isEmpty and the artifact write share one evaluation)
@@ -538,11 +565,13 @@ object Dedup {
       .select(col("band"), col("bucket")).distinct()
       .localCheckpoint(true)
     if (newTombs.isEmpty) {
-      IndexManifest.commitDelta(spark, indexPath, pre): Unit
+      IndexManifest.commitAdded(spark, indexPath, added,
+        retainVersions = retainVersions): Unit
     } else {
       val ptr = IndexManifest.writeArtifact(spark, indexPath, "capped",
         tombs.unionByName(newTombs))
-      IndexManifest.commitDelta(spark, indexPath, pre, Map(ptr)): Unit
+      IndexManifest.commitAdded(spark, indexPath, added, Map(ptr),
+        retainVersions = retainVersions): Unit
     }
   }
 
@@ -991,16 +1020,24 @@ object Dedup {
   def writeComponentsIndex(edges: DataFrame, srcCol: String, dstCol: String,
                            path: String): Unit = {
     val spark = edges.sparkSession
-    connectedComponentsStar(edges, srcCol, dstCol)
+    val labels = connectedComponentsStar(edges, srcCol, dstCol)
       .select(col("id").as("node_id"), col("component").as("rep"))
+      .localCheckpoint(true)
+    labels
       .withColumn("shard", nodeShard(col("node_id")))
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     val fw = IndexManifest.writeArtifact(spark, path, "forward",
       spark.range(0).select(col("id").as("old_rep"),
         col("id").as("canonical")))
+    // the component COUNT as a 1-row stats artifact, maintained by
+    // exact increments on every append ([[appendComponentsEdges]]) so
+    // gate receipts never pay a full-index aggregate — the postings
+    // df/N precedent at cluster granularity
+    val st = IndexManifest.writeArtifact(spark, path, "stats",
+      labels.agg(countDistinct(col("rep")).as("n_components")))
     IndexManifest.commit(spark, path,
-      IndexManifest.listDataFiles(spark, path), Map(fw)): Unit
+      IndexManifest.listDataFiles(spark, path), Map(fw, st)): Unit
   }
 
   /** The stored rep-forwarding table — bounded by the count of ever-
@@ -1009,18 +1046,42 @@ object Dedup {
                             path: String): DataFrame =
     IndexManifest.readArtifact(spark, path, "forward")
 
+  /** The maintained component COUNT — a 1-row artifact read, never an
+    * index scan: built once, exact-incremented per append
+    * ([[appendComponentsEdges]]'s bounded merge-graph arithmetic). The
+    * gate-receipt and monitoring handle. */
+  def readComponentsStats(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame =
+    IndexManifest.readArtifact(spark, path, "stats")
+
+  private def serveComponentsFrom(data: DataFrame, fw: DataFrame): DataFrame =
+    data
+      .join(broadcast(fw), col("rep") === col("old_rep"), "left")
+      .select(col("node_id").as("id"),
+        coalesce(col("canonical"), col("rep")).as("component"))
+
   /** Every stored node's CURRENT component: `(id, component)` — the
     * stored write-time rep resolved through the forwarding broadcast.
     * Scale: one streamed scan of the index (map-only against the
     * broadcast), no shuffle. */
   def componentsIndexServe(spark: org.apache.spark.sql.SparkSession,
-                           path: String): DataFrame = {
-    val fw = readComponentsForward(spark, path)
-    IndexManifest.readData(spark, path)
-      .join(broadcast(fw), col("rep") === col("old_rep"), "left")
-      .select(col("node_id").as("id"),
-        coalesce(col("canonical"), col("rep")).as("component"))
-  }
+                           path: String): DataFrame =
+    serveComponentsFrom(IndexManifest.readData(spark, path),
+      readComponentsForward(spark, path))
+
+  /** The TIME-TRAVEL serve of the cluster index — artifact pairing at
+    * cluster granularity: version v's stored rows resolved through
+    * version v's FORWARDING table ([[IndexManifest.readArtifactAt]]).
+    * The pairing is the law: a later forwarding version knows merges
+    * that had not happened at v, so mixing it with v's rows would
+    * "predict" components no v-time reader ever saw (and after a
+    * compaction folded the table, the CURRENT artifact is empty — old
+    * rows served with it would resurrect pre-merge labels). Same plan
+    * shape as [[componentsIndexServe]]; only the pin differs. */
+  def componentsIndexServeAt(spark: org.apache.spark.sql.SparkSession,
+                             path: String, version: Long): DataFrame =
+    serveComponentsFrom(IndexManifest.readDataAt(spark, path, version),
+      IndexManifest.readArtifactAt(spark, path, "forward", version))
 
   /** MAINTAIN the cluster index: absorb an ingest batch's near-dup
     * EDGES — new nodes enter with their component's canonical label,
@@ -1057,10 +1118,9 @@ object Dedup {
     * [[connectedComponentsStar]] over the UNION of all edges ever
     * absorbed — the differential the oracle replays. */
   def appendComponentsEdges(batchEdges: DataFrame, srcCol: String,
-                            dstCol: String, path: String): Unit = {
+                            dstCol: String, path: String,
+                            retainVersions: Int = 2): Unit = {
     val spark = batchEdges.sparkSession
-    IndexManifest.reconcile(spark, path)
-    val pre = IndexManifest.listDataFiles(spark, path)
     val be = batchEdges
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .distinct().localCheckpoint(true)
@@ -1068,10 +1128,11 @@ object Dedup {
       .distinct().localCheckpoint(true)
     val shards = touched.select(nodeShard(col("node_id")).as("shard"))
       .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    IndexManifest.reconcileAppend(spark, path): Unit
     val idx = IndexManifest.readData(spark, path)
       .where(col("shard").isin(shards: _*))
     val fw = readComponentsForward(spark, path).localCheckpoint(true)
-    // stored endpooints' CURRENT canonical (forward-resolved)
+    // stored endpoints' CURRENT canonical (forward-resolved)
     val resolved = idx.join(broadcast(touched), Seq("node_id"))
       .join(broadcast(fw), col("rep") === col("old_rep"), "left")
       .select(col("node_id"),
@@ -1096,13 +1157,14 @@ object Dedup {
     val newNodes = touched
       .join(broadcast(resolved.select(col("node_id"))), Seq("node_id"),
         "left_anti")
-    newNodes
-      .join(broadcast(groups), col("node_id") === col("g_node"), "left")
-      .select(col("node_id"),
-        coalesce(col("g_canon"), col("node_id")).as("rep"))
-      .withColumn("shard", nodeShard(col("node_id")))
-      .repartition(col("shard"))
-      .write.mode("append").partitionBy("shard").parquet(path)
+    val added = IndexManifest.stageAppend(
+      newNodes
+        .join(broadcast(groups), col("node_id") === col("g_node"), "left")
+        .select(col("node_id"),
+          coalesce(col("g_canon"), col("node_id")).as("rep"))
+        .withColumn("shard", nodeShard(col("node_id")))
+        .repartition(col("shard")),
+      path, "shard")
     // 3b. forwarding updates: superseded canonicals + re-pointed entries.
     // All bounded tables; collected comparison decides the no-op case.
     val superseded = resolved.select(col("cur").as("old_rep")).distinct()
@@ -1114,11 +1176,117 @@ object Dedup {
       .select(col("old_rep"),
         coalesce(col("g_canon"), col("canonical")).as("canonical"))
     val newFw = repointed.unionByName(superseded).distinct()
-    val changed = newFw.exceptAll(fw).limit(1).count() > 0 ||
-      fw.exceptAll(newFw).limit(1).count() > 0
-    val arts =
+    // no-op detection in ONE job: both exceptAll directions (the
+    // symmetric difference of two distinct sets) union'd under a single
+    // limit(1) — a replay must not pay two passes over the forwarding
+    // sets to learn nothing changed
+    val changed = newFw.exceptAll(fw)
+      .unionByName(fw.exceptAll(newFw))
+      .limit(1).count() > 0
+    val fwArts =
       if (!changed) Map.empty[String, String]
       else Map(IndexManifest.writeArtifact(spark, path, "forward", newFw))
-    IndexManifest.commitDelta(spark, path, pre, arts): Unit
+    // component-count maintenance from the BOUNDED merge-graph tables
+    // alone: the e engaged existing components collapse into their
+    // merge-graph groups (g distinct canonicals over engaged ∪ new
+    // nodes), so the count moves by exactly g − e — the receipt's
+    // n_components never costs an index aggregate
+    val e = resolved.select(col("cur")).distinct().count()
+    val g = groups.select(col("g_canon")).distinct().count()
+    val hasStats = IndexManifest.load(spark, path)
+      .exists(_.artifacts.contains("stats"))
+    val stArts =
+      if (g == e && hasStats) Map.empty[String, String]
+      else {
+        val before =
+          if (hasStats) readComponentsStats(spark, path).head().getLong(0)
+          else // one-time adoption of a pre-stats index (the serve is
+               // still pinned to the PRE-append manifest here)
+            componentsIndexServe(spark, path)
+              .agg(countDistinct(col("component"))).head().getLong(0)
+        Map(IndexManifest.writeArtifact(spark, path, "stats",
+          spark.range(1)
+            .select(lit(before + g - e).as("n_components"))))
+      }
+    // an idempotent replay (no new nodes, unchanged forwarding, zero
+    // count delta) commits NOTHING — the commitAdded no-op skip, so
+    // replays stop minting byte-identical manifest versions into the
+    // retention horizon
+    IndexManifest.commitAdded(spark, path, added, fwArts ++ stArts,
+      retainVersions = retainVersions): Unit
+  }
+
+  /** COMPACT the cluster index — fold the rep-forwarding artifact into
+    * the stored rows and TRUNCATE it: every shard that holds a
+    * superseded rep rewrites with `rep := canonical`, and the new
+    * (empty) forwarding version publishes with the fresh files in ONE
+    * atomic commit, so the serve is bit-identical before and after
+    * (the [[compactIndex]] law, content edition) while the table every
+    * serve BROADCASTS stops growing with merge history — the missing
+    * bound on a years-long stream of cluster merges.
+    *
+    * Mechanics are [[compactIndex]]'s: reconcile → per-shard rewrite
+    * into a hidden `_compacting` temp → `fold-` renames (invisible to
+    * manifest-pinned readers) → one commit → vacuum to
+    * `retainVersions` (≥ 2 keeps the pre-fold snapshot serving
+    * time-travel — whose OLD forwarding version stays paired with the
+    * old rows via [[componentsIndexServeAt]]). Only AFFECTED shards
+    * rewrite (found by one streamed scan against the broadcast
+    * forwarding table); at 100 TB that is the set of shards merge
+    * history actually touched, each rewritten by its own bounded job,
+    * never a whole-index shuffle.
+    *
+    * Returns (shardsRewritten, filesFolded). */
+  def compactComponentsIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             retainVersions: Int = 1): (Int, Long) = {
+    val snap = IndexManifest.reconcile(spark, path)
+    val fw = readComponentsForward(spark, path).localCheckpoint(true)
+    if (fw.isEmpty) return (0, 0L)
+    val idx = IndexManifest.readData(spark, path)
+    val affected = idx.join(broadcast(fw), col("rep") === col("old_rep"))
+      .select(col("shard")).distinct().collect()
+      .map(r => r.getInt(0)).toSeq.sorted
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val byDir = snap.dataFiles.groupBy(_.takeWhile(_ != '/'))
+      .filter { case (d, _) => affected.exists(s => d == s"shard=$s") }
+    var folded = 0L
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    byDir.toSeq.sortBy(_._1).foreach { case (dirName, files) =>
+      val dir = new org.apache.hadoop.fs.Path(root, dirName)
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
+      fs.delete(tmp, true): Unit
+      val resolvedRows = spark.read.parquet(files.map(f =>
+          new org.apache.hadoop.fs.Path(root, f).toString): _*)
+        .join(broadcast(fw), col("rep") === col("old_rep"), "left")
+        .select(col("node_id"),
+          coalesce(col("canonical"), col("rep")).as("rep"))
+      resolvedRows.coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.listStatus(tmp).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.foreach { f =>
+        val dst = new org.apache.hadoop.fs.Path(dir,
+          s"fold-${f.getPath.getName.stripPrefix("part-")}")
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(
+            s"fold rename failed: ${f.getPath} -> $dst")
+        added += s"$dirName/${dst.getName}"
+      }
+      fs.delete(tmp, true): Unit
+      removed ++= files
+      folded += files.length
+    }
+    val emptyFw = IndexManifest.writeArtifact(spark, path, "forward",
+      spark.range(0).select(col("id").as("old_rep"),
+        col("id").as("canonical")))
+    IndexManifest.commit(spark, path,
+      snap.dataFiles.diff(removed.toSeq) ++ added,
+      snap.artifacts + emptyFw)
+    IndexManifest.vacuum(spark, path, retainVersions): Unit
+    (byDir.size, folded)
   }
 }

@@ -52,12 +52,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * df/N artifact rewrite left the artifacts silently stale; now the
   * two publish in one commit).
   *
-  * Concurrency contract (unchanged from the appends themselves): ONE
-  * writer in the maintainer's window; any number of readers at any
-  * time. [[commit]] additionally detects a violated window: the
-  * version filename is claimed exactly once, so a second writer racing
-  * to the same version number fails loudly instead of silently losing
-  * its update.
+  * Concurrency contract: ONE writer in the maintainer's window; any
+  * number of readers at any time. [[commit]] additionally ENFORCES the
+  * window at the version claim — each version filename is claimed
+  * exactly once ([[ConcurrentWriterException]] for the loser). The
+  * claim is EXACT where the filesystem gives an atomic exactly-once
+  * primitive: local files claim via hard-link creation (`link(2)`
+  * fails with EEXIST at the kernel — no check-then-act window), and
+  * HDFS-style filesystems refuse a rename onto an existing
+  * destination. On stores whose rename silently replaces (S3A without
+  * a committer) the pre-check downgrades to best-effort detection —
+  * deploy a manifest lock service there, as every table format does.
+  * APPEND-shaped commits go one further ([[commitDelta]]): a loser
+  * whose delta is provably compatible with the winner's commit —
+  * disjoint added files, untouched artifact names — REBASES onto the
+  * new snapshot and retries instead of failing, so two gates (or a
+  * gate plus a batch backfill) appending disjoint batches to one index
+  * can coexist; compactions and retrains keep the loud failure.
   *
   * RETENTION is explicit, table-format style: a superseded file stays
   * on disk — and its manifest stays readable ([[loadAt]]/[[readDataAt]],
@@ -65,12 +76,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * caller-chosen window. A reader pinned to any RETAINED manifest never
   * races physical deletion, closing the execute-vs-delete hole the
   * zero-retention posture left open; [[reconcile]] (crash repair)
-  * deletes only files referenced by NO retained manifest. Mutations
-  * that supersede files ([[graft.data.Dedup.compactIndex]],
-  * [[graft.data.Similarity.retrainIvfIndex]]) take a `retainVersions`
-  * knob and end with `vacuum(retainVersions)` — the default 1 keeps
-  * the old immediate-delete economy on a single machine; production
-  * sets it to cover the longest-running serve.
+  * deletes only files referenced by NO retained manifest. EVERY
+  * mutation ends with `vacuum(retainVersions)`: superseding mutations
+  * ([[graft.data.Dedup.compactIndex]],
+  * [[graft.data.Similarity.retrainIvfIndex]]) default the knob to 1
+  * (the immediate-delete single-machine economy), appends
+  * ([[commitDelta]]) default it to 2 (the pre-append version stays
+  * pinned — and pruning an append chain deletes zero data files, see
+  * [[commitDelta]]); production sets it to cover the longest-running
+  * serve. Bounded retention is itself a scale requirement, not just a
+  * courtesy: [[reconcile]] parses every retained manifest at the start
+  * of every mutation, so an append-only gate that never vacuumed would
+  * pay O(stream age) manifest parses per batch.
   *
   * Scale: a manifest holds one line per data file — at 100 TB with
   * ~1 GB files that is ~10⁵ lines per index, a single small object
@@ -82,6 +99,19 @@ object IndexManifest {
 
   private val ManifestDir = "_manifests"
   private val ArtRoot = "_art"
+
+  /** The single-writer window was violated: another writer claimed the
+    * manifest version this commit computed. Appends catch this inside
+    * [[commitDelta]] and rebase; every other mutation fails loudly. */
+  final class ConcurrentWriterException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Partition-directory `listStatus` calls issued by the file listers —
+    * the instrumentation behind the touched-shards append probe: an
+    * append on a 16-shard index must list O(batch shards), not
+    * O(index shards), per mutation. */
+  private[graft] val partitionDirListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A pinned snapshot: data files (relative to the index root) and the
     * current version directory per artifact name. */
@@ -110,12 +140,30 @@ object IndexManifest {
       .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
         !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
-      .flatMap { dir =>
-        fs.listStatus(dir.getPath).toSeq.filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }.map(st => s"${dir.getPath.getName}/${st.getPath.getName}")
-      }.sorted
+      .flatMap(dir => listPartitionDir(fs, dir.getPath)).sorted
+  }
+
+  /** Data files under exactly the named partition directories
+    * (`key=value` names, root-relative) — the TOUCHED-SHARDS listing:
+    * an append that routed its batch to d directories pays O(d)
+    * filesystem calls here, never an O(index)-directory walk. A named
+    * directory that does not exist yet (first write into a shard)
+    * contributes nothing. */
+  def listDataFilesIn(spark: SparkSession, path: String,
+                      partitionDirs: Seq[String]): Seq[String] = {
+    val (fs, root) = fsOf(spark, path)
+    partitionDirs.distinct.sorted.flatMap { d =>
+      val dir = new Path(root, d)
+      if (fs.exists(dir)) listPartitionDir(fs, dir) else Seq.empty
+    }
+  }
+
+  private def listPartitionDir(fs: FileSystem, dir: Path): Seq[String] = {
+    partitionDirListings.incrementAndGet(): Unit
+    fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(st => s"${dir.getName}/${st.getPath.getName}")
   }
 
   private def manifestFiles(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
@@ -202,34 +250,146 @@ object IndexManifest {
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val dst = new Path(dir, name)
-    if (fs.exists(dst)) {
+    def conflict(): Nothing = {
       fs.delete(tmp, false)
-      throw new java.io.IOException(
+      throw new ConcurrentWriterException(
         s"concurrent manifest writer detected: version $next at $dst " +
           "already exists — the single-writer window was violated")
     }
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"manifest commit failed: $tmp -> $dst")
+    if (dst.toUri.getScheme == "file") {
+      // local files: claim by HARD LINK — link(2) fails with EEXIST
+      // atomically at the kernel, so two racers can never both publish
+      // (a local rename would silently replace; exists+rename leaves a
+      // check-then-act window). The linked file carries the fully
+      // written temp bytes, so readers still see all-or-nothing.
+      try
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => conflict()
+      }
+      fs.delete(tmp, false): Unit
+    } else {
+      // HDFS-style: rename refuses an existing destination — exact
+      // there too. Object stores whose rename replaces (S3A without a
+      // committer) are best-effort through the pre-check; deploy a
+      // manifest lock service there, as every table format does.
+      if (fs.exists(dst)) conflict()
+      if (!fs.rename(tmp, dst)) {
+        if (fs.exists(dst)) conflict()
+        throw new java.io.IOException(s"manifest commit failed: $tmp -> $dst")
+      }
+    }
     next
+  }
+
+  /** All retained manifest snapshots, ascending — bounded by the
+    * retention window once appends vacuum ([[commitDelta]]). */
+  private def retainedSnapshots(spark: SparkSession,
+                                path: String): Seq[Snapshot] = {
+    val (fs, root) = fsOf(spark, path)
+    manifestFiles(fs, root).map { case (v, p) => parse(fs, v, p) }
+  }
+
+  /** The files an append-shaped mutation just wrote: everything listed
+    * under the touched partition directories (all of them when `None`)
+    * that NO retained manifest references. Retained-but-superseded
+    * files (an earlier compaction's time-travel horizon) are excluded —
+    * a raw listing would resurrect them — and so are the current
+    * snapshot's own files; what remains is exactly this mutation's
+    * output, because [[reconcile]] deleted any crashed mutation's
+    * orphans before the write began. */
+  def addedDataFiles(spark: SparkSession, path: String,
+                     touchedDirs: Option[Seq[String]] = None): Seq[String] = {
+    val listed = touchedDirs match {
+      case Some(dirs) => listDataFilesIn(spark, path, dirs)
+      case None => listDataFiles(spark, path)
+    }
+    val retained = retainedSnapshots(spark, path)
+      .flatMap(_.dataFiles).toSet
+    listed.filterNot(retained)
   }
 
   /** [[commit]] of an APPEND-shaped mutation under retention: the next
     * snapshot is the current snapshot's files plus exactly the files
-    * the mutation wrote (post-listing minus `preListing`, captured by
-    * the caller right before its write). A directory listing alone is
-    * NOT a valid post-state once superseded files are retained — it
-    * would resurrect files an earlier compaction/retrain dropped — so
-    * every append commits through this delta form. */
+    * the mutation wrote ([[addedDataFiles]] over the partition
+    * directories the batch routed to — O(touched dirs) filesystem
+    * calls, never a full index walk). Every append commits through
+    * this delta form, which also closes the append path's three
+    * lifecycle obligations in one place:
+    *
+    *   - NO-OP SKIP: a replayed batch that wrote no files and changed
+    *     no artifact commits NOTHING — idempotent replays (the
+    *     streaming gates' at-least-once deliveries) stop minting
+    *     byte-identical manifest versions.
+    *   - RETENTION: the commit ends with [[vacuum]]`(retainVersions)`,
+    *     so a long-lived ingest gate retains a bounded horizon instead
+    *     of one manifest per micro-batch forever (reconcile parses
+    *     every retained manifest per mutation — unbounded retention
+    *     made maintenance cost grow with stream age). Safe by the
+    *     SUPERSET property: an append manifest references every file
+    *     its predecessor did, so pruning append-chain history deletes
+    *     zero data files — only manifest text and superseded artifact
+    *     versions past the window.
+    *   - REBASE ON CONFLICT: a lost version claim
+    *     ([[ConcurrentWriterException]]) reloads the winner's
+    *     snapshot, verifies compatibility (added files disjoint from
+    *     the winner's, artifact names untouched by the winner), and
+    *     retries on top of it — two appenders with disjoint batches
+    *     both land; a genuine conflict (two postings appends racing
+    *     the same dictionary) stays loud. */
   def commitDelta(spark: SparkSession, path: String,
-                  preListing: Seq[String],
-                  artifacts: Map[String, String] = Map.empty): Long = {
-    val snap = load(spark, path)
-    val pre = preListing.toSet
-    val added = listDataFiles(spark, path).filterNot(pre)
-    val prevArts = snap.map(_.artifacts).getOrElse(Map.empty)
-    commit(spark, path,
-      snap.map(_.dataFiles).getOrElse(Seq.empty) ++ added,
-      prevArts ++ artifacts)
+                  artifacts: Map[String, String] = Map.empty,
+                  retainVersions: Int = 2,
+                  touchedDirs: Option[Seq[String]] = None,
+                  preCommitHook: () => Unit = () => ()): Long =
+    commitAdded(spark, path, addedDataFiles(spark, path, touchedDirs),
+      artifacts, retainVersions, preCommitHook)
+
+  /** The [[commitDelta]] core for callers that already computed the
+    * added-file set (e.g. to derive artifact increments from the
+    * read-back of exactly the files that landed). `preCommitHook` is
+    * the concurrency test seam (the
+    * [[graft.data.Similarity.retrainIvfIndex]] precedent): it runs
+    * after the base snapshot loads and before the version claim, so a
+    * spec can interleave a competing writer's commit into exactly the
+    * window the rebase protects. */
+  def commitAdded(spark: SparkSession, path: String, added: Seq[String],
+                  artifacts: Map[String, String] = Map.empty,
+                  retainVersions: Int = 2,
+                  preCommitHook: () => Unit = () => ()): Long = {
+    val base = load(spark, path).getOrElse(Snapshot(0L, Seq.empty, Map.empty))
+    if (added.isEmpty && artifacts.isEmpty) return base.version // no-op replay
+    preCommitHook()
+    var cur = base
+    var attempt = 0
+    while (true) {
+      try {
+        val v = commitAt(spark, path, cur.version + 1,
+          cur.dataFiles ++ added, cur.artifacts ++ artifacts)
+        vacuum(spark, path, retainVersions)
+        return v
+      } catch {
+        case e: ConcurrentWriterException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          val now = load(spark, path).getOrElse(throw e)
+          val winnerAdded = now.dataFiles.toSet -- base.dataFiles.toSet
+          if (added.exists(winnerAdded))
+            throw new ConcurrentWriterException(
+              "append rebase refused: the winning commit references " +
+                "files this append wrote — the deltas are not disjoint")
+          if (artifacts.keys.exists(n =>
+              now.artifacts.get(n) != base.artifacts.get(n)))
+            throw new ConcurrentWriterException(
+              "append rebase refused: the winning commit changed an " +
+                "artifact this append also updates " +
+                s"(${artifacts.keySet.mkString(", ")})")
+          cur = now
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** [[commit]] from the CURRENT directory listing, carrying the
@@ -253,6 +413,82 @@ object IndexManifest {
     * — they belong to the time-travel horizon until [[vacuum]] prunes
     * it. Without a manifest, adopt the current listing as version 1
     * (pre-manifest index migration). Returns the CURRENT snapshot. */
+  /** The APPEND-side reconcile: crash repair bounded to what an append
+    * actually needs. Full [[reconcile]] walks every index directory —
+    * correct for compactions and retrains (they rewrite arbitrary
+    * shards, single-writer by contract), but an O(index)-wide walk on
+    * the hot per-batch ingest path, and its orphan sweep is UNSAFE
+    * under the optimistic append concurrency [[commitAdded]] supports:
+    * a concurrent appender's fully-written-but-not-yet-committed files
+    * look exactly like crash debris. Appends therefore repair only the
+    * things that cannot belong to a live writer: a missing manifest
+    * (one-time adoption — the only full listing this path ever pays)
+    * and crashed manifest temps (one `_manifests` listing). Data-file
+    * orphans stay invisible debris — never attributed to anyone,
+    * because appends know their files by construction
+    * ([[stageAppend]]) — until the next compaction/retrain's full
+    * reconcile sweeps them, the table-format posture (orphan cleanup
+    * is maintenance with a single-writer window, not a per-commit
+    * scan). */
+  def reconcileAppend(spark: SparkSession, path: String): Snapshot =
+    load(spark, path) match {
+      case None =>
+        commit(spark, path, listDataFiles(spark, path), Map.empty)
+        load(spark, path).get
+      case Some(snap) =>
+        val (fs, root) = fsOf(spark, path)
+        sweepManifestTemps(fs, root)
+        snap
+    }
+
+  /** Stage-then-move append write: the batch lands under a
+    * writer-unique hidden staging directory, then every part file is
+    * renamed into its partition directory — and the returned
+    * root-relative paths are EXACTLY this writer's files, by
+    * construction. No listing diff, so nothing can be mis-attributed:
+    * not a crashed replay's orphans (they'd have committed a duplicate
+    * row set), not a concurrent appender's in-flight files (the
+    * rebase-on-conflict story requires writers that never confuse each
+    * other's output). Part names keep Spark's job-unique UUIDs, so
+    * moves cannot collide. A crash mid-move leaves unreferenced
+    * orphans + a hidden `_staging` dir for the next full
+    * [[reconcile]]; the replay re-appends correctly off the pinned
+    * pre-state. */
+  def stageAppend(df: DataFrame, path: String,
+                  partitionCol: String): Seq[String] = {
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, path)
+    val stage = new Path(root,
+      s"_staging/${java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(stage.toString)
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(stage).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { dir =>
+        val dst = new Path(root, dir.getPath.getName)
+        if (!fs.exists(dst)) fs.mkdirs(dst): Unit
+        fs.listStatus(dir.getPath).toSeq.filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.foreach { st =>
+          val to = new Path(dst, st.getPath.getName)
+          if (!fs.rename(st.getPath, to))
+            throw new java.io.IOException(
+              s"staged append move failed: ${st.getPath} -> $to")
+          added += s"${dir.getPath.getName}/${st.getPath.getName}"
+        }
+      }
+    fs.delete(stage, true)
+    added.toSeq.sorted
+  }
+
+  private def sweepManifestTemps(fs: FileSystem, root: Path): Unit =
+    fs.listStatus(new Path(root, ManifestDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".") &&
+        st.getPath.getName.endsWith(".tmp"))
+      .foreach(st => fs.delete(st.getPath, false): Unit)
+
   def reconcile(spark: SparkSession, path: String): Snapshot =
     load(spark, path) match {
       case None =>
@@ -274,12 +510,15 @@ object IndexManifest {
             val tmp = new Path(dir.getPath, "_compacting")
             if (fs.exists(tmp)) fs.delete(tmp, true): Unit
           }
+        // crashed append staging dirs (stageAppend died before its
+        // moves finished). Full reconcile runs in an EXCLUSIVE writer
+        // window — no concurrent appender may be staging — which is
+        // exactly why appends themselves never sweep here.
+        val staging = new Path(root, "_staging")
+        if (fs.exists(staging)) fs.delete(staging, true): Unit
         // leftover manifest temps (crashed mid-commit — dot-prefixed,
         // so never visible to load; sweep them here)
-        fs.listStatus(new Path(root, ManifestDir)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.startsWith(".") &&
-            st.getPath.getName.endsWith(".tmp"))
-          .foreach(st => fs.delete(st.getPath, false): Unit)
+        sweepManifestTemps(fs, root)
         // artifact versions no retained manifest points at (a crashed
         // mutation's uncommitted version; superseded versions past the
         // retention window fall to vacuum)

@@ -408,11 +408,15 @@ object Indexing {
     * Idempotent like every append here: already-stored (shard, term,
     * doc) rows are skipped via the streamed `index ⋈ broadcast(batch)`
     * join (both builds batch-bounded, the index never shuffles), and a
-    * FULL replay therefore increments nothing. Artifacts update by
-    * reading the pinned current version and writing a NEW version
-    * directory (never an in-place overwrite — no refreshByPath hazard);
-    * they are vocabulary-sized, the scale of a dictionary rewrite,
-    * never a corpus pass.
+    * FULL replay therefore increments nothing — and commits nothing:
+    * the replay returns before minting artifact versions, so
+    * at-least-once redeliveries leave the manifest history untouched.
+    * Artifacts update by reading the pinned current version and
+    * writing a NEW version directory (never an in-place overwrite — no
+    * refreshByPath hazard); they are vocabulary-sized, the scale of a
+    * dictionary rewrite, never a corpus pass. The commit closes with
+    * the retention vacuum (`retainVersions`, default 2) and pays only
+    * O(batch shards) listing calls (touched-dirs delta).
     *
     * ATOMICITY ([[IndexManifest]]): the appended postings and both
     * artifact versions become visible in ONE manifest commit. The
@@ -429,13 +433,18 @@ object Indexing {
     * re-count in n_docs; re-crawls go through a delete+insert
     * compaction, not this append). */
   def appendPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
-                          path: String): Unit = {
+                          path: String, retainVersions: Int = 2): Unit = {
     val spark = batch.sparkSession
-    IndexManifest.reconcile(spark, path)
-    val pre = IndexManifest.listDataFiles(spark, path)
-    val idx = IndexManifest.readData(spark, path)
     val bt = tfPostings(batch, idCol, textCol)
       .withColumn("shard", termShard(col("term")))
+      .localCheckpoint(true)
+    // bounded (≤ the term-shard universe), feeding the literal-IN
+    // index prune
+    val shards = bt.select(col("shard")).distinct().collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq
+    IndexManifest.reconcileAppend(spark, path): Unit
+    val idx = IndexManifest.readData(spark, path)
+      .where(col("shard").isin(shards: _*))
     val stored = idx.join(
         broadcast(bt.select(col("shard"), col("term"), col("doc_id"))),
         Seq("shard", "term", "doc_id"))
@@ -443,10 +452,15 @@ object Indexing {
     val novel = bt.join(broadcast(stored), Seq("shard", "term", "doc_id"),
         "left_anti")
       .localCheckpoint(true) // consumed 3× below
-    novel
-      .select(col("doc_id"), col("term"), col("tf"), col("shard"))
-      .repartition(col("shard"))
-      .write.mode("append").partitionBy("shard").parquet(path)
+    // a FULL replay is a true no-op: nothing lands, no artifact version
+    // is minted (df/N increments would be zero — writing them anyway
+    // would force a commit the no-op skip exists to avoid)
+    if (novel.isEmpty) return
+    val added = IndexManifest.stageAppend(
+      novel
+        .select(col("doc_id"), col("term"), col("tf"), col("shard"))
+        .repartition(col("shard")),
+      path, "shard")
     val dfInc = novel.groupBy(col("term")).agg(count(lit(1)).as("df_inc"))
     val aDf = IndexManifest.writeArtifact(spark, path, "df",
       readPostingsDf(spark, path)
@@ -458,7 +472,8 @@ object Indexing {
     val aStats = IndexManifest.writeArtifact(spark, path, "stats",
       readPostingsStats(spark, path)
         .select((col("n_docs") + lit(nNew)).as("n_docs")))
-    IndexManifest.commitDelta(spark, path, pre, Map(aDf, aStats)): Unit
+    IndexManifest.commitAdded(spark, path, added, Map(aDf, aStats),
+      retainVersions = retainVersions): Unit
   }
 
   /** Rebuild of the retrieval index's model artifacts FROM the postings

@@ -339,21 +339,30 @@ object Similarity {
     * index never shuffles. */
   def appendIvfIndex(batch: DataFrame, path: String,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Unit = {
+                     vecCol: String = "embedding",
+                     retainVersions: Int = 2): Unit = {
     val spark = batch.sparkSession
-    IndexManifest.reconcile(spark, path)
-    val pre = IndexManifest.listDataFiles(spark, path)
     val cents = readIvfCentroids(spark, path)
     val assigned = assignCellsBroadcast(batch, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
+      .localCheckpoint(true)
+    // bounded (≤ kCells): literal-IN cell prune on the index read — the
+    // probe read stays O(batch cells), and the staged write + known-
+    // added commit never list a cell directory at all
+    val cells = assigned.select(col("cell")).distinct().collect()
+      .map(r => java.lang.Long.valueOf(r.getLong(0))).toSeq
+    IndexManifest.reconcileAppend(spark, path): Unit
     val idx = IndexManifest.readData(spark, path)
+      .where(col("cell").isin(cells: _*))
     val stored = idx.join(
         broadcast(assigned.select(col("cell"), col(idCol)).distinct()),
         Seq("cell", idCol))
       .select(col("cell"), col(idCol))
-    assigned.join(broadcast(stored), Seq("cell", idCol), "left_anti")
-      .write.mode("append").partitionBy("cell").parquet(path)
-    IndexManifest.commitDelta(spark, path, pre): Unit
+    val added = IndexManifest.stageAppend(
+      assigned.join(broadcast(stored), Seq("cell", idCol), "left_anti"),
+      path, "cell")
+    IndexManifest.commitAdded(spark, path, added,
+      retainVersions = retainVersions): Unit
   }
 
   /** The stored coarse quantizer of a maintained IVF index —

@@ -80,19 +80,52 @@ case class ArgMaxFields(
       val row = payload.eval(input).asInstanceOf[InternalRow]
       if (row != null) {
         if (skipNullValues) {
-          var kCopy: Any = null // copy the key at most once per input row
-          var i = 0
-          while (i < n) {
-            val v = row.get(i, fieldTypes(i))
-            if (v != null) {
-              val cur = buf(2 * i)
-              if (cur == null || ordering.compare(k, cur) > 0) {
-                if (kCopy == null) kCopy = InternalRow.copyValue(k)
-                buf(2 * i) = kCopy
-                buf(2 * i + 1) = InternalRow.copyValue(v)
+          // Fast path: winning rows write ONE shared kCopy into every
+          // non-null field's ord slot, so a buffer whose history had no
+          // nulls holds n references to the SAME object — n pointer
+          // checks + ONE ordering.compare then decide the whole row
+          // (the ordKey is a Decimal(38) in the a1 shape: each compare
+          // is a BigDecimal compareTo, and most rows LOSE, so this
+          // collapses 16 of them into 1 on the hot path). A null
+          // anywhere in history diverges the slots and the general
+          // per-field loop below takes over — same results either way.
+          val b0 = buf(0)
+          var uniform = b0 != null
+          var s = 1
+          while (uniform && s < n) {
+            uniform = buf(2 * s).asInstanceOf[AnyRef]
+              .eq(b0.asInstanceOf[AnyRef])
+            s += 1
+          }
+          if (uniform) {
+            if (ordering.compare(k, b0) > 0) {
+              var kCopy: Any = null
+              var i = 0
+              while (i < n) {
+                val v = row.get(i, fieldTypes(i))
+                if (v != null) {
+                  if (kCopy == null) kCopy = InternalRow.copyValue(k)
+                  buf(2 * i) = kCopy
+                  buf(2 * i + 1) = InternalRow.copyValue(v)
+                }
+                i += 1
               }
             }
-            i += 1
+          } else {
+            var kCopy: Any = null // copy the key at most once per input row
+            var i = 0
+            while (i < n) {
+              val v = row.get(i, fieldTypes(i))
+              if (v != null) {
+                val cur = buf(2 * i)
+                if (cur == null || ordering.compare(k, cur) > 0) {
+                  if (kCopy == null) kCopy = InternalRow.copyValue(k)
+                  buf(2 * i) = kCopy
+                  buf(2 * i + 1) = InternalRow.copyValue(v)
+                }
+              }
+              i += 1
+            }
           }
         } else {
           val cur = buf(0)

@@ -32,7 +32,12 @@ import org.apache.spark.sql.types._
   */
 case class TfRecordFrame(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
+  // NULL propagates (the default null-intolerant unary contract): a null
+  // token array must NOT silently become a well-formed empty-payload
+  // record — that would be indistinguishable from a real empty sequence
+  // on the parse side, which is malformed-TOLERANT, not null-inventing.
+  // An EMPTY (non-null) array still frames to the valid 16-byte record.
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "tfrecord_frame"
 
   override def checkInputDataTypes():
@@ -45,21 +50,50 @@ case class TfRecordFrame(child: Expression) extends UnaryExpression {
           s"tfrecord_frame expects array<bigint> token ids, got $other")
     }
 
-  override def eval(input: InternalRow): Any =
-    TfRecordCodecImpl.frame(child.eval(input).asInstanceOf[ArrayData])
+  override def nullSafeEval(ids: Any): Any =
+    TfRecordCodecImpl.frame(ids.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ch = child.genCode(ctx)
-    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    ev.copy(
-      code = code"""
-        ${ch.code}
-        byte[] ${ev.value} = graft.functions.TfRecordCodecImpl.frame(
-          ${ch.isNull} ? null : ${ch.value});""",
-      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ch =>
+      s"${ev.value} = graft.functions.TfRecordCodecImpl.frame($ch);")
 
   override protected def withNewChildInternal(newChild: Expression): TfRecordFrame =
+    copy(child = newChild)
+}
+
+/** Split a concatenated TFRecord STREAM (the byte content of a
+  * `.tfrecord` file) into its individual framed records, each element a
+  * complete frame [[TfRecordParse]] can judge. LOSSLESS by construction:
+  * the concatenation of the returned elements is exactly the input — a
+  * structurally broken tail (truncated frame, absurd length header) is
+  * emitted as one final element for the parse side to flag malformed,
+  * never silently dropped. One static call per row inside whole-stage
+  * codegen, the [[TfRecordFrame]] discipline. */
+case class TfRecordStreamSplit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "tfrecord_split"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tfrecord_split expects a binary record stream, got $other")
+    }
+
+  override def nullSafeEval(buf: Any): Any =
+    TfRecordCodecImpl.splitStream(buf.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ch =>
+      s"${ev.value} = graft.functions.TfRecordCodecImpl.splitStream($ch);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TfRecordStreamSplit =
     copy(child = newChild)
 }
 
@@ -124,6 +158,7 @@ object TfRecordFunctions {
           "scala_udf")
     put("tfrecord_frame", 1, exprs => TfRecordFrame(exprs.head))
     put("tfrecord_parse", 1, exprs => TfRecordParse(exprs.head))
+    put("tfrecord_split", 1, exprs => TfRecordStreamSplit(exprs.head))
   }
 
   /** Requires [[register]] on the session first. */
@@ -131,6 +166,8 @@ object TfRecordFunctions {
     org.apache.spark.sql.functions.call_function("tfrecord_frame", ids)
   def tfrecord_parse(framed: Column): Column =
     org.apache.spark.sql.functions.call_function("tfrecord_parse", framed)
+  def tfrecord_split(stream: Column): Column =
+    org.apache.spark.sql.functions.call_function("tfrecord_split", stream)
 }
 
 object TfRecordCodecImpl {
@@ -179,6 +216,29 @@ object TfRecordCodecImpl {
 
   private val Malformed: InternalRow = new GenericInternalRow(Array[Any](
     -1L, false, false, new GenericArrayData(Array.empty[Any])))
+
+  /** Split a record stream at its length headers: each well-formed
+    * prefix frame becomes one element; whatever cannot form a complete
+    * frame (truncated tail, or a length that overruns the buffer) is
+    * emitted verbatim as the last element. Concatenating the elements
+    * reproduces the input byte-for-byte. */
+  def splitStream(buf: Array[Byte]): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var off = 0
+    while (off < buf.length) {
+      var ok = buf.length - off >= 16
+      var L = 0L
+      if (ok) {
+        var i = 7
+        while (i >= 0) { L = (L << 8) | (buf(off + i) & 0xffL); i -= 1 }
+        ok = L >= 0 && L <= buf.length - off - 16
+      }
+      val take = if (ok) (16 + L).toInt else buf.length - off
+      out += java.util.Arrays.copyOfRange(buf, off, off + take)
+      off += take
+    }
+    new GenericArrayData(out.toArray)
+  }
 
   def parse(buf: Array[Byte]): InternalRow = {
     if (buf == null || buf.length < 16) return Malformed

@@ -41,11 +41,18 @@ object IndexStreams {
     * because foreachBatch is the index's single writer (the compaction
     * contract) and batches serialize. 0 disables.
     *
-    * `retainVersions` is compaction's retention window
-    * ([[graft.data.IndexManifest.vacuum]]): a continuously-serving
-    * pipeline sets ≥ 2 so a serve EXECUTING against the pre-compaction
-    * snapshot never races the superseded files' deletion — the vacuum
-    * then trails the stream by that many manifest versions. */
+    * `retainVersions` is the gate's retention window
+    * ([[graft.data.IndexManifest.vacuum]]), enforced on EVERY
+    * mutation: each per-batch append's commit ends with
+    * `vacuum(retainVersions)` (the [[graft.data.IndexManifest
+    * .commitDelta]] contract), so a long-lived gate retains a BOUNDED
+    * manifest horizon — maintenance cost per batch is
+    * O(retainVersions), not O(stream age) — and compaction vacuums to
+    * the same window. A continuously-serving pipeline sets ≥ 2 so a
+    * serve EXECUTING against the pre-mutation snapshot never races a
+    * superseded file's deletion; an append-only stretch is safe even
+    * at 1 (append manifests reference supersets, so pruning them
+    * deletes zero data files). */
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batchId: Long, compactEvery: Int,
       maxFilesPerShard: Int, partitionCol: String = "shard",
@@ -54,6 +61,29 @@ object IndexStreams {
       Dedup.compactIndex(spark, indexPath, maxFilesPerShard,
         partitionCol = partitionCol, retainVersions = retainVersions): Unit
     }
+
+  /** Retention state for the batch receipt — the operational
+    * visibility the `needs_retrain` signal set the precedent for:
+    * current manifest version, retained-version count, and the
+    * last-vacuum watermark (the OLDEST retained version — everything
+    * below it has been physically pruned). A one-listing driver pull
+    * of the manifest directory, appended to every gate's per-batch
+    * output so an operator can see the horizon advance (version grows,
+    * count stays ≤ the knob, watermark trails by exactly the window). */
+  private def retentionFields(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): (Long, Long, Long) = {
+    val vs = graft.data.IndexManifest.versions(spark, indexPath)
+    (vs.lastOption.getOrElse(0L), vs.length.toLong,
+      vs.headOption.getOrElse(0L))
+  }
+
+  private def withRetention(df: DataFrame, spark: org.apache.spark.sql
+      .SparkSession, indexPath: String): DataFrame = {
+    val (v, n, oldest) = retentionFields(spark, indexPath)
+    df.withColumn("manifest_version", lit(v))
+      .withColumn("n_retained_versions", lit(n))
+      .withColumn("oldest_retained_version", lit(oldest))
+  }
 
   def screenStream(docs: DataFrame, indexPath: String, outPath: String,
                    cellWords: Int, maintain: Boolean,
@@ -79,19 +109,32 @@ object IndexStreams {
         val idx = Dedup.readIndex(spark, indexPath)
           .where(col("shard").isin(shards: _*))
         val screened = Dedup.indexedCellScreen(cells, idx, "doc_id")
+        // the screen plan PINS the pre-append manifest at construction,
+        // so running the append first leaves the verdicts pre-batch
+        // (one self-consistent set) while the receipt's retention
+        // fields report the POST-append horizon — the state an operator
+        // must see advance. Append vacuums delete zero data files
+        // (superset property), so the pinned plan never races them.
+        if (maintain) {
+          Dedup.appendCellIndex(cells, indexPath,
+            retainVersions = retainVersions)
+        }
         // verdicts land OVERWRITING this batch id's partition, not
         // appending: foreachBatch is at-least-once, and a replayed batch
         // must REPLACE its rows (a replay after a committed index append
         // re-screens against the appended index — one self-consistent
         // verdict set per batch, never contradictory duplicates). The
         // append side is idempotent by construction (novel = anti-join
-        // against the current index; re-appending adds nothing).
-        screened.withColumn("batch_id", lit(id))
+        // against the current index; re-appending adds — and commits —
+        // nothing).
+        withRetention(screened, spark, indexPath)
+          .withColumn("batch_id", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
+        // compaction DELETES superseded data files, so it runs only
+        // after the pinned verdict plan above has executed
         if (maintain) {
-          Dedup.appendCellIndex(cells, indexPath)
           maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard,
             retainVersions = retainVersions)
         }
@@ -131,13 +174,20 @@ object IndexStreams {
           .toSeq
         val idx = Dedup.readIndex(spark, indexPath)
           .where(col("shard").isin(shards: _*))
-        Dedup.indexedBandScreen(bands, idx, "doc_id")
+        val screened = Dedup.indexedBandScreen(bands, idx, "doc_id")
+        // append before the verdict write (plan pinned pre-append; the
+        // receipt's retention fields report the post-append horizon —
+        // the screenStream ordering contract); compaction last
+        if (maintain) {
+          Dedup.appendBandIndex(bands, "doc_id", cap, indexPath,
+            retainVersions = retainVersions)
+        }
+        withRetention(screened, spark, indexPath)
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
         if (maintain) {
-          Dedup.appendBandIndex(bands, "doc_id", cap, indexPath)
           maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard,
             retainVersions = retainVersions)
         }
@@ -210,7 +260,8 @@ object IndexStreams {
               .as("is_semantic_dup"))
         if (maintain) {
           graft.data.Similarity.appendIvfIndex(
-            b.select(col("vec_id"), col("embedding")), indexPath)
+            b.select(col("vec_id"), col("embedding")), indexPath,
+            retainVersions = retainVersions)
         }
         // the RETRAIN SIGNAL rides the batch receipt: post-append drift
         // (footer-only counts over the partition column) — the
@@ -219,7 +270,7 @@ object IndexStreams {
         // the receipt ON THE BATCH THAT CAUSED IT.
         val needsRetrain = graft.data.Similarity.ivfDrift(spark, indexPath)
           .where(col("needs_retrain")).count()
-        verdicts
+        withRetention(verdicts, spark, indexPath)
           .withColumn("n_cells_need_retrain", lit(needsRetrain))
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite")
@@ -292,7 +343,7 @@ object IndexStreams {
         val b = batch.toDF().localCheckpoint(true)
         if (maintain) {
           graft.TrainQueries.appendTokenizedShards(spark, vocabDir, b,
-            shardPath)
+            shardPath, retainVersions = retainVersions)
           maybeCompact(spark, shardPath, id, compactEvery, maxFilesPerShard,
             retainVersions = retainVersions)
         }
@@ -308,15 +359,64 @@ object IndexStreams {
               .head()
             (r.getLong(0), r.getLong(1), r.getLong(2))
           }.getOrElse((0L, 0L, 0L))
-        spark.range(1).toDF("one")
-          .select(lit(b.count()).as("batch_docs"),
-            lit(totals._1).as("indexed_seqs"),
-            lit(totals._2).as("indexed_docs"),
-            lit(totals._3).as("indexed_tokens"))
+        withRetention(spark.range(1).toDF("one")
+            .select(lit(b.count()).as("batch_docs"),
+              lit(totals._1).as("indexed_seqs"),
+              lit(totals._2).as("indexed_docs"),
+              lit(totals._3).as("indexed_tokens")), spark, shardPath)
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Streaming NEAR-DUP EDGE ingest — the SIXTH maintained-index gate,
+    * completing the cluster family's lifecycle: every micro-batch of
+    * similarity EDGES (src, dst — the LSH candidate pairs an upstream
+    * band gate confirms) is absorbed into the maintained components
+    * index ([[graft.data.Dedup.appendComponentsEdges]]: new nodes enter
+    * labeled, merges of existing clusters update only the bounded
+    * forwarding artifact, stored rows never rewrite), and the per-batch
+    * receipt carries the COMPONENT COUNT from the exact-maintained
+    * stats artifact — a 1-row pull, never an index aggregate — plus the
+    * retention fields every gate reports.
+    *
+    * Same architecture as the five sibling gates: the durable index IS
+    * the cross-batch state; appends are idempotent (a replayed edge
+    * set finds every merge applied, commits nothing), so at-least-once
+    * redeliveries converge; foreachBatch serializes the writer window.
+    * `compactEvery` here runs the FORWARDING FOLD
+    * ([[graft.data.Dedup.compactComponentsIndex]]) rather than a file
+    * compaction — the growth THIS family must bound is merge history
+    * in the table every serve broadcasts, not just file counts. */
+  def edgeIngestStream(edges: DataFrame, indexPath: String, outPath: String,
+                       maintain: Boolean, checkpoint: String,
+                       compactEvery: Int = 0,
+                       retainVersions: Int = 1): StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(true)
+        if (maintain) {
+          Dedup.appendComponentsEdges(b, "src", "dst", indexPath,
+            retainVersions = retainVersions)
+        }
+        val nComp = Dedup.readComponentsStats(spark, indexPath)
+          .head().getLong(0)
+        withRetention(spark.range(1).toDF("one")
+            .select(lit(b.count()).as("batch_edges"),
+              lit(nComp).as("n_components")), spark, indexPath)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+        if (maintain && compactEvery > 0 && (id + 1) % compactEvery == 0) {
+          Dedup.compactComponentsIndex(spark, indexPath,
+            retainVersions = retainVersions): Unit
+        }
         ()
       }
       .start()
@@ -333,15 +433,15 @@ object IndexStreams {
         val b = batch.toDF().localCheckpoint(true)
         if (maintain) {
           graft.data.Indexing.appendPostingsIndex(b, "doc_id", "text",
-            indexPath)
+            indexPath, retainVersions = retainVersions)
           maybeCompact(spark, indexPath, id, compactEvery, maxFilesPerShard,
             retainVersions = retainVersions)
         }
         val nDocs = graft.data.Indexing.readPostingsStats(spark, indexPath)
           .head().getLong(0)
-        b.sparkSession.range(1).toDF("one")
-          .select(lit(b.count()).as("batch_docs"),
-            lit(nDocs).as("indexed_docs"))
+        withRetention(b.sparkSession.range(1).toDF("one")
+            .select(lit(b.count()).as("batch_docs"),
+              lit(nDocs).as("indexed_docs")), spark, indexPath)
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

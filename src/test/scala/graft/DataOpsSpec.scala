@@ -833,13 +833,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() > trueRows)
     assert(IndexManifest.readData(spark, path).count() == trueRows,
       "a pinned reader must never see the union")
-    // an APPEND also runs the repair — and its novelty check, reading
-    // the pinned pre-state, stays correct in the same pass
+    // an APPEND deliberately does NOT sweep data-file orphans (a live
+    // concurrent appender's staged-in files would be indistinguishable
+    // from debris — the optimistic-concurrency contract): its novelty
+    // check reads the pinned pre-state (orphans invisible), its staged
+    // write attributes files by construction, and the orphan stays
+    // harmless debris...
     Dedup.appendCellIndex(Dedup.cellHashes(
       Seq((11L, "t u v w")).toDF("doc_id", "text"), "doc_id", "text", 2), path)
-    assert(!stale.exists(), "the append's reconcile must finish the cleanup")
+    assert(stale.exists(),
+      "an append must leave possibly-live unreferenced files alone")
     val afterAppend = IndexManifest.readData(spark, path).count()
     assert(afterAppend > trueRows) // the new batch's novel cells landed
+    // ... until the next FULL reconcile (compaction/retrain — exclusive
+    // writer window) sweeps it
+    Dedup.compactIndex(spark, path, maxFilesPerShard = 1)
+    assert(!stale.exists(),
+      "the full reconcile must finish the cleanup")
+    assert(IndexManifest.readData(spark, path).count() == afterAppend)
     assert(spark.read.parquet(path).count() == afterAppend)
   }
 
@@ -892,6 +903,54 @@ class DataOpsSpec extends AnyFunSuite {
     assert(IndexManifest.load(spark, path).get.dataFiles.size ==
       IndexManifest.loadAt(spark, path, v).get.dataFiles.size,
       "a replay must append no data files")
+  }
+
+  test("cluster-index lifecycle completion: time travel pairs rows with " +
+      "their forwarding version, the fold truncates the broadcast table " +
+      "with a bit-identical serve, and the stats artifact tracks merges") {
+    import graft.data.{Dedup, IndexManifest}
+    val path = java.nio.file.Files.createTempDirectory("graft_comp_fold")
+      .resolve("comp").toString
+    Dedup.writeComponentsIndex(
+      Seq((10L, 11L), (20L, 21L), (30L, 30L)).toDF("a", "b"), "a", "b", path)
+    assert(Dedup.readComponentsStats(spark, path).head().getLong(0) == 3L)
+    val v1 = IndexManifest.load(spark, path).get.version
+    // a chain through a new node merges the two stored clusters
+    Dedup.appendComponentsEdges(
+      Seq((11L, 40L), (40L, 21L)).toDF("a", "b"), "a", "b", path)
+    // exact-maintained count: 3 components - 2 engaged + 1 group = 2
+    assert(Dedup.readComponentsStats(spark, path).head().getLong(0) == 2L)
+    def serve() = Dedup.componentsIndexServe(spark, path)
+      .as[(Long, Long)].collect().toMap
+    val cur = serve()
+    assert(cur == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L,
+      30L -> 30L, 40L -> 10L))
+    // TIME TRAVEL: the v1 pin serves v1's rows with v1's (empty)
+    // forwarding — the CURRENT table knows 20 -> 10 and would silently
+    // predict the merge into the past
+    assert(Dedup.componentsIndexServeAt(spark, path, v1)
+      .as[(Long, Long)].collect().toMap ==
+      Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+    // the FOLD: affected shards rewrite with canonical reps, the
+    // forwarding table truncates, and the serve is bit-identical
+    val (nsh, _) = Dedup.compactComponentsIndex(spark, path,
+      retainVersions = 2)
+    assert(nsh > 0, "the fold must have rewritten the affected shards")
+    assert(Dedup.readComponentsForward(spark, path).isEmpty,
+      "the fold must truncate the forwarding artifact")
+    assert(serve() == cur, "folding must be invisible to the serve")
+    assert(IndexManifest.readData(spark, path)
+      .where($"rep" === 20L).isEmpty,
+      "stored rows must now carry canonical reps directly")
+    // time travel ACROSS the fold (retainVersions = 2): the pre-fold
+    // version still serves, paired with its own non-empty forwarding
+    val preFold = IndexManifest.versions(spark, path).head
+    assert(Dedup.componentsIndexServeAt(spark, path, preFold)
+      .as[(Long, Long)].collect().toMap == cur)
+    // idempotent: an empty forwarding table folds nothing
+    assert(Dedup.compactComponentsIndex(spark, path)._1 == 0)
+    // the stats artifact survives the fold unchanged
+    assert(Dedup.readComponentsStats(spark, path).head().getLong(0) == 2L)
   }
 
   test("retention: compactIndex(retainVersions=2) keeps the pre-compaction " +

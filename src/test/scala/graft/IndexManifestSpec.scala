@@ -121,15 +121,16 @@ class IndexManifestSpec extends AnyFunSuite {
       Seq((1L, 3L)).toDF("gen", "n"))
     IndexManifest.commit(spark, p,
       IndexManifest.load(spark, p).get.dataFiles, Map(m1)) // v2
-    // an append-shaped mutation: new file + new model version, delta commit
-    val pre = IndexManifest.listDataFiles(spark, p)
+    // an append-shaped mutation: new file + new model version, delta
+    // commit (retention threaded wide enough to keep all three versions
+    // on the horizon — the default 2 would prune v1 here)
     Seq((99L, "z")).toDF("id", "v")
       .withColumn("shard", org.apache.spark.sql.functions.lit(1))
       .repartition(1)
       .write.mode("append").partitionBy("shard").parquet(p)
     val m2 = IndexManifest.writeArtifact(spark, p, "model",
       Seq((2L, 4L)).toDF("gen", "n"))
-    IndexManifest.commitDelta(spark, p, pre, Map(m2)) // v3
+    IndexManifest.commitDelta(spark, p, Map(m2), retainVersions = 3) // v3
     assert(IndexManifest.versions(spark, p) == Seq(1L, 2L, 3L))
     assert(IndexManifest.readDataAt(spark, p, 2L).count() == 3L)
     assert(IndexManifest.readData(spark, p).count() == 4L)
@@ -200,6 +201,136 @@ class IndexManifestSpec extends AnyFunSuite {
       "UTF-8") == winner)
     val mdir = new java.io.File(p, "_manifests")
     assert(mdir.listFiles().forall(f => !f.getName.endsWith(".tmp")))
+  }
+
+  test("append-chain retention: every append vacuums to the window, " +
+      "deletes ZERO data files (superset property), and the retained " +
+      "manifest count — the per-mutation reconcile parse cost — stays " +
+      "flat over many batches") {
+    import graft.data.Dedup
+    val path = java.nio.file.Files.createTempDirectory("graft_apvac")
+      .resolve("cells").toString
+    Dedup.writeCellIndex(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", 2, path)
+    (0 until 12).foreach { i =>
+      val preSnap = IndexManifest.load(spark, path).get
+      Dedup.appendCellIndex(Dedup.cellHashes(
+        Seq((100L + i, s"w$i x$i y$i z$i")).toDF("doc_id", "text"),
+        "doc_id", "text", 2), path)
+      // superset property: the append's closing vacuum pruned manifest
+      // TEXT, never data — every pre-append file is still on disk
+      assert(preSnap.dataFiles.forall(f =>
+        new java.io.File(path, f).exists()),
+        s"append $i deleted a data file the kept manifest references")
+      // bounded horizon: reconcile parses every retained manifest at
+      // the start of each mutation, so this count IS the maintenance
+      // cost — it must not grow with stream age (12 appends, still 2)
+      assert(IndexManifest.versions(spark, path).length <= 2,
+        s"append $i left an unbounded manifest horizon")
+    }
+    // the horizon is exactly the documented knob: the newest two
+    // versions are readable, anything older pruned loudly
+    val vs = IndexManifest.versions(spark, path)
+    assert(vs.length == 2)
+    assert(IndexManifest.readDataAt(spark, path, vs.head).count() ==
+      IndexManifest.readData(spark, path).count() - 2) // one append = 2 novel cells
+    intercept[java.util.NoSuchElementException] {
+      IndexManifest.readDataAt(spark, path, vs.head - 1)
+    }
+  }
+
+  test("touched-shards append: filesystem listing calls are O(batch " +
+      "shards), not O(index shards)") {
+    import graft.data.Dedup
+    val path = java.nio.file.Files.createTempDirectory("graft_aplist")
+      .resolve("cells").toString
+    // a corpus wide enough to populate most of the 16-shard universe
+    val corpus = (1L to 200L).map(i =>
+      (i, s"tok${i}a tok${i}b tok${i}c tok${i}d")).toDF("doc_id", "text")
+    Dedup.writeCellIndex(corpus, "doc_id", "text", 2, path)
+    val nIndexDirs = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("shard="))
+    assert(nIndexDirs >= 8, s"fixture too narrow: $nIndexDirs shard dirs")
+    val bc = Dedup.cellHashes(
+      Seq((900L, "zz yy xx ww")).toDF("doc_id", "text"),
+      "doc_id", "text", 2).localCheckpoint(true)
+    val dTouched = bc.select(Dedup.cellShard($"cell_hash")).distinct()
+      .count().toInt
+    assert(dTouched < nIndexDirs, "the batch must touch a strict subset")
+    val before = IndexManifest.partitionDirListings.get()
+    Dedup.appendCellIndex(bc, path)
+    val calls = IndexManifest.partitionDirListings.get() - before
+    // staged append: the added-file set is known by construction, the
+    // reconcile is manifest-only, the commit is a manifest write — the
+    // manifest layer lists ZERO partition directories per append
+    // (Spark's own write committer touches only the writer-unique
+    // staging dir)
+    assert(calls == 0L,
+      s"append listed $calls partition dirs for $dTouched touched " +
+        s"shards on a $nIndexDirs-shard index")
+    // and the appended rows are served correctly
+    val served = Dedup.indexedCellScreen(bc,
+        IndexManifest.readData(spark, path), "doc_id")
+      .select($"dup_cell_frac").as[Double].collect().toSeq
+    assert(served == Seq(1.0))
+  }
+
+  test("optimistic append concurrency: a second appender whose claim " +
+      "loses rebases onto the winner and both batches land; " +
+      "non-disjoint or artifact-conflicting losers stay loud") {
+    import graft.data.Dedup
+    val path = java.nio.file.Files.createTempDirectory("graft_apccy")
+      .resolve("cells").toString
+    Dedup.writeCellIndex(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", 2, path)
+    val n0 = IndexManifest.readData(spark, path).count()
+    val bA = Dedup.cellHashes(Seq((10L, "p q r s")).toDF("doc_id", "text"),
+      "doc_id", "text", 2).localCheckpoint(true)
+    val bB = Dedup.cellHashes(Seq((11L, "t u v w")).toDF("doc_id", "text"),
+      "doc_id", "text", 2).localCheckpoint(true)
+    // writer B commits INSIDE writer A's claim window (the preCommitHook
+    // seam runs after A loaded its base snapshot): A's version claim
+    // loses, verifies disjointness, rebases, retries — both batches
+    // must be visible to the final serve
+    Dedup.appendCellIndex(bA, path, retainVersions = 4,
+      preCommitHook = () => Dedup.appendCellIndex(bB, path,
+        retainVersions = 4))
+    assert(IndexManifest.readData(spark, path).count() == n0 + 4,
+      "both appenders' novel cells must land")
+    Seq(bA, bB).foreach { b =>
+      val served = Dedup.indexedCellScreen(b,
+          IndexManifest.readData(spark, path), "doc_id")
+        .select($"dup_cell_frac").as[Double].collect().toSeq
+      assert(served == Seq(1.0), "each batch must be fully indexed")
+    }
+    // a GENUINE conflict stays loud — the winner committed a change to
+    // the same artifact name this loser also updates
+    val base = IndexManifest.load(spark, path).get
+    val art = IndexManifest.writeArtifact(spark, path, "stats",
+      Seq(1L).toDF("n"))
+    val ex = intercept[IndexManifest.ConcurrentWriterException] {
+      IndexManifest.commitAdded(spark, path, Seq.empty, Map(art),
+        preCommitHook = () => {
+          val w = IndexManifest.writeArtifact(spark, path, "stats",
+            Seq(2L).toDF("n"))
+          IndexManifest.commit(spark, path, base.dataFiles,
+            base.artifacts + w): Unit
+        })
+    }
+    assert(ex.getMessage.contains("artifact"),
+      s"must refuse the artifact conflict: ${ex.getMessage}")
+    // and a loser whose files the winner somehow references is refused
+    val base2 = IndexManifest.load(spark, path).get
+    val ex2 = intercept[IndexManifest.ConcurrentWriterException] {
+      IndexManifest.commitAdded(spark, path, Seq("shard=0/contested.parquet"),
+        preCommitHook = () => {
+          IndexManifest.commit(spark, path,
+            base2.dataFiles :+ "shard=0/contested.parquet",
+            base2.artifacts): Unit
+        })
+    }
+    assert(ex2.getMessage.contains("disjoint"),
+      s"must refuse the non-disjoint rebase: ${ex2.getMessage}")
   }
 
   test("crash mid-vacuum (manifest deleted, files not yet) leaves true " +

@@ -242,10 +242,13 @@ class IndexOpsSpec extends AnyFunSuite {
     // 2 -> 5, so idf(alpha) = (1e6·(N+1)) div 3 MUST change (appending
     // alpha docs would grow df and N in lockstep and leave it fixed —
     // the vacuity guard below caught exactly that in a first draft)
+    // retention threaded to cover the pin: v1 plus three append
+    // versions (the default window of 2 would prune v1 — the knob
+    // exists precisely to cover the longest-running pinned serve)
     (10L to 12L).foreach { id =>
       Indexing.appendPostingsIndex(
         Seq((id, "newterm other")).toDF("doc_id", "text"),
-        "doc_id", "text", path)
+        "doc_id", "text", path, retainVersions = 4)
     }
     val now = rows(Indexing.postingsIndexServe(q, path, 10, 1000000L))
     assert(now.map(_._1).toSet == Set(1L, 2L))

@@ -836,6 +836,15 @@ class StreamingSpec extends AnyFunSuite {
       .select($"batch_id", $"batch_docs", $"indexed_docs")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(receipts == Seq((0L, 1L, 3L), (1L, 2L, 5L)))
+    // retention state rides every receipt: the manifest version advances
+    // with each append and the horizon stays within the gate's window
+    val ret = spark.read.parquet(outPath)
+      .select($"batch_id", $"manifest_version", $"n_retained_versions",
+        $"oldest_retained_version")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ret(1)._2 > ret(0)._2,
+      s"the version watermark must advance: $ret")
+    assert(ret.forall(r => r._3 >= 1L && r._4 <= r._2))
   }
 
   test("shard ingest stream: bootstraps the tokenized-shard artifact " +
@@ -877,6 +886,62 @@ class StreamingSpec extends AnyFunSuite {
       .select($"batch_id", $"batch_docs", $"indexed_docs")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(receipts == Seq((0L, 2L, 2L), (1L, 2L, 3L)))
+    // retention fields advance batch over batch and stay bounded
+    val ret = spark.read.parquet(outPath)
+      .select($"batch_id", $"manifest_version", $"n_retained_versions")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ret(1)._2 > ret(0)._2 && ret.forall(_._3 >= 1L),
+      s"retention receipt fields must advance: $ret")
+  }
+
+  test("edge ingest stream: the cluster index absorbs merging edges " +
+      "across batches, the receipt's component count tracks the exact-" +
+      "maintained stats artifact, and retention fields advance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.data.Dedup
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_edge_stream")
+    val idxPath = base.resolve("index").toString
+    val outPath = base.resolve("receipts").toString
+    // corpus clusters {10,11}, {20,21}, {30} — 3 components at rest
+    Dedup.writeComponentsIndex(
+      Seq((10L, 11L), (20L, 21L), (30L, 30L)).toDF("a", "b"), "a", "b",
+      idxPath)
+    val input = MemoryStream[(Long, Long)]
+    val edges = input.toDF().toDF("src", "dst")
+    val q = IndexStreams.edgeIngestStream(edges, idxPath, outPath,
+      maintain = true, base.resolve("ckpt").toString, compactEvery = 2)
+    try {
+      // batch 0: a new node CHAINS the two stored clusters -> 2 components
+      input.addData((11L, 40L), (40L, 21L))
+      q.processAllAvailable()
+      // batch 1: a brand-new pair -> +1 component (3); batch count also
+      // triggers the forwarding FOLD (compactEvery = 2)
+      input.addData((100L, 101L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the serve equals the from-scratch closure over corpus ∪ batches
+    val serve = Dedup.componentsIndexServe(spark, idxPath)
+      .as[(Long, Long)].collect().toMap
+    assert(serve == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L,
+      30L -> 30L, 40L -> 10L, 100L -> 100L, 101L -> 100L))
+    // the fold ran: the broadcast forwarding table is truncated, with
+    // no change to any serve result
+    assert(Dedup.readComponentsForward(spark, idxPath).isEmpty)
+    // receipts: exact per-batch component counts from the 1-row stats
+    // artifact — never an index aggregate
+    val receipts = spark.read.parquet(outPath)
+      .select($"batch_id", $"batch_edges", $"n_components",
+        $"manifest_version", $"n_retained_versions")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(receipts.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 2L, 2L), (1L, 1L, 3L)), s"receipts: $receipts")
+    // retention state is operationally visible: the version watermark
+    // advances batch over batch, the horizon stays bounded by the knob
+    assert(receipts(1)._4 > receipts(0)._4)
+    assert(receipts.forall(_._5 <= 2L))
+    assert(Dedup.readComponentsStats(spark, idxPath).head().getLong(0) == 3L)
   }
 
   test("streaming curation fate: timed-out keeper cells evict; live cells re-arm") {

@@ -86,6 +86,56 @@ class TfRecordSpec extends AnyFunSuite {
       .getLong(0) == -1L)
   }
 
+  test("stream split: lossless at the length headers — well-formed " +
+      "streams split into parseable frames, a truncated tail is emitted " +
+      "verbatim, and concatenating elements reproduces the input") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val f1 = TfRecordCodecImpl.frame(new GenericArrayData(Array[Any](1L, 2L)))
+    val f2 = TfRecordCodecImpl.frame(new GenericArrayData(Array[Any](7L)))
+    val f3 = TfRecordCodecImpl.frame(new GenericArrayData(Array.empty[Any]))
+    val stream = f1 ++ f2 ++ f3
+    val parts = TfRecordCodecImpl.splitStream(stream)
+    assert(parts.numElements() == 3)
+    assert(parts.getBinary(0).toSeq == f1.toSeq)
+    assert(parts.getBinary(1).toSeq == f2.toSeq)
+    assert(parts.getBinary(2).toSeq == f3.toSeq)
+    (0 until 3).foreach { i =>
+      val p = TfRecordCodecImpl.parse(parts.getBinary(i))
+      assert(p.getBoolean(1) && p.getBoolean(2))
+    }
+    // truncated tail: the broken remainder comes back as ONE element the
+    // parse side flags malformed — and the split stays byte-lossless
+    val cut = stream.take(stream.length - 3)
+    val parts2 = TfRecordCodecImpl.splitStream(cut)
+    assert(parts2.numElements() == 3)
+    assert((0 until 3).flatMap(i => parts2.getBinary(i).toSeq) == cut.toSeq)
+    assert(TfRecordCodecImpl.parse(parts2.getBinary(2)).getLong(0) == -1L)
+    // an absurd length header (overruns the buffer) ends the split with
+    // the verbatim remainder, never an allocation of the claimed size
+    val bogus = Array.fill[Byte](24)(0x7f.toByte)
+    val parts3 = TfRecordCodecImpl.splitStream(bogus)
+    assert(parts3.numElements() == 1 &&
+      parts3.getBinary(0).toSeq == bogus.toSeq)
+  }
+
+  test("tfrecord_frame propagates NULL: a null token array yields a " +
+      "null frame, not a fabricated valid empty record; an EMPTY array " +
+      "still frames to the 16-byte record") {
+    TfRecordFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import TfRecordFunctions.tfrecord_frame
+    val df = Seq((1L, Some(Seq(1L, 2L))), (2L, None),
+        (3L, Some(Seq.empty[Long])))
+      .toDF("id", "token_ids")
+      .select(col("id"), tfrecord_frame(col("token_ids")).as("framed"))
+      .orderBy("id")
+      .as[(Long, Option[Array[Byte]])].collect().toSeq
+    assert(df(0)._2.get.length == 16 + 8)
+    assert(df(1)._2.isEmpty, "null in must be null out")
+    assert(df(2)._2.get.length == 16,
+      "an empty (non-null) array is a real empty-payload record")
+  }
+
   test("the registered SQL functions run inside a plan and agree with " +
       "the direct impl") {
     TfRecordFunctions.register(spark)

@@ -62,7 +62,11 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_dedup_index_asof", "data_pack_tokenized_append",
           "data_shard_tfrecord", "data_search_index_asof",
           "data_sim_ivf_asof", "data_dedup_band_index_asof",
-          "data_dedup_components_append"]
+          "data_dedup_components_append",
+          # round-13 additions (mirrors graft.ScaleBench.ExtraQueries):
+          # cluster-index lifecycle completion + TFRecord files at rest
+          "data_dedup_components_asof", "data_dedup_components_compact",
+          "data_dedup_components_stats", "data_shard_tfrecord_files"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
