@@ -1624,6 +1624,11 @@ object TrainQueries {
     if (fs.exists(root)) fs.delete(root, true): Unit
     fs.mkdirs(root): Unit
     val outUri = fs.makeQualified(root).toUri.toString
+    // written-record accumulator: the driver VERIFIES the byte sink's
+    // output against it below — a task that silently wrote nothing (or
+    // a filesystem that lost the files) must fail the build loudly, not
+    // surface later as an inexplicable empty artifact
+    val written = spark.sparkContext.longAccumulator("tfrecords_written")
     import spark.implicits._
     rows.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("bin"))
@@ -1646,9 +1651,15 @@ object TrainQueries {
             cur = s
           }
           out.write(bytes)
+          written.add(1L)
         }
         if (out != null) out.close()
       }
+    val landed = graft.data.IndexManifest.listDataFiles(spark, outPath)
+    if (written.value > 0 && landed.isEmpty)
+      throw new IllegalStateException(
+        s"writeTfRecordShards wrote ${written.value} records but no " +
+          s"files are visible under $outPath")
     graft.data.IndexManifest.commitListing(spark, outPath): Unit
   }
 
@@ -1682,8 +1693,14 @@ object TrainQueries {
     val stored = graft.data.IndexManifest.readData(spark, src)
       .select(col("shard").cast("long").as("shard"),
         col("bin").cast("long").as("bin"), col("token_ids"))
+    // MANIFEST-LISTED file read (no directory glob): exactly the files
+    // the tfrecord artifact's commit published — the pinned-read
+    // discipline every maintained artifact follows
+    val tfrRoot = new org.apache.hadoop.fs.Path(tfr)
+    val tfrFiles = graft.data.IndexManifest.load(spark, tfr).get.dataFiles
+      .map(f => new org.apache.hadoop.fs.Path(tfrRoot, f).toString)
     val records = spark.read.format("binaryFile")
-      .load(s"$tfr/shard=*")
+      .load(tfrFiles: _*)
       .select(
         regexp_extract(col("path"), "shard=(\\d+)", 1).cast("long")
           .as("shard"),
