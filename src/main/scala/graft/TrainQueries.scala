@@ -1607,16 +1607,24 @@ object TrainQueries {
     * the filesystem — no shard's bytes ever materialize in memory, no
     * driver involvement. The file set publishes under one
     * [[graft.data.IndexManifest]] commit like every other maintained
-    * artifact. Production note: a shard beyond one file's worth rolls
-    * to `part-NNNNN-k` continuation files inside the same task — the
-    * layout and ordering contract is unchanged. */
+    * artifact. A shard beyond `maxBytesPerFile` ROLLS to a new file
+    * inside the same task; every filename carries its FIRST record's
+    * bin (`-b<firstBin>`), so the read-back recovers each record's bin
+    * as file-offset + position and the (shard, bin) join contract is
+    * unchanged across any roll boundary — TfRecordSpec pins a tiny
+    * roll limit producing multiple files per shard with the aggregate
+    * hash unchanged. */
   private[graft] def writeTfRecordShards(spark: SparkSession,
                                          srcPath: String,
-                                         outPath: String): Unit = {
+                                         outPath: String,
+                                         maxBytesPerFile: Long =
+                                           256L * 1024 * 1024): Unit = {
     graft.functions.TfRecordFunctions.register(spark)
     import graft.functions.TfRecordFunctions.tfrecord_frame
+    require(maxBytesPerFile >= 1L, "maxBytesPerFile must be positive")
     val rows = graft.data.IndexManifest.readData(spark, srcPath)
-      .select(col("shard").cast("long").as("shard"), col("bin"),
+      .select(col("shard").cast("long").as("shard"),
+        col("bin").cast("long").as("bin"),
         tfrecord_frame(col("token_ids")).as("framed"))
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(outPath)
@@ -1632,25 +1640,33 @@ object TrainQueries {
     import spark.implicits._
     rows.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("bin"))
-      .select(col("shard"), col("framed"))
-      .as[(Long, Array[Byte])]
-      .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+      .select(col("shard"), col("bin"), col("framed"))
+      .as[(Long, Long, Array[Byte])]
+      .foreachPartition { it: Iterator[(Long, Long, Array[Byte])] =>
         val r = new org.apache.hadoop.fs.Path(outUri)
         val efs = r.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val tid = org.apache.spark.TaskContext.get().partitionId()
         var cur = Long.MinValue
+        var fileBytes = 0L
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        it.foreach { case (s, bytes) =>
-          if (s != cur) {
-            if (out != null) out.close()
-            val dir = new org.apache.hadoop.fs.Path(r, s"shard=$s")
-            efs.mkdirs(dir): Unit
-            out = efs.create(
-              new org.apache.hadoop.fs.Path(dir, f"part-$tid%05d.tfrecord"),
-              true)
-            cur = s
+        def open(shard: Long, firstBin: Long): Unit = {
+          if (out != null) out.close()
+          val dir = new org.apache.hadoop.fs.Path(r, s"shard=$shard")
+          efs.mkdirs(dir): Unit
+          // the filename carries the file's FIRST bin: the reader
+          // recovers every record's bin as firstBin + position, so the
+          // (shard, bin) contract survives any roll boundary
+          out = efs.create(new org.apache.hadoop.fs.Path(dir,
+            f"part-$tid%05d-b$firstBin.tfrecord"), true)
+          fileBytes = 0L
+        }
+        it.foreach { case (s, bin, bytes) =>
+          if (s != cur) { open(s, bin); cur = s }
+          else if (fileBytes > 0 && fileBytes + bytes.length > maxBytesPerFile) {
+            open(s, bin) // roll: this record starts the next file
           }
           out.write(bytes)
+          fileBytes += bytes.length
           written.add(1L)
         }
         if (out != null) out.close()
@@ -1704,10 +1720,14 @@ object TrainQueries {
       .select(
         regexp_extract(col("path"), "shard=(\\d+)", 1).cast("long")
           .as("shard"),
+        // each file's first-bin offset rides its name (the roll
+        // contract): a record's bin = file offset + position in file
+        regexp_extract(col("path"), "-b(\\d+)\\.tfrecord", 1).cast("long")
+          .as("b0"),
         posexplode(tfrecord_split(col("content")))
-          .as(Seq("bin", "framed")))
-      .select(col("shard"), col("bin").cast("long").as("bin"),
-        col("framed"))
+          .as(Seq("pos", "framed")))
+      .select(col("shard"),
+        (col("b0") + col("pos").cast("long")).as("bin"), col("framed"))
       .withColumn("p", tfrecord_parse(col("framed")))
     records.join(stored, Seq("shard", "bin"), "left")
       .select(col("shard"),

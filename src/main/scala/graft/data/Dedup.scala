@@ -1234,12 +1234,17 @@ object Dedup {
     * rewrite (found by one streamed scan against the broadcast
     * forwarding table); at 100 TB that is the set of shards merge
     * history actually touched, each rewritten by its own bounded job,
-    * never a whole-index shuffle.
+    * never a whole-index shuffle. `targetFilesPerShard` follows
+    * [[compactIndex]]'s discipline (default 1 — right for the ≤16-shard
+    * probe layout; production sizes it to the shard directory's bytes
+    * so no single rewrite task carries a whole hot shard).
     *
     * Returns (shardsRewritten, filesFolded). */
   def compactComponentsIndex(spark: org.apache.spark.sql.SparkSession,
                              path: String,
-                             retainVersions: Int = 1): (Int, Long) = {
+                             retainVersions: Int = 1,
+                             targetFilesPerShard: Int = 1): (Int, Long) = {
+    require(targetFilesPerShard >= 1, "targetFilesPerShard must be positive")
     val snap = IndexManifest.reconcile(spark, path)
     val fw = readComponentsForward(spark, path).localCheckpoint(true)
     if (fw.isEmpty) return (0, 0L)
@@ -1263,7 +1268,7 @@ object Dedup {
         .join(broadcast(fw), col("rep") === col("old_rep"), "left")
         .select(col("node_id"),
           coalesce(col("canonical"), col("rep")).as("rep"))
-      resolvedRows.coalesce(1)
+      resolvedRows.coalesce(targetFilesPerShard)
         .write.mode("overwrite").parquet(tmp.toString)
       fs.listStatus(tmp).filter { st =>
         val n = st.getPath.getName

@@ -136,6 +136,48 @@ class TfRecordSpec extends AnyFunSuite {
       "an empty (non-null) array is a real empty-payload record")
   }
 
+  test("file roll: a shard over maxBytesPerFile splits into multiple " +
+      ".tfrecord files whose names carry the first-bin offset, and the " +
+      "re-read recovers every (shard, bin, ids) across the boundaries") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_tfroll")
+    val src = base.resolve("src").toString
+    // a tiny tokenized-shard-like artifact: shard 0 holds 5 bins, each
+    // record 16 + 4·2 = 24 bytes — maxBytesPerFile = 50 fits two
+    // records per file, forcing two rolls
+    val rows = (0L until 5L).map(b => (0L, b, Seq(b * 10, b * 10 + 1)))
+      .toDF("shard", "bin", "token_ids")
+    rows.repartition(1).write.partitionBy("shard").parquet(src)
+    graft.data.IndexManifest.commitListing(spark, src)
+    val out = base.resolve("tfr").toString
+    TrainQueries.writeTfRecordShards(spark, src, out,
+      maxBytesPerFile = 50L)
+    val files = new java.io.File(out, "shard=0").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".tfrecord"))
+      .sortBy(_.getName)
+    assert(files.length == 3, s"expected 3 rolled files, got " +
+      files.map(_.getName).mkString(", "))
+    // names carry the roll offsets: bins 0, 2, 4 start the files
+    assert(files.map(_.getName).forall(_.matches("part-\\d+-b\\d+\\.tfrecord")))
+    assert(files.flatMap(f =>
+      "-b(\\d+)".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .toSeq == Seq(0L, 2L, 4L))
+    // re-read across the boundaries: every (bin, ids) recovered
+    val got = files.flatMap { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val b0 = "-b(\\d+)".r.findFirstMatchIn(f.getName).get.group(1).toLong
+      val parts = TfRecordCodecImpl.splitStream(bytes)
+      (0 until parts.numElements()).map { i =>
+        val p = TfRecordCodecImpl.parse(parts.getBinary(i))
+        assert(p.getBoolean(1) && p.getBoolean(2))
+        (b0 + i) -> p.getArray(3).toLongArray().toSeq
+      }
+    }.toMap
+    assert(got == (0L until 5L).map(b => b -> Seq(b * 10, b * 10 + 1)).toMap)
+    // and the manifest lists all three files (the pinned read-back path)
+    assert(graft.data.IndexManifest.load(spark, out).get.dataFiles.length == 3)
+  }
+
   test("the registered SQL functions run inside a plan and agree with " +
       "the direct impl") {
     TfRecordFunctions.register(spark)
