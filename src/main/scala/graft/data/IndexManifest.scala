@@ -76,18 +76,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * caller-chosen window. A reader pinned to any RETAINED manifest never
   * races physical deletion, closing the execute-vs-delete hole the
   * zero-retention posture left open; [[reconcile]] (crash repair)
-  * deletes only files referenced by NO retained manifest. EVERY
-  * mutation ends with `vacuum(retainVersions)`: superseding mutations
-  * ([[graft.data.Dedup.compactIndex]],
+  * deletes only files referenced by NO retained manifest. Every
+  * RECURRING mutation ends with `vacuum(retainVersions)`: superseding
+  * mutations ([[graft.data.Dedup.compactIndex]],
   * [[graft.data.Similarity.retrainIvfIndex]]) default the knob to 1
   * (the immediate-delete single-machine economy), appends
   * ([[commitDelta]]) default it to 2 (the pre-append version stays
   * pinned — and pruning an append chain deletes zero data files, see
   * [[commitDelta]]); production sets it to cover the longest-running
-  * serve. Bounded retention is itself a scale requirement, not just a
-  * courtesy: [[reconcile]] parses every retained manifest at the start
-  * of every mutation, so an append-only gate that never vacuumed would
-  * pay O(stream age) manifest parses per batch.
+  * serve. One-time mutations (builds, the manual
+  * [[graft.data.Indexing.rebuildPostingsArtifacts]] repair) retain
+  * their predecessor until the next recurring mutation's vacuum slides
+  * the window past it. Bounded retention is itself a scale
+  * requirement, not just a courtesy: [[reconcile]] parses every
+  * retained manifest at the start of every mutation, so an append-only
+  * gate that never vacuumed would pay O(stream age) manifest parses
+  * per batch.
   *
   * Scale: a manifest holds one line per data file — at 100 TB with
   * ~1 GB files that is ~10⁵ lines per index, a single small object
