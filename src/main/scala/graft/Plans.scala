@@ -42,7 +42,8 @@ object Plans {
     "data_dedup_components_asof", "data_dedup_components_compact",
     "data_dedup_components_stats", "data_shard_tfrecord_files",
     "data_search_index_asof", "data_sim_ivf_asof",
-    "data_dedup_band_index_asof", "data_dedup_components_append")
+    "data_dedup_band_index_asof", "data_dedup_components_append",
+    "data_shard_tfrecord_append")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -586,6 +587,17 @@ object Plans {
       |  hash aggregate. Linear in artifact bytes; the write side
       |  (`writeTfRecordShards`) is repartition(shard) + a streaming
       |  per-task byte sink — no shard's bytes ever materialize.
+      |- **data_shard_tfrecord_append** — the MAINTAINED wire-format
+      |  artifact's differential: the serve plan is data_shard_tfrecord_
+      |  files' exactly (binaryFile scan of the manifest-listed files —
+      |  build and continuation alike — codegen split/parse, join back,
+      |  per-shard aggregate). The APPEND itself scans only the source
+      |  files added since the last sync (the "src" artifact's manifest
+      |  delta), screens bins against a broadcast of the ≤16-row "bins"
+      |  coverage artifact, and streams continuation frames through the
+      |  staged speculation-safe sink — append cost is O(batch), the
+      |  at-rest bytes never rewrite, and the read-back increment touches
+      |  only the files that landed.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

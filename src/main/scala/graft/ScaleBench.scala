@@ -72,7 +72,10 @@ object ScaleBench {
     // travel, forwarding fold, exact component-count stats) + TFRecord
     // files at rest
     "data_dedup_components_asof", "data_dedup_components_compact",
-    "data_dedup_components_stats", "data_shard_tfrecord_files")
+    "data_dedup_components_stats", "data_shard_tfrecord_files",
+    // round-14 addition: the MAINTAINED wire-format artifact (append
+    // emits continuation files only)
+    "data_shard_tfrecord_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1618,24 +1618,80 @@ object TrainQueries {
                                          srcPath: String,
                                          outPath: String,
                                          maxBytesPerFile: Long =
-                                           256L * 1024 * 1024): Unit = {
+                                           256L * 1024 * 1024,
+                                         srcVersion: Option[Long] = None): Unit = {
     graft.functions.TfRecordFunctions.register(spark)
     import graft.functions.TfRecordFunctions.tfrecord_frame
     require(maxBytesPerFile >= 1L, "maxBytesPerFile must be positive")
-    val rows = graft.data.IndexManifest.readData(spark, srcPath)
+    val rows = srcVersion
+      .map(v => graft.data.IndexManifest.readDataAt(spark, srcPath, v))
+      .getOrElse(graft.data.IndexManifest.readData(spark, srcPath))
       .select(col("shard").cast("long").as("shard"),
         col("bin").cast("long").as("bin"),
         tfrecord_frame(col("token_ids")).as("framed"))
-    val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(outPath)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root)) fs.delete(root, true): Unit
     fs.mkdirs(root): Unit
-    val outUri = fs.makeQualified(root).toUri.toString
+    val added = writeTfrFilesStaged(rows, outPath, maxBytesPerFile)
+    // the maintenance artifacts every later APPEND needs, both computed
+    // from the READ-BACK of the landed bytes (what a future reader will
+    // actually parse, the shard write's verification discipline):
+    // "bins" = per-shard coverage (max bin at rest + exact counts),
+    // "src" = the source manifest version this artifact is synced to
+    val art: Map[String, String] =
+      if (added.isEmpty) Map.empty
+      else {
+        val srcV = srcVersion
+          .orElse(graft.data.IndexManifest.load(spark, srcPath)
+            .map(_.version)).getOrElse(-1L)
+        Map(
+          graft.data.IndexManifest.writeArtifact(spark, outPath, "bins",
+            tfrBinsOf(spark, outPath, added)),
+          graft.data.IndexManifest.writeArtifact(spark, outPath, "src",
+            spark.range(1).select(lit(srcV).as("src_version"))))
+      }
+    graft.data.IndexManifest.commit(spark, outPath, added, art): Unit
+  }
+
+  /** The TFRecord byte sink, STAGED and speculation-safe: every task
+    * attempt streams its frames into attempt-unique files under a
+    * hidden `_staging/<job>` directory, and publishes by writing a
+    * per-task `committed-<pid>` listing via EXCLUSIVE create (no
+    * overwrite) — so of two speculative attempts of one task exactly
+    * ONE listing wins, the loser's bytes are never referenced, and two
+    * attempts can never interleave writes into one destination file.
+    * The driver then moves exactly the committed files into the
+    * partition layout and returns them — the added set known BY
+    * CONSTRUCTION, the [[graft.data.IndexManifest.stageAppend]]
+    * discipline for a bespoke byte format. Task-side filesystems come
+    * from the SESSION's Hadoop configuration (serialized into the
+    * closure), so session-set credentials/endpoints reach executors —
+    * a bare `new Configuration()` would drop them on an object store.
+    *
+    * A shard past `maxBytesPerFile` ROLLS to a new file inside the
+    * same task; every filename carries its FIRST record's bin
+    * (`-b<firstBin>`), so the read-back recovers each record's bin as
+    * file-offset + position and the (shard, bin) join contract is
+    * unchanged across any roll boundary. No shard's bytes ever
+    * materialize in memory; no driver involvement in the byte path. */
+  private def writeTfrFilesStaged(rows: org.apache.spark.sql.DataFrame,
+                                  outPath: String,
+                                  maxBytesPerFile: Long): Seq[String] = {
+    val spark = rows.sparkSession
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(serConf.value)
+    val qRoot = fs.makeQualified(root)
+    val stage = new org.apache.hadoop.fs.Path(qRoot,
+      s"_staging/${java.util.UUID.randomUUID().toString.take(12)}")
+    fs.mkdirs(stage): Unit
+    val stageUri = stage.toUri.toString
     // written-record accumulator: the driver VERIFIES the byte sink's
-    // output against it below — a task that silently wrote nothing (or
-    // a filesystem that lost the files) must fail the build loudly, not
-    // surface later as an inexplicable empty artifact
+    // output against it below — a job that silently wrote nothing (or
+    // a filesystem that lost the files) must fail loudly, not surface
+    // later as an inexplicable empty artifact
     val written = spark.sparkContext.longAccumulator("tfrecords_written")
     import spark.implicits._
     rows.repartition(col("shard"))
@@ -1643,21 +1699,21 @@ object TrainQueries {
       .select(col("shard"), col("bin"), col("framed"))
       .as[(Long, Long, Array[Byte])]
       .foreachPartition { it: Iterator[(Long, Long, Array[Byte])] =>
-        val r = new org.apache.hadoop.fs.Path(outUri)
-        val efs = r.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val sp = new org.apache.hadoop.fs.Path(stageUri)
+        val efs = sp.getFileSystem(serConf.value)
         val tid = org.apache.spark.TaskContext.get().partitionId()
+        val attempt = java.util.UUID.randomUUID().toString.take(8)
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
         var cur = Long.MinValue
         var fileBytes = 0L
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         def open(shard: Long, firstBin: Long): Unit = {
           if (out != null) out.close()
-          val dir = new org.apache.hadoop.fs.Path(r, s"shard=$shard")
+          val dir = new org.apache.hadoop.fs.Path(sp, s"shard=$shard")
           efs.mkdirs(dir): Unit
-          // the filename carries the file's FIRST bin: the reader
-          // recovers every record's bin as firstBin + position, so the
-          // (shard, bin) contract survives any roll boundary
-          out = efs.create(new org.apache.hadoop.fs.Path(dir,
-            f"part-$tid%05d-b$firstBin.tfrecord"), true)
+          val name = f"part-$tid%05d-$attempt-b$firstBin.tfrecord"
+          out = efs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+          names += s"shard=$shard/$name"
           fileBytes = 0L
         }
         it.foreach { case (s, bin, bytes) =>
@@ -1670,13 +1726,152 @@ object TrainQueries {
           written.add(1L)
         }
         if (out != null) out.close()
+        // task commit: exclusive create — exactly one attempt's listing
+        // per partition publishes; a losing twin's files stay unlisted
+        // and die with the staging dir
+        if (names.nonEmpty) {
+          try {
+            val c = efs.create(new org.apache.hadoop.fs.Path(sp,
+              f"committed-$tid%05d"), false)
+            try c.write(names.mkString("\n").getBytes("UTF-8"))
+            finally c.close()
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+          }
+        }
       }
-    val landed = graft.data.IndexManifest.listDataFiles(spark, outPath)
-    if (written.value > 0 && landed.isEmpty)
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(stage).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("committed-"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val rels =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        rels.filter(_.nonEmpty).foreach { rel =>
+          val dst = new org.apache.hadoop.fs.Path(qRoot, rel)
+          if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent): Unit
+          if (!fs.rename(new org.apache.hadoop.fs.Path(stage, rel), dst))
+            throw new java.io.IOException(
+              s"tfrecord staged move failed: $rel under $stage")
+          added += rel
+        }
+      }
+    fs.delete(stage, true): Unit
+    if (written.value > 0 && added.isEmpty)
       throw new IllegalStateException(
-        s"writeTfRecordShards wrote ${written.value} records but no " +
-          s"files are visible under $outPath")
-    graft.data.IndexManifest.commitListing(spark, outPath): Unit
+        s"tfrecord sink wrote ${written.value} records but no task " +
+          s"committed a listing under $outPath")
+    added.toSeq.sorted
+  }
+
+  /** Per-shard coverage of a set of at-rest `.tfrecord` files, from the
+    * RAW BYTES: max bin (filename offset + record position), record
+    * count, byte count. The "bins" artifact's unit of increment —
+    * computed by read-back so the artifact can only describe what a
+    * reader will actually find. */
+  private def tfrBinsOf(spark: SparkSession, outPath: String,
+                        files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    graft.functions.TfRecordFunctions.register(spark)
+    import graft.functions.TfRecordFunctions.tfrecord_split
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    spark.read.format("binaryFile")
+      .load(files.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
+      .select(
+        regexp_extract(col("path"), "shard=(\\d+)", 1).cast("long")
+          .as("shard"),
+        regexp_extract(col("path"), "-b(\\d+)\\.tfrecord", 1).cast("long")
+          .as("b0"),
+        posexplode(tfrecord_split(col("content"))).as(Seq("pos", "framed")))
+      .select(col("shard"), (col("b0") + col("pos").cast("long")).as("bin"),
+        length(col("framed")).cast("long").as("nb"))
+      .groupBy(col("shard"))
+      .agg(max(col("bin")).as("max_bin"), count(lit(1)).as("n_records"),
+        sum(col("nb")).as("n_bytes"))
+  }
+
+  /** MAINTAIN the at-rest TFRecord artifact: roll the wire-format files
+    * FORWARD to the source's current state by emitting continuation
+    * files for only the bins not yet at rest — never a full re-export.
+    * The [[appendTokenizedShards]] lifecycle, wire-format edition:
+    *
+    *   - The novelty screen is the stored "bins" artifact (per-shard
+    *     max bin at rest, a broadcast of ≤ PackBuckets rows): stored
+    *     bins are immutable training data, appends to the SOURCE only
+    *     ever add continuation bins, so `bin > max_bin` is an exact
+    *     screen.
+    *   - The scan is bounded to the source files ADDED since the last
+    *     sync (the "src" artifact pins the source manifest version the
+    *     artifact reflects; the file delta against it is this append's
+    *     input) whenever that version is still retained — O(batch)
+    *     read; a vacuumed sync point falls back to one full source
+    *     scan with the same bin screen as the correctness gate.
+    *   - Continuation files land through the same staged
+    *     speculation-safe sink as the build, filenames carrying their
+    *     first bin — a `tf.data.TFRecordDataset` over the manifest's
+    *     files sees build and continuation files alike.
+    *   - The "bins"/"src" artifacts increment from the READ-BACK of
+    *     exactly the files that landed, and publish with them in ONE
+    *     [[graft.data.IndexManifest.commitAdded]] — a replay (source
+    *     unchanged, or changed with no new bins) commits NOTHING. */
+  private[graft] def appendTfRecordShards(spark: SparkSession,
+                                          srcPath: String,
+                                          outPath: String,
+                                          maxBytesPerFile: Long =
+                                            256L * 1024 * 1024,
+                                          retainVersions: Int = 2): Unit = {
+    graft.functions.TfRecordFunctions.register(spark)
+    import graft.functions.TfRecordFunctions.tfrecord_frame
+    graft.data.IndexManifest.reconcileAppend(spark, outPath): Unit
+    val syncedV = graft.data.IndexManifest
+      .readArtifact(spark, outPath, "src").head().getLong(0)
+    val srcSnap = graft.data.IndexManifest.load(spark, srcPath)
+    val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
+    val newRows: Option[org.apache.spark.sql.DataFrame] =
+      (srcSnap, graft.data.IndexManifest.loadAt(spark, srcPath, syncedV)) match {
+        case (Some(cur), Some(old)) =>
+          val delta = cur.dataFiles.filterNot(old.dataFiles.toSet)
+          if (delta.isEmpty) None // source unchanged: replay no-op
+          else Some(spark.read.option("basePath", srcRoot.toString)
+            .parquet(delta.map(f =>
+              new org.apache.hadoop.fs.Path(srcRoot, f).toString): _*))
+        case _ => // sync point vacuumed (or pre-manifest source): full
+                  // scan; the bin screen below still makes this exact
+          Some(graft.data.IndexManifest.readData(spark, srcPath))
+      }
+    if (newRows.isEmpty) return
+    val covered = graft.data.IndexManifest
+      .readArtifact(spark, outPath, "bins")
+      .select(col("shard"), col("max_bin"))
+    val rows = newRows.get
+      .select(col("shard").cast("long").as("shard"),
+        col("bin").cast("long").as("bin"),
+        tfrecord_frame(col("token_ids")).as("framed"))
+      .join(broadcast(covered), Seq("shard"), "left")
+      .where(col("bin") > coalesce(col("max_bin"), lit(-1L)))
+      .select(col("shard"), col("bin"), col("framed"))
+    val added = writeTfrFilesStaged(rows, outPath, maxBytesPerFile)
+    if (added.isEmpty) return // every candidate bin already at rest
+    val inc = tfrBinsOf(spark, outPath, added)
+    val prev = graft.data.IndexManifest.readArtifact(spark, outPath, "bins")
+    val merged = prev
+      .join(inc.select(col("shard"), col("max_bin").as("__m"),
+        col("n_records").as("__r"), col("n_bytes").as("__b")),
+        Seq("shard"), "full")
+      .select(col("shard"),
+        greatest(coalesce(col("max_bin"), lit(-1L)),
+          coalesce(col("__m"), lit(-1L))).as("max_bin"),
+        (coalesce(col("n_records"), lit(0L)) +
+          coalesce(col("__r"), lit(0L))).as("n_records"),
+        (coalesce(col("n_bytes"), lit(0L)) +
+          coalesce(col("__b"), lit(0L))).as("n_bytes"))
+    val art = Map(
+      graft.data.IndexManifest.writeArtifact(spark, outPath, "bins", merged),
+      graft.data.IndexManifest.writeArtifact(spark, outPath, "src",
+        spark.range(1).select(
+          lit(srcSnap.map(_.version).getOrElse(-1L)).as("src_version"))))
+    graft.data.IndexManifest.commitAdded(spark, outPath, added, art,
+      retainVersions = retainVersions): Unit
   }
 
   private val builtTfrFiles =
@@ -1697,8 +1892,6 @@ object TrainQueries {
     * split+parse in codegen, one broadcast-joinable parquet side, one
     * hash aggregate. */
   private def shardTfrecordFiles(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.TfRecordFunctions.register(spark)
-    import graft.functions.TfRecordFunctions.{tfrecord_parse, tfrecord_split}
     val src = packShardsPath(spark, dir)
     val tfr = builtTfrFiles.computeIfAbsent(dir, _ => {
       val p = new java.io.File(packRoot, "tfr_" +
@@ -1706,14 +1899,30 @@ object TrainQueries {
       writeTfRecordShards(spark, src, p)
       p
     })
-    val stored = graft.data.IndexManifest.readData(spark, src)
+    tfrFileAggregate(spark, src, tfr)
+  }
+
+  /** The shared file-level aggregate of an at-rest TFRecord artifact:
+    * split the manifest-listed files' raw bytes into records, re-derive
+    * both CRCs, join each record back to its stored parquet row by
+    * (shard, bin = filename offset + position) to prove the payload
+    * survived the disk roundtrip, and fold the per-shard (count, bytes,
+    * crc, roundtrip, xor) row. One binaryFile scan, map-only codegen
+    * split+parse, one broadcast-joinable parquet side, one hash
+    * aggregate — file-layout independent, so a build and any
+    * build+append history can only agree or loudly differ. */
+  private[graft] def tfrFileAggregate(spark: SparkSession, srcPath: String,
+                                      tfrPath: String): DataFrame = {
+    graft.functions.TfRecordFunctions.register(spark)
+    import graft.functions.TfRecordFunctions.{tfrecord_parse, tfrecord_split}
+    val stored = graft.data.IndexManifest.readData(spark, srcPath)
       .select(col("shard").cast("long").as("shard"),
         col("bin").cast("long").as("bin"), col("token_ids"))
     // MANIFEST-LISTED file read (no directory glob): exactly the files
     // the tfrecord artifact's commit published — the pinned-read
     // discipline every maintained artifact follows
-    val tfrRoot = new org.apache.hadoop.fs.Path(tfr)
-    val tfrFiles = graft.data.IndexManifest.load(spark, tfr).get.dataFiles
+    val tfrRoot = new org.apache.hadoop.fs.Path(tfrPath)
+    val tfrFiles = graft.data.IndexManifest.load(spark, tfrPath).get.dataFiles
       .map(f => new org.apache.hadoop.fs.Path(tfrRoot, f).toString)
     val records = spark.read.format("binaryFile")
       .load(tfrFiles: _*)
@@ -1766,8 +1975,8 @@ object TrainQueries {
     * proves the continuation-bin arithmetic, the frozen-vocab encode,
     * the novelty screen (double append == single append), and the
     * exact xor/count increments all at once. */
-  private def packTokenizedAppend(spark: SparkSession, dir: String): DataFrame = {
-    val path = builtPackAppends.computeIfAbsent(dir, _ => {
+  private def packAppendPath(spark: SparkSession, dir: String): String =
+    builtPackAppends.computeIfAbsent(dir, _ => {
       val p = new java.io.File(packRoot, "append_" +
         new java.io.File(dir).getName).getAbsolutePath
       writeTokenizedShards(spark, dir, p,
@@ -1780,7 +1989,40 @@ object TrainQueries {
       appendTokenizedShards(spark, dir, batch, p) // replay: a no-op
       p
     })
-    readShardManifest(spark, path).dumpOrdered("shard")
+
+  private def packTokenizedAppend(spark: SparkSession, dir: String): DataFrame =
+    readShardManifest(spark, packAppendPath(spark, dir)).dumpOrdered("shard")
+
+  private val builtTfrAppends =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Maintained TFRecord lifecycle differential: the wire-format files
+    * are BUILT from the pre-append source snapshot (time-travel pin),
+    * rolled FORWARD by [[appendTfRecordShards]] to cover the batch's
+    * continuation bins (new `.tfrecord` files only — stored files
+    * untouched), the append replayed (must commit nothing), and the
+    * file-level aggregate emitted — which the oracle replays from the
+    * text through the incremental continuation-bin semantics AND which
+    * must equal a from-scratch full export byte-for-byte in the xor
+    * (the aggregate is file-layout independent), the law TfRecordSpec
+    * pins directly. */
+  private def shardTfrecordAppend(spark: SparkSession, dir: String): DataFrame = {
+    val src = packAppendPath(spark, dir)
+    val tfr = builtTfrAppends.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(packRoot, "tfra_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      // build pinned to the PRE-append source version (the corpus
+      // snapshot — oldest retained; the batch append is the newest)
+      val v1 = graft.data.IndexManifest.versions(spark, src).head
+      writeTfRecordShards(spark, src, p, srcVersion = Some(v1))
+      appendTfRecordShards(spark, src, p) // roll forward to the batch
+      val v = graft.data.IndexManifest.load(spark, p).get.version
+      appendTfRecordShards(spark, src, p) // replay: a no-op
+      require(graft.data.IndexManifest.load(spark, p).get.version == v,
+        "a replayed tfrecord append must commit nothing")
+      p
+    })
+    tfrFileAggregate(spark, src, tfr)
   }
 
   /** Round-k oracle CTE block: pair counts over w{k-1}, the argmax
@@ -2269,11 +2511,65 @@ object TrainQueries {
     // aggregate to exactly what the oracle frames from the text
     "data_shard_tfrecord_files" -> Q(shardTfrecordFiles,
       Some(duckShardTfrecordSql)),
+
+    // the MAINTAINED wire-format artifact: built from the pre-append
+    // snapshot, rolled forward with continuation files only, replayed
+    // appends committing nothing — the file bytes must aggregate to
+    // the oracle's from-scratch continuation-bin framing
+    "data_shard_tfrecord_append" -> Q(shardTfrecordAppend,
+      Some(duckShardTfrecordAppendSql)),
   ) ++ defs2
 
-  /** Oracle of BOTH tfrecord queries ([[shardTfrecord]] in-plan,
-    * [[shardTfrecordFiles]] from the file bytes). */
-  private lazy val duckShardTfrecordSql: String = {
+  /** Oracle of the build-shaped tfrecord queries ([[shardTfrecord]]
+    * in-plan, [[shardTfrecordFiles]] from the file bytes): contiguous
+    * bins from 0 per shard. */
+  private lazy val duckShardTfrecordSql: String =
+    duckShardTfrecordSqlOver(
+      s"""p AS (
+         |  SELECT doc_id, toks, n_tok, bucket,
+         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d),
+         |sq AS (
+         |  SELECT bucket, bin,
+         |    flatten(list(toks ORDER BY doc_id)) AS token_ids
+         |  FROM p GROUP BY bucket, bin)""".stripMargin)
+
+  /** Oracle of [[shardTfrecordAppend]]: the continuation-bin semantics
+    * of the MAINTAINED artifact (corpus bins from 0, the ingest batch
+    * packed past each shard's stored max — the
+    * `data_pack_tokenized_append` binning) fed through the same framing
+    * arithmetic, so the differential proves the incremental file
+    * roll-forward equals a from-scratch export of the merged state. */
+  private lazy val duckShardTfrecordAppendSql: String =
+    duckShardTfrecordSqlOver(
+      s"""pc AS (
+         |  SELECT doc_id, toks, n_tok, bucket,
+         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d
+         |  WHERE doc_id < $PackSnapshotId OR doc_id >= $PackBatchEnd),
+         |mb AS (SELECT bucket, max(bin) AS maxbin FROM pc GROUP BY bucket),
+         |pb AS (
+         |  SELECT d.doc_id, d.toks, d.n_tok, d.bucket,
+         |    COALESCE(mb.maxbin, -1) + 1 +
+         |    CAST(COALESCE(sum(d.n_tok) OVER (PARTITION BY d.bucket
+         |      ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d LEFT JOIN mb ON mb.bucket = d.bucket
+         |  WHERE d.doc_id >= $PackSnapshotId AND d.doc_id < $PackBatchEnd),
+         |pall AS (SELECT * FROM pc UNION ALL SELECT * FROM pb),
+         |sq AS (
+         |  SELECT bucket, bin,
+         |    flatten(list(toks ORDER BY doc_id)) AS token_ids
+         |  FROM pall GROUP BY bucket, bin)""".stripMargin)
+
+  /** The shared framing/aggregation half of every tfrecord oracle,
+    * parameterized by the binning CTE block (which must end in
+    * `sq(bucket, bin, token_ids)`). */
+  private def duckShardTfrecordSqlOver(binCtes: String): String = {
       val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
       // CRC32C (Castagnoli, reflected, poly 0x82F63B78 = 2197175160) +
       // TFRecord's mask, from first principles in SQL: the 256-entry
@@ -2323,16 +2619,7 @@ object TrainQueries {
          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
          |         doc_id % $PackBuckets AS bucket
          |  FROM dt),
-         |p AS (
-         |  SELECT doc_id, toks, n_tok, bucket,
-         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
-         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
-         |  FROM d),
-         |sq AS (
-         |  SELECT bucket, bin,
-         |    flatten(list(toks ORDER BY doc_id)) AS token_ids
-         |  FROM p GROUP BY bucket, bin),
+         |$binCtes,
          |$crcCtes,
          |fb AS (
          |  SELECT bucket, bin,

@@ -603,6 +603,12 @@ object Dedup {
     * ([[IndexManifest.readDataAt]]) and guarantees a reader EXECUTING
     * against it never races the deletion — the production posture.
     *
+    * Concurrency: the commit is a CAS at the loaded snapshot's
+    * version + 1, and a lost claim (a gate's append landed mid-fold)
+    * RELOADS and recomputes — appends keep priority, operators can run
+    * compactions without pausing gates (the spec drives an append into
+    * the `preCommitHook` seam and both land).
+    *
     * At 100 TB this is the same per-shard job with more shards, each
     * bounded by its own directory's bytes — never a whole-index
     * shuffle.
@@ -618,54 +624,80 @@ object Dedup {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerShard: Int, targetFilesPerShard: Int = 1,
       partitionCol: String = "shard",
-      retainVersions: Int = 1): (Int, Int, Int) = {
+      retainVersions: Int = 1,
+      preCommitHook: () => Unit = () => ()): (Int, Int, Int) = {
     require(maxFilesPerShard >= 1 && targetFilesPerShard >= 1,
       "file bounds must be positive")
-    val snap = IndexManifest.reconcile(spark, path)
+    IndexManifest.reconcile(spark, path): Unit
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val byDir = snap.dataFiles.groupBy(_.takeWhile(_ != '/'))
-      .filter { case (d, fls) =>
-        d.startsWith(s"$partitionCol=") && fls.length > maxFilesPerShard }
-    if (byDir.isEmpty) return (0, 0, 0)
-    var done = 0; var before = 0; var after = 0
-    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val added = scala.collection.mutable.ArrayBuffer.empty[String]
-    byDir.toSeq.sortBy(_._1).foreach { case (dirName, files) =>
-      val dir = new org.apache.hadoop.fs.Path(root, dirName)
-      val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
-      fs.delete(tmp, true)
-      // read exactly the manifest's files for this shard (schema =
-      // payload columns only; the partition value is the directory key)
-      spark.read.parquet(files.map(f =>
-          new org.apache.hadoop.fs.Path(root, f).toString): _*)
-        .coalesce(targetFilesPerShard)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val fresh = fs.listStatus(tmp).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.map(_.getPath)
-      fresh.foreach { f =>
-        // compact- prefix + the writer uuid in the part name: unique,
-        // never colliding with a live part- file
-        val dst = new org.apache.hadoop.fs.Path(dir,
-          s"compact-${f.getName.stripPrefix("part-")}")
-        if (!fs.rename(f, dst))
-          throw new java.io.IOException(s"compact rename failed: $f -> $dst")
-        added += s"$dirName/${dst.getName}"
+    // RETRY-ON-CONFLICT, appends keep priority: the commit below claims
+    // exactly snap.version + 1, so a gate's append landing between our
+    // load and our claim fails the claim LOUDLY (the CAS an unpinned
+    // commit would turn into a silent lost update — the appended files
+    // missing from our stale listing). Folding is recomputable, so the
+    // loser reloads the winner's snapshot (appended rows included) and
+    // re-folds — a bounded number of times, letting operators run
+    // compactions without pausing gates; the earlier attempt's fold
+    // files become invisible orphans for the next reconcile. Only the
+    // orphan SWEEP above still assumes no writer is mid-append at fold
+    // START (a staged-but-uncommitted batch would read as debris);
+    // [[IndexManifest.reconcileAppend]]'s age-gated sweep is the
+    // gate-side complement.
+    var attempt = 0
+    while (true) {
+      val snap = IndexManifest.load(spark, path).get
+      val byDir = snap.dataFiles.groupBy(_.takeWhile(_ != '/'))
+        .filter { case (d, fls) =>
+          d.startsWith(s"$partitionCol=") && fls.length > maxFilesPerShard }
+      if (byDir.isEmpty) return (0, 0, 0)
+      var done = 0; var before = 0; var after = 0
+      val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val added = scala.collection.mutable.ArrayBuffer.empty[String]
+      byDir.toSeq.sortBy(_._1).foreach { case (dirName, files) =>
+        val dir = new org.apache.hadoop.fs.Path(root, dirName)
+        val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
+        fs.delete(tmp, true)
+        // read exactly the manifest's files for this shard (schema =
+        // payload columns only; the partition value is the directory key)
+        spark.read.parquet(files.map(f =>
+            new org.apache.hadoop.fs.Path(root, f).toString): _*)
+          .coalesce(targetFilesPerShard)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val fresh = fs.listStatus(tmp).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath)
+        fresh.foreach { f =>
+          // compact- prefix + the writer uuid in the part name: unique,
+          // never colliding with a live part- file
+          val dst = new org.apache.hadoop.fs.Path(dir,
+            s"compact-${f.getName.stripPrefix("part-")}")
+          if (!fs.rename(f, dst))
+            throw new java.io.IOException(s"compact rename failed: $f -> $dst")
+          added += s"$dirName/${dst.getName}"
+        }
+        fs.delete(tmp, true)
+        removed ++= files
+        done += 1; before += files.length; after += fresh.length
       }
-      fs.delete(tmp, true)
-      removed ++= files
-      done += 1; before += files.length; after += fresh.length
+      preCommitHook()
+      // the single commit point: fresh files become visible and old files
+      // stop being referenced ATOMICALLY; physical deletion is vacuum's
+      // job, bounded by the retention window
+      try {
+        IndexManifest.commitAt(spark, path, snap.version + 1,
+          snap.dataFiles.diff(removed.toSeq) ++ added.toSeq, snap.artifacts)
+        IndexManifest.vacuum(spark, path, retainVersions)
+        return (done, before, after)
+      } catch {
+        case e: IndexManifest.ConcurrentWriterException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
     }
-    // the single commit point: fresh files become visible and old files
-    // stop being referenced ATOMICALLY; physical deletion is vacuum's
-    // job, bounded by the retention window
-    IndexManifest.commit(spark, path,
-      snap.dataFiles.diff(removed) ++ added, snap.artifacts)
-    IndexManifest.vacuum(spark, path, retainVersions)
-    (done, before, after)
+    throw new IllegalStateException("unreachable")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
@@ -1237,61 +1269,82 @@ object Dedup {
     * never a whole-index shuffle. `targetFilesPerShard` follows
     * [[compactIndex]]'s discipline (default 1 — right for the ≤16-shard
     * probe layout; production sizes it to the shard directory's bytes
-    * so no single rewrite task carries a whole hot shard).
+    * so no single rewrite task carries a whole hot shard). Like
+    * [[compactIndex]], the commit is a CAS with reload-and-re-fold on a
+    * lost claim — a racing gate append keeps priority and both land.
     *
     * Returns (shardsRewritten, filesFolded). */
   def compactComponentsIndex(spark: org.apache.spark.sql.SparkSession,
                              path: String,
                              retainVersions: Int = 1,
-                             targetFilesPerShard: Int = 1): (Int, Long) = {
+                             targetFilesPerShard: Int = 1,
+                             preCommitHook: () => Unit = () => ()): (Int, Long) = {
     require(targetFilesPerShard >= 1, "targetFilesPerShard must be positive")
-    val snap = IndexManifest.reconcile(spark, path)
-    val fw = readComponentsForward(spark, path).localCheckpoint(true)
-    if (fw.isEmpty) return (0, 0L)
-    val idx = IndexManifest.readData(spark, path)
-    val affected = idx.join(broadcast(fw), col("rep") === col("old_rep"))
-      .select(col("shard")).distinct().collect()
-      .map(r => r.getInt(0)).toSeq.sorted
+    IndexManifest.reconcile(spark, path): Unit
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val byDir = snap.dataFiles.groupBy(_.takeWhile(_ != '/'))
-      .filter { case (d, _) => affected.exists(s => d == s"shard=$s") }
-    var folded = 0L
-    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val added = scala.collection.mutable.ArrayBuffer.empty[String]
-    byDir.toSeq.sortBy(_._1).foreach { case (dirName, files) =>
-      val dir = new org.apache.hadoop.fs.Path(root, dirName)
-      val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
-      fs.delete(tmp, true): Unit
-      val resolvedRows = spark.read.parquet(files.map(f =>
-          new org.apache.hadoop.fs.Path(root, f).toString): _*)
-        .join(broadcast(fw), col("rep") === col("old_rep"), "left")
-        .select(col("node_id"),
-          coalesce(col("canonical"), col("rep")).as("rep"))
-      resolvedRows.coalesce(targetFilesPerShard)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.listStatus(tmp).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.foreach { f =>
-        val dst = new org.apache.hadoop.fs.Path(dir,
-          s"fold-${f.getPath.getName.stripPrefix("part-")}")
-        if (!fs.rename(f.getPath, dst))
-          throw new java.io.IOException(
-            s"fold rename failed: ${f.getPath} -> $dst")
-        added += s"$dirName/${dst.getName}"
+    // retry-on-conflict CAS, the [[compactIndex]] discipline: the fold
+    // claims exactly snap.version + 1, so a racing gate append wins the
+    // claim and the fold reloads EVERYTHING — the appended rows AND the
+    // append's forwarding/stats artifacts — and re-folds (bounded
+    // retries, appends keep priority). Folding is recomputable; the
+    // lost attempt's fold- files are invisible orphans.
+    var attempt = 0
+    while (true) {
+      val snap = IndexManifest.load(spark, path).get
+      val fw = readComponentsForward(spark, path).localCheckpoint(true)
+      if (fw.isEmpty) return (0, 0L)
+      val idx = IndexManifest.readData(spark, path)
+      val affected = idx.join(broadcast(fw), col("rep") === col("old_rep"))
+        .select(col("shard")).distinct().collect()
+        .map(r => r.getInt(0)).toSeq.sorted
+      val byDir = snap.dataFiles.groupBy(_.takeWhile(_ != '/'))
+        .filter { case (d, _) => affected.exists(s => d == s"shard=$s") }
+      var folded = 0L
+      val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val added = scala.collection.mutable.ArrayBuffer.empty[String]
+      byDir.toSeq.sortBy(_._1).foreach { case (dirName, files) =>
+        val dir = new org.apache.hadoop.fs.Path(root, dirName)
+        val tmp = new org.apache.hadoop.fs.Path(dir, "_compacting")
+        fs.delete(tmp, true): Unit
+        val resolvedRows = spark.read.parquet(files.map(f =>
+            new org.apache.hadoop.fs.Path(root, f).toString): _*)
+          .join(broadcast(fw), col("rep") === col("old_rep"), "left")
+          .select(col("node_id"),
+            coalesce(col("canonical"), col("rep")).as("rep"))
+        resolvedRows.coalesce(targetFilesPerShard)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.listStatus(tmp).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.foreach { f =>
+          val dst = new org.apache.hadoop.fs.Path(dir,
+            s"fold-${f.getPath.getName.stripPrefix("part-")}")
+          if (!fs.rename(f.getPath, dst))
+            throw new java.io.IOException(
+              s"fold rename failed: ${f.getPath} -> $dst")
+          added += s"$dirName/${dst.getName}"
+        }
+        fs.delete(tmp, true): Unit
+        removed ++= files
+        folded += files.length
       }
-      fs.delete(tmp, true): Unit
-      removed ++= files
-      folded += files.length
+      val emptyFw = IndexManifest.writeArtifact(spark, path, "forward",
+        spark.range(0).select(col("id").as("old_rep"),
+          col("id").as("canonical")))
+      preCommitHook()
+      try {
+        IndexManifest.commitAt(spark, path, snap.version + 1,
+          snap.dataFiles.diff(removed.toSeq) ++ added.toSeq,
+          snap.artifacts + emptyFw)
+        IndexManifest.vacuum(spark, path, retainVersions): Unit
+        return (byDir.size, folded)
+      } catch {
+        case e: IndexManifest.ConcurrentWriterException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
     }
-    val emptyFw = IndexManifest.writeArtifact(spark, path, "forward",
-      spark.range(0).select(col("id").as("old_rep"),
-        col("id").as("canonical")))
-    IndexManifest.commit(spark, path,
-      snap.dataFiles.diff(removed.toSeq) ++ added,
-      snap.artifacts + emptyFw)
-    IndexManifest.vacuum(spark, path, retainVersions): Unit
-    (byDir.size, folded)
+    throw new IllegalStateException("unreachable")
   }
 }

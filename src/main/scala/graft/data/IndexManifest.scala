@@ -93,16 +93,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gate that never vacuumed would pay O(stream age) manifest parses
   * per batch.
   *
-  * Scale: a manifest holds one line per data file — at 100 TB with
-  * ~1 GB files that is ~10⁵ lines per index, a single small object
-  * read once per query plan (table formats ship the same design; the
-  * next step there, per-partition manifest segments, changes nothing
-  * about the commit protocol).
+  * Scale: append commits are O(batch), not O(index files) — an
+  * append-shaped commit ([[commitAdded]]) writes ONE immutable SEGMENT
+  * file under `_segments/` listing only its added files, and the
+  * manifest lists segment REFERENCES (`S <segment>`, inherited from the
+  * base snapshot plus the new one) alongside any inline `D` lines; a
+  * high-frequency ingest gate therefore writes manifest text
+  * proportional to its batch, never to the index (the table-format
+  * manifest-list design). [[load]] folds the referenced segments back
+  * into the flat file list every consumer sees. Segment-reference
+  * count is itself bounded: once it passes `maxSegments` the append
+  * CONSOLIDATES — one fresh segment holding the full resolved list,
+  * O(index files) once, amortized O(files / maxSegments) per append —
+  * and superseding mutations (compaction, retrain, rebuild) reset it
+  * to zero by committing their full inline listing (the manifest IS
+  * the fresh segment). Segments are immutable once written and named
+  * uniquely, so they need no claim: an uncommitted segment (crashed
+  * commit) is an invisible orphan the next full [[reconcile]] sweeps,
+  * and [[vacuum]] deletes a segment once no retained manifest
+  * references it.
   */
 object IndexManifest {
 
   private val ManifestDir = "_manifests"
+  private val SegmentDir = "_segments"
   private val ArtRoot = "_art"
+
+  /** Default horizon for the append-path debris sweeps
+    * ([[reconcileAppend]]): staging directories and manifest temps
+    * YOUNGER than this may belong to a live concurrent appender and are
+    * left alone; older ones are certainly a crashed writer's. */
+  val DefaultSweepAgeMs: Long = 24L * 3600 * 1000
 
   /** The single-writer window was violated: another writer claimed the
     * manifest version this commit computed. Appends catch this inside
@@ -117,10 +138,23 @@ object IndexManifest {
   private[graft] val partitionDirListings =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** A pinned snapshot: data files (relative to the index root) and the
-    * current version directory per artifact name. */
+  /** Manifest-layer bytes written (manifest bodies + segment files) —
+    * the instrumentation behind the O(batch)-commit spec: an append on
+    * an index with 10⁵ files must write manifest text proportional to
+    * its BATCH, never re-serialize the full file list. */
+  private[graft] val manifestBytesWritten =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A pinned snapshot: data files (relative to the index root,
+    * RESOLVED across segment references — every consumer reads this
+    * flat list) and the current version directory per artifact name.
+    * `segments`/`inline` expose the manifest's internal structure so
+    * an append commit can inherit segment references without
+    * re-serializing the resolved list. */
   final case class Snapshot(version: Long, dataFiles: Seq[String],
-                            artifacts: Map[String, String])
+                            artifacts: Map[String, String],
+                            segments: Seq[String] = Seq.empty,
+                            inline: Seq[String] = Seq.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -178,18 +212,53 @@ object IndexManifest {
       .sortBy(_._1)
   }
 
-  private def parse(fs: FileSystem, v: Long, p: Path): Snapshot = {
+  private def readLines(fs: FileSystem, p: Path): Vector[String] = {
     val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    val data = lines.collect { case l if l.startsWith("D ") => l.drop(2) }
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  private def parse(fs: FileSystem, root: Path, v: Long, p: Path): Snapshot = {
+    val lines = readLines(fs, p)
+    val inline = lines.collect { case l if l.startsWith("D ") => l.drop(2) }
+    val segs = lines.collect { case l if l.startsWith("S ") => l.drop(2) }
     val arts = lines.collect { case l if l.startsWith("A ") =>
       val rest = l.drop(2)
       val cut = rest.indexOf(' ')
       rest.take(cut) -> rest.drop(cut + 1)
     }.toMap
-    Snapshot(v, data, arts)
+    val segData = segs.flatMap(s =>
+      readLines(fs, new Path(root, s)).filter(_.nonEmpty))
+    Snapshot(v, segData ++ inline, arts, segs, inline)
+  }
+
+  /** [[parse]] tolerating a RACING VACUUM: two post-append vacuums from
+    * concurrent writers can interleave so one deletes a superseded
+    * manifest (or a segment only pruned manifests reference) while the
+    * other is still walking the retained set — a batch whose commit
+    * already landed must not fail over debris bookkeeping. A manifest
+    * that disappears mid-walk was pruned by the racer, which also owns
+    * deleting whatever only it referenced; skipping it here converges
+    * on the stricter horizon. */
+  private def tryParse(fs: FileSystem, root: Path, v: Long,
+                       p: Path): Option[Snapshot] =
+    try Some(parse(fs, root, v, p))
+    catch { case _: java.io.FileNotFoundException => None }
+
+  /** Write one immutable SEGMENT file (a bare list of root-relative
+    * data-file paths). Uniquely named and unreferenced until a manifest
+    * commit lists it, so it needs no claim and no temp: a crashed
+    * commit's segment is an invisible orphan for [[reconcile]]. */
+  private def writeSegment(fs: FileSystem, root: Path,
+                           files: Seq[String]): String = {
+    val dir = new Path(root, SegmentDir)
+    if (!fs.exists(dir)) fs.mkdirs(dir): Unit
+    val rel = s"$SegmentDir/seg-${java.util.UUID.randomUUID().toString.take(12)}"
+    val body = files.sorted.mkString("\n").getBytes("UTF-8")
+    val out = fs.create(new Path(root, rel), true)
+    try out.write(body) finally out.close()
+    manifestBytesWritten.addAndGet(body.length.toLong): Unit
+    rel
   }
 
   /** The RETAINED manifest versions, ascending — the time-travel
@@ -200,18 +269,35 @@ object IndexManifest {
     manifestFiles(fs, root).map(_._1)
   }
 
-  /** The current (highest-version) manifest, if any. */
+  /** The current (highest-version) manifest, if any. Retries the
+    * listing when the head manifest vanishes between list and parse
+    * (two racing vacuums with different horizons — see [[tryParse]]);
+    * a repeatedly missing head is genuine corruption and throws. */
   def load(spark: SparkSession, path: String): Option[Snapshot] = {
     val (fs, root) = fsOf(spark, path)
-    manifestFiles(fs, root).lastOption.map { case (v, p) => parse(fs, v, p) }
+    var attempt = 0
+    while (attempt < 3) {
+      manifestFiles(fs, root).lastOption match {
+        case None => return None
+        case Some((v, p)) =>
+          tryParse(fs, root, v, p) match {
+            case some @ Some(_) => return some
+            case None => attempt += 1
+          }
+      }
+    }
+    throw new java.io.FileNotFoundException(
+      s"current manifest of $path kept vanishing between list and parse")
   }
 
   /** A SPECIFIC retained manifest version — the time-travel load. None
-    * once [[vacuum]] has pruned it (or if it never existed). */
+    * once [[vacuum]] has pruned it (or if it never existed; a version
+    * whose file or segments vanish mid-parse was pruned mid-race and
+    * reads as not retained). */
   def loadAt(spark: SparkSession, path: String, version: Long): Option[Snapshot] = {
     val (fs, root) = fsOf(spark, path)
     manifestFiles(fs, root).find(_._1 == version)
-      .map { case (v, p) => parse(fs, v, p) }
+      .flatMap { case (v, p) => tryParse(fs, root, v, p) }
   }
 
   /** Publish a snapshot as the next manifest version: write to a
@@ -234,7 +320,16 @@ object IndexManifest {
     * replace the other's manifest. */
   private[graft] def commitAt(spark: SparkSession, path: String, next: Long,
                               dataFiles: Seq[String],
-                              artifacts: Map[String, String]): Long = {
+                              artifacts: Map[String, String]): Long =
+    commitAtParts(spark, path, next, dataFiles, Seq.empty, artifacts)
+
+  /** [[commitAt]] in manifest-internal form: `inline` files serialize
+    * as `D` lines, `segments` as `S` references — the append path's
+    * O(batch) commit writes zero inline lines and one new segment
+    * reference on top of the inherited ones. */
+  private def commitAtParts(spark: SparkSession, path: String, next: Long,
+                            inline: Seq[String], segments: Seq[String],
+                            artifacts: Map[String, String]): Long = {
     val (fs, root) = fsOf(spark, path)
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -248,9 +343,11 @@ object IndexManifest {
       s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try {
-      val body = (dataFiles.sorted.map(f => s"D $f") ++
+      val body = (segments.map(s => s"S $s") ++
+        inline.sorted.map(f => s"D $f") ++
         artifacts.toSeq.sortBy(_._1).map { case (n, d) => s"A $n $d" })
         .mkString("\n")
+      manifestBytesWritten.addAndGet(body.length.toLong): Unit
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val dst = new Path(dir, name)
@@ -293,7 +390,7 @@ object IndexManifest {
   private def retainedSnapshots(spark: SparkSession,
                                 path: String): Seq[Snapshot] = {
     val (fs, root) = fsOf(spark, path)
-    manifestFiles(fs, root).map { case (v, p) => parse(fs, v, p) }
+    manifestFiles(fs, root).flatMap { case (v, p) => tryParse(fs, root, v, p) }
   }
 
   /** The files an append-shaped mutation just wrote: everything listed
@@ -342,14 +439,35 @@ object IndexManifest {
     *     the winner's, artifact names untouched by the winner), and
     *     retries on top of it — two appenders with disjoint batches
     *     both land; a genuine conflict (two postings appends racing
-    *     the same dictionary) stays loud. */
+    *     the same dictionary) stays loud.
+    *
+    * CONCURRENT-APPENDER CONTRACT: the rebase check is FILE-level
+    * (names are writer-unique by construction), not row-level — two
+    * appenders handed OVERLAPPING source batches (an at-least-once
+    * feed fanned out to two writers) both pass it, because each
+    * writer's novelty screen ran against the PRE-conflict snapshot,
+    * and the index would silently hold the overlap twice. Concurrent
+    * appenders must therefore partition the SOURCE disjointly (the
+    * deployment posture of every optimistic table format); redelivery
+    * of a batch to the SAME logical writer stays safe — the replay's
+    * novelty screen sees the first delivery's commit and packs
+    * nothing. Concurrent appenders should also share one
+    * `retainVersions`: racing vacuums with different horizons converge
+    * on the stricter one (see the tolerant walks in [[vacuum]]). */
   def commitDelta(spark: SparkSession, path: String,
                   artifacts: Map[String, String] = Map.empty,
                   retainVersions: Int = 2,
                   touchedDirs: Option[Seq[String]] = None,
-                  preCommitHook: () => Unit = () => ()): Long =
+                  preCommitHook: () => Unit = () => (),
+                  maxSegments: Int = DefaultMaxSegments): Long =
     commitAdded(spark, path, addedDataFiles(spark, path, touchedDirs),
-      artifacts, retainVersions, preCommitHook)
+      artifacts, retainVersions, preCommitHook, maxSegments)
+
+  /** Segment-reference bound before an append consolidates: commit
+    * bytes per append are O(batch + maxSegments refs), and every
+    * maxSegments-th append pays one O(index files) consolidation —
+    * amortized O(files / maxSegments) per commit. */
+  val DefaultMaxSegments: Int = 64
 
   /** The [[commitDelta]] core for callers that already computed the
     * added-file set (e.g. to derive artifact increments from the
@@ -362,16 +480,50 @@ object IndexManifest {
   def commitAdded(spark: SparkSession, path: String, added: Seq[String],
                   artifacts: Map[String, String] = Map.empty,
                   retainVersions: Int = 2,
-                  preCommitHook: () => Unit = () => ()): Long = {
+                  preCommitHook: () => Unit = () => (),
+                  maxSegments: Int = DefaultMaxSegments): Long = {
+    require(maxSegments >= 1, s"maxSegments must be positive, got $maxSegments")
     val base = load(spark, path).getOrElse(Snapshot(0L, Seq.empty, Map.empty))
     if (added.isEmpty && artifacts.isEmpty) return base.version // no-op replay
     preCommitHook()
+    val (fs, root) = fsOf(spark, path)
+    // the batch's own segment, written ONCE (reused across rebase
+    // retries — its content is this writer's delta, independent of the
+    // base snapshot)
+    val newSeg =
+      if (added.nonEmpty) Seq(writeSegment(fs, root, added)) else Seq.empty
     var cur = base
     var attempt = 0
     while (true) {
       try {
-        val v = commitAt(spark, path, cur.version + 1,
-          cur.dataFiles ++ added, cur.artifacts ++ artifacts)
+        // inherit the base's segment references verbatim; inline `D`
+        // lines (a build's or compaction's full listing) adopt into a
+        // segment ONCE so no append ever re-serializes them — after
+        // that, commit bytes are O(batch) + one reference line per
+        // retained segment
+        val refs = cur.segments.length +
+          (if (cur.inline.nonEmpty) 1 else 0) + newSeg.length
+        val v =
+          if (refs > maxSegments) {
+            // consolidation: fold the whole resolved list into ONE
+            // fresh segment — the amortized bound on reference count
+            val c = commitAtParts(spark, path, cur.version + 1, Seq.empty,
+              Seq(writeSegment(fs, root, cur.dataFiles ++ added)),
+              cur.artifacts ++ artifacts)
+            // the batch's own segment went unreferenced by the
+            // consolidated manifest — drop it now instead of leaving
+            // an orphan per consolidation for reconcile
+            newSeg.foreach(s =>
+              deleteTolerant(fs, new Path(root, s), recursive = false))
+            c
+          } else {
+            val inherited = cur.segments ++
+              (if (cur.inline.nonEmpty)
+                 Seq(writeSegment(fs, root, cur.inline))
+               else Seq.empty)
+            commitAtParts(spark, path, cur.version + 1, Seq.empty,
+              inherited ++ newSeg, cur.artifacts ++ artifacts)
+          }
         vacuum(spark, path, retainVersions)
         return v
       } catch {
@@ -433,15 +585,33 @@ object IndexManifest {
     * ([[stageAppend]]) — until the next compaction/retrain's full
     * reconcile sweeps them, the table-format posture (orphan cleanup
     * is maintenance with a single-writer window, not a per-commit
-    * scan). */
-  def reconcileAppend(spark: SparkSession, path: String): Snapshot =
+    * scan).
+    *
+    * Both sweeps this path DOES run are AGE-GATED by `sweepAgeMs`: a
+    * manifest `.tmp` or a `_staging/<uuid>` directory younger than the
+    * horizon may belong to a LIVE concurrent appender (its temp exists
+    * between create and rename; its staging between write and move) and
+    * is left alone — deleting it would fail a healthy writer's commit
+    * mid-flight. Anything older than the horizon is certainly a crashed
+    * writer's debris: the staging dir sweeps here (bounding append-only
+    * gates' debris without waiting for a compaction's full reconcile),
+    * and any already-moved orphan data files from the crashed append
+    * stay for the next full [[reconcile]] as before. */
+  def reconcileAppend(spark: SparkSession, path: String,
+                      sweepAgeMs: Long = DefaultSweepAgeMs): Snapshot =
     load(spark, path) match {
       case None =>
         commit(spark, path, listDataFiles(spark, path), Map.empty)
         load(spark, path).get
       case Some(snap) =>
         val (fs, root) = fsOf(spark, path)
-        sweepManifestTemps(fs, root)
+        val horizon = System.currentTimeMillis() - sweepAgeMs
+        sweepManifestTemps(fs, root, olderThan = Some(horizon))
+        val staging = new Path(root, "_staging")
+        if (fs.exists(staging))
+          fs.listStatus(staging).toSeq
+            .filter(_.getModificationTime < horizon)
+            .foreach(st => deleteTolerant(fs, st.getPath, recursive = true))
         snap
     }
 
@@ -487,11 +657,21 @@ object IndexManifest {
     added.toSeq.sorted
   }
 
-  private def sweepManifestTemps(fs: FileSystem, root: Path): Unit =
+  /** Delete tolerating a concurrent deleter (a racing vacuum already
+    * removed it — `delete` on a missing path returns false, and some
+    * stores throw FileNotFound instead; both read as "already gone"). */
+  private def deleteTolerant(fs: FileSystem, p: Path,
+                             recursive: Boolean): Boolean =
+    try fs.delete(p, recursive)
+    catch { case _: java.io.FileNotFoundException => false }
+
+  private def sweepManifestTemps(fs: FileSystem, root: Path,
+                                 olderThan: Option[Long] = None): Unit =
     fs.listStatus(new Path(root, ManifestDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith(".") &&
-        st.getPath.getName.endsWith(".tmp"))
-      .foreach(st => fs.delete(st.getPath, false): Unit)
+        st.getPath.getName.endsWith(".tmp") &&
+        olderThan.forall(st.getModificationTime < _))
+      .foreach(st => deleteTolerant(fs, st.getPath, recursive = false): Unit)
 
   def reconcile(spark: SparkSession, path: String): Snapshot =
     load(spark, path) match {
@@ -501,11 +681,23 @@ object IndexManifest {
       case Some(snap) =>
         val (fs, root) = fsOf(spark, path)
         val retained = manifestFiles(fs, root)
-          .map { case (v, p) => parse(fs, v, p) }
+          .flatMap { case (v, p) => tryParse(fs, root, v, p) }
         val listed = listDataFiles(spark, path)
         val keep = retained.flatMap(_.dataFiles).toSet
         listed.filterNot(keep).foreach { rel =>
-          fs.delete(new Path(root, rel), false)
+          deleteTolerant(fs, new Path(root, rel), recursive = false): Unit
+        }
+        // segment files no retained manifest references (a crashed
+        // commit's orphan, or a consolidation's superseded inputs whose
+        // last referencing manifest a racing vacuum pruned)
+        val segDir = new Path(root, SegmentDir)
+        if (fs.exists(segDir)) {
+          val keepSegs = retained.flatMap(_.segments).toSet
+          fs.listStatus(segDir).toSeq.filter(_.isFile).foreach { st =>
+            val rel = s"$SegmentDir/${st.getPath.getName}"
+            if (!keepSegs(rel))
+              deleteTolerant(fs, st.getPath, recursive = false): Unit
+          }
         }
         // leftover per-shard compaction temps (crashed mid-rewrite)
         fs.listStatus(root).toSeq
@@ -554,19 +746,37 @@ object IndexManifest {
     val all = manifestFiles(fs, root)
     if (all.length <= keepLast) return (0, 0)
     val (pruned, kept) = all.splitAt(all.length - keepLast)
-    val keptSnaps = kept.map { case (v, p) => parse(fs, v, p) }
-    val prunedSnaps = pruned.map { case (v, p) => parse(fs, v, p) }
-    pruned.foreach { case (_, p) => fs.delete(p, false): Unit }
+    // tolerant parses: a concurrently-racing vacuum (two post-append
+    // vacuums from optimistic concurrent appenders) may have deleted a
+    // pruned manifest — or even a kept one, under a smaller horizon —
+    // between our listing and our walk; the racer owns what only its
+    // prunes referenced (see tryParse)
+    val keptSnaps = kept.flatMap { case (v, p) => tryParse(fs, root, v, p) }
+    val prunedSnaps = pruned.flatMap { case (v, p) => tryParse(fs, root, v, p) }
+    pruned.foreach { case (_, p) =>
+      deleteTolerant(fs, p, recursive = false): Unit
+    }
     val keepData = keptSnaps.flatMap(_.dataFiles).toSet
     val keepArts = keptSnaps.flatMap(_.artifacts.values).toSet
+    val keepSegs = keptSnaps.flatMap(_.segments).toSet
     var removed = 0
     prunedSnaps.flatMap(_.dataFiles).distinct.filterNot(keepData)
       .foreach { rel =>
-        if (fs.delete(new Path(root, rel), false)) removed += 1
+        if (deleteTolerant(fs, new Path(root, rel), recursive = false))
+          removed += 1
       }
     prunedSnaps.flatMap(_.artifacts.values).distinct.filterNot(keepArts)
       .foreach { rel =>
-        if (fs.delete(new Path(root, rel), true)) removed += 1
+        if (deleteTolerant(fs, new Path(root, rel), recursive = true))
+          removed += 1
+      }
+    // segments only pruned manifests referenced (append-chain history
+    // past the horizon — and, after a consolidation leaves it, the
+    // pre-consolidation segment set); not counted in `removed`, which
+    // reports data files + artifact versions like always
+    prunedSnaps.flatMap(_.segments).distinct.filterNot(keepSegs)
+      .foreach { rel =>
+        deleteTolerant(fs, new Path(root, rel), recursive = false): Unit
       }
     (pruned.length, removed)
   }

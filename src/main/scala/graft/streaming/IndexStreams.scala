@@ -404,8 +404,16 @@ object IndexStreams {
           Dedup.appendComponentsEdges(b, "src", "dst", indexPath,
             retainVersions = retainVersions)
         }
-        val nComp = Dedup.readComponentsStats(spark, indexPath)
-          .head().getLong(0)
+        // guarded stats pull: with maintain on, the append just adopted
+        // or incremented the stats artifact; a maintain=false gate over
+        // a PRE-stats index (built before the artifact existed) has no
+        // one to adopt it — report -1 rather than falling through
+        // readArtifact's legacy-directory path and killing the stream
+        val nComp =
+          if (graft.data.IndexManifest.load(spark, indexPath)
+              .exists(_.artifacts.contains("stats")))
+            Dedup.readComponentsStats(spark, indexPath).head().getLong(0)
+          else -1L
         withRetention(spark.range(1).toDF("one")
             .select(lit(b.count()).as("batch_edges"),
               lit(nComp).as("n_components")), spark, indexPath)

@@ -953,6 +953,47 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Dedup.readComponentsStats(spark, path).head().getLong(0) == 2L)
   }
 
+  test("fold vs gate concurrency: an append landing inside the fold's " +
+      "claim window wins the version; the fold reloads the winner's " +
+      "state (rows AND artifacts), re-folds, and both mutations land " +
+      "with serve-equals-rebuild intact") {
+    import graft.data.{Dedup, IndexManifest}
+    val path = java.nio.file.Files.createTempDirectory("graft_comp_race")
+      .resolve("comp").toString
+    Dedup.writeComponentsIndex(
+      Seq((10L, 11L), (20L, 21L), (30L, 30L)).toDF("a", "b"), "a", "b", path)
+    // a merge so the fold has forwarding to bake in
+    Dedup.appendComponentsEdges(Seq((11L, 21L)).toDF("a", "b"), "a", "b", path)
+    assert(Dedup.readComponentsForward(spark, path)
+      .as[(Long, Long)].collect().toMap == Map(20L -> 10L))
+    // the gate's append commits INSIDE the fold's claim window: the
+    // fold's CAS at snap.version + 1 must lose loudly, reload the
+    // winner's snapshot, and re-fold — appends keep priority
+    var interleaved = false
+    val (nsh, _) = Dedup.compactComponentsIndex(spark, path,
+      retainVersions = 2,
+      preCommitHook = () => if (!interleaved) {
+        interleaved = true
+        Dedup.appendComponentsEdges(Seq((30L, 50L)).toDF("a", "b"),
+          "a", "b", path)
+      })
+    assert(nsh > 0, "the fold must have rewritten the affected shards")
+    assert(interleaved, "the seam must have run")
+    // both landed: the interleaved node 50 is stored AND the fold
+    // truncated the forwarding table with canonical reps baked in
+    assert(Dedup.readComponentsForward(spark, path).isEmpty,
+      "the re-folded forwarding table must be empty")
+    assert(Dedup.componentsIndexServe(spark, path)
+      .as[(Long, Long)].collect().toMap ==
+      Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L,
+        30L -> 30L, 50L -> 30L),
+      "serve must equal a rebuild over the union of all edges")
+    assert(IndexManifest.readData(spark, path)
+      .where($"rep" === 20L).isEmpty,
+      "stored rows must carry canonical reps after the re-fold")
+    assert(Dedup.readComponentsStats(spark, path).head().getLong(0) == 2L)
+  }
+
   test("retention: compactIndex(retainVersions=2) keeps the pre-compaction " +
       "snapshot physically readable (time travel); the next vacuum " +
       "boundary reclaims it") {

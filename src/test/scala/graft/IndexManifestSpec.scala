@@ -333,6 +333,98 @@ class IndexManifestSpec extends AnyFunSuite {
       s"must refuse the non-disjoint rebase: ${ex2.getMessage}")
   }
 
+  test("segment manifests: append-commit bytes are O(batch), not " +
+      "O(index files) — a 3-file append onto a 1000-file index writes " +
+      "two orders of magnitude less manifest text than the full list") {
+    val p = java.nio.file.Files.createTempDirectory("graft_seg")
+      .resolve("idx").toString
+    // a build-shaped v1: 1000 inline file entries (synthetic paths —
+    // only manifest accounting is under test, nothing reads them)
+    val files = (0 until 1000).map(i => f"shard=${i % 16}/part-$i%05d.parquet")
+    IndexManifest.commit(spark, p, files, Map.empty)
+    val fullListBytes = files.mkString("\n").length
+    // first append pays the one-time inline→segment adoption (O(index))
+    IndexManifest.commitAdded(spark, p, Seq("shard=0/a1.parquet"),
+      retainVersions = 4)
+    // steady state: each further append writes one batch-sized segment
+    // plus a manifest of reference lines — O(batch), never the list
+    val before = IndexManifest.manifestBytesWritten.get()
+    IndexManifest.commitAdded(spark, p,
+      Seq("shard=1/a2.parquet", "shard=2/a3.parquet", "shard=3/a4.parquet"),
+      retainVersions = 4)
+    val delta = IndexManifest.manifestBytesWritten.get() - before
+    assert(delta < fullListBytes / 10,
+      s"append commit wrote $delta manifest bytes on an index whose " +
+        s"full list is $fullListBytes — not O(batch)")
+    // and the resolved snapshot is exact, current and time-travel alike
+    val cur = IndexManifest.load(spark, p).get
+    assert(cur.dataFiles.length == 1004 && cur.inline.isEmpty &&
+      cur.segments.length == 3,
+      s"(${cur.dataFiles.length}, ${cur.inline.length}, ${cur.segments.length})")
+    assert(IndexManifest.loadAt(spark, p, 2L).get.dataFiles.length == 1001)
+    assert(IndexManifest.loadAt(spark, p, 1L).get.dataFiles.toSet ==
+      files.toSet)
+  }
+
+  test("segment consolidation bounds the reference count; vacuum drops " +
+      "segments only pruned manifests reference; a racing vacuum's " +
+      "missing manifest is tolerated") {
+    val p = java.nio.file.Files.createTempDirectory("graft_segc")
+      .resolve("idx").toString
+    IndexManifest.commit(spark, p, Seq("shard=0/base.parquet"), Map.empty)
+    (1 to 8).foreach { i =>
+      IndexManifest.commitAdded(spark, p, Seq(s"shard=0/a$i.parquet"),
+        retainVersions = 2, maxSegments = 3)
+    }
+    val cur = IndexManifest.load(spark, p).get
+    assert(cur.dataFiles.length == 9,
+      s"every appended file must survive consolidation: ${cur.dataFiles}")
+    assert(cur.segments.length <= 3,
+      s"consolidation must bound references: ${cur.segments.length}")
+    // retention GC: segments referenced by NO retained manifest are
+    // vacuumed away with their manifests — the _segments dir does not
+    // grow with stream age
+    val segDir = new java.io.File(p, "_segments")
+    val live = (IndexManifest.load(spark, p).get.segments ++
+      IndexManifest.loadAt(spark, p,
+        IndexManifest.versions(spark, p).head).get.segments).toSet
+    assert(segDir.listFiles().count(_.getName.startsWith("seg-")) ==
+      live.size,
+      "vacuum must delete segments only pruned manifests referenced")
+    // racing-vacuum tolerance: a pruned-side manifest whose segment a
+    // racer already deleted must not fail this writer's vacuum — the
+    // racer owns what only its prunes referenced
+    val vs = IndexManifest.versions(spark, p)
+    java.nio.file.Files.write(
+      new java.io.File(p, f"_manifests/m${vs.head}%012d").toPath,
+      "S _segments/seg-racerdeleted".getBytes("UTF-8"))
+    IndexManifest.vacuum(spark, p, keepLast = 1)
+    IndexManifest.commitAdded(spark, p, Seq("shard=0/after.parquet"),
+      retainVersions = 2, maxSegments = 3)
+    assert(IndexManifest.load(spark, p).get.dataFiles.length == 10)
+  }
+
+  test("append-path sweeps are age-gated: a FRESH staging dir and " +
+      "manifest temp (a live concurrent appender's in-flight state) " +
+      "survive reconcileAppend; aged ones are swept as crash debris") {
+    val p = freshIndex()
+    IndexManifest.reconcile(spark, p)
+    val staging = new java.io.File(p, "_staging/livewriter1")
+    assert(staging.mkdirs())
+    val tmp = new java.io.File(p, "_manifests/.m000000000009.live.tmp")
+    java.nio.file.Files.write(tmp.toPath, "D junk".getBytes("UTF-8"))
+    IndexManifest.reconcileAppend(spark, p)
+    assert(staging.exists() && tmp.exists(),
+      "a fresh staging dir / manifest temp may be a live writer's — " +
+        "an append's reconcile must not delete it")
+    // age both past the horizon: now they are certainly crash debris
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    assert(staging.setLastModified(old) && tmp.setLastModified(old))
+    IndexManifest.reconcileAppend(spark, p)
+    assert(!staging.exists(), "an aged staging dir must be swept")
+    assert(!tmp.exists(), "an aged manifest temp must be swept")
+  }
+
   test("crash mid-vacuum (manifest deleted, files not yet) leaves true " +
       "orphans the next reconcile removes") {
     val p = freshIndex()

@@ -944,6 +944,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(Dedup.readComponentsStats(spark, idxPath).head().getLong(0) == 3L)
   }
 
+  test("edge ingest stream, maintain=false over a PRE-stats index: the " +
+      "receipt reports -1 components instead of the stream dying on the " +
+      "missing artifact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.data.{Dedup, IndexManifest}
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_edge_nostats")
+    val idxPath = base.resolve("index").toString
+    val outPath = base.resolve("receipts").toString
+    Dedup.writeComponentsIndex(
+      Seq((10L, 11L), (30L, 30L)).toDF("a", "b"), "a", "b", idxPath)
+    // a LEGACY index: built before the stats artifact existed — strip
+    // the pointer the way a pre-stats manifest would lack it
+    val snap = IndexManifest.load(spark, idxPath).get
+    IndexManifest.commit(spark, idxPath, snap.dataFiles,
+      snap.artifacts - "stats")
+    val input = MemoryStream[(Long, Long)]
+    val q = IndexStreams.edgeIngestStream(input.toDF().toDF("src", "dst"),
+      idxPath, outPath, maintain = false,
+      base.resolve("ckpt").toString)
+    try {
+      input.addData((10L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // with no maintainer, nobody adopts the stats artifact: the receipt
+    // carries the explicit -1 sentinel and the gate stays alive
+    val receipts = spark.read.parquet(outPath)
+      .select($"batch_id", $"batch_edges", $"n_components")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(receipts == Seq((0L, 1L, -1L)), s"receipts: $receipts")
+    // and the observe-only gate mutated nothing
+    assert(IndexManifest.load(spark, idxPath).get.dataFiles.toSet ==
+      snap.dataFiles.toSet)
+  }
+
   test("streaming curation fate: timed-out keeper cells evict; live cells re-arm") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional

@@ -157,8 +157,10 @@ class TfRecordSpec extends AnyFunSuite {
       .sortBy(_.getName)
     assert(files.length == 3, s"expected 3 rolled files, got " +
       files.map(_.getName).mkString(", "))
-    // names carry the roll offsets: bins 0, 2, 4 start the files
-    assert(files.map(_.getName).forall(_.matches("part-\\d+-b\\d+\\.tfrecord")))
+    // names carry the roll offsets: bins 0, 2, 4 start the files (the
+    // middle token is the attempt id — speculation-safe uniqueness)
+    assert(files.map(_.getName)
+      .forall(_.matches("part-\\d+-[0-9a-f-]{8}-b\\d+\\.tfrecord")))
     assert(files.flatMap(f =>
       "-b(\\d+)".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
       .toSeq == Seq(0L, 2L, 4L))
@@ -176,6 +178,95 @@ class TfRecordSpec extends AnyFunSuite {
     assert(got == (0L until 5L).map(b => b -> Seq(b * 10, b * 10 + 1)).toMap)
     // and the manifest lists all three files (the pinned read-back path)
     assert(graft.data.IndexManifest.load(spark, out).get.dataFiles.length == 3)
+  }
+
+  test("maintained tfrecord artifact: an append emits CONTINUATION " +
+      "files only (stored files untouched), a replay commits nothing, " +
+      "the bins artifact increments exactly, and the file aggregate " +
+      "equals a from-scratch export of the merged state") {
+    import org.apache.spark.sql.functions._
+    import graft.data.IndexManifest
+    val base = java.nio.file.Files.createTempDirectory("graft_tfrapp")
+    val src = base.resolve("src").toString
+    (0L until 3L).map(b => (0L, b, Seq(b * 10, b * 10 + 1)))
+      .toDF("shard", "bin", "token_ids")
+      .repartition(1).write.partitionBy("shard").parquet(src)
+    IndexManifest.commitListing(spark, src)
+    val out = base.resolve("tfr").toString
+    TrainQueries.writeTfRecordShards(spark, src, out)
+    val files1 = IndexManifest.load(spark, out).get.dataFiles.toSet
+    // the SOURCE grows by continuation bins 3..4 (a staged parquet
+    // append, the tokenized-shard maintenance shape)
+    val added = IndexManifest.stageAppend(
+      (3L until 5L).map(b => (0L, b, Seq(b * 10, b * 10 + 1)))
+        .toDF("shard", "bin", "token_ids").repartition(1),
+      src, "shard")
+    IndexManifest.commitAdded(spark, src, added, retainVersions = 4)
+    // roll the wire-format artifact forward: new files only
+    TrainQueries.appendTfRecordShards(spark, src, out)
+    val files2 = IndexManifest.load(spark, out).get.dataFiles.toSet
+    assert(files1.subsetOf(files2) && files2.size > files1.size,
+      "an append must add continuation files and rewrite nothing")
+    assert(files1.forall(f => new java.io.File(out, f).exists()),
+      "stored wire-format files must stay physically untouched")
+    // replay: the source is unchanged since the sync — commit NOTHING
+    val v = IndexManifest.load(spark, out).get.version
+    TrainQueries.appendTfRecordShards(spark, src, out)
+    assert(IndexManifest.load(spark, out).get.version == v,
+      "a replayed tfrecord append must not mint a manifest version")
+    // the bins artifact is exact coverage of what is at rest
+    val bins = IndexManifest.readArtifact(spark, out, "bins")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bins.map(b => (b._1, b._2, b._3)) == Seq((0L, 4L, 5L)),
+      s"bins artifact must read (shard 0, max_bin 4, 5 records): $bins")
+    // file-layout independence: the maintained artifact aggregates
+    // byte-identically to a from-scratch export of the merged state
+    val fresh = base.resolve("tfr_full").toString
+    TrainQueries.writeTfRecordShards(spark, src, fresh)
+    val agg = TrainQueries.tfrFileAggregate(spark, src, out).collect().toSeq
+    val full = TrainQueries.tfrFileAggregate(spark, src, fresh).collect().toSeq
+    assert(agg == full,
+      s"maintained vs from-scratch aggregate differ:\n$agg\n$full")
+  }
+
+  test("the tfrecord byte sink's task-side filesystem comes from the " +
+      "SESSION Hadoop configuration: a session-set key survives the " +
+      "closure serialization a bare new Configuration() would drop") {
+    // a RUNTIME session conf key: copied verbatim into newHadoopConf()
+    // (static spark.hadoop.* prefix-stripping happens only at
+    // SparkContext creation) — exactly the class of setting a bare
+    // task-side `new Configuration()` loses
+    spark.conf.set("graft.probe.key", "visible")
+    try {
+      val hc = spark.sessionState.newHadoopConf()
+      assert(hc.get("graft.probe.key") == "visible")
+      val ser = new org.apache.spark.util.SerializableConfiguration(hc)
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(ser); oos.close()
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[org.apache.spark.util.SerializableConfiguration]
+      assert(back.value.get("graft.probe.key") == "visible",
+        "the serialized session conf must carry session-set keys task-side")
+    } finally spark.conf.unset("graft.probe.key")
+  }
+
+  test("task-commit claim primitive: a second attempt's exclusive " +
+      "create of the committed listing is refused atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfclaim")
+    val p = new org.apache.hadoop.fs.Path(dir.resolve("committed-00000").toString)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val first = fs.create(p, false)
+    first.write("shard=0/a.tfrecord".getBytes("UTF-8")); first.close()
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      fs.create(p, false)
+    }
+    // the winner's listing is intact
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(body == "shard=0/a.tfrecord")
   }
 
   test("the registered SQL functions run inside a plan and agree with " +

@@ -66,7 +66,9 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           # round-13 additions (mirrors graft.ScaleBench.ExtraQueries):
           # cluster-index lifecycle completion + TFRecord files at rest
           "data_dedup_components_asof", "data_dedup_components_compact",
-          "data_dedup_components_stats", "data_shard_tfrecord_files"]
+          "data_dedup_components_stats", "data_shard_tfrecord_files",
+          # round-14 addition: the maintained wire-format artifact
+          "data_shard_tfrecord_append"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
