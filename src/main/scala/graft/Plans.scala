@@ -581,12 +581,21 @@ object Plans {
       |- **data_shard_tfrecord_files** — the file-level differential: one
       |  binaryFile scan of the `.tfrecord` artifact, `tfrecord_split` +
       |  per-record `tfrecord_parse` as codegen projections behind a
-      |  posexplode (position = bin, the written order contract), one
-      |  shuffle join back to the stored parquet rows on (shard, bin) to
-      |  prove the payload survived the disk roundtrip, one per-shard
-      |  hash aggregate. Linear in artifact bytes; the write side
-      |  (`writeTfRecordShards`) is repartition(shard) + a streaming
-      |  per-task byte sink — no shard's bytes ever materialize.
+      |  posexplode (position + the filename's `-r<firstRank>` = the
+      |  record's per-shard RANK, the written order contract — rank is
+      |  contiguous by definition where bin numbers skip on oversized
+      |  documents), one join back to the stored parquet rows on
+      |  (shard, rank) — the parquet side recomputes the expected frame
+      |  in its scan projection and is ranked by one per-shard
+      |  row_number window over bin order — proving every payload
+      |  survived the disk roundtrip at its bin's position, one
+      |  per-shard hash aggregate. Both join sides reduce to ~60-byte
+      |  DIGESTS map-side (md5 of the frame bytes; the bin:hex h52), so
+      |  the window, shuffle, and join never move frame bytes or token
+      |  arrays. Linear in artifact bytes; the write side
+      |  (`writeTfRecordShards`) is repartition(shard) + a staged
+      |  streaming per-task byte sink — no shard's bytes ever
+      |  materialize.
       |- **data_shard_tfrecord_append** — the MAINTAINED wire-format
       |  artifact's differential: the serve plan is data_shard_tfrecord_
       |  files' exactly (binaryFile scan of the manifest-listed files —

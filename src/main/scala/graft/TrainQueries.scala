@@ -1598,22 +1598,25 @@ object TrainQueries {
     * real `.tfrecord` FILES a `tf.data.TFRecordDataset` can open, not
     * just in-plan proof of the framing arithmetic: every packed
     * sequence framed ([[graft.functions.TfRecordFrame]]) and streamed
-    * into one file per shard, records in ascending `bin` order (bins
-    * are contiguous from 0 per shard at build, so a record's position
-    * IS its bin — the read-back join key). The S4 BOM-sink precedent
-    * for bespoke byte-level output, distributed: `repartition(shard)`
-    * puts each shard wholly in one task, `sortWithinPartitions` makes
-    * shards contiguous runs, and the task streams frames straight to
-    * the filesystem — no shard's bytes ever materialize in memory, no
-    * driver involvement. The file set publishes under one
-    * [[graft.data.IndexManifest]] commit like every other maintained
-    * artifact. A shard beyond `maxBytesPerFile` ROLLS to a new file
-    * inside the same task; every filename carries its FIRST record's
-    * bin (`-b<firstBin>`), so the read-back recovers each record's bin
-    * as file-offset + position and the (shard, bin) join contract is
-    * unchanged across any roll boundary — TfRecordSpec pins a tiny
-    * roll limit producing multiple files per shard with the aggregate
-    * hash unchanged. */
+    * into one file per shard, records in ascending `bin` order, so a
+    * record's position in its shard's files IS its per-shard RANK —
+    * the read-back join key ([[rankedStored]] recovers the true bin;
+    * bin NUMBERS themselves can skip on oversized documents, so
+    * position-is-bin would mis-bin gap-heavy corpora). The S4 BOM-sink
+    * precedent for bespoke byte-level output, distributed:
+    * `repartition(shard)` puts each shard wholly in one task,
+    * `sortWithinPartitions` makes shards contiguous runs, and the task
+    * streams frames straight to the filesystem through the staged
+    * speculation-safe sink ([[writeTfrFilesStaged]]) — no shard's
+    * bytes ever materialize in memory, no driver involvement. The file
+    * set publishes under one [[graft.data.IndexManifest]] commit like
+    * every other maintained artifact, with the coverage artifacts
+    * every later [[appendTfRecordShards]] needs. A shard beyond
+    * `maxBytesPerFile` ROLLS to a new file inside the same task;
+    * every filename carries its FIRST record's rank (`-r<firstRank>`),
+    * so recovery is unchanged across any roll boundary — TfRecordSpec
+    * pins a tiny roll limit producing multiple files per shard with
+    * the aggregate hash unchanged. */
   private[graft] def writeTfRecordShards(spark: SparkSession,
                                          srcPath: String,
                                          outPath: String,
@@ -1623,9 +1626,10 @@ object TrainQueries {
     graft.functions.TfRecordFunctions.register(spark)
     import graft.functions.TfRecordFunctions.tfrecord_frame
     require(maxBytesPerFile >= 1L, "maxBytesPerFile must be positive")
-    val rows = srcVersion
+    val src = srcVersion
       .map(v => graft.data.IndexManifest.readDataAt(spark, srcPath, v))
       .getOrElse(graft.data.IndexManifest.readData(spark, srcPath))
+    val rows = src
       .select(col("shard").cast("long").as("shard"),
         col("bin").cast("long").as("bin"),
         tfrecord_frame(col("token_ids")).as("framed"))
@@ -1647,7 +1651,7 @@ object TrainQueries {
             .map(_.version)).getOrElse(-1L)
         Map(
           graft.data.IndexManifest.writeArtifact(spark, outPath, "bins",
-            tfrBinsOf(spark, outPath, added)),
+            tfrBinsOf(spark, outPath, added, src)),
           graft.data.IndexManifest.writeArtifact(spark, outPath, "src",
             spark.range(1).select(lit(srcV).as("src_version"))))
       }
@@ -1669,15 +1673,25 @@ object TrainQueries {
     * closure), so session-set credentials/endpoints reach executors —
     * a bare `new Configuration()` would drop them on an object store.
     *
-    * A shard past `maxBytesPerFile` ROLLS to a new file inside the
-    * same task; every filename carries its FIRST record's bin
-    * (`-b<firstBin>`), so the read-back recovers each record's bin as
-    * file-offset + position and the (shard, bin) join contract is
-    * unchanged across any roll boundary. No shard's bytes ever
-    * materialize in memory; no driver involvement in the byte path. */
+    * Records land in ascending (shard, bin) order and every filename
+    * carries its first record's per-shard RANK (`-r<firstRank>` — the
+    * record's index within its shard, offset by `rankBase` so append
+    * jobs continue the build's numbering), so the read-back recovers
+    * each record's rank as firstRank + position IN ANY corpus — rank
+    * is contiguous BY DEFINITION, where the bin numbers themselves are
+    * running token-offset divisions that SKIP whenever a document
+    * overflows the bin capacity (position-is-bin recovery silently
+    * mis-binned gap-heavy corpora, caught by the probe's
+    * maintained-equals-from-scratch law at synthetic sf1). The true
+    * bin is recovered by joining rank against the parquet side's
+    * per-shard bin order — the index owns bin numbering; the wire file
+    * owns bytes and order. A shard past `maxBytesPerFile` ROLLS to a
+    * new file inside the same task. No shard's bytes ever materialize
+    * in memory; no driver involvement in the byte path. */
   private def writeTfrFilesStaged(rows: org.apache.spark.sql.DataFrame,
                                   outPath: String,
-                                  maxBytesPerFile: Long): Seq[String] = {
+                                  maxBytesPerFile: Long,
+                                  rankBase: Map[Long, Long] = Map.empty): Seq[String] = {
     val spark = rows.sparkSession
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
@@ -1705,24 +1719,31 @@ object TrainQueries {
         val attempt = java.util.UUID.randomUUID().toString.take(8)
         val names = scala.collection.mutable.ArrayBuffer.empty[String]
         var cur = Long.MinValue
+        var shardRank = 0L
         var fileBytes = 0L
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        def open(shard: Long, firstBin: Long): Unit = {
+        def open(shard: Long, firstRank: Long): Unit = {
           if (out != null) out.close()
           val dir = new org.apache.hadoop.fs.Path(sp, s"shard=$shard")
           efs.mkdirs(dir): Unit
-          val name = f"part-$tid%05d-$attempt-b$firstBin.tfrecord"
+          val name = f"part-$tid%05d-$attempt-r$firstRank.tfrecord"
           out = efs.create(new org.apache.hadoop.fs.Path(dir, name), true)
           names += s"shard=$shard/$name"
           fileBytes = 0L
         }
-        it.foreach { case (s, bin, bytes) =>
-          if (s != cur) { open(s, bin); cur = s }
-          else if (fileBytes > 0 && fileBytes + bytes.length > maxBytesPerFile) {
-            open(s, bin) // roll: this record starts the next file
+        it.foreach { case (s, _, bytes) =>
+          if (s != cur) {
+            // repartition(shard) puts a shard wholly in one task, so a
+            // simple counter IS the shard's record rank in this job;
+            // rankBase continues a maintained artifact's numbering
+            shardRank = rankBase.getOrElse(s, 0L)
+            open(s, shardRank); cur = s
+          } else if (fileBytes > 0 && fileBytes + bytes.length > maxBytesPerFile) {
+            open(s, shardRank) // roll: this record starts the next file
           }
           out.write(bytes)
           fileBytes += bytes.length
+          shardRank += 1L
           written.add(1L)
         }
         if (out != null) out.close()
@@ -1765,13 +1786,20 @@ object TrainQueries {
     added.toSeq.sorted
   }
 
-  /** Per-shard coverage of a set of at-rest `.tfrecord` files, from the
-    * RAW BYTES: max bin (filename offset + record position), record
-    * count, byte count. The "bins" artifact's unit of increment —
-    * computed by read-back so the artifact can only describe what a
-    * reader will actually find. */
-  private def tfrBinsOf(spark: SparkSession, outPath: String,
-                        files: Seq[String]): org.apache.spark.sql.DataFrame = {
+  /** The per-shard record RANK of every stored sequence — the wire
+    * files' position contract: the k-th record of a shard (in file
+    * order, `-r<firstRank>` + offset) is the k-th smallest bin in the
+    * index. Rank is contiguous by definition; the BIN numbers are not
+    * (a document overflowing the bin capacity skips numbers). */
+  private def rankedStored(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("rank",
+      row_number().over(Window.partitionBy(col("shard")).orderBy(col("bin")))
+        .cast("long") - 1L)
+
+  /** The raw records of a set of at-rest `.tfrecord` files: (shard,
+    * rank = filename offset + position in file, framed bytes). */
+  private def tfrRecordsOf(spark: SparkSession, outPath: String,
+                           files: Seq[String]): org.apache.spark.sql.DataFrame = {
     graft.functions.TfRecordFunctions.register(spark)
     import graft.functions.TfRecordFunctions.tfrecord_split
     val root = new org.apache.hadoop.fs.Path(outPath)
@@ -1780,15 +1808,30 @@ object TrainQueries {
       .select(
         regexp_extract(col("path"), "shard=(\\d+)", 1).cast("long")
           .as("shard"),
-        regexp_extract(col("path"), "-b(\\d+)\\.tfrecord", 1).cast("long")
-          .as("b0"),
+        regexp_extract(col("path"), "-r(\\d+)\\.tfrecord", 1).cast("long")
+          .as("r0"),
         posexplode(tfrecord_split(col("content"))).as(Seq("pos", "framed")))
-      .select(col("shard"), (col("b0") + col("pos").cast("long")).as("bin"),
+      .select(col("shard"), (col("r0") + col("pos").cast("long")).as("rank"),
+        col("framed"))
+  }
+
+  /** Per-shard coverage of a set of at-rest `.tfrecord` files: max bin,
+    * record count, byte count — the "bins" artifact's unit of
+    * increment, computed by READ-BACK of the landed bytes (so the
+    * artifact can only describe what a reader will actually find) with
+    * the bins recovered through the rank contract against the pinned
+    * source rows. */
+  private def tfrBinsOf(spark: SparkSession, outPath: String,
+                        files: Seq[String],
+                        stored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tfrRecordsOf(spark, outPath, files)
+      .select(col("shard"), col("rank"),
         length(col("framed")).cast("long").as("nb"))
+      .join(rankedStored(stored.select(col("shard").cast("long").as("shard"),
+        col("bin").cast("long").as("bin"))), Seq("shard", "rank"), "left")
       .groupBy(col("shard"))
       .agg(max(col("bin")).as("max_bin"), count(lit(1)).as("n_records"),
         sum(col("nb")).as("n_bytes"))
-  }
 
   /** MAINTAIN the at-rest TFRecord artifact: roll the wire-format files
     * FORWARD to the source's current state by emitting continuation
@@ -1850,9 +1893,17 @@ object TrainQueries {
       .join(broadcast(covered), Seq("shard"), "left")
       .where(col("bin") > coalesce(col("max_bin"), lit(-1L)))
       .select(col("shard"), col("bin"), col("framed"))
-    val added = writeTfrFilesStaged(rows, outPath, maxBytesPerFile)
+    // continuation files continue each shard's RANK numbering from the
+    // records already at rest (the bins artifact's exact count) — a
+    // bounded map, one row per shard
+    val rankBase = graft.data.IndexManifest
+      .readArtifact(spark, outPath, "bins")
+      .select(col("shard"), col("n_records")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val added = writeTfrFilesStaged(rows, outPath, maxBytesPerFile, rankBase)
     if (added.isEmpty) return // every candidate bin already at rest
-    val inc = tfrBinsOf(spark, outPath, added)
+    val inc = tfrBinsOf(spark, outPath, added,
+      graft.data.IndexManifest.readData(spark, srcPath))
     val prev = graft.data.IndexManifest.readArtifact(spark, outPath, "bins")
     val merged = prev
       .join(inc.select(col("shard"), col("max_bin").as("__m"),
@@ -1883,7 +1934,7 @@ object TrainQueries {
     * the query re-reads the RAW FILE BYTES, splits the record stream
     * ([[graft.functions.TfRecordStreamSplit]] — lossless at the length
     * headers), re-derives both CRCs per record, joins each record back
-    * to its stored parquet row by (shard, position=bin) to prove the
+    * to its stored parquet row by (shard, position=rank) to prove the
     * payload survived the disk roundtrip, and aggregates the same
     * (count, bytes, crc, roundtrip, xor) row the in-plan query emits —
     * so it shares that query's polynomial-SQL oracle VERBATIM: the
@@ -1905,46 +1956,50 @@ object TrainQueries {
   /** The shared file-level aggregate of an at-rest TFRecord artifact:
     * split the manifest-listed files' raw bytes into records, re-derive
     * both CRCs, join each record back to its stored parquet row by
-    * (shard, bin = filename offset + position) to prove the payload
-    * survived the disk roundtrip, and fold the per-shard (count, bytes,
-    * crc, roundtrip, xor) row. One binaryFile scan, map-only codegen
-    * split+parse, one broadcast-joinable parquet side, one hash
-    * aggregate — file-layout independent, so a build and any
+    * (shard, rank) — rank = filename offset + position in file on the
+    * byte side, per-shard bin order on the index side — to prove the
+    * payload survived the disk roundtrip AND sits at its bin's position,
+    * then fold the per-shard (count, bytes, crc, roundtrip, xor) row.
+    *
+    * Scale shape: everything heavy is MAP-SIDE. The byte side reduces
+    * each record to (shard, rank, nb, crc_ok, md5(framed)) in the scan
+    * projection; the index side RECOMPUTES the expected frame from its
+    * token_ids in ITS scan projection (compiled `tfrecord_frame`) and
+    * reduces to (shard, rank, md5(expected), h52(bin : expected hex))
+    * before the rank window — so the window and the join move ~60-byte
+    * digests, never frame bytes or token arrays. Byte equality is
+    * md5-transitive: bytes == expected (digest match) AND expected
+    * hashes to the oracle's from-the-text xor ⇒ the bytes at rest hash
+    * to the oracle xor; a dropped, duplicated, reordered, or corrupted
+    * record nulls its h52 AND fails rt_ok, so counts and xor BOTH
+    * diverge loudly. File-layout independent — a build and any
     * build+append history can only agree or loudly differ. */
   private[graft] def tfrFileAggregate(spark: SparkSession, srcPath: String,
                                       tfrPath: String): DataFrame = {
     graft.functions.TfRecordFunctions.register(spark)
-    import graft.functions.TfRecordFunctions.{tfrecord_parse, tfrecord_split}
-    val stored = graft.data.IndexManifest.readData(spark, srcPath)
+    import graft.functions.TfRecordFunctions.{tfrecord_frame, tfrecord_parse}
+    val expected = graft.data.IndexManifest.readData(spark, srcPath)
       .select(col("shard").cast("long").as("shard"),
-        col("bin").cast("long").as("bin"), col("token_ids"))
+        col("bin").cast("long").as("bin"),
+        tfrecord_frame(col("token_ids")).as("exp"))
+      .select(col("shard"), col("bin"), md5(col("exp")).as("exp_md5"),
+        conv(substring(md5(concat(col("bin").cast("string"), lit(":"),
+          lower(hex(col("exp"))))), 1, 13), 16, 10).cast("long").as("h52"))
+    val stored = rankedStored(expected)
     // MANIFEST-LISTED file read (no directory glob): exactly the files
     // the tfrecord artifact's commit published — the pinned-read
     // discipline every maintained artifact follows
-    val tfrRoot = new org.apache.hadoop.fs.Path(tfrPath)
-    val tfrFiles = graft.data.IndexManifest.load(spark, tfrPath).get.dataFiles
-      .map(f => new org.apache.hadoop.fs.Path(tfrRoot, f).toString)
-    val records = spark.read.format("binaryFile")
-      .load(tfrFiles: _*)
-      .select(
-        regexp_extract(col("path"), "shard=(\\d+)", 1).cast("long")
-          .as("shard"),
-        // each file's first-bin offset rides its name (the roll
-        // contract): a record's bin = file offset + position in file
-        regexp_extract(col("path"), "-b(\\d+)\\.tfrecord", 1).cast("long")
-          .as("b0"),
-        posexplode(tfrecord_split(col("content")))
-          .as(Seq("pos", "framed")))
-      .select(col("shard"),
-        (col("b0") + col("pos").cast("long")).as("bin"), col("framed"))
+    val records = tfrRecordsOf(spark, tfrPath,
+        graft.data.IndexManifest.load(spark, tfrPath).get.dataFiles)
       .withColumn("p", tfrecord_parse(col("framed")))
-    records.join(stored, Seq("shard", "bin"), "left")
-      .select(col("shard"),
+      .select(col("shard"), col("rank"),
         length(col("framed")).cast("long").as("nb"),
         (col("p.len_crc_ok") && col("p.data_crc_ok")).as("crc_ok"),
-        coalesce(col("p.ids") === col("token_ids"), lit(false)).as("rt_ok"),
-        conv(substring(md5(concat(col("bin").cast("string"), lit(":"),
-          lower(hex(col("framed"))))), 1, 13), 16, 10).cast("long").as("h52"))
+        md5(col("framed")).as("got_md5"))
+    records.join(stored, Seq("shard", "rank"), "left")
+      .select(col("shard"), col("nb"), col("crc_ok"),
+        coalesce(col("got_md5") === col("exp_md5"), lit(false)).as("rt_ok"),
+        when(col("got_md5") === col("exp_md5"), col("h52")).as("h52"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_records"), sum(col("nb")).as("n_bytes"),
         sum(when(col("crc_ok"), 1L).otherwise(0L)).as("n_crc_ok"),

@@ -137,7 +137,7 @@ class TfRecordSpec extends AnyFunSuite {
   }
 
   test("file roll: a shard over maxBytesPerFile splits into multiple " +
-      ".tfrecord files whose names carry the first-bin offset, and the " +
+      ".tfrecord files whose names carry the first-record RANK, and the " +
       "re-read recovers every (shard, bin, ids) across the boundaries") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_tfroll")
@@ -157,27 +157,55 @@ class TfRecordSpec extends AnyFunSuite {
       .sortBy(_.getName)
     assert(files.length == 3, s"expected 3 rolled files, got " +
       files.map(_.getName).mkString(", "))
-    // names carry the roll offsets: bins 0, 2, 4 start the files (the
+    // names carry the roll offsets: ranks 0, 2, 4 start the files (the
     // middle token is the attempt id — speculation-safe uniqueness)
     assert(files.map(_.getName)
-      .forall(_.matches("part-\\d+-[0-9a-f-]{8}-b\\d+\\.tfrecord")))
+      .forall(_.matches("part-\\d+-[0-9a-f-]{8}-r\\d+\\.tfrecord")))
     assert(files.flatMap(f =>
-      "-b(\\d+)".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      "-r(\\d+)".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
       .toSeq == Seq(0L, 2L, 4L))
-    // re-read across the boundaries: every (bin, ids) recovered
+    // re-read across the boundaries: every record recovered at its rank
+    // (bins here are contiguous from 0, so rank == bin)
     val got = files.flatMap { f =>
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      val b0 = "-b(\\d+)".r.findFirstMatchIn(f.getName).get.group(1).toLong
+      val r0 = "-r(\\d+)".r.findFirstMatchIn(f.getName).get.group(1).toLong
       val parts = TfRecordCodecImpl.splitStream(bytes)
       (0 until parts.numElements()).map { i =>
         val p = TfRecordCodecImpl.parse(parts.getBinary(i))
         assert(p.getBoolean(1) && p.getBoolean(2))
-        (b0 + i) -> p.getArray(3).toLongArray().toSeq
+        (r0 + i) -> p.getArray(3).toLongArray().toSeq
       }
     }.toMap
     assert(got == (0L until 5L).map(b => b -> Seq(b * 10, b * 10 + 1)).toMap)
     // and the manifest lists all three files (the pinned read-back path)
     assert(graft.data.IndexManifest.load(spark, out).get.dataFiles.length == 3)
+  }
+
+  test("bin gaps: skipped bin numbers (an oversized document advancing " +
+      "the running offset by more than one bin) cost no extra files and " +
+      "recovery stays exact — position is RANK, not bin, and the true " +
+      "bin is recovered through the index side's bin order") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_tfgap")
+    val src = base.resolve("src").toString
+    // shard 0 bins 0,1,5,6 — the 1→5 gap is what a 4-bin-long document
+    // leaves behind
+    Seq(0L, 1L, 5L, 6L).map(b => (0L, b, Seq(b * 10, b * 10 + 1)))
+      .toDF("shard", "bin", "token_ids")
+      .repartition(1).write.partitionBy("shard").parquet(src)
+    graft.data.IndexManifest.commitListing(spark, src)
+    val out = base.resolve("tfr").toString
+    TrainQueries.writeTfRecordShards(spark, src, out)
+    val files = new java.io.File(out, "shard=0").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".tfrecord"))
+    assert(files.length == 1 && files.head.getName.contains("-r0."),
+      s"a bin gap must not roll files: ${files.map(_.getName).mkString(", ")}")
+    // rank-based recovery across the gap is exact: every record
+    // roundtrips against its parquet row at the true (non-contiguous) bin
+    val agg = TrainQueries.tfrFileAggregate(spark, src, out)
+      .select($"shard", $"n_records", $"n_roundtrip_ok")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(agg == Seq((0L, 4L, 4L)), s"gap recovery broken: $agg")
   }
 
   test("maintained tfrecord artifact: an append emits CONTINUATION " +
