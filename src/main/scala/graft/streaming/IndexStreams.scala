@@ -330,12 +330,21 @@ object IndexStreams {
     * bootstraps shards from zero — the first append's increment becomes
     * the manifest). `compactEvery`/`maxFilesPerShard`/`retainVersions`
     * bound per-shard file counts exactly as elsewhere — compaction
-    * rewrites files, never rows, so checksums are untouched. */
+    * rewrites files, never rows, so checksums are untouched.
+    *
+    * `tfrPath` additionally maintains the WIRE-FORMAT mirror at ingest:
+    * after each parquet append the at-rest `.tfrecord` artifact rolls
+    * forward ([[graft.TrainQueries.appendTfRecordShards]] — continuation
+    * files for only the new bins; bootstrap is one full export once the
+    * first rows exist), so what the trainer's `tf.data.TFRecordDataset`
+    * opens is batch-fresh without any re-export job; receipts carry the
+    * mirror's file count. */
   def shardIngestStream(docs: DataFrame, vocabDir: String,
                         shardPath: String, outPath: String,
                         maintain: Boolean, checkpoint: String,
                         compactEvery: Int = 0, maxFilesPerShard: Int = 4,
-                        retainVersions: Int = 1): StreamingQuery =
+                        retainVersions: Int = 1,
+                        tfrPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
@@ -346,6 +355,25 @@ object IndexStreams {
             shardPath, retainVersions = retainVersions)
           maybeCompact(spark, shardPath, id, compactEvery, maxFilesPerShard,
             retainVersions = retainVersions)
+          // the WIRE-FORMAT deliverable maintained at ingest too: roll
+          // the at-rest .tfrecord artifact forward to the parquet state
+          // this batch just committed — continuation files for only the
+          // new bins, a replay rolls nothing. Bootstraps with a full
+          // export once the first rows exist. Crash between the parquet
+          // commit and this roll is caught up by the NEXT batch's
+          // append: with the gate's tight retention the synced source
+          // version may already be pruned, and the append falls back to
+          // one full source scan with the bins screen as the exact gate.
+          tfrPath.foreach { tp =>
+            if (graft.data.IndexManifest.load(spark, shardPath)
+                .exists(_.dataFiles.nonEmpty)) {
+              if (graft.data.IndexManifest.load(spark, tp).isEmpty)
+                graft.TrainQueries.writeTfRecordShards(spark, shardPath, tp)
+              else
+                graft.TrainQueries.appendTfRecordShards(spark, shardPath,
+                  tp, retainVersions = retainVersions)
+            }
+          }
         }
         // artifact totals (absent only while the artifact is still
         // empty — pre-bootstrap, or an all-duplicate first batch)
@@ -359,11 +387,17 @@ object IndexStreams {
               .head()
             (r.getLong(0), r.getLong(1), r.getLong(2))
           }.getOrElse((0L, 0L, 0L))
+        // wire-format artifact state in the receipt: file count from one
+        // manifest load (-1 when the gate maintains no tfrecord mirror)
+        val tfrFiles = tfrPath
+          .flatMap(tp => graft.data.IndexManifest.load(spark, tp))
+          .map(_.dataFiles.size.toLong).getOrElse(-1L)
         withRetention(spark.range(1).toDF("one")
             .select(lit(b.count()).as("batch_docs"),
               lit(totals._1).as("indexed_seqs"),
               lit(totals._2).as("indexed_docs"),
-              lit(totals._3).as("indexed_tokens")), spark, shardPath)
+              lit(totals._3).as("indexed_tokens"),
+              lit(tfrFiles).as("tfr_files")), spark, shardPath)
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

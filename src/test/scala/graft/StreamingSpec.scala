@@ -858,8 +858,10 @@ class StreamingSpec extends AnyFunSuite {
     val outPath = base.resolve("receipts").toString
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
+    val tfr = base.resolve("tfr").toString
     val q = IndexStreams.shardIngestStream(docs, TestSpark.sf, shardPath,
-      outPath, maintain = true, base.resolve("ckpt").toString)
+      outPath, maintain = true, base.resolve("ckpt").toString,
+      tfrPath = Some(tfr))
     try {
       // batch 0 bootstraps the artifact from an empty directory
       input.addData((9001L, "the quick brown fox"),
@@ -892,6 +894,27 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(ret(1)._2 > ret(0)._2 && ret.forall(_._3 >= 1L),
       s"retention receipt fields must advance: $ret")
+    // the WIRE-FORMAT mirror was maintained at ingest: batch 0
+    // bootstrapped the .tfrecord artifact, batch 1 rolled continuation
+    // files forward (through the pruned-sync-point fallback — the
+    // gate's retention of 1 vacuumed the batch-0 source version), and
+    // the at-rest bytes aggregate identically to a from-scratch export
+    // of the final parquet state
+    val fresh = base.resolve("tfr_fresh").toString
+    TrainQueries.writeTfRecordShards(spark, shardPath, fresh)
+    val mirror = TrainQueries.tfrFileAggregate(spark, shardPath, tfr)
+      .collect().toSeq
+    assert(mirror == TrainQueries.tfrFileAggregate(spark, shardPath, fresh)
+      .collect().toSeq,
+      "the ingest-maintained tfrecord mirror must equal a from-scratch export")
+    assert(mirror.forall(r => r.getLong(1) == r.getLong(4)),
+      s"every at-rest record must roundtrip: $mirror")
+    val tfrReceipts = spark.read.parquet(outPath)
+      .select($"batch_id", $"tfr_files")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tfrReceipts.forall(_._2 > 0L) &&
+      tfrReceipts(1)._2 > tfrReceipts(0)._2,
+      s"receipts must carry the growing wire-file count: $tfrReceipts")
   }
 
   test("edge ingest stream: the cluster index absorbs merging edges " +
