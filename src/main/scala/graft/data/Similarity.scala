@@ -482,28 +482,48 @@ object Similarity {
                       preCommitHook: () => Unit = () => (),
                       retainVersions: Int = 1): Unit = {
     IndexManifest.reconcile(spark, path)
-    // v2 = everything the write adds beyond the PRE-WRITE LISTING (not
-    // the snapshot: under retention the directory may also hold an
-    // older generation's superseded files, which are neither v1 nor v2)
-    val pre = IndexManifest.listDataFiles(spark, path).toSet
-    val rows = IndexManifest.readData(spark, path)
-      .select(col(idCol), col(vecCol))
-    val cents = fitCentroids(rows, kCells, rounds, idCol, vecCol)
-    assignCellsBroadcast(rows, cents, vecCol)
-      .select(col(idCol), col(vecCol), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
-    val v2Files = IndexManifest.listDataFiles(spark, path).filterNot(pre)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val sizes = spark.read.option("basePath", root.toString)
-      .parquet(v2Files.map(f =>
-        new org.apache.hadoop.fs.Path(root, f).toString): _*)
-      .groupBy(col("cell").cast("long").as("cell"))
-      .agg(count(lit(1)).as("n_build"))
-    val aCents = IndexManifest.writeArtifact(spark, path, "centroids", cents)
-    val aSizes = IndexManifest.writeArtifact(spark, path, "cellsizes", sizes)
-    preCommitHook()
-    IndexManifest.commit(spark, path, v2Files, Map(aCents, aSizes))
-    IndexManifest.vacuum(spark, path, retainVersions): Unit
+    // retry-on-conflict CAS (the compactIndex discipline): the commit
+    // claims exactly snapshot.version + 1, so a gate append landing
+    // mid-retrain wins the claim LOUDLY — an unpinned commit would have
+    // published a generation FIT WITHOUT the appended rows, silently
+    // dropping them. Retraining is recomputable: the loser reloads the
+    // winner's snapshot (appended rows included) and refits; the lost
+    // attempt's generation files are invisible orphans.
+    var attempt = 0
+    while (attempt < 3) {
+      val snap = IndexManifest.load(spark, path).get
+      // v2 = everything the write adds beyond the PRE-WRITE LISTING (not
+      // the snapshot: under retention the directory may also hold an
+      // older generation's superseded files — or a lost retry's
+      // orphans — which are neither v1 nor v2)
+      val pre = IndexManifest.listDataFiles(spark, path).toSet
+      val rows = IndexManifest.readData(spark, path)
+        .select(col(idCol), col(vecCol))
+      val cents = fitCentroids(rows, kCells, rounds, idCol, vecCol)
+      assignCellsBroadcast(rows, cents, vecCol)
+        .select(col(idCol), col(vecCol), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(path)
+      val v2Files = IndexManifest.listDataFiles(spark, path).filterNot(pre)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val sizes = spark.read.option("basePath", root.toString)
+        .parquet(v2Files.map(f =>
+          new org.apache.hadoop.fs.Path(root, f).toString): _*)
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_build"))
+      val aCents = IndexManifest.writeArtifact(spark, path, "centroids", cents)
+      val aSizes = IndexManifest.writeArtifact(spark, path, "cellsizes", sizes)
+      preCommitHook()
+      try {
+        IndexManifest.commitAt(spark, path, snap.version + 1,
+          v2Files, Map(aCents, aSizes))
+        IndexManifest.vacuum(spark, path, retainVersions): Unit
+        return
+      } catch {
+        case e: IndexManifest.ConcurrentWriterException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
+    }
   }
 
   /** Norm-scaled int8 quantization of a float vector: each coordinate

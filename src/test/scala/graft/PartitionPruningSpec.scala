@@ -282,6 +282,47 @@ class PartitionPruningSpec extends AnyFunSuite {
       s"retrain must reset the drift baseline: $drift")
   }
 
+  test("retrain vs gate concurrency: an append landing inside the " +
+      "retrain's claim window wins the version; the retrain reloads and " +
+      "REFITS over the winner's rows — nothing is silently dropped") {
+    import spark.implicits._
+    import graft.data.{IndexManifest, Similarity}
+    val all = Tables.embeddings(spark, TestSpark.sf)
+      .select($"vec_id", $"embedding")
+    val corpus = all.where($"vec_id" < 470)
+    val batch1 = all.where($"vec_id" >= 470 && $"vec_id" < 480)
+    val batch2 = all.where($"vec_id" >= 480)
+    val dir = Files.createTempDirectory("graft_ivf_race").toString + "/at"
+    Similarity.writeIvfIndex(corpus, kCells = 4, rounds = 1, dir)
+    Similarity.appendIvfIndex(batch1, dir)
+    // the gate's append commits INSIDE the retrain's claim window: the
+    // retrain's CAS at snapshot.version + 1 must lose loudly and refit
+    // over the winner's snapshot — an unpinned commit would publish a
+    // generation FIT WITHOUT batch2, silently dropping its rows
+    var interleaved = false
+    Similarity.retrainIvfIndex(spark, dir, kCells = 4, rounds = 1,
+      preCommitHook = () => if (!interleaved) {
+        interleaved = true
+        Similarity.appendIvfIndex(batch2, dir)
+      })
+    assert(interleaved, "the seam must have run")
+    // every row — corpus, batch1, AND the interleaved batch2 — is in
+    // the new generation, exactly once
+    assert(IndexManifest.readData(spark, dir).count() == all.count())
+    // and serving equals a fresh build over the full row set (the
+    // result law survives the retry)
+    val q = all.where($"vec_id" < 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val fresh = Files.createTempDirectory("graft_ivf_race_fresh")
+      .toString + "/at"
+    Similarity.writeIvfIndex(all, kCells = 4, rounds = 1, fresh)
+    def serve(p: String) = Similarity.ivfIndexServe(q, p, k = 3, nprobe = 2)
+      .orderBy("q_id", "rnk")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(serve(dir) == serve(fresh),
+      "serve after the raced retrain must equal a fresh full build")
+  }
+
   test("ivfTopKFittedPruned: pruned-read result == unpruned, plan prunes") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.sf)
