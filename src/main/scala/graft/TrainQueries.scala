@@ -1642,21 +1642,29 @@ object TrainQueries {
     // from the READ-BACK of the landed bytes (what a future reader will
     // actually parse, the shard write's verification discipline):
     // "bins" = per-shard coverage (max bin at rest + exact counts),
-    // "src" = the source manifest version this artifact is synced to
-    val art: Map[String, String] =
-      if (added.isEmpty) Map.empty
-      else {
-        val srcV = srcVersion
-          .orElse(graft.data.IndexManifest.load(spark, srcPath)
-            .map(_.version)).getOrElse(-1L)
-        Map(
-          graft.data.IndexManifest.writeArtifact(spark, outPath, "bins",
-            tfrBinsOf(spark, outPath, added, src)),
-          graft.data.IndexManifest.writeArtifact(spark, outPath, "src",
-            spark.range(1).select(lit(srcV).as("src_version"))))
-      }
+    // "src" = the source manifest version this artifact is synced to.
+    // Written UNCONDITIONALLY — an empty/zero-row build still carries
+    // an empty bins table and its sync point, so appendTfRecordShards
+    // never finds a maintained artifact missing its coverage contract
+    // (the edge-stream pre-stats precedent)
+    val srcV = srcVersion
+      .orElse(graft.data.IndexManifest.load(spark, srcPath)
+        .map(_.version)).getOrElse(-1L)
+    val bins =
+      if (added.isEmpty) emptyTfrBins(spark)
+      else tfrBinsOf(spark, outPath, added, src)
+    val art: Map[String, String] = Map(
+      graft.data.IndexManifest.writeArtifact(spark, outPath, "bins", bins),
+      graft.data.IndexManifest.writeArtifact(spark, outPath, "src",
+        spark.range(1).select(lit(srcV).as("src_version"))))
     graft.data.IndexManifest.commit(spark, outPath, added, art): Unit
   }
+
+  /** The "bins" coverage artifact's schema, zero rows — what an empty
+    * build publishes so the append path's contract holds from day one. */
+  private def emptyTfrBins(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(0).select(col("id").as("shard"), col("id").as("max_bin"),
+      col("id").as("n_records"), col("id").as("n_bytes"))
 
   /** The TFRecord byte sink, STAGED and speculation-safe: every task
     * attempt streams its frames into attempt-unique files under a
@@ -1848,7 +1856,17 @@ object TrainQueries {
     *     artifact reflects; the file delta against it is this append's
     *     input) whenever that version is still retained — O(batch)
     *     read; a vacuumed sync point falls back to one full source
-    *     scan with the same bin screen as the correctness gate.
+    *     scan with the same bin screen as the correctness gate. The
+    *     shard gate makes the delta path the STEADY STATE at its own
+    *     defaults by pinning source retention ≥ 2 while a mirror is
+    *     attached ([[graft.streaming.IndexStreams.shardIngestStream]]),
+    *     so the fallback fires only on crash recovery or right after a
+    *     source compaction (which replaces every file — one O(index)
+    *     read in the same amortized class as the compaction itself).
+    *     A delta that yields NO new bins still advances the sync point
+    *     (artifact-only commit), so a post-compaction roll pays the
+    *     full read once, never per batch. `tfrSourceFilesRead` counts
+    *     the source files each roll opened — the spec's O(batch) pin.
     *   - Continuation files land through the same staged
     *     speculation-safe sink as the build, filenames carrying their
     *     first bin — a `tf.data.TFRecordDataset` over the manifest's
@@ -1857,6 +1875,13 @@ object TrainQueries {
     *     exactly the files that landed, and publish with them in ONE
     *     [[graft.data.IndexManifest.commitAdded]] — a replay (source
     *     unchanged, or changed with no new bins) commits NOTHING. */
+  /** Source data files opened by [[appendTfRecordShards]] rolls — the
+    * instrumentation behind the mirror's O(batch)-scan spec: a gate
+    * batch must read the files IT appended, never the growing index
+    * (the `partitionDirListings` pattern, source-scan edition). */
+  private[graft] val tfrSourceFilesRead =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def appendTfRecordShards(spark: SparkSession,
                                           srcPath: String,
                                           outPath: String,
@@ -1865,7 +1890,17 @@ object TrainQueries {
                                           retainVersions: Int = 2): Unit = {
     graft.functions.TfRecordFunctions.register(spark)
     import graft.functions.TfRecordFunctions.tfrecord_frame
-    graft.data.IndexManifest.reconcileAppend(spark, outPath): Unit
+    val outSnap = graft.data.IndexManifest.reconcileAppend(spark, outPath)
+    if (!outSnap.artifacts.contains("src") ||
+        !outSnap.artifacts.contains("bins")) {
+      // a LEGACY artifact (built before the coverage contract, or by a
+      // tool that dropped the artifacts): no sync point and no bin
+      // coverage means no exact increment exists — rebuild ONCE with
+      // the artifacts every later append needs, rather than dying in
+      // readArtifact's legacy-directory fallback mid-gate
+      writeTfRecordShards(spark, srcPath, outPath, maxBytesPerFile)
+      return
+    }
     val syncedV = graft.data.IndexManifest
       .readArtifact(spark, outPath, "src").head().getLong(0)
     val srcSnap = graft.data.IndexManifest.load(spark, srcPath)
@@ -1875,11 +1910,16 @@ object TrainQueries {
         case (Some(cur), Some(old)) =>
           val delta = cur.dataFiles.filterNot(old.dataFiles.toSet)
           if (delta.isEmpty) None // source unchanged: replay no-op
-          else Some(spark.read.option("basePath", srcRoot.toString)
-            .parquet(delta.map(f =>
-              new org.apache.hadoop.fs.Path(srcRoot, f).toString): _*))
+          else {
+            tfrSourceFilesRead.addAndGet(delta.length.toLong): Unit
+            Some(spark.read.option("basePath", srcRoot.toString)
+              .parquet(delta.map(f =>
+                new org.apache.hadoop.fs.Path(srcRoot, f).toString): _*))
+          }
         case _ => // sync point vacuumed (or pre-manifest source): full
                   // scan; the bin screen below still makes this exact
+          tfrSourceFilesRead.addAndGet(
+            srcSnap.map(_.dataFiles.length.toLong).getOrElse(0L)): Unit
           Some(graft.data.IndexManifest.readData(spark, srcPath))
       }
     if (newRows.isEmpty) return
@@ -1901,7 +1941,22 @@ object TrainQueries {
       .select(col("shard"), col("n_records")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val added = writeTfrFilesStaged(rows, outPath, maxBytesPerFile, rankBase)
-    if (added.isEmpty) return // every candidate bin already at rest
+    if (added.isEmpty) {
+      // every candidate bin already at rest — but the SOURCE advanced
+      // (delta was non-empty), so advance the sync point with an
+      // artifact-only commit: without it, a source compaction (which
+      // replaces every file) would leave each subsequent roll re-reading
+      // a delta equal to the whole index until a row-adding append
+      // finally lands — O(index) scans per batch on the hot ingest path
+      val curV = srcSnap.map(_.version).getOrElse(-1L)
+      if (curV != syncedV) {
+        graft.data.IndexManifest.commitAdded(spark, outPath, Seq.empty,
+          Map(graft.data.IndexManifest.writeArtifact(spark, outPath, "src",
+            spark.range(1).select(lit(curV).as("src_version")))),
+          retainVersions = retainVersions): Unit
+      }
+      return
+    }
     val inc = tfrBinsOf(spark, outPath, added,
       graft.data.IndexManifest.readData(spark, srcPath))
     val prev = graft.data.IndexManifest.readArtifact(spark, outPath, "bins")

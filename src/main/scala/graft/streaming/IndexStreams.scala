@@ -338,7 +338,13 @@ object IndexStreams {
     * files for only the new bins; bootstrap is one full export once the
     * first rows exist), so what the trainer's `tf.data.TFRecordDataset`
     * opens is batch-fresh without any re-export job; receipts carry the
-    * mirror's file count. */
+    * mirror's file count. While a mirror is attached the SOURCE retains
+    * ≥ 2 manifest versions whatever `retainVersions` says, so the
+    * roll's delta scan reads O(batch) source files in steady state —
+    * at a retention of 1 the gate's own parquet append would vacuum the
+    * mirror's sync point before every roll, degrading the scan to
+    * O(corpus) per micro-batch (spec-pinned via
+    * [[graft.TrainQueries.tfrSourceFilesRead]]). */
   def shardIngestStream(docs: DataFrame, vocabDir: String,
                         shardPath: String, outPath: String,
                         maintain: Boolean, checkpoint: String,
@@ -350,20 +356,32 @@ object IndexStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val spark = batch.sparkSession
         val b = batch.toDF().localCheckpoint(true)
+        // with a wire mirror attached, the SOURCE retains ≥ 2 versions
+        // regardless of the gate's knob: the mirror's next roll reads
+        // the file delta against the version it last synced — one batch
+        // behind the append this batch just committed — and a
+        // retainVersions=1 vacuum would prune that sync point on EVERY
+        // batch, turning the roll's "fallback: one full source scan"
+        // into the every-batch path (O(corpus) per micro-batch). Append
+        // retention is manifest text only (superset property — no data
+        // file lives longer), so the wider window costs bytes, not data.
+        val srcRetain =
+          if (tfrPath.isDefined) math.max(2, retainVersions)
+          else retainVersions
         if (maintain) {
           graft.TrainQueries.appendTokenizedShards(spark, vocabDir, b,
-            shardPath, retainVersions = retainVersions)
+            shardPath, retainVersions = srcRetain)
           maybeCompact(spark, shardPath, id, compactEvery, maxFilesPerShard,
-            retainVersions = retainVersions)
+            retainVersions = srcRetain)
           // the WIRE-FORMAT deliverable maintained at ingest too: roll
           // the at-rest .tfrecord artifact forward to the parquet state
           // this batch just committed — continuation files for only the
           // new bins, a replay rolls nothing. Bootstraps with a full
-          // export once the first rows exist. Crash between the parquet
-          // commit and this roll is caught up by the NEXT batch's
-          // append: with the gate's tight retention the synced source
-          // version may already be pruned, and the append falls back to
-          // one full source scan with the bins screen as the exact gate.
+          // export once the first rows exist. The roll's scan is the
+          // O(batch) file delta in steady state (source retention ≥ 2
+          // above keeps the sync point retained); the full-scan
+          // fallback fires only on crash recovery or right after a
+          // compaction batch replaced the source files.
           tfrPath.foreach { tp =>
             if (graft.data.IndexManifest.load(spark, shardPath)
                 .exists(_.dataFiles.nonEmpty)) {

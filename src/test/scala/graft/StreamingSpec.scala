@@ -896,10 +896,11 @@ class StreamingSpec extends AnyFunSuite {
       s"retention receipt fields must advance: $ret")
     // the WIRE-FORMAT mirror was maintained at ingest: batch 0
     // bootstrapped the .tfrecord artifact, batch 1 rolled continuation
-    // files forward (through the pruned-sync-point fallback — the
-    // gate's retention of 1 vacuumed the batch-0 source version), and
-    // the at-rest bytes aggregate identically to a from-scratch export
-    // of the final parquet state
+    // files forward through the O(batch) DELTA path (the gate pins
+    // source retention ≥ 2 while a mirror is attached, so the batch-0
+    // sync point survives batch 1's vacuum), and the at-rest bytes
+    // aggregate identically to a from-scratch export of the final
+    // parquet state
     val fresh = base.resolve("tfr_fresh").toString
     TrainQueries.writeTfRecordShards(spark, shardPath, fresh)
     val mirror = TrainQueries.tfrFileAggregate(spark, shardPath, tfr)
@@ -915,6 +916,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(tfrReceipts.forall(_._2 > 0L) &&
       tfrReceipts(1)._2 > tfrReceipts(0)._2,
       s"receipts must carry the growing wire-file count: $tfrReceipts")
+  }
+
+  test("shard ingest stream: the tfrecord mirror's source scan stays " +
+      "O(batch) at the gate's default retention — each roll reads the " +
+      "files its batch appended, never the growing index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.IndexStreams
+    val base = java.nio.file.Files.createTempDirectory("graft_tfr_obatch")
+    val shardPath = base.resolve("shards").toString
+    val tfr = base.resolve("tfr").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // gate at its SHIPPED default retainVersions = 1 — exactly the
+    // configuration whose parquet append used to vacuum the mirror's
+    // sync point before every roll (the every-batch full-scan bug)
+    val q = IndexStreams.shardIngestStream(docs, TestSpark.sf, shardPath,
+      base.resolve("receipts").toString, maintain = true,
+      base.resolve("ckpt").toString, retainVersions = 1,
+      tfrPath = Some(tfr))
+    val readsPerBatch = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      (0 until 5).foreach { i =>
+        val before = TrainQueries.tfrSourceFilesRead.get()
+        // distinct doc ids (the novelty screen's key) over in-vocab
+        // words — an all-OOV text would drop at the tokenizer join
+        input.addData((9100L + i, "the quick brown fox"))
+        q.processAllAvailable()
+        readsPerBatch += TrainQueries.tfrSourceFilesRead.get() - before
+      }
+    } finally q.stop()
+    val totalFiles = graft.data.IndexManifest.load(spark, shardPath)
+      .map(_.dataFiles.length).getOrElse(0)
+    // batch 0 bootstraps via the full export (counts nothing — the
+    // counter instruments appends); every later roll reads the DELTA:
+    // a one-doc batch lands O(1) source files, so per-roll reads must
+    // be flat and strictly below the files accumulated at rest
+    assert(totalFiles >= 5,
+      s"five appends must accumulate at least five source files: $totalFiles")
+    assert(readsPerBatch.head == 0L,
+      s"the bootstrap export must not count as an append scan: $readsPerBatch")
+    val rolls = readsPerBatch.tail
+    assert(rolls.forall(r => r >= 1L && r <= 2L),
+      s"each roll must read only its batch's files: $readsPerBatch")
+    assert(rolls.last < totalFiles,
+      s"the last roll (${rolls.last} files) must not scan the index " +
+        s"($totalFiles files at rest)")
+    // and the maintained mirror still equals a from-scratch export
+    val fresh = base.resolve("tfr_fresh").toString
+    TrainQueries.writeTfRecordShards(spark, shardPath, fresh)
+    assert(TrainQueries.tfrFileAggregate(spark, shardPath, tfr)
+        .collect().toSeq ==
+      TrainQueries.tfrFileAggregate(spark, shardPath, fresh).collect().toSeq,
+      "O(batch) rolls must still converge to the from-scratch export")
   }
 
   test("edge ingest stream: the cluster index absorbs merging edges " +
