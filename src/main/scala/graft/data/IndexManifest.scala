@@ -131,6 +131,17 @@ object IndexManifest {
   final class ConcurrentWriterException(msg: String)
     extends java.io.IOException(msg)
 
+  /** A commit's referenced segment file vanished before the claim —
+    * either this writer's own not-yet-referenced segment was swept from
+    * under it (self-healed inside [[commitAdded]]: the segment is
+    * rewritten and the commit retried), or an INHERITED segment a
+    * retained manifest references is gone, which is genuine index
+    * corruption and stays loud. Publishing without this check would
+    * poison every later [[load]]. */
+  final class SegmentsMissingException(val missing: Seq[String])
+    extends java.io.IOException(
+      s"referenced segment files are missing: ${missing.mkString(", ")}")
+
   /** Partition-directory `listStatus` calls issued by the file listers —
     * the instrumentation behind the touched-shards append probe: an
     * append on a 16-shard index must list O(batch shards), not
@@ -239,11 +250,32 @@ object IndexManifest {
     * already landed must not fail over debris bookkeeping. A manifest
     * that disappears mid-walk was pruned by the racer, which also owns
     * deleting whatever only it referenced; skipping it here converges
-    * on the stricter horizon. */
+    * on the stricter horizon.
+    *
+    * The tolerance is scoped to what a racing vacuum can actually
+    * produce: vacuums delete manifests BEFORE segments, so by the time
+    * a segment is gone every manifest that referenced it is gone too.
+    * A segment-read FileNotFound while the MANIFEST file still exists
+    * is therefore genuine segment loss — classifying it as "pruned"
+    * would silently drop a committed snapshot from every keep-set walk
+    * (reconcile would then sweep the batch's data files as orphans) and
+    * mask the corruption as 'manifest kept vanishing'. That case throws
+    * [[SegmentsMissingException]] on every KEEP-SET walk (load, loadAt,
+    * retained-snapshot sweeps — where a dropped snapshot means data
+    * loss). The one non-strict caller is [[vacuum]]'s PRUNED-side walk:
+    * a corrupt about-to-be-pruned manifest only means some of what it
+    * alone referenced survives as orphans — skipping it is safe, and
+    * failing every future vacuum over it would wedge the index. */
   private def tryParse(fs: FileSystem, root: Path, v: Long,
-                       p: Path): Option[Snapshot] =
+                       p: Path, strict: Boolean = true): Option[Snapshot] =
     try Some(parse(fs, root, v, p))
-    catch { case _: java.io.FileNotFoundException => None }
+    catch {
+      case e: java.io.FileNotFoundException =>
+        if (!fs.exists(p)) None // the racer pruned this manifest mid-walk
+        else if (strict) throw new SegmentsMissingException(Seq(
+          Option(e.getMessage).getOrElse(p.toString)))
+        else None
+    }
 
   /** Write one immutable SEGMENT file (a bare list of root-relative
     * data-file paths). Uniquely named and unreferenced until a manifest
@@ -292,8 +324,9 @@ object IndexManifest {
 
   /** A SPECIFIC retained manifest version — the time-travel load. None
     * once [[vacuum]] has pruned it (or if it never existed; a version
-    * whose file or segments vanish mid-parse was pruned mid-race and
-    * reads as not retained). */
+    * whose FILE vanishes mid-parse was pruned mid-race and reads as not
+    * retained — a present manifest with a missing segment throws, see
+    * [[tryParse]]). */
   def loadAt(spark: SparkSession, path: String, version: Long): Option[Snapshot] = {
     val (fs, root) = fsOf(spark, path)
     manifestFiles(fs, root).find(_._1 == version)
@@ -331,6 +364,15 @@ object IndexManifest {
                             inline: Seq[String], segments: Seq[String],
                             artifacts: Map[String, String]): Long = {
     val (fs, root) = fsOf(spark, path)
+    // referenced segments are verified PRESENT immediately before the
+    // claim: publishing a manifest whose segment is already gone (this
+    // writer's own segment swept by a reconcile that believed its
+    // window exclusive) would poison every later load. The sweep is
+    // age-gated so this should never fire in a healthy deployment —
+    // when it does (clock skew, operator error), the failure is loud
+    // here and [[commitAdded]] self-heals its own lost segment.
+    val gone = segments.filterNot(s => fs.exists(new Path(root, s)))
+    if (gone.nonEmpty) throw new SegmentsMissingException(gone)
     val dir = new Path(root, ManifestDir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val name = f"m$next%012d"
@@ -485,17 +527,21 @@ object IndexManifest {
     require(maxSegments >= 1, s"maxSegments must be positive, got $maxSegments")
     val base = load(spark, path).getOrElse(Snapshot(0L, Seq.empty, Map.empty))
     if (added.isEmpty && artifacts.isEmpty) return base.version // no-op replay
-    preCommitHook()
     val (fs, root) = fsOf(spark, path)
     // the batch's own segment, written ONCE (reused across rebase
     // retries — its content is this writer's delta, independent of the
-    // base snapshot)
-    val newSeg =
+    // base snapshot; rewritten only if a racing sweep took it)
+    var newSeg =
       if (added.nonEmpty) Seq(writeSegment(fs, root, added)) else Seq.empty
     var cur = base
     var attempt = 0
+    var segLost = 0
     while (true) {
       try {
+        // the concurrency test seam, inside the loop so it sits between
+        // this writer's segment write and its claim (re-runs on retry;
+        // spec hooks are one-shot-guarded or idempotent)
+        preCommitHook()
         // inherit the base's segment references verbatim; inline `D`
         // lines (a build's or compaction's full listing) adopt into a
         // segment ONCE so no append ever re-serializes them — after
@@ -527,6 +573,16 @@ object IndexManifest {
         vacuum(spark, path, retainVersions)
         return v
       } catch {
+        case e: SegmentsMissingException =>
+          // a sweep took a segment this commit references. Our OWN
+          // segments (the batch's, or the inline-adoption one rewritten
+          // by the loop) are recoverable — rewrite and retry. A lost
+          // INHERITED segment means a retained manifest's reference is
+          // dangling: genuine corruption, stays loud.
+          segLost += 1
+          if (segLost >= 3 || e.missing.exists(cur.segments.toSet)) throw e
+          if (newSeg.exists(e.missing.toSet))
+            newSeg = Seq(writeSegment(fs, root, added))
         case e: ConcurrentWriterException =>
           attempt += 1
           if (attempt >= 3) throw e
@@ -594,9 +650,20 @@ object IndexManifest {
     * is left alone — deleting it would fail a healthy writer's commit
     * mid-flight. Anything older than the horizon is certainly a crashed
     * writer's debris: the staging dir sweeps here (bounding append-only
-    * gates' debris without waiting for a compaction's full reconcile),
-    * and any already-moved orphan data files from the crashed append
-    * stay for the next full [[reconcile]] as before. */
+    * gates' debris without waiting for a compaction's full reconcile).
+    *
+    * Already-moved COMMITTED-LOOKING orphans (data files, segments,
+    * artifact versions referenced by no retained manifest — a crashed
+    * append's moved files, or a lost-CAS retrain/fold attempt's
+    * generation) are swept here too, under the same age gate, but only
+    * PERIODICALLY: the full orphan walk is O(index files), so it runs
+    * at most once per `sweepAgeMs` (a `_last_sweep` marker keeps the
+    * clock), amortizing to nothing on the hot per-batch path while
+    * bounding debris on gates that NEVER compact (`compactEvery = 0` —
+    * which otherwise never run the full [[reconcile]] and would
+    * accrete every lost-CAS generation forever). The per-append
+    * listing bound is untouched: a marker younger than the horizon
+    * costs one `getFileStatus`. */
   def reconcileAppend(spark: SparkSession, path: String,
                       sweepAgeMs: Long = DefaultSweepAgeMs): Snapshot =
     load(spark, path) match {
@@ -612,8 +679,61 @@ object IndexManifest {
           fs.listStatus(staging).toSeq
             .filter(_.getModificationTime < horizon)
             .foreach(st => deleteTolerant(fs, st.getPath, recursive = true))
+        val marker = new Path(root, "_last_sweep")
+        val due =
+          try fs.getFileStatus(marker).getModificationTime < horizon
+          catch { case _: java.io.FileNotFoundException =>
+            // first append on this index: start the clock, don't walk
+            fs.create(marker, true).close(); false
+          }
+        if (due) {
+          sweepAgedOrphans(spark, path, horizon)
+          deleteTolerant(fs, marker, recursive = false): Unit
+          fs.create(marker, true).close()
+        }
         snap
     }
+
+  /** The full-[[reconcile]] orphan rule under the append path's age
+    * gate: delete data files, segment files, and artifact version
+    * directories that (a) no retained manifest references AND (b) are
+    * older than `horizon` — certainly a crashed or lost-CAS writer's
+    * debris, never a live concurrent appender's in-flight output (those
+    * are young). One O(index) walk, paid at most once per sweep age by
+    * [[reconcileAppend]]'s marker. */
+  private def sweepAgedOrphans(spark: SparkSession, path: String,
+                               horizon: Long): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val retained = retainedSnapshots(spark, path)
+    def aged(p: Path): Boolean =
+      try fs.getFileStatus(p).getModificationTime < horizon
+      catch { case _: java.io.FileNotFoundException => false }
+    val keepData = retained.flatMap(_.dataFiles).toSet
+    listDataFiles(spark, path).filterNot(keepData).foreach { rel =>
+      val p = new Path(root, rel)
+      if (aged(p)) deleteTolerant(fs, p, recursive = false): Unit
+    }
+    val segDir = new Path(root, SegmentDir)
+    if (fs.exists(segDir)) {
+      val keepSegs = retained.flatMap(_.segments).toSet
+      fs.listStatus(segDir).toSeq.filter(_.isFile).foreach { st =>
+        if (!keepSegs(s"$SegmentDir/${st.getPath.getName}") &&
+            st.getModificationTime < horizon)
+          deleteTolerant(fs, st.getPath, recursive = false): Unit
+      }
+    }
+    val artDir = new Path(root, ArtRoot)
+    if (fs.exists(artDir)) {
+      val keepArts = retained.flatMap(_.artifacts.values).toSet
+      fs.listStatus(artDir).toSeq.filter(_.isDirectory).foreach { fam =>
+        fs.listStatus(fam.getPath).toSeq.filter(_.isDirectory).foreach { v =>
+          val rel = s"$ArtRoot/${fam.getPath.getName}/${v.getPath.getName}"
+          if (!keepArts(rel) && v.getModificationTime < horizon)
+            deleteTolerant(fs, v.getPath, recursive = true): Unit
+        }
+      }
+    }
+  }
 
   /** Stage-then-move append write: the batch lands under a
     * writer-unique hidden staging directory, then every part file is
@@ -689,13 +809,28 @@ object IndexManifest {
         }
         // segment files no retained manifest references (a crashed
         // commit's orphan, or a consolidation's superseded inputs whose
-        // last referencing manifest a racing vacuum pruned)
+        // last referencing manifest a racing vacuum pruned). AGE-GATED,
+        // unlike the data-file sweep: a concurrent gate APPENDER (which
+        // compactions/retrains now run alongside) holds an unreferenced
+        // segment between writeSegment and its manifest claim, and
+        // sweeping it would let the appender's commit SUCCEED while its
+        // manifest references a deleted segment — poisoning every later
+        // load. A young unreferenced segment may be that live writer's;
+        // one older than the horizon is certainly crash debris. (The
+        // staged-DATA-file window is different: an appender's data
+        // files are already referenced by nothing until its commit, and
+        // sweeping them fails the appender loudly at its staged move or
+        // read-back — never a silently corrupted published manifest.
+        // [[commitAtParts]]'s pre-claim segment check backstops even
+        // this sweep's residual races into loud, self-healing
+        // failures.)
         val segDir = new Path(root, SegmentDir)
         if (fs.exists(segDir)) {
           val keepSegs = retained.flatMap(_.segments).toSet
+          val segHorizon = System.currentTimeMillis() - DefaultSweepAgeMs
           fs.listStatus(segDir).toSeq.filter(_.isFile).foreach { st =>
             val rel = s"$SegmentDir/${st.getPath.getName}"
-            if (!keepSegs(rel))
+            if (!keepSegs(rel) && st.getModificationTime < segHorizon)
               deleteTolerant(fs, st.getPath, recursive = false): Unit
           }
         }
@@ -752,7 +887,8 @@ object IndexManifest {
     // between our listing and our walk; the racer owns what only its
     // prunes referenced (see tryParse)
     val keptSnaps = kept.flatMap { case (v, p) => tryParse(fs, root, v, p) }
-    val prunedSnaps = pruned.flatMap { case (v, p) => tryParse(fs, root, v, p) }
+    val prunedSnaps = pruned.flatMap { case (v, p) =>
+      tryParse(fs, root, v, p, strict = false) }
     pruned.foreach { case (_, p) =>
       deleteTolerant(fs, p, recursive = false): Unit
     }

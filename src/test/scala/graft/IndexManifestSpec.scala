@@ -425,6 +425,198 @@ class IndexManifestSpec extends AnyFunSuite {
     assert(!tmp.exists(), "an aged manifest temp must be swept")
   }
 
+  test("reconcile's segment sweep is age-gated: a fresh unreferenced " +
+      "segment (a live appender between writeSegment and its claim) " +
+      "survives a concurrent full reconcile; an aged one is swept") {
+    val p = java.nio.file.Files.createTempDirectory("graft_segage")
+      .resolve("idx").toString
+    IndexManifest.commit(spark, p, Seq("shard=0/base.parquet"), Map.empty)
+    IndexManifest.commitAdded(spark, p, Seq("shard=0/a1.parquet"),
+      retainVersions = 4)
+    val segDir = new java.io.File(p, "_segments")
+    val inflight = new java.io.File(segDir, "seg-liveappender0")
+    java.nio.file.Files.write(inflight.toPath,
+      "shard=0/inflight.parquet".getBytes("UTF-8"))
+    IndexManifest.reconcile(spark, p)
+    assert(inflight.exists(),
+      "a fresh unreferenced segment may be a live appender's pre-claim " +
+        "state — sweeping it would let that commit publish a dangling " +
+        "reference")
+    assert(inflight.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    IndexManifest.reconcile(spark, p)
+    assert(!inflight.exists(), "an aged unreferenced segment is certainly " +
+      "crash debris and must be swept")
+  }
+
+  test("segment loss under a still-present manifest is LOUD corruption " +
+      "(SegmentsMissingException), never a silently-skipped snapshot") {
+    val p = java.nio.file.Files.createTempDirectory("graft_segloss")
+      .resolve("idx").toString
+    IndexManifest.commit(spark, p, Seq("shard=0/base.parquet"), Map.empty)
+    IndexManifest.commitAdded(spark, p, Seq("shard=0/a1.parquet"),
+      retainVersions = 4)
+    val head = IndexManifest.load(spark, p).get
+    assert(head.segments.nonEmpty)
+    // simulate genuine loss: the segment file dies while its manifest
+    // lives — a racing vacuum can never produce this (manifests delete
+    // first), so classifying it as "pruned" would silently drop the
+    // committed batch from every keep-set walk
+    assert(new java.io.File(p, head.segments.head).delete())
+    val ex = intercept[IndexManifest.SegmentsMissingException] {
+      IndexManifest.load(spark, p)
+    }
+    assert(ex.getMessage.contains("missing"))
+    // and the keep-set walks (reconcile would otherwise sweep the lost
+    // batch's data files as orphans) surface the same loud error
+    intercept[IndexManifest.SegmentsMissingException] {
+      IndexManifest.reconcile(spark, p)
+    }
+  }
+
+  test("a sweep that takes the appender's own not-yet-referenced segment " +
+      "self-heals: the commit rewrites the segment and still lands") {
+    val p = java.nio.file.Files.createTempDirectory("graft_segheal")
+      .resolve("idx").toString
+    IndexManifest.commit(spark, p, Seq("shard=0/base.parquet"), Map.empty)
+    val segDir = new java.io.File(p, "_segments")
+    var once = false
+    IndexManifest.commitAdded(spark, p, Seq("shard=0/healed.parquet"),
+      retainVersions = 4,
+      preCommitHook = () => if (!once) {
+        once = true
+        // the race: a reconcile sweeping every unreferenced segment in
+        // exactly the window between this writer's segment write and
+        // its claim (v1 is inline, so every on-disk segment is ours)
+        segDir.listFiles().foreach(f => assert(f.delete()))
+      })
+    val cur = IndexManifest.load(spark, p).get
+    assert(cur.dataFiles.contains("shard=0/healed.parquet"),
+      s"the self-healed commit must land: ${cur.dataFiles}")
+    assert(cur.segments.forall(s => new java.io.File(p, s).exists()),
+      "every referenced segment must exist after the heal")
+  }
+
+  test("reconcileAppend periodically sweeps AGED committed-looking " +
+      "orphans (a never-compacting gate's lost-CAS debris); fresh " +
+      "orphans and referenced files survive") {
+    val p = freshIndex()
+    IndexManifest.reconcile(spark, p)
+    // first append-side reconcile starts the sweep clock (marker)
+    IndexManifest.reconcileAppend(spark, p)
+    val marker = new java.io.File(p, "_last_sweep")
+    assert(marker.exists(), "the first append must start the sweep clock")
+    val shardDir = new java.io.File(p).listFiles()
+      .find(_.getName.startsWith("shard=")).get
+    val src = shardDir.listFiles().find(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).get
+    val agedOrphan = new java.io.File(shardDir, "part-lostcas-old.parquet")
+    val freshOrphan = new java.io.File(shardDir, "part-lostcas-new.parquet")
+    java.nio.file.Files.copy(src.toPath, agedOrphan.toPath)
+    java.nio.file.Files.copy(src.toPath, freshOrphan.toPath)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    assert(agedOrphan.setLastModified(old))
+    // an aged unreferenced artifact generation (a lost retrain attempt)
+    val artDir = new java.io.File(p, "_art/centroids/v000009")
+    assert(artDir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(artDir, "part-0.parquet").toPath, Array[Byte](1))
+    assert(artDir.setLastModified(old))
+    // sweep is PERIODIC: with a young marker nothing walks
+    IndexManifest.reconcileAppend(spark, p)
+    assert(agedOrphan.exists() && artDir.exists(),
+      "a young marker means no O(index) walk on the hot path")
+    // age the marker past the horizon: the walk runs once and re-arms
+    assert(marker.setLastModified(old))
+    IndexManifest.reconcileAppend(spark, p)
+    assert(!agedOrphan.exists(), "aged lost-CAS data debris must be swept")
+    assert(!artDir.exists(), "aged lost-CAS artifact debris must be swept")
+    assert(freshOrphan.exists(),
+      "a fresh orphan may be a live concurrent appender's output")
+    assert(IndexManifest.load(spark, p).get.dataFiles
+      .forall(f => new java.io.File(p, f).exists()),
+      "referenced files must always survive")
+    assert(marker.lastModified() > old, "the sweep must re-arm the clock")
+  }
+
+  test("N-writer soak: four concurrent appenders, a superseding folder, " +
+      "and racing vacuums over ~50 commits — every batch lands exactly " +
+      "once, the head resolves, and the horizon stays bounded") {
+    val p = java.nio.file.Files.createTempDirectory("graft_soak")
+      .resolve("idx").toString
+    IndexManifest.commit(spark, p, Seq("shard=0/base.parquet"), Map.empty)
+    val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appenders = (0 until 4).map { w =>
+      new Thread(() => {
+        try {
+          (0 until 12).foreach { i =>
+            val file = f"shard=$w/app-$w-$i%03d.parquet"
+            // a real gate retries a commit the rebase window couldn't
+            // absorb (three same-version claims lost back to back)
+            var landed = false
+            var tries = 0
+            while (!landed) {
+              try {
+                IndexManifest.commitAdded(spark, p, Seq(file),
+                  retainVersions = 2, maxSegments = 4)
+                landed = true
+              } catch {
+                case e: IndexManifest.ConcurrentWriterException =>
+                  tries += 1
+                  if (tries > 20) throw e
+              }
+            }
+            appended.add(file): Unit
+          }
+        } catch { case t: Throwable => failures.add(t): Unit }
+      })
+    }
+    // the folder: a superseding mutation re-listing the full resolved
+    // state (the compaction shape), CAS-retried on every lost claim
+    val folder = new Thread(() => {
+      try {
+        (0 until 6).foreach { _ =>
+          var done = false
+          var tries = 0
+          while (!done) {
+            val snap = IndexManifest.load(spark, p).get
+            try {
+              IndexManifest.commitAt(spark, p, snap.version + 1,
+                snap.dataFiles, snap.artifacts)
+              IndexManifest.vacuum(spark, p, keepLast = 2): Unit
+              done = true
+            } catch {
+              case _: IndexManifest.ConcurrentWriterException =>
+                tries += 1
+                if (tries > 50) done = true // starved: appends keep priority
+            }
+          }
+          Thread.sleep(3)
+        }
+      } catch { case t: Throwable => failures.add(t): Unit }
+    })
+    (appenders :+ folder).foreach(_.start())
+    (appenders :+ folder).foreach(_.join(120000))
+    assert(failures.isEmpty,
+      s"soak writers must not fail: ${failures.peek()}")
+    val cur = IndexManifest.load(spark, p).get
+    // exactly-once: every appended batch file is in the final resolved
+    // list exactly once, alongside the base
+    assert(appended.size() == 48)
+    val inHead = cur.dataFiles.groupBy(identity).view.mapValues(_.size)
+    appended.forEach { f =>
+      assert(inHead.getOrElse(f, 0) == 1, s"$f must land exactly once")
+    }
+    assert(cur.dataFiles.contains("shard=0/base.parquet"))
+    assert(cur.dataFiles.length == 49, s"got ${cur.dataFiles.length}")
+    // every referenced segment resolves (no dangling references ever
+    // published) and the retained horizon stayed bounded
+    assert(cur.segments.forall(s => new java.io.File(p, s).exists()))
+    assert(IndexManifest.versions(spark, p).length <= 3,
+      "racing vacuums must converge on a bounded horizon")
+  }
+
   test("crash mid-vacuum (manifest deleted, files not yet) leaves true " +
       "orphans the next reconcile removes") {
     val p = freshIndex()
