@@ -720,6 +720,69 @@ object DataQueries {
   private val FateFluentMin = 4.3 // fate-table fluency bar (bottom tail)
   private val FateBoilerMax = 0.5 // max boilerplate fraction to keep
 
+  /** The fate oracle's full CTE chain, ending in `fatet(doc_id, fate,
+    * component, score, avg_logcount, boiler_frac, source_blocked)` —
+    * shared by `data_curation_fate` and the pipeline composite's
+    * oracle ([[graft.TrainQueries]] `data_pipeline_e2e`), so the two
+    * cannot drift. Requires `WITH RECURSIVE` (the connected-components
+    * CTE). */
+  private[graft] lazy val duckFateCtes: String =
+    s"""$duckPairsCc,
+       |fex AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))
+       |    AS exact_keeper
+       |  FROM documents),
+       |fw AS (SELECT doc_id, source, $duckWords AS w FROM documents),
+       |fq AS (
+       |  SELECT doc_id, source, ${duckScore("w")} AS score FROM fw),
+       |flab AS (
+       |  SELECT fq.doc_id, fq.source, fq.score,
+       |    c.component IS NOT NULL AS is_nd,
+       |    COALESCE(c.component, fq.doc_id) AS component
+       |  FROM fq LEFT JOIN comp c USING (doc_id)),
+       |fcag AS (
+       |  SELECT component,
+       |    CAST(sum(CASE WHEN score < $QualityFloor THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_low
+       |  FROM flab GROUP BY component),
+       |frep AS (
+       |  SELECT source,
+       |    (CAST(sum(CASE WHEN is_nd THEN 1 ELSE 0 END) AS DOUBLE)
+       |       / count(*) > $RepDupMax
+       |     OR CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
+       |       / count(*) < $RepQualMinQ6) AS source_blocked
+       |  FROM flab GROUP BY source),
+       |$duckLmCtes,
+       |$duckBoilerCtes,
+       |fsamp AS (
+       |  SELECT doc_id, $duckHashFrac AS hash_frac, $duckRate AS rate
+       |  FROM documents),
+       |fatet AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN rf.source_blocked THEN 'source_blocked'
+       |         WHEN e.exact_keeper <> d.doc_id THEN 'exact_dup'
+       |         WHEN l.component <> d.doc_id THEN 'near_dup'
+       |         WHEN l.score < $QualityFloor THEN 'quality'
+       |         WHEN ca.n_low > 0 THEN 'contaminated'
+       |         WHEN CAST(lm.lm_score AS DOUBLE) / lm.n_bigrams
+       |              < $FateFluentMin THEN 'not_fluent'
+       |         WHEN CAST(b.n_boiler AS DOUBLE) / b.n_blocks
+       |              > $FateBoilerMax THEN 'boilerplate'
+       |         WHEN sp.hash_frac >= sp.rate THEN 'sample'
+       |         ELSE 'kept' END AS fate,
+       |    l.component, l.score,
+       |    CAST(lm.lm_score AS DOUBLE) / lm.n_bigrams AS avg_logcount,
+       |    CAST(b.n_boiler AS DOUBLE) / b.n_blocks AS boiler_frac,
+       |    rf.source_blocked
+       |  FROM documents d
+       |  JOIN fex e USING (doc_id)
+       |  JOIN flab l USING (doc_id)
+       |  JOIN fcag ca ON l.component = ca.component
+       |  JOIN frep rf ON l.source = rf.source
+       |  LEFT JOIN lmd lm USING (doc_id)
+       |  JOIN boil b USING (doc_id)
+       |  JOIN fsamp sp USING (doc_id))""".stripMargin
+
   /** The COMPOSED curation fate table, round-9 edition: every document
     * through the full nine-signal chain with first-drop-wins precedence
     * — source reputation (provenance first: a blocked domain drops
@@ -736,7 +799,13 @@ object DataQueries {
     * corpus-sized relations (the source gate broadcasts — it is
     * sources-sized); each signal's own scale story is audited at its
     * defining query. */
-  private def curationFate(spark: SparkSession, dir: String): DataFrame = {
+  private def curationFate(spark: SparkSession, dir: String): DataFrame =
+    fateTable(spark, dir).dumpOrdered("doc_id")
+
+  /** The fate relation UNDUMPED — reused as hop 1 of the maintained
+    * pipeline composite ([[graft.TrainQueries]] `data_pipeline_e2e`),
+    * which commits it through a manifest rather than dumping it. */
+  private[graft] def fateTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documentsHot(spark, dir)
     val e = Dedup.exact(docs, "doc_id", "text")
@@ -773,7 +842,6 @@ object DataQueries {
           .otherwise("kept").as("fate"),
         col("component"), col("score"), col("avg_logcount"),
         col("boiler_frac"), col("source_blocked"))
-      .dumpOrdered("doc_id")
   }
 
 
@@ -3667,61 +3735,10 @@ object DataQueries {
 
     "data_curation_fate" -> Q(curationFate, Some(
       s"""WITH RECURSIVE
-         |$duckPairsCc,
-         |fex AS (
-         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))
-         |    AS exact_keeper
-         |  FROM documents),
-         |fw AS (SELECT doc_id, source, $duckWords AS w FROM documents),
-         |fq AS (
-         |  SELECT doc_id, source, ${duckScore("w")} AS score FROM fw),
-         |flab AS (
-         |  SELECT fq.doc_id, fq.source, fq.score,
-         |    c.component IS NOT NULL AS is_nd,
-         |    COALESCE(c.component, fq.doc_id) AS component
-         |  FROM fq LEFT JOIN comp c USING (doc_id)),
-         |fcag AS (
-         |  SELECT component,
-         |    CAST(sum(CASE WHEN score < $QualityFloor THEN 1 ELSE 0 END)
-         |         AS BIGINT) AS n_low
-         |  FROM flab GROUP BY component),
-         |frep AS (
-         |  SELECT source,
-         |    (CAST(sum(CASE WHEN is_nd THEN 1 ELSE 0 END) AS DOUBLE)
-         |       / count(*) > $RepDupMax
-         |     OR CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS DOUBLE)
-         |       / count(*) < $RepQualMinQ6) AS source_blocked
-         |  FROM flab GROUP BY source),
-         |$duckLmCtes,
-         |$duckBoilerCtes,
-         |fsamp AS (
-         |  SELECT doc_id, $duckHashFrac AS hash_frac, $duckRate AS rate
-         |  FROM documents)
-         |SELECT d.doc_id,
-         |  CASE WHEN rf.source_blocked THEN 'source_blocked'
-         |       WHEN e.exact_keeper <> d.doc_id THEN 'exact_dup'
-         |       WHEN l.component <> d.doc_id THEN 'near_dup'
-         |       WHEN l.score < $QualityFloor THEN 'quality'
-         |       WHEN ca.n_low > 0 THEN 'contaminated'
-         |       WHEN CAST(lm.lm_score AS DOUBLE) / lm.n_bigrams
-         |            < $FateFluentMin THEN 'not_fluent'
-         |       WHEN CAST(b.n_boiler AS DOUBLE) / b.n_blocks
-         |            > $FateBoilerMax THEN 'boilerplate'
-         |       WHEN sp.hash_frac >= sp.rate THEN 'sample'
-         |       ELSE 'kept' END AS fate,
-         |  l.component, l.score,
-         |  CAST(lm.lm_score AS DOUBLE) / lm.n_bigrams AS avg_logcount,
-         |  CAST(b.n_boiler AS DOUBLE) / b.n_blocks AS boiler_frac,
-         |  rf.source_blocked
-         |FROM documents d
-         |JOIN fex e USING (doc_id)
-         |JOIN flab l USING (doc_id)
-         |JOIN fcag ca ON l.component = ca.component
-         |JOIN frep rf ON l.source = rf.source
-         |LEFT JOIN lmd lm USING (doc_id)
-         |JOIN boil b USING (doc_id)
-         |JOIN fsamp sp USING (doc_id)
-         |ORDER BY doc_id""".stripMargin)),
+         |$duckFateCtes
+         |SELECT doc_id, fate, component, score, avg_logcount,
+         |  boiler_frac, source_blocked
+         |FROM fatet ORDER BY doc_id""".stripMargin)),
 
     "data_dedup_ngram_jaccard" -> Q(ngramJaccardTop, Some(
       s"""WITH s AS (

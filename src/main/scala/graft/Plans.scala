@@ -43,7 +43,7 @@ object Plans {
     "data_dedup_components_stats", "data_shard_tfrecord_files",
     "data_search_index_asof", "data_sim_ivf_asof",
     "data_dedup_band_index_asof", "data_dedup_components_append",
-    "data_shard_tfrecord_append")
+    "data_shard_tfrecord_append", "data_pipeline_e2e")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -607,6 +607,20 @@ object Plans {
       |  staged speculation-safe sink — append cost is O(batch), the
       |  at-rest bytes never rewrite, and the read-back increment touches
       |  only the files that landed.
+      |- **data_pipeline_e2e** — the four-hop maintained-pipeline
+      |  composite (fate gate → survivor prune → tokenized shards →
+      |  TFRecord mirror, each hop manifest-pinned to the upstream
+      |  version it read). The SERVE plan audited here is the chain's
+      |  final differential — identical in shape to
+      |  data_shard_tfrecord_files (binaryFile scan of the mirror's
+      |  manifest-listed files, codegen split/parse, digest-reduced
+      |  join back, per-shard aggregate). The BUILD is the four hops
+      |  themselves, each the already-audited operator it delegates to:
+      |  fate's linear component joins + broadcast source gate, the
+      |  pruned corpus's equi-join, the frozen-vocab pack append's
+      |  broadcast novelty screen, and the mirror roll's O(batch)
+      |  source-delta scan. The chain adds only 1-row lineage artifacts
+      |  and manifest commits on top — no new shuffle anywhere.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

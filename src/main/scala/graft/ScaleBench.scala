@@ -75,7 +75,9 @@ object ScaleBench {
     "data_dedup_components_stats", "data_shard_tfrecord_files",
     // round-14 addition: the MAINTAINED wire-format artifact (append
     // emits continuation files only)
-    "data_shard_tfrecord_append")
+    "data_shard_tfrecord_append",
+    // round-15 addition: the four-hop maintained-pipeline lineage
+    "data_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

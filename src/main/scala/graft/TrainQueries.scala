@@ -2135,6 +2135,133 @@ object TrainQueries {
     tfrFileAggregate(spark, src, tfr)
   }
 
+  /** The MAINTAINED-PIPELINE composite — the production shape end to
+    * end, as ONE lineage through manifests: curation fate gate →
+    * survivor prune → tokenized shards → TFRecord wire mirror, where
+    * every hop reads a PINNED upstream version and records that pin in
+    * its own commit, so a crash or concurrent upstream advance at ANY
+    * point leaves each downstream artifact exactly consistent with the
+    * version it recorded — never a half-read of a moving upstream.
+    *
+    *   1. FATE: the nine-signal verdict table
+    *      ([[graft.DataQueries.fateTable]]) commits as its own
+    *      manifest-published table (fate is corpus-global — sources,
+    *      near-dup components — so the hop is a superseding snapshot,
+    *      vacuumed to a 2-version horizon like any recurring mutation).
+    *   2. PRUNE: survivors (`fate = 'kept'`) of the PINNED fate version
+    *      join back to the corpus text; the commit carries a `lineage`
+    *      artifact naming the fate version it read.
+    *   3. SHARDS: the pinned pruned corpus packs under the FROZEN
+    *      vocabulary through [[appendTokenizedShards]] — the novelty
+    *      screen makes a re-run incremental (only newly-kept docs
+    *      pack), and an artifact-only commit records the corpus pin.
+    *   4. MIRROR: the wire-format files roll forward
+    *      ([[appendTfRecordShards]]); their `src` artifact IS the
+    *      shard-version pin.
+    *
+    * Re-running the chain is the RESUME path: each hop supersedes or
+    * increments idempotently, so a crash between any two hops is
+    * repaired by the next run (PipelineSpec crashes mid-chain and pins
+    * the consistency law). `vocabDir` stays fixed across runs — the
+    * frozen-vocab contract every maintained shard artifact has.
+    *
+    * Scale: each hop is the already-audited operator it delegates to
+    * (fate's linear component joins, the broadcast novelty screens,
+    * the staged byte sink); the chain adds only bounded lineage
+    * artifacts and manifest commits on top. */
+  private[graft] def pipelineLineage(spark: SparkSession, srcDir: String,
+                                     base: String,
+                                     vocabDir: Option[String] = None,
+                                     through: Int = 4): Unit = {
+    import graft.data.IndexManifest
+    val vDir = vocabDir.getOrElse(srcDir)
+    val fateP = s"$base/fate"
+    val corpusP = s"$base/corpus"
+    val shardsP = s"$base/shards"
+    val tfrP = s"$base/tfr"
+    // hop 1 — fate gate (superseding snapshot of the verdict table)
+    val fate = graft.DataQueries.fateTable(spark, srcDir)
+      .select(col("doc_id"), col("fate"))
+      .withColumn("part", pmod(col("doc_id"), lit(8L)))
+    val fAdded = IndexManifest.stageAppend(fate, fateP, "part")
+    IndexManifest.commit(spark, fateP, fAdded, Map.empty): Unit
+    IndexManifest.vacuum(spark, fateP, 2): Unit
+    if (through < 2) return
+    // hop 2 — survivor prune, pinned to the fate version just read
+    val fateV = IndexManifest.load(spark, fateP).get.version
+    val kept = IndexManifest.readDataAt(spark, fateP, fateV)
+      .where(col("fate") === lit("kept")).select(col("doc_id"))
+    val pruned = Tables.documentsHot(spark, srcDir)
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .withColumn("part", pmod(col("doc_id"), lit(8L)))
+    val cAdded = IndexManifest.stageAppend(pruned, corpusP, "part")
+    IndexManifest.commit(spark, corpusP, cAdded, Map(
+      IndexManifest.writeArtifact(spark, corpusP, "lineage",
+        spark.range(1).select(lit(fateV).as("upstream_version"))))): Unit
+    IndexManifest.vacuum(spark, corpusP, 2): Unit
+    if (through < 3) return
+    // hop 3 — tokenized shards from the pinned pruned corpus (frozen
+    // vocabulary; incremental on re-run via the novelty screen)
+    val corpusV = IndexManifest.load(spark, corpusP).get.version
+    val batch = IndexManifest.readDataAt(spark, corpusP, corpusV)
+      .select(col("doc_id"), col("text"))
+    appendTokenizedShards(spark, vDir, batch, shardsP, retainVersions = 2)
+    IndexManifest.commitAdded(spark, shardsP, Seq.empty, Map(
+      IndexManifest.writeArtifact(spark, shardsP, "lineage",
+        spark.range(1).select(lit(corpusV).as("upstream_version")))),
+      retainVersions = 2): Unit
+    if (through < 4) return
+    // hop 4 — the wire mirror rolled to the shard state it just pinned
+    if (IndexManifest.load(spark, tfrP).isEmpty)
+      writeTfRecordShards(spark, shardsP, tfrP)
+    else
+      appendTfRecordShards(spark, shardsP, tfrP)
+  }
+
+  private val builtPipelines =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The pipeline composite's differential: run the whole maintained
+    * chain, then aggregate the FINAL wire-format files at rest back
+    * through the (shard, rank) roundtrip proof — the oracle recomputes
+    * the same rows from the raw text in one SQL chain (fate CTEs →
+    * kept set → frozen-vocab encode → packing → TFRecord framing), so
+    * a divergence ANYWHERE in the four hops surfaces as a count or
+    * xor mismatch. */
+  private def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val base = builtPipelines.computeIfAbsent(dir, _ => {
+      val p = new java.io.File(packRoot, "pipe_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      pipelineLineage(spark, dir, p)
+      p
+    })
+    tfrFileAggregate(spark, s"$base/shards", s"$base/tfr")
+  }
+
+  /** Oracle of [[pipelineE2e]]: the fate chain's CTEs feed a `kept`
+    * relation; the tfrecord framing oracle runs its encode over it
+    * (vocabulary still trained on the full corpus — frozen vocab). */
+  private lazy val duckPipelineSql: String =
+    duckShardTfrecordSqlOver(
+      s"""p AS (
+         |  SELECT doc_id, toks, n_tok, bucket,
+         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d),
+         |sq AS (
+         |  SELECT bucket, bin,
+         |    flatten(list(toks ORDER BY doc_id)) AS token_ids
+         |  FROM p GROUP BY bucket, bin)""".stripMargin,
+      docsRel = "keptdocs",
+      prefixCtes =
+        s"""${graft.DataQueries.duckFateCtes},
+           |keptdocs AS (
+           |  SELECT d.doc_id, d.text
+           |  FROM documents d JOIN fatet f USING (doc_id)
+           |  WHERE f.fate = 'kept')""".stripMargin)
+
   /** Round-k oracle CTE block: pair counts over w{k-1}, the argmax
     * t{k}, and w{k} = the merge applied POSITIONALLY — matches at i where
     * (syms[i], syms[i+1]) = (a, b), keeping alternate positions within
@@ -2678,8 +2805,14 @@ object TrainQueries {
 
   /** The shared framing/aggregation half of every tfrecord oracle,
     * parameterized by the binning CTE block (which must end in
-    * `sq(bucket, bin, token_ids)`). */
-  private def duckShardTfrecordSqlOver(binCtes: String): String = {
+    * `sq(bucket, bin, token_ids)`). `docsRel` is the relation the
+    * ENCODE runs over (the vocabulary always trains on the full
+    * `documents` corpus — the frozen-vocab contract); `prefixCtes`
+    * prepends extra CTEs (and flips the WITH to RECURSIVE) so the
+    * pipeline composite can stack the fate gate's chain in front. */
+  private def duckShardTfrecordSqlOver(binCtes: String,
+                                       docsRel: String = "documents",
+                                       prefixCtes: String = ""): String = {
       val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
       // CRC32C (Castagnoli, reflected, poly 0x82F63B78 = 2197175160) +
       // TFRecord's mask, from first principles in SQL: the 256-entry
@@ -2702,7 +2835,8 @@ object TrainQueries {
       def leBytes(v: String, n: Int) =
         s"list_transform(range(0, $n), j -> (($v) >> CAST(8 * j AS INT))" +
           " & 255)"
-      s"""WITH $bpeBytesCtes,
+      s"""WITH ${if (prefixCtes.nonEmpty) s"RECURSIVE\n$prefixCtes,\n"
+                 else ""}$bpeBytesCtes,
          |vb AS (
          |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
          |           AS tid
@@ -2719,7 +2853,7 @@ object TrainQueries {
          |  SELECT doc_id, unnest(range(0, len(w))) AS wpos, w
          |  FROM (SELECT doc_id,
          |          regexp_extract_all(lower(text), '$pat', 0) AS w
-         |        FROM documents) q),
+         |        FROM $docsRel) q),
          |ww AS (SELECT doc_id, wpos, w[wpos + 1] AS word FROM wp),
          |dt AS (
          |  SELECT ww.doc_id,
@@ -2833,6 +2967,12 @@ object TrainQueries {
          |  CAST(bit_xor(h52) AS BIGINT) AS xor_checksum
          |FROM h GROUP BY bucket ORDER BY shard""".stripMargin
     }),
+
+    // the four-hop maintained pipeline as ONE differential: fate gate →
+    // survivor prune → tokenized shards → TFRecord mirror, each hop
+    // manifest-pinned to its upstream; the oracle replays the entire
+    // chain from the raw text in one SQL statement
+    "data_pipeline_e2e" -> Q(pipelineE2e, Some(duckPipelineSql)),
 
     "data_bpe_oov_encode" -> Q(bpeBytesOovEncode, Some {
       val pat = TextAnalysis.BpePretokPattern.replace("'", "''")
