@@ -461,13 +461,17 @@ object Plans {
       |  AND the result (serve-after-append hash-equals the from-scratch
       |  recompute). The drift audit reads ONLY the `cell` partition
       |  column — zero data columns, metadata-cost retrain signal.
-      |- **data_mixture_sample** — temperature mixing APPLIED: the
-      |  source-count aggregate is memoized (one corpus scan), the rate
-      |  table enters the gated second scan through a
-      |  `BroadcastExchange`, the realized counts are one
-      |  map-side-combinable per-source aggregate, and every other
-      |  relation in the plan is source-cardinality-sized. Two corpus
-      |  scans total, no window, no corpus shuffle.
+      |- **data_mixture_sample** — temperature mixing APPLIED: ONE
+      |  memoized corpus scan builds the per-source 16-bit-hash-bucket
+      |  histogram (bounded at sources × 2¹⁶ entries whatever the
+      |  corpus size — a model pull), cached in one partition; the
+      |  serve is then a SINGLE one-task stage — the global weight-sum
+      |  window plans with no exchange (the single-partition cache
+      |  already satisfies AllTuples) and the realized count is an
+      |  in-row fold over the histogram (strict `<` on exact dyadic
+      |  doubles — bit-identical to the per-doc comparison). Zero
+      |  joins, zero serve-time corpus scans (was: two scans + two
+      |  broadcast-build jobs per run).
       |- **data_bpe_oov_encode** — serving a SHIPPED tokenizer on new
       |  data: the trained word table and the OOV merge-replay table are
       |  BOTH vocab-sized (the unseen-word table is a map-side-combinable

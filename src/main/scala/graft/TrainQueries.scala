@@ -253,34 +253,56 @@ object TrainQueries {
     * Scale: one map-side-combinable count per source, a 1-row weight-sum
     * broadcast back (crossJoin-of-aggregates, the W1 pattern) — the
     * corpus is scanned once. */
-  /** Per-source counts + temperature weights, memo-shared by the rate
-    * query and the applied-sampling query — ONE definition so the two
-    * can never diverge while reading one cache entry. */
-  private def mixTempTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.memoBy(spark, s"mixtemp:$dir") {
+  /** Per-source doc counts + 16-bit-hash-bucket histogram — the ONE
+    * corpus scan behind both mixture queries, memo-shared so the rate
+    * query and the applied-sampling query read the same cache entry
+    * and the same definition (n_docs = Σ hist.cnt by construction;
+    * n_sampled = Σ hist.cnt below the rate threshold). The table is
+    * BOUNDED at sources rows × ≤2¹⁶ histogram entries regardless of
+    * corpus size — a model pull, like every broadcast vocab/centroid
+    * table — so it caches coalesced to ONE partition: warm serves are
+    * then a single one-task stage over sources-sized data (the
+    * measured cost of this family was never plan work — it was the
+    * per-stage scheduling floor of 3 stages × 32 tasks, flat across
+    * three decades; the corpus scan + both aggregates run once, at
+    * build, with full parallelism). */
+  private def mixHistTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.memoBy(spark, s"mixhist:$dir") {
+      val hb = TextAnalysis.hashBucket(
+        concat(lit("mixsamp|"), col("doc_id").cast("string")), 65536)
       Tables.documents(spark, dir)
+        .select(col("source"), hb.cast("long").as("hb"))
+        .groupBy(col("source"), col("hb"))
+        .agg(count(lit(1)).as("cnt"))
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"))
-        .withColumn("w_temp",
-          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+        .agg(sum(col("cnt")).as("n_docs"),
+          collect_list(struct(col("hb"), col("cnt"))).as("hist"))
+        .coalesce(1)
     }
 
-  private def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
-    // memoBy, not a bare persist(): both the crossJoin left side and the
-    // 1-row weight sum read `t`, and repeated builds (bench reps) must
-    // not leak a fresh cached copy per invocation — memoBy re-arms one
-    // shared entry across builds (cleared by Verify/CLEARCACHE).
-    val t = mixTempTable(spark, dir)
-    val tot = t.agg(sum(col("w_temp")).as("sum_w"))
-    t.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), col("w_temp"),
-        (col("w_temp").cast("double") / col("sum_w").cast("double")).as("p"),
-        expr(s"($MixTempBudget * w_temp) div sum_w").as("alloc_docs"))
+  /** Per-source temperature weights + the global weight sum over the
+    * cached [[mixHistTable]] — the whole computation is sources-sized,
+    * and the single-partition cache already satisfies the global
+    * window's AllTuples distribution, so no exchange is planned. */
+  private def mixRates(spark: SparkSession, dir: String): DataFrame =
+    mixHistTable(spark, dir)
+      .withColumn("w_temp",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .withColumn("sum_w", sum(col("w_temp")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("alloc_docs", expr(s"($MixTempBudget * w_temp) div sum_w"))
       .withColumn("sample_rate",
         least(lit(1.0),
           col("alloc_docs").cast("double") / col("n_docs").cast("double")))
-      .dumpOrdered("source")
-  }
+
+  private def mixtureTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixRates(spark, dir)
+      .select(col("source"), col("n_docs"), col("w_temp"),
+        (col("w_temp").cast("double") / col("sum_w").cast("double")).as("p"),
+        col("alloc_docs"), col("sample_rate"))
+      // the body is already one partition — coalesce collapses onto it
+      .dumpOrderedTail("source")
 
   /** Temperature mixing APPLIED (VERDICT r10 #7 — the composed planning
     * query the per-source floor amortizes into): the
@@ -297,32 +319,25 @@ object TrainQueries {
     * Exactness: rates are long/long divisions of exact integers, the
     * hash fraction is a 16-bit integer over 2¹⁶ — both sides compare
     * identical doubles, so the sampled set is bit-stable. */
-  private def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val t = mixTempTable(spark, dir)
-    val tot = t.agg(sum(col("w_temp")).as("sum_w"))
-    val rates = t.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"), col("w_temp"),
-        expr(s"($MixTempBudget * w_temp) div sum_w").as("alloc_docs"))
-      .withColumn("sample_rate",
-        least(lit(1.0),
-          col("alloc_docs").cast("double") / col("n_docs").cast("double")))
-    val hf = TextAnalysis.hashBucket(
-      concat(lit("mixsamp|"), col("doc_id").cast("string")), 65536)
-      .cast("double") / 65536.0
-    val realized = Tables.documents(spark, dir)
-      .select(col("source"), hf.as("hf"))
-      .join(broadcast(rates.select(col("source"), col("sample_rate"))),
-        Seq("source"))
-      .groupBy(col("source"))
-      .agg(sum(when(col("hf") < col("sample_rate"), 1L).otherwise(0L))
-        .as("n_sampled"))
-    rates.join(realized, Seq("source"))
+  private def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    // ZERO joins, zero corpus scans at serve (was: two corpus scans +
+    // two broadcast joins, each broadcast a separate build job per
+    // run): the realized count is an in-row HOF fold over the cached
+    // per-source histogram in the same projection that computes the
+    // rate. A doc samples iff its hash fraction (bucket/2¹⁶, exact
+    // dyadic) clears its source's rate — summing bucket counts below
+    // the threshold is bit-identical to the per-doc comparison.
+    mixRates(spark, dir)
+      .withColumn("n_sampled",
+        aggregate(col("hist"), lit(0L), (acc, x) =>
+          acc + when(x.getField("hb").cast("double") / 65536.0
+            < col("sample_rate"), x.getField("cnt")).otherwise(0L)))
       .select(col("source"), col("n_docs"), col("w_temp"),
         col("alloc_docs"), col("sample_rate"), col("n_sampled"),
         (col("n_sampled").cast("double") / col("n_docs").cast("double"))
           .as("realized_rate"))
-      .dumpOrdered("source")
-  }
+      // the body is already one partition — coalesce collapses onto it
+      .dumpOrderedTail("source")
 
   // -- shard content manifest ------------------------------------------
 
@@ -1222,7 +1237,7 @@ object TrainQueries {
       (c, m) => mergeApply(c, m.lhs, m.rhs))
     // the corpus-distinct pretoken table is VOCAB-sized after the
     // distinct and feeds only the OOV derivation — memo-persist it
-    // (the mixTempTable discipline) so warm runs pay ONE corpus scan
+    // (the mixHistTable discipline) so warm runs pay ONE corpus scan
     // (the encode join), not a second one for the distinct (VERDICT
     // r11 #7: measured 14.8 -> ~9 s warm at sf10)
     val distinctWords = Tables.memoBy(spark, s"bpeoovwords:$dir") {
