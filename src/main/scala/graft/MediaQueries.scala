@@ -24,7 +24,7 @@ object MediaQueries {
     * squared PCM16 samples over a [[FrameLen]]-sample frame). */
   val SilenceTau = 1500000000L
 
-  private val W = Multimodal.BmpWidth
+  private[graft] val W = Multimodal.BmpWidth
 
   /** Memo-persisted per-image 56-bit perceptual difference-hash
     * (doc_id, phash) relation — the image-corpus analog of the text
