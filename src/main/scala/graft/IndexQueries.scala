@@ -293,7 +293,14 @@ object IndexQueries {
          |  FROM agg a JOIN ex USING (event_type))
          |SELECT event_type, n_exact, n_hit, raw_est,
          |  CASE WHEN raw_est <= ${Indexing.HllSmallRange} AND n_hit < 256
-         |       THEN ([${Indexing.HllLinearTable.mkString(", ")}])
+         |       THEN ([${
+                  // "e0"-suffixed so DuckDB types the list DOUBLE[] and
+                  // parses each literal directly: a plain decimal list
+                  // becomes DECIMAL(20,16)[], and its DECIMAL→DOUBLE
+                  // promotion inside the CASE double-rounds (the scaled
+                  // integer exceeds 2^53) — the 1-ulp sf0.001 mismatch
+                  Indexing.HllLinearTable.map(_.toString + "e0")
+                    .mkString(", ")}])
          |              [CAST(256 - n_hit AS INTEGER)]
          |       ELSE raw_est END AS est_distinct
          |FROM r ORDER BY event_type""".stripMargin)),
