@@ -43,7 +43,8 @@ object Plans {
     "data_dedup_components_stats", "data_shard_tfrecord_files",
     "data_search_index_asof", "data_sim_ivf_asof",
     "data_dedup_band_index_asof", "data_dedup_components_append",
-    "data_shard_tfrecord_append", "data_pipeline_e2e")
+    "data_shard_tfrecord_append", "data_pipeline_e2e",
+    "data_pipeline_asof")
 
   private val Header =
     """# PLANS — physical-plan audit of representative queries
@@ -625,6 +626,16 @@ object Plans {
       |  broadcast novelty screen, and the mirror roll's O(batch)
       |  source-delta scan. The chain adds only 1-row lineage artifacts
       |  and manifest commits on top — no new shuffle anywhere.
+      |- **data_pipeline_asof** — time travel across the whole lineage:
+      |  the serve is data_pipeline_e2e's exact plan shape over PINNED
+      |  manifests — the mirror's file list from `loadAt(tfrV1)`, the
+      |  expected frames from `readDataAt(shards, srcPin)` where srcPin
+      |  is the shard version the PINNED mirror's own `src` artifact
+      |  names (artifact pairing: wire bytes checked against the exact
+      |  table state they were framed from, never "the latest"). The
+      |  pin resolution is two manifest reads; nothing else changes —
+      |  same binaryFile scan, codegen split/parse, digest-reduced
+      |  join, per-shard aggregate.
       |- **data_unigram_segment** — the Viterbi DP is a per-row HOF fold
       |  over the DISTINCT-word table (vocab-sized, like the BPE trainer)
       |  with the piece-cost map as a bounded literal; the corpus scan

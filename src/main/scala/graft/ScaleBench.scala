@@ -76,8 +76,9 @@ object ScaleBench {
     // round-14 addition: the MAINTAINED wire-format artifact (append
     // emits continuation files only)
     "data_shard_tfrecord_append",
-    // round-15 addition: the four-hop maintained-pipeline lineage
-    "data_pipeline_e2e")
+    // round-15 additions: the four-hop maintained-pipeline lineage and
+    // its whole-chain time-travel serve
+    "data_pipeline_e2e", "data_pipeline_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

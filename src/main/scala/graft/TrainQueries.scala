@@ -2045,10 +2045,24 @@ object TrainQueries {
     * diverge loudly. File-layout independent — a build and any
     * build+append history can only agree or loudly differ. */
   private[graft] def tfrFileAggregate(spark: SparkSession, srcPath: String,
-                                      tfrPath: String): DataFrame = {
+                                      tfrPath: String): DataFrame =
+    tfrFileAggregateAt(spark, srcPath, None, tfrPath, None)
+
+  /** [[tfrFileAggregate]] with optional VERSION PINS on both sides —
+    * the time-travel form: the wire files come from the tfr manifest AT
+    * `tfrV`, the expected frames from the shard table AT `srcV` (the
+    * caller pairs them through the tfr side's own `src` artifact, the
+    * discipline every asof serve follows: data files WITH the model
+    * version they were built against). None = the current snapshot. */
+  private[graft] def tfrFileAggregateAt(spark: SparkSession, srcPath: String,
+                                        srcV: Option[Long], tfrPath: String,
+                                        tfrV: Option[Long]): DataFrame = {
     graft.functions.TfRecordFunctions.register(spark)
     import graft.functions.TfRecordFunctions.{tfrecord_frame, tfrecord_parse}
-    val expected = graft.data.IndexManifest.readData(spark, srcPath)
+    val srcData = srcV
+      .map(v => graft.data.IndexManifest.readDataAt(spark, srcPath, v))
+      .getOrElse(graft.data.IndexManifest.readData(spark, srcPath))
+    val expected = srcData
       .select(col("shard").cast("long").as("shard"),
         col("bin").cast("long").as("bin"),
         tfrecord_frame(col("token_ids")).as("exp"))
@@ -2057,10 +2071,14 @@ object TrainQueries {
           lower(hex(col("exp"))))), 1, 13), 16, 10).cast("long").as("h52"))
     val stored = rankedStored(expected)
     // MANIFEST-LISTED file read (no directory glob): exactly the files
-    // the tfrecord artifact's commit published — the pinned-read
-    // discipline every maintained artifact follows
-    val records = tfrRecordsOf(spark, tfrPath,
-        graft.data.IndexManifest.load(spark, tfrPath).get.dataFiles)
+    // the tfrecord artifact's commit (at the pinned version, when one
+    // is given) published — the pinned-read discipline every
+    // maintained artifact follows
+    val tfrFiles = tfrV
+      .map(v => graft.data.IndexManifest.loadAt(spark, tfrPath, v).get
+        .dataFiles)
+      .getOrElse(graft.data.IndexManifest.load(spark, tfrPath).get.dataFiles)
+    val records = tfrRecordsOf(spark, tfrPath, tfrFiles)
       .withColumn("p", tfrecord_parse(col("framed")))
       .select(col("shard"), col("rank"),
         length(col("framed")).cast("long").as("nb"),
@@ -2187,7 +2205,8 @@ object TrainQueries {
   private[graft] def pipelineLineage(spark: SparkSession, srcDir: String,
                                      base: String,
                                      vocabDir: Option[String] = None,
-                                     through: Int = 4): Unit = {
+                                     through: Int = 4,
+                                     retainVersions: Int = 2): Unit = {
     import graft.data.IndexManifest
     val vDir = vocabDir.getOrElse(srcDir)
     val fateP = s"$base/fate"
@@ -2200,7 +2219,7 @@ object TrainQueries {
       .withColumn("part", pmod(col("doc_id"), lit(8L)))
     val fAdded = IndexManifest.stageAppend(fate, fateP, "part")
     IndexManifest.commit(spark, fateP, fAdded, Map.empty): Unit
-    IndexManifest.vacuum(spark, fateP, 2): Unit
+    IndexManifest.vacuum(spark, fateP, retainVersions): Unit
     if (through < 2) return
     // hop 2 — survivor prune, pinned to the fate version just read
     val fateV = IndexManifest.load(spark, fateP).get.version
@@ -2214,24 +2233,26 @@ object TrainQueries {
     IndexManifest.commit(spark, corpusP, cAdded, Map(
       IndexManifest.writeArtifact(spark, corpusP, "lineage",
         spark.range(1).select(lit(fateV).as("upstream_version"))))): Unit
-    IndexManifest.vacuum(spark, corpusP, 2): Unit
+    IndexManifest.vacuum(spark, corpusP, retainVersions): Unit
     if (through < 3) return
     // hop 3 — tokenized shards from the pinned pruned corpus (frozen
     // vocabulary; incremental on re-run via the novelty screen)
     val corpusV = IndexManifest.load(spark, corpusP).get.version
     val batch = IndexManifest.readDataAt(spark, corpusP, corpusV)
       .select(col("doc_id"), col("text"))
-    appendTokenizedShards(spark, vDir, batch, shardsP, retainVersions = 2)
+    appendTokenizedShards(spark, vDir, batch, shardsP,
+      retainVersions = retainVersions)
     IndexManifest.commitAdded(spark, shardsP, Seq.empty, Map(
       IndexManifest.writeArtifact(spark, shardsP, "lineage",
         spark.range(1).select(lit(corpusV).as("upstream_version")))),
-      retainVersions = 2): Unit
+      retainVersions = retainVersions): Unit
     if (through < 4) return
     // hop 4 — the wire mirror rolled to the shard state it just pinned
     if (IndexManifest.load(spark, tfrP).isEmpty)
       writeTfRecordShards(spark, shardsP, tfrP)
     else
-      appendTfRecordShards(spark, shardsP, tfrP)
+      appendTfRecordShards(spark, shardsP, tfrP,
+        retainVersions = retainVersions)
   }
 
   private val builtPipelines =
@@ -2253,6 +2274,94 @@ object TrainQueries {
     })
     tfrFileAggregate(spark, s"$base/shards", s"$base/tfr")
   }
+
+  /** Corpus-A bound for the lineage time-travel fixture — wider than
+    * the [400,500) ingest-window convention because the fate gate's
+    * corpus-global fluency bar collapses the kept set nonlinearly on a
+    * shrunken corpus (bigram counts scale with corpus size); a 460-doc
+    * slice keeps enough docs for a multi-shard pinned differential
+    * while run 2's extra 40 still advance every hop. */
+  private val PipeAsofSliceEnd = 460L
+
+  private val builtPipelineAsof =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** TIME TRAVEL across the whole lineage: the four-hop chain runs
+    * once over corpus A (the `doc_id < 460` slice, materialized as its
+    * own table dir so every corpus-global fate signal computes over
+    * exactly that slice), then again over the FULL corpus — fate,
+    * corpus, shards and mirror all advance — and the serve reads the
+    * MIRROR at its first version, paired with the shard version that
+    * pinned mirror's own `src` artifact names (never "the latest
+    * shards": artifact pairing is what makes a time-travel serve
+    * sound — the wire bytes must be checked against the exact table
+    * state they were framed from). The vocabulary is the full dir's
+    * on BOTH runs (the frozen-vocab contract), so the oracle replays
+    * the chain with only the FATE side restricted to the slice.
+    *
+    * Scale: the serve is [[tfrFileAggregateAt]] — the same
+    * manifest-listed binaryFile scan + digest-reduced join as the
+    * current-version serve, just over the pinned file list; retention
+    * (4 here) bounds how far back a pin stays readable, exactly like
+    * every other maintained family's asof. */
+  private def pipelineAsofBase(spark: SparkSession, dir: String): String =
+    builtPipelineAsof.computeIfAbsent(dir, _ => {
+      val base = new java.io.File(packRoot, "pipeasof_" +
+        new java.io.File(dir).getName).getAbsolutePath
+      val dirA = s"$base/corpusA"
+      Tables.documents(spark, dir)
+        .where(col("doc_id") < PipeAsofSliceEnd)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dirA/documents.parquet")
+      // run 1 over the slice, run 2 over the full corpus — retention 4
+      // keeps run 1's shard version readable through run 2's two
+      // shard-side commits (append + lineage-pin)
+      pipelineLineage(spark, dirA, base, vocabDir = Some(dir),
+        retainVersions = 4)
+      pipelineLineage(spark, dir, base, vocabDir = Some(dir),
+        retainVersions = 4)
+      base
+    })
+
+  private def pipelineAsof(spark: SparkSession, dir: String): DataFrame = {
+    import graft.data.IndexManifest
+    val base = pipelineAsofBase(spark, dir)
+    val tfrP = s"$base/tfr"
+    val tfrV1 = IndexManifest.versions(spark, tfrP).min
+    val srcPin = IndexManifest.readArtifactAt(spark, tfrP, "src", tfrV1)
+      .head().getLong(0)
+    tfrFileAggregateAt(spark, s"$base/shards", Some(srcPin), tfrP,
+      Some(tfrV1))
+  }
+
+  /** Oracle of [[pipelineAsof]]: the same full-chain replay as
+    * [[duckPipelineSql]], with every FATE-side read restricted to the
+    * corpus-A slice (a `docs0` CTE; the blunt textual rewrite is sound
+    * because the fate CTE block reads no other relation) while the
+    * vocabulary CTEs keep reading the full `documents` — the
+    * frozen-vocab contract both chain runs honored. */
+  private lazy val duckPipelineAsofSql: String =
+    duckShardTfrecordSqlOver(
+      s"""p AS (
+         |  SELECT doc_id, toks, n_tok, bucket,
+         |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) // $PackBin AS bin
+         |  FROM d),
+         |sq AS (
+         |  SELECT bucket, bin,
+         |    flatten(list(toks ORDER BY doc_id)) AS token_ids
+         |  FROM p GROUP BY bucket, bin)""".stripMargin,
+      docsRel = "keptdocs",
+      prefixCtes =
+        s"""docs0 AS (
+           |  SELECT * FROM documents WHERE doc_id < $PipeAsofSliceEnd),
+           |${graft.DataQueries.duckFateCtes
+                .replace(" FROM documents", " FROM docs0")},
+           |keptdocs AS (
+           |  SELECT d.doc_id, d.text
+           |  FROM docs0 d JOIN fatet f USING (doc_id)
+           |  WHERE f.fate = 'kept')""".stripMargin)
 
   /** Oracle of [[pipelineE2e]]: the fate chain's CTEs feed a `kept`
     * relation; the tfrecord framing oracle runs its encode over it
@@ -2988,6 +3097,13 @@ object TrainQueries {
     // manifest-pinned to its upstream; the oracle replays the entire
     // chain from the raw text in one SQL statement
     "data_pipeline_e2e" -> Q(pipelineE2e, Some(duckPipelineSql)),
+
+    // time travel across the whole lineage: after a second chain run
+    // over a grown corpus, serve the MIRROR at its first version paired
+    // with the shard version its own src artifact names; the oracle
+    // replays the chain with the fate side restricted to the slice the
+    // pinned run saw
+    "data_pipeline_asof" -> Q(pipelineAsof, Some(duckPipelineAsofSql)),
 
     "data_bpe_oov_encode" -> Q(bpeBytesOovEncode, Some {
       val pat = TextAnalysis.BpePretokPattern.replace("'", "''")

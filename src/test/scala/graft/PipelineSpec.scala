@@ -143,4 +143,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg.forall(r => r.getLong(1) == r.getLong(4)),
       s"every record must roundtrip after the resume: $agg")
   }
+
+  test("pipeline lineage: a crash between hop 3 and hop 4 leaves the " +
+      "mirror stale but consistent with ITS pin (the src artifact's " +
+      "shard version), and the pinned-pairing serve stays exact") {
+    // 460, not a smaller slice: the fate gate's corpus-global fluency
+    // bar collapses the kept set nonlinearly on a shrunken corpus
+    val dirA = corpusDir(460L, Seq.empty)
+    val dirB = corpusDir(10000L, Seq.empty)
+    val base = java.nio.file.Files.createTempDirectory("graft_pipe34")
+      .toString
+    val (shardsP, tfrP) = (s"$base/shards", s"$base/tfr")
+
+    // full chain over the slice, then the grown corpus's chain dies
+    // AFTER the shards rolled but BEFORE the mirror did (through = 3);
+    // retention 4 keeps the mirror's pinned shard version readable
+    // through the second run's two shard-side commits
+    TrainQueries.pipelineLineage(spark, dirA, base, vocabDir = Some(dirB),
+      retainVersions = 4)
+    val keptA = keptIds(dirA)
+    assert(keptA.nonEmpty)
+    TrainQueries.pipelineLineage(spark, dirB, base, vocabDir = Some(dirB),
+      through = 3, retainVersions = 4)
+    val keptB = keptIds(dirB)
+    assert((keptB -- keptA).nonEmpty, "the grown corpus must add docs")
+    assert(storedDocIds(shardsP) == (keptA ++ keptB),
+      "the crashed run advanced the shards")
+
+    // the mirror is STALE (its src pin predates the shard roll) but the
+    // PAIRED serve — mirror files at its version, expected frames at
+    // the shard version its own src artifact names — is still exact on
+    // every record
+    val srcPin = IndexManifest.readArtifact(spark, tfrP, "src")
+      .head().getLong(0)
+    assert(srcPin < IndexManifest.load(spark, shardsP).get.version,
+      "the mirror must be behind the shards in the crash window")
+    val paired = TrainQueries.tfrFileAggregateAt(spark, shardsP,
+      Some(srcPin), tfrP, None).collect().toSeq
+    assert(paired.nonEmpty &&
+      paired.forall(r => r.getLong(1) == r.getLong(3) &&
+        r.getLong(1) == r.getLong(4)),
+      s"the pinned-pairing serve must roundtrip every record: $paired")
+    // the stale mirror does NOT cover the advanced shard state: it has
+    // no records for the continuation bins run 2 added, so its record
+    // count falls short of the current bin count — the under-coverage
+    // the src pin exists to make explicit
+    val binsNow = TrainQueries.readShardManifest(spark, shardsP)
+      .agg(sum(col("n_seqs"))).head().getLong(0)
+    val unpaired = TrainQueries.tfrFileAggregate(spark, shardsP, tfrP)
+      .collect().toSeq
+    assert(unpaired.map(_.getLong(1)).sum < binsNow,
+      "the stale mirror must NOT fully cover the advanced shards")
+
+    // resume: the next full run rolls the mirror; pins re-align
+    TrainQueries.pipelineLineage(spark, dirB, base, vocabDir = Some(dirB),
+      retainVersions = 4)
+    assert(IndexManifest.readArtifact(spark, tfrP, "src").head().getLong(0)
+      == IndexManifest.load(spark, shardsP).get.version)
+    val fresh = s"$base/tfr_fresh"
+    TrainQueries.writeTfRecordShards(spark, shardsP, fresh)
+    assert(TrainQueries.tfrFileAggregate(spark, shardsP, tfrP)
+        .collect().toSeq ==
+      TrainQueries.tfrFileAggregate(spark, shardsP, fresh).collect().toSeq,
+      "after the resume the mirror equals a from-scratch export")
+  }
 }

@@ -69,8 +69,9 @@ EXTRAS = ["data_dedup_exact", "data_chunk_dedup", "data_dedup_minhash_bands",
           "data_dedup_components_stats", "data_shard_tfrecord_files",
           # round-14 addition: the maintained wire-format artifact
           "data_shard_tfrecord_append",
-          # round-15 addition: the four-hop maintained-pipeline lineage
-          "data_pipeline_e2e"]
+          # round-15 additions: the four-hop maintained-pipeline lineage
+          # and its whole-chain time-travel serve
+          "data_pipeline_e2e", "data_pipeline_asof"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
