@@ -1185,6 +1185,13 @@ object DataQueries {
       .where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
 
+  // Corpus side deliberately reads the RAW scan, not embeddingsHot
+  // (measured this round: the cached 32-way corpus made the benched
+  // sf0.1 query 18% SLOWER — the brute-force pass is single-scan and the
+  // vectorized parquet read of the small single-row-group corpus beats
+  // 32 cache tasks' scheduling; at production scale the source is
+  // multi-file and the same plan parallelizes by file, the multiFile()
+  // rationale). The multi-pass k-means families keep the cache.
   private def simTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(queriesOf(spark, dir),
         Tables.embeddings(spark, dir), k = 5)

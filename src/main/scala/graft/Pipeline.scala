@@ -76,8 +76,14 @@ object Pipeline {
     // Cents-scaled long sum (codegen path), emitted as DOUBLE — the
     // cross-engine output type (DECIMAL only hash-matched while the value
     // carried non-zero cents; see RefQueries.a2CollectFilter).
+    // `o_orderkey` is orders' primary key and every join above is 1:1
+    // (lineAgg/customer/nation are keyed lookups), so base holds exactly
+    // one row per deal and the reference's COUNT(DISTINCT o_orderkey) ≡
+    // count(o_orderkey): the distinct-rewrite's O(deals) extra exchange
+    // is pure waste on unique keys. Oracle keeps COUNT(DISTINCT …); the
+    // hash differential pins the equivalence at every SF.
     val glob = base.agg(
-      count_distinct(col("o_orderkey")).as("n_deals_global"),
+      count(col("o_orderkey")).as("n_deals_global"),
       (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100)
         .as("sum_price_global"))
 

@@ -119,8 +119,13 @@ object RefQueries {
     val globalRow = tu.agg(
       count_distinct(col("user_id")).as("n_users_global"),
       (sum(col("s_c")).cast("double") / 100).as("sum_value_global"))
+    // The per-type table is bounded by |event_type| values; coalesce(1)
+    // runs the final count-merge in one task (input = tu-partition-count ×
+    // |types| partial rows — tiny after the map-side combine) instead of
+    // 32 near-empty tasks, and the broadcast collects from one partition.
     val perType = tu.groupBy(col("event_type"))
       .agg(count(col("user_id")).as("n_users_in_type"))
+      .coalesce(1)
     ev.crossJoin(broadcast(globalRow))
       .join(broadcast(perType), Seq("event_type"), "left")
       .select(col("event_id"), col("n_users_global"), col("sum_value_global"),

@@ -148,12 +148,27 @@ object ExportsEtl {
     * builds of the same query reuse one InMemoryRelation. */
   def withGlobalCalculations(df: DataFrame): DataFrame = {
     val cached = df.persist()
+    // `scenarioId` is the group key of the immediately-upstream
+    // [[dedupLatestPerScenario]] aggregate, so it is UNIQUE here and the
+    // reference's COUNT(DISTINCT scenarioId) ≡ count(scenarioId) — both
+    // skip NULLs, distinct-ness is structural. Dropping the DISTINCT
+    // removes the two-exchange distinct-rewrite from both global
+    // aggregates (guide: never pay a distinct on already-unique data);
+    // the oracle keeps COUNT(DISTINCT …) verbatim, and the differential
+    // hash check pins the equivalence at every SF.
     val globals = GlobalAggs.withGlobal(cached, Seq(
-      count_distinct(col("scenarioId")).as("count_all_unique_scenario_id"),
+      count(col("scenarioId")).as("count_all_unique_scenario_id"),
       sum(col("totalProposedLoanAmount"))
         .as("sum_all_total_proposed_loan_amount")))
-    GlobalAggs.withGroupDistinctCount(globals, "loanPurpose", "scenarioId",
-      "count_all_loan_purpose")
+    // Per-purpose counts aggregate `cached` DIRECTLY (not the crossJoined
+    // `globals`): grouping the post-crossJoin relation dragged the 1-row
+    // global broadcast into the counts branch as a redundant
+    // BroadcastNestedLoopJoin below the aggregate. The group key ignores
+    // the appended global columns, so the counts are identical.
+    val purposeCounts = cached.groupBy(col("loanPurpose"))
+      .agg(count(col("scenarioId")).as("count_all_loan_purpose"))
+      .coalesce(1)
+    globals.join(broadcast(purposeCounts), Seq("loanPurpose"), "left")
   }
 
   /** Steps 6+7 `lender_results`/`performance_extracted`
@@ -246,9 +261,14 @@ object ExportsEtl {
     // Lender list from the RAW view, like the reference's get_lenders
     // (run_exports_query.py:38-45) — a lender whose scenarios all fail
     // still gets its report.
+    // The lender list is bounded by the business's lender universe (the
+    // reference loops over ~49), so the distinct's final merge coalesces
+    // to one task — its input is mapper-count × |lenders| partially-
+    // deduped rows, tiny at any corpus size after the map-side combine.
     val lenders = view
       .where(col("exportedLender").isNotNull)
       .select(col("exportedLender").as("report_lender")).distinct()
+      .coalesce(1)
     val fanned = prepared.crossJoin(broadcast(lenders))
     finalProjection(classifyPerformance(
       explodeForLender(fanned, col("report_lender"))))

@@ -32,4 +32,5 @@ object GlobalAggs {
     val counts = df.groupBy(col(part)).agg(count_distinct(col(target)).as(outName))
     df.join(broadcast(counts), Seq(part), "left")
   }
+
 }

@@ -37,8 +37,17 @@ object RankFeatures {
       .where(col("month").isin(months: _*))
       .groupBy(col(tier), col(entity), col("month"))
       .agg(weight.fold(count(lit(1)))(w => sum(w).cast("long")).as("cnt"))
+    // Everything past the count aggregate is bounded by
+    // |tiers| × |entities| × 3 rows — enum-like constants at any corpus
+    // size. Coalescing to one partition here lets the rank window AND the
+    // caller's pivot aggregate run in that single task with NO further
+    // exchange (SinglePartition satisfies every clustering requirement),
+    // turning the 3-exchange feature branch into 1 exchange. The count
+    // aggregate itself keeps full map-side parallelism; only the
+    // bounded-size tail serializes — the static equivalent of AQE's
+    // small-partition coalescing, which the bench session pins off.
     val w = Window.partitionBy(col(tier), col("month")).orderBy(col("cnt").desc)
-    counts.withColumn("rnk", rank().over(w).cast("long"))
+    counts.coalesce(1).withColumn("rnk", rank().over(w).cast("long"))
   }
 
   /** Wide feature table (reference O3/O4): one row per (tier, entity) with
